@@ -1,0 +1,126 @@
+"""String-cleaning and flag expressions.
+
+Reference: ``S/closures/UDFs.scala:11-87`` + ``S/closures/StringFunctions.scala``.
+The reference implements these as row-at-a-time Scala UDFs; every one of them
+is expressible as a native Column chain (regexp_replace / regexp_extract_all /
+higher-order array functions), which keeps them inside Tungsten codegen — the
+right call on a 100 TB text column.
+
+Known deviation, deliberate: the reference's ``cleanCompanyUDF`` runs an
+ASCII ``\\W+ -> space`` replace *before* its "CJK-aware" word extraction
+(UDFs.scala:37-44), so CJK company names actually collapse to ``__empty`` —
+the extraction regex (StringFunctions.scala:7) plainly intended to keep them.
+We keep CJK characters through the whole chain.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Unicode blocks from StringFunctions.scala:7 (Java regex syntax — Spark's
+# regexp functions compile with java.util.regex, so these pass through).
+_CJK = (
+    r"\p{InHiragana}\p{InKatakana}\p{InBopomofo}"
+    r"\p{InCJKCompatibilityIdeographs}\p{InCJKUnifiedIdeographs}"
+)
+WORD_PATTERN_ENG = r"\w\.\-_"
+WORD_PATTERN_CJK = WORD_PATTERN_ENG + _CJK
+
+EMPTY_SENTINEL = "__empty"
+
+_TLDS = r"(?:com|net|org|io|co\.uk|co|eu|fr|de|ru)"
+_LEGAL = r"(?:http|https|www|co ltd|pvt ltd|ltd|inc|llc)"
+
+
+def _extract_words_joined(col: Column, pattern: str = WORD_PATTERN_CJK) -> Column:
+    """``extractWordsIncludeCJK(...).mkString(" ")`` (StringFunctions.scala:13-19)."""
+    return F.concat_ws(" ", F.regexp_extract_all(col, F.lit(f"([{pattern}]+)"), 1))
+
+
+def _empty_sentinel(col: Column) -> Column:
+    return F.when((col.isNull()) | (col == ""), F.lit(EMPTY_SENTINEL)).otherwise(col)
+
+
+def clean_company(col: Column) -> Column:
+    """Company-name normalizer (cleanCompanyUDF, UDFs.scala:32-46).
+
+    lowercase → strip TLD tokens → strip 'formerly/previously/ex-' → strip
+    punctuation → strip legal suffixes → word-extract (CJK kept) → __empty.
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, rf"\.?\b{_TLDS}\b", "")
+    c = F.regexp_replace(c, r"\b(?:formerly|previously)\b|\bex-(?=\w)", "")
+    c = F.regexp_replace(c, rf"[^\w{_CJK}]+", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, rf"\b{_LEGAL}\b", "")
+    return _empty_sentinel(_extract_words_joined(F.trim(c)))
+
+
+def clean_email(col: Column) -> Column:
+    """Email → domain (cleanEmailUDF, UDFs.scala:48-55): lowercase, take the
+    part after '@'; no '@' → keep the input; blank → __empty."""
+    c = F.lower(F.trim(col))
+    domain = F.regexp_extract(c, rf"@([{WORD_PATTERN_ENG}]+)", 1)
+    return _empty_sentinel(F.when(domain != "", domain).otherwise(c))
+
+
+def clean_location(col: Column) -> Column:
+    """Location normalizer (cleanLocationUDF, UDFs.scala:57-78).
+
+    'City, Country' → City; strip punctuation; drop the literal word 'city';
+    word-extract (CJK kept); __empty sentinel.
+    """
+    city_pat = rf"([{WORD_PATTERN_CJK}]+),\s*[{WORD_PATTERN_CJK}]+"
+    c = F.when(col.rlike(city_pat), F.regexp_extract(col, city_pat, 1)).otherwise(col)
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"""[~!@#$^%&*()_+={}\[\]|;:"'<,>.?`/\\-]+""", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"\bcity\b", "")
+    return _empty_sentinel(_extract_words_joined(F.trim(c)))
+
+
+def contains_any(col: Column, substrings: Iterable[str], lower: bool = False) -> Column:
+    """1.0 if any literal substring occurs (containsAnyOfUDF, UDFs.scala:11-22)."""
+    c = F.lower(col) if lower else col
+    pred = functools.reduce(
+        operator.or_, [c.contains(F.lit(s)) for s in substrings]
+    )
+    return F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def flag_any_like(col: Column, patterns: Iterable[str]) -> Column:
+    """OR-folded LIKE flag (P7 idiom, S/UserProfileBuilder.scala:80-92):
+    ``patterns.map(col.like).reduce(_ or _)`` as a 1.0/0.0 column."""
+    pred = functools.reduce(operator.or_, [col.like(p) for p in patterns])
+    return F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def null_flag(cols: Iterable[Column]) -> Column:
+    """OR-folded isNull flag (user_has_null, S/UserProfileBuilder.scala:60-64)."""
+    pred = functools.reduce(operator.or_, [c.isNull() for c in cols])
+    return F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def lang_index_in_recent(repo_language: Column, recent_languages: Column) -> Column:
+    """Index of the repo language in the user's recent-language list; miss →
+    size+50 (repoLanguageIndexInUserRecentRepoLanguagesUDF, UDFs.scala:80-83).
+
+    ``array_position`` is 1-based and the reference's ``indexOf`` is 0-based —
+    subtract 1 on hit (SURVEY.md §7.4 off-by-one note).
+    """
+    pos = F.array_position(recent_languages, F.lower(repo_language))
+    return F.when(pos > 0, (pos - 1).cast("int")).otherwise(
+        (F.size(recent_languages) + 50).cast("int")
+    )
+
+
+def lang_count_in_recent(repo_language: Column, recent_languages: Column) -> Column:
+    """Occurrence count of the repo language in the recent list
+    (UDFs.scala:85-87) via higher-order ``filter`` — no UDF."""
+    lang = F.lower(repo_language)
+    return F.size(F.filter(recent_languages, lambda x: x == lang))

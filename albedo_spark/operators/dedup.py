@@ -1,0 +1,239 @@
+"""Deduplication operators for large text corpora.
+
+Not in the reference (its nearest neighbor is MinHashLSH suggested for the
+content recommender rewrite, SURVEY.md §7.4); these are the
+training-data-pipeline extensions (BASELINE.json north star), built to scale:
+
+- ``exact_duplicates`` / ``exact_dedup``: hash-groupBy on a normalized text
+  digest. One shuffle on a 32-hex key; at 100 TB use it first — it kills the
+  bulk of duplication for pennies.
+- ``minhash_lsh_pairs``: shingle → per-band min-hash → bucket self-join.
+  Candidate generation never compares all pairs; cost is bounded by bucket
+  sizes (cap via ``max_bucket``) — the standard MinHash-LSH design (Broder;
+  MMDS ch.3).
+- ``jaccard_verify`` / ``ngram_jaccard_pairs``: exact token/shingle-set
+  Jaccard via explode + equi-join — used to verify LSH candidates, or
+  standalone at small scale (it is quadratic per bucket only).
+
+All hashing is ``md5`` so results are engine-portable (the DuckDB oracle
+computes the identical signature) and stable across Spark versions —
+unlike ``xxhash64``/``hash`` whose seeds differ between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact-dup hashing: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column as ``array<string>``.
+
+    Pure expression: split → sliding slice. Texts shorter than n words
+    yield a single whole-text shingle so no document silently vanishes.
+    """
+    words = F.split(normalize_text(col), " ")
+    joined = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(joined)
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates: (digest, n_dups, min doc id as keeper).
+
+    Single hash-shuffle; map-side combine makes the common all-unique case
+    cheap. Output only groups with >1 member.
+    """
+    return (
+        df.select(F.md5(normalize_text(F.col(text_col))).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per normalized-text digest."""
+    w_digest = df.withColumn("_digest", F.md5(normalize_text(F.col(text_col))))
+    keepers = w_digest.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    return w_digest.join(keepers, ["_digest", id_col], "inner").drop("_digest")
+
+
+def minhash_signature(col: Column, num_hashes: int, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hash values (hex strings) for a text column.
+
+    Hash family i = md5(i || ':' || shingle); the min over shingles
+    approximates Jaccard similarity per MinHash. md5 keeps it portable
+    (same values in the DuckDB oracle).
+    """
+    sh = word_shingles(col, shingle_n)
+
+    def hash_i(i: int):
+        prefix = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hash_i(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH (one row per
+    hash = one band of size 1, the high-recall configuration).
+
+    Plan shape at scale: narrow signature computation → explode to
+    (band, value, id) → self-join on (band, value). The join is equi — sort-
+    merge or shuffled-hash, never a cross join. Oversized buckets (degenerate
+    text) are dropped with ``max_bucket`` to bound the quadratic blow-up.
+    Returns distinct (id_a < id_b) pairs; verify with ``jaccard_verify``.
+    """
+    sig = df.select(
+        F.col(id_col),
+        F.posexplode(minhash_signature(F.col(text_col), num_bands, shingle_n)).alias(
+            "band", "minhash"
+        ),
+    )
+    sizes = sig.groupBy("band", "minhash").agg(F.count("*").alias("_bs"))
+    sig = sig.join(sizes.where(F.col("_bs") <= max_bucket), ["band", "minhash"]).drop("_bs")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over all co-occurring pairs.
+
+    Explode distinct shingles → self-equi-join on shingle → count
+    intersections → Jaccard = inter / (|A|+|B|-inter). Only pairs sharing at
+    least one shingle are ever materialized, so the complexity is driven by
+    shingle document-frequency, not |docs|². For 100 TB runs, drop
+    ultra-common shingles first (df-cap) or use ``minhash_lsh_pairs`` to
+    pre-filter; this exact form is the verifier.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = tok.alias("a").join(
+        tok.alias("b"),
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    inter = (
+        a.groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard check of LSH candidate pairs: join shingle sets back on
+    both sides, compute set Jaccard natively (array_intersect on the two
+    shingle arrays — fine because each row holds just two documents)."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def simhash(col: Column, num_bits: int = 32) -> Column:
+    """SimHash of a text column as a non-negative bigint.
+
+    Token hash = first 8 hex chars of md5 (32 bits via ``conv``); bit i of
+    the fingerprint is the sign of sum over tokens of ±1 on that bit. Pure
+    expressions — the per-bit sums run inside one projection over the token
+    array, no explode, no UDF. Near-dups then group by fingerprint or by
+    Hamming-ball probes.
+    """
+    words = F.array_distinct(F.split(normalize_text(col), " "))
+    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+
+    def bit_vote(i: int):
+        mask = 1 << i
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bits = [
+        F.when(
+            F.aggregate(hashes, F.lit(0), bit_vote(i)) > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(num_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

@@ -1,0 +1,71 @@
+"""Sessionization and event-stream batch operators over the ``events`` table.
+
+The reference has no streaming/sessions (SURVEY.md §1.1: "Streaming does not
+exist in the reference") — this is the batch half of the streaming extension
+(§7.5); ``albedo_spark.streaming.events`` holds the Structured Streaming twin.
+
+Scale notes: sessionize is one shuffle on user_id + two window passes over
+the same partitioning (Catalyst reuses the sort); tumbling aggregation is a
+plain hash aggregate on (window, type) — both linear, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap since the
+    previous event of the same user exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum-of-boundaries; both windows share one
+    partitioning/ordering so Spark sorts once.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    boundary = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("_boundary", boundary).withColumn(
+        "session_seq", F.sum("_boundary").over(w)
+    ).drop("_boundary")
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session row counts and duration seconds."""
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col(ts_col)).cast("long") - F.min(F.col(ts_col)).cast("long")).alias(
+            "duration_sec"
+        ),
+        F.min(F.col(ts_col)).alias("session_start"),
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed agg):
+    (window_start, key, count, avg value)."""
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "avg_value")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension; generalizes the reference's tokenizer/stopword stages M9/M10,
+``S/transformers/HanLPTokenizer.scala``, ``S/transformers/SnowballStemmer.scala``).
+
+All pure Column expressions — these run over every document of a 100 TB
+corpus, so nothing here leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.dedup import normalize_text
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small + frozen: they are part of the operator's
+# deterministic contract (the oracle recomputes the identical scores).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "para", "en", "que", "no"),
+}
+
+_CJK_PATTERN = r"[\p{InCJKUnifiedIdeographs}\p{InHiragana}\p{InKatakana}]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text (empty text → empty array)."""
+    t = normalize_text(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, " "))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND on transitions
+    between letters/digits/punctuation (a cheap BPE proxy — the usual
+    ~chars/4 heuristic is worse on code-like text)."""
+    pieces = F.regexp_extract_all(
+        F.lower(col), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1
+    )
+    return F.size(pieces)
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (0.0 for empty)."""
+    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    tok = tokens(col)
+    n = F.size(tok)
+    hits = F.size(F.filter(tok, lambda t: F.array_contains(stops, t)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation characters / total characters (0.0 for empty)."""
+    n = F.length(col)
+    punct = n - F.length(F.regexp_replace(col, r"""[!-/:-@\[-`{-~]""", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality score in [0, 1]:
+    0.4·length-band + 0.3·(1-punct_ratio) + 0.3·min(1, 5·stopword_ratio_en).
+
+    Deterministic, explainable, and cheap — the standard pre-filter shape
+    (C4/Gopher-style heuristics) without model inference.
+    """
+    n_tok = token_count(col)
+    length_band = F.when((n_tok >= 20) & (n_tok <= 10000), F.lit(1.0)).otherwise(
+        F.when(n_tok > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    sw = stopword_ratio(col, "en")
+    return F.round(
+        0.4 * length_band
+        + 0.3 * (1.0 - punct_ratio(col))
+        + 0.3 * F.least(F.lit(1.0), 5.0 * sw),
+        4,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: CJK-script detection first, else the language
+    whose stopword-hit count is highest (ties → lexicographic language code,
+    no hits → 'und'). Deterministic; the DuckDB oracle replays it exactly."""
+    tok = tokens(col)
+
+    def stop_hits(stop_list: tuple[str, ...]):
+        arr = F.array(*[F.lit(s) for s in stop_list])
+        return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+
+    scores = [(lang, stop_hits(ss)) for lang, ss in sorted(LANG_STOPWORDS.items())]
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # Fold left in lexicographic order; strict '>' keeps the earliest max.
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    has_cjk = F.length(F.regexp_replace(col, f"[^{_CJK_PATTERN[1:-1]}]", "")) > 0
+    return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of sorted distinct tokens — robust to token
+    order and duplication (the 'fingerprint' of Broder's shingling family;
+    cheap canonical identity for clustering/dedup joins)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))

@@ -1,0 +1,778 @@
+"""Oracle-checked query catalog over the driver TESTDATA tables.
+
+Each entry exercises rows of SURVEY.md §2's operator inventory through the
+library operators, paired (in ``__spark_entry__.oracle_sql``) with the
+equivalent ANSI SQL for the DuckDB oracle. Column names and rounding are
+part of the contract: the driver hash-compares values after sorting columns
+by name, so every computed column is aliased identically on both sides and
+floating aggregates are rounded to fixed decimals.
+
+Scale annotations sit on each query; `.explain("formatted")` is exercised in
+tests/test_plans.py to pin the physical-plan properties (pushed filters,
+broadcast joins, TakeOrderedAndProject, partial aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from albedo_spark.functions import (
+    clean_company,
+    clean_email,
+    clean_location,
+    flag_any_like,
+    null_flag,
+)
+from albedo_spark.io import load_table
+from albedo_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_verify,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from albedo_spark.operators.sessions import session_stats, tumbling_agg
+from albedo_spark.operators.similarity import cosine_knn
+from albedo_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from albedo_spark.operators.topk import global_top_k, top_k_per_group
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans, filters, aggregations, joins, windows, set ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1 multi-agg + P6 filter). Partial aggregation
+    (map-side combine) + 2-key hash agg: the 100 TB plan is scan→partial
+    agg→tiny shuffle. Filter reaches the parquet scan as PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+@query(
+    "q2_market_segment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q2_market_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi join (J1) + agg. customer is small → broadcast joins keep
+    the only shuffle on the lineitem-side aggregation key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q3_region_nation_rollup",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q3_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain broadcast joins (region/nation are tiny — J1+J7)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "q4_top_parts_by_revenue",
+    """
+    SELECT p.p_partkey, p.p_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p.p_partkey ASC
+    LIMIT 20
+    """,
+)
+def q4_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k after join+agg (O1+O2): TakeOrderedAndProject, no full
+    sort. Deterministic tiebreak on p_partkey."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return global_top_k(
+        revenue, [F.col("revenue").desc(), F.col("p_partkey").asc()], 20
+    )
+
+
+@query(
+    "q5_top3_orders_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+               ) AS rnk
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q5_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — the reference's core idiom (top-k per group, row_number with id
+    tiebreak per SURVEY §7.4 determinism note)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        joined,
+        ["c_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+        rank_col="rnk",
+        keep_rank=True,
+    )
+
+
+@query(
+    "q6_customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def q6_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (J5 — `P/common.py:60`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q7_priority_like_fold",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+    FROM orders
+    WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+       OR o_orderpriority LIKE '%URGENT%'
+    GROUP BY o_orderpriority
+    """,
+)
+def q7_priority_like_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-folded LIKE predicate (P7, `S/UserProfileBuilder.scala:80-92`) +
+    conditional aggregation (P8 when/otherwise)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(
+            F.col("o_orderpriority").like("1-%")
+            | F.col("o_orderpriority").like("2-%")
+            | F.col("o_orderpriority").like("%URGENT%")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("n_finished"),
+        )
+    )
+
+
+@query(
+    "q8_part_filter_bins",
+    """
+    SELECT p_partkey, p_brand, p_size,
+           CASE WHEN p_retailprice < 1000 THEN 'cheap'
+                WHEN p_retailprice < 1500 THEN 'mid'
+                ELSE 'premium' END AS price_band
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    """,
+)
+def q8_part_filter_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN + isin filters (P6) + when/otherwise binning (P8) — the
+    repo-profile filter/binning shape (`S/RepoProfileBuilder.scala:75-110`).
+    Both predicates push to the parquet scan."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_size").between(10, 40)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.when(F.col("p_retailprice") < 1000, "cheap")
+        .when(F.col("p_retailprice") < 1500, "mid")
+        .otherwise("premium")
+        .alias("price_band"),
+    )
+
+
+@query(
+    "q9_union_distinct_keys",
+    """
+    SELECT DISTINCT k AS custkey, src FROM (
+        SELECT o_custkey AS k, 'orders' AS src FROM orders WHERE o_totalprice > 50000
+        UNION ALL
+        SELECT c_custkey AS k, 'customer' AS src FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def q9_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct (U1/A5 — candidate-source folding,
+    `S/LogisticRegressionRanker.scala:397-401`)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.where(F.col("o_totalprice") > 50000).select(
+        F.col("o_custkey").alias("custkey"), F.lit("orders").alias("src")
+    )
+    b = c.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey"), F.lit("customer").alias("src")
+    )
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "q10_cross_join_topk",
+    """
+    WITH top_parts AS (
+        SELECT p_partkey, p_retailprice
+        FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 5
+    )
+    SELECT r.r_regionkey, t.p_partkey, t.p_retailprice
+    FROM region r CROSS JOIN top_parts t
+    """,
+)
+def q10_cross_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit-before-crossJoin (J3 — the popularity/curation recommender
+    shape, small side limited first, `S/recommenders/PopularityRecommender.scala:23,34`)."""
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    top = global_top_k(
+        p.select("p_partkey", "p_retailprice"),
+        [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+        5,
+    )
+    return r.select("r_regionkey").crossJoin(top)
+
+
+@query(
+    "q11_null_handling",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           sum(CASE WHEN o_clerk_filled = '__none' THEN 1 ELSE 0 END) AS n_missing
+    FROM (
+        SELECT o_orderstatus,
+               coalesce(NULLIF(o_orderpriority, ''), '__none') AS o_clerk_filled
+        FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q11_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """na.fill / sentinel handling (P9 — `S/UserProfileBuilder.scala:60-64`)."""
+    o = _t(spark, sf_dir, "orders")
+    filled = o.select(
+        "o_orderstatus",
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("")), F.lit("__none")
+        ).alias("o_clerk_filled"),
+    )
+    return filled.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_clerk_filled") == "__none", 1).otherwise(0)).alias(
+            "n_missing"
+        ),
+    )
+
+
+@query(
+    "q12_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS order_year
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def q12_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff/year extraction (§2.9 date family —
+    `S/UserProfileBuilder.scala:141-142`)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+
+
+@query(
+    "q13_supplier_nation_agg",
+    """
+    SELECT n.n_name AS nation_name,
+           count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_acctbal,
+           round(max(s.s_acctbal), 2) AS max_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q13_supplier_nation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max/sum aggregation after broadcast join (A2-style max,
+    `S/recommenders/CurationRecommender.scala:28-29`)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+
+
+@query(
+    "q14_sparsity_stats",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    """,
+)
+def q14_sparsity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-agg single pass incl. countDistinct (A4 — the user-item matrix
+    sparsity stat, `P/common.py:18`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON, sessionization, windowed aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_events_tumbling",
+    """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q15_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg (batch twin of the streaming windowed agg §7.5).
+    Window start emitted as epoch seconds — engine-portable hashing."""
+    e = _t(spark, sf_dir, "events")
+    out = tumbling_agg(e, window_duration="1 hour")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type",
+        "n_events",
+        "avg_value",
+    )
+
+
+@query(
+    "q16_events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q16_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (semi-structured props)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("double").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+@query(
+    "q17_sessionization",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           date_diff('second', min(ts), max(ts)) AS duration_sec,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q17_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + cumulative boundary sum; gap 30 min).
+    session_start emitted as epoch seconds for portable hashing."""
+    e = _t(spark, sf_dir, "events")
+    out = session_stats(e, gap_minutes=30)
+    return out.withColumn("session_start", F.col("session_start").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_exact_dup_groups",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+           count(*) AS n_dups,
+           min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def q18_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text md5 hash-groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d)
+
+
+@query(
+    "q19_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+           n_chars,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           )), ' ')) AS fp
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+    """,
+)
+def q19_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + order-insensitive md5 fingerprint (engine-portable)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        "n_chars",
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+@query(
+    "q20_jaccard_near_dups",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS sh
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.set_size + sb.set_size - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.5
+    """,
+)
+def q20_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-set Jaccard near-dup pairs (threshold 0.5).
+
+    Explode+equi-join — only co-occurring pairs materialize. At 100 TB this
+    is the verifier behind `minhash_lsh_pairs`; standalone here because the
+    oracle must be exact."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=1, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "q21_minhash_lsh_verified",
+    """
+    WITH docs AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[i + 1 : i + 3], ' ') AS sh
+        FROM words, unnest(range(greatest(len(w) - 3, 0) + 1)) AS r(i)
+    ),
+    sigs AS (
+        SELECT doc_id, band, min(md5(band || ':' || sh)) AS minhash
+        FROM shingles, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b(band)
+        GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    shsets AS (SELECT doc_id, list(DISTINCT sh) AS shset FROM shingles GROUP BY doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+                 len(list_distinct(list_concat(sa.shset, sb.shset))), 4) AS jaccard
+    FROM cand
+    JOIN shsets sa ON cand.id_a = sa.doc_id
+    JOIN shsets sb ON cand.id_b = sb.doc_id
+    WHERE len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+          len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.8
+    """,
+)
+def q21_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (8 bands, 3-word shingles, md5 hash family)
+    verified by exact shingle Jaccard ≥ 0.8. Fully deterministic and
+    engine-portable — the oracle replays the identical md5 minhash."""
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d, num_bands=8, shingle_n=3)
+    verified = jaccard_verify(cand, d, shingle_n=3, threshold=0.8)
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "q22_lang_quality",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, text,
+               len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS s_en,
+               len(list_filter(w, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','auf'], t))) AS s_de,
+               len(list_filter(w, t -> list_contains(['el','la','los','y','es','una','para','en','que','no'], t))) AS s_es,
+               len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','pour','dans','que','pas'], t))) AS s_fr
+        FROM tok
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN regexp_matches(text, '[\\p{Han}\\p{Hiragana}\\p{Katakana}]') THEN 'zh'
+             WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en > 0 AND s_en >  s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es > 0 AND s_es >  s_de AND s_es >  s_en AND s_es >= s_fr THEN 'es'
+             WHEN s_fr > 0 AND s_fr >  s_de AND s_fr >  s_en AND s_fr >  s_es THEN 'fr'
+             ELSE 'und' END AS lang_pred
+    FROM scored
+    """,
+)
+def q22_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scored language ID (deterministic heuristic; oracle replays
+    the same fold order: lexicographic languages, strict > keeps earliest)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q23_cosine_knn",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])
+               ) AS cos_raw
+        FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q23_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for every 50th vector as query set.
+
+    Broadcast(queries) × corpus with native higher-order dot/norm; per-query
+    row_number. The exact baseline the LSH variant is judged against."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_knn(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "q24_label_centroid_sim",
+    """
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[])
+           )), 4) AS self_sim,
+           round(avg(sqrt(list_dot_product(
+               CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])
+           ))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q24_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats via higher-order aggregate expressions."""
+    from albedo_spark.functions.vectors import cosine_similarity, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.avg(cosine_similarity(F.col("embedding"), F.col("embedding"))), 4
+        ).alias("self_sim"),
+        F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
