@@ -93,34 +93,72 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_bands: int = 8,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
     shingle_n: int = 3,
-    max_bucket: int = 1000,
+    max_bucket: int = 200,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH (one row per
-    hash = one band of size 1, the high-recall configuration).
+    """Candidate near-duplicate pairs via banded MinHash LSH.
 
-    Plan shape at scale: narrow signature computation → explode to
-    (band, value, id) → self-join on (band, value). The join is equi — sort-
-    merge or shuffled-hash, never a cross join. Oversized buckets (degenerate
-    text) are dropped with ``max_bucket`` to bound the quadratic blow-up.
-    Returns distinct (id_a < id_b) pairs; verify with ``jaccard_verify``.
+    ``num_hashes`` minhashes grouped into bands of ``rows_per_band`` rows;
+    the band key is md5 over the band's minhash values, so a bucket
+    collision needs all ``rows_per_band`` hashes equal — the classic
+    b-bands × r-rows S-curve (P(candidate) = 1-(1-s^r)^b). r≥2 matters on
+    low-entropy corpora where single-hash buckets degenerate.
+
+    Plan shape at scale: one narrow projection computes the shingle array
+    and signature per doc (shingles materialized once, not per hash) →
+    explode to (band, key, id) → bucket-size cap (``max_bucket``, applied
+    identically in the oracle) → self-equi-join on (band, key). Never a
+    cross join. Returns distinct (id_a < id_b); verify with
+    ``jaccard_verify``.
     """
-    sig = df.select(
+    num_bands = num_hashes // rows_per_band
+    # Explode shingles once, hash each row num_hashes ways, then min-agg.
+    # (A projection-based signature looks cheaper but Catalyst's project
+    # collapse re-inlines the shingle expression into every hash column —
+    # recomputing the shingling num_hashes times. The explode form computes
+    # shingles once and the groupBy min is map-side-combined.)
+    exploded = df.select(
         F.col(id_col),
-        F.posexplode(minhash_signature(F.col(text_col), num_bands, shingle_n)).alias(
-            "band", "minhash"
-        ),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
-    sizes = sig.groupBy("band", "minhash").agg(F.count("*").alias("_bs"))
-    sig = sig.join(sizes.where(F.col("_bs") <= max_bucket), ["band", "minhash"]).drop("_bs")
-    a = sig.alias("a")
-    b = sig.alias("b")
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_keys = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"_h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    sizes = band_keys.groupBy("band", "bkey").agg(F.count("*").alias("_bs"))
+    capped = band_keys.join(
+        sizes.where(F.col("_bs") <= max_bucket), ["band", "bkey"]
+    ).drop("_bs")
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -189,9 +227,24 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact-Jaccard check of LSH candidate pairs: join shingle sets back on
     both sides, compute set Jaccard natively (array_intersect on the two
-    shingle arrays — fine because each row holds just two documents)."""
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    shingle arrays — fine because each row holds just two documents).
+
+    Shingles are computed only for documents that appear in a candidate
+    pair (semi-join first) — at scale candidates ≪ corpus. The candidate
+    DataFrame is persisted because it is referenced three times below —
+    without it the whole upstream LSH DAG would recompute per reference
+    (the reference's IntermediateCacher exists for exactly this,
+    S/transformers/IntermediateCacher.scala:10-40).
+    """
+    candidates = candidates.persist()
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
     )
     out = (
         candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

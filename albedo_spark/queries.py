@@ -640,14 +640,28 @@ def q20_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM words, unnest(range(greatest(len(w) - 3, 0) + 1)) AS r(i)
     ),
     sigs AS (
-        SELECT doc_id, band, min(md5(band || ':' || sh)) AS minhash
-        FROM shingles, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b(band)
-        GROUP BY doc_id, band
+        SELECT doc_id, i, min(md5(i || ':' || sh)) AS minhash
+        FROM shingles, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS h(i)
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(minhash, ',' ORDER BY i)) AS bkey
+        FROM sigs GROUP BY doc_id, i // 2
+    ),
+    capped AS (
+        SELECT band, bkey FROM bands
+        GROUP BY band, bkey
+        HAVING count(*) <= 200
+    ),
+    inb AS (
+        SELECT b.doc_id, b.band, b.bkey
+        FROM bands b JOIN capped c ON b.band = c.band AND b.bkey = c.bkey
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b
-          ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        FROM inb a JOIN inb b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
     shsets AS (SELECT doc_id, list(DISTINCT sh) AS shset FROM shingles GROUP BY doc_id)
     SELECT id_a, id_b,
@@ -661,11 +675,12 @@ def q20_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (8 bands, 3-word shingles, md5 hash family)
-    verified by exact shingle Jaccard ≥ 0.8. Fully deterministic and
-    engine-portable — the oracle replays the identical md5 minhash."""
+    """MinHash-LSH candidates (8 hashes → 4 bands × 2 rows, 3-word
+    shingles, md5 hash family, bucket cap 200) verified by exact shingle
+    Jaccard ≥ 0.8. Fully deterministic and engine-portable — the oracle
+    replays the identical banded md5 minhash scheme."""
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(d, num_bands=8, shingle_n=3)
+    cand = minhash_lsh_pairs(d, num_hashes=8, rows_per_band=2, shingle_n=3, max_bucket=200)
     verified = jaccard_verify(cand, d, shingle_n=3, threshold=0.8)
     return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
