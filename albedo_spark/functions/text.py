@@ -75,7 +75,10 @@ def clean_location(col: Column) -> Column:
     'City, Country' → City; strip punctuation; drop the literal word 'city';
     word-extract (CJK kept); __empty sentinel.
     """
-    city_pat = rf"([{WORD_PATTERN_CJK}]+),\s*[{WORD_PATTERN_CJK}]+"
+    # Anchored: the reference's Scala `val pattern(city, _) = location` only
+    # fires on a FULL-string match (unapplySeq anchors), so 'San Francisco,
+    # CA' (space inside the city) falls through and keeps the whole string.
+    city_pat = rf"^([{WORD_PATTERN_CJK}]+),\s*[{WORD_PATTERN_CJK}]+$"
     c = F.when(col.rlike(city_pat), F.regexp_extract(col, city_pat, 1)).otherwise(col)
     c = F.lower(c)
     c = F.regexp_replace(c, r"""[~!@#$^%&*()_+={}\[\]|;:"'<,>.?`/\\-]+""", " ")

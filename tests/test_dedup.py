@@ -1,0 +1,83 @@
+"""Dedup operator semantics: planted duplicates must be found; hashes are
+portable; SimHash of near-identical docs is near-identical."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    jaccard_verify,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE + " extra tail words here"),  # near dup of 1
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "another unrelated document mentioning joins aggregates and scans"),
+        (6, BASE.upper()),  # exact dup after normalization
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 3  # 1, 2, 6
+    assert groups[0].keeper_id == 1
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = {r.doc_id for r in exact_dedup(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    cand = minhash_lsh_pairs(docs, max_bucket=50)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 2) in pairs and (1, 6) in pairs  # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should bucket-collide
+    verified = jaccard_verify(cand, docs, threshold=0.5)
+    vpairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (1, 2) in vpairs
+    assert not any({a, b} & {4, 5} for a, b in vpairs)
+
+
+def test_jaccard_exact_value(spark):
+    # token sets: {a b c d} vs {a b c e} → J = 3/5
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    out = ngram_jaccard_pairs(df, n=1, threshold=0.0).collect()
+    assert len(out) == 1
+    assert out[0].jaccard == pytest.approx(3 / 5)
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    sh = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert sh == ["one two"]
+
+
+def test_simhash_properties(docs):
+    out = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", simhash(F.col("text"), 32).alias("sh")).collect()}
+    assert out[1] == out[2] == out[6]  # normalization-equal docs
+    # near-dup hamming distance small vs unrelated
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+    assert all(0 <= v < (1 << 32) for v in out.values())

@@ -1,0 +1,105 @@
+"""Golden-vector tests for the native UDF replacements (FIXTURES.md
+'clean_udf vectors'; reference semantics from S/closures/UDFs.scala)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from albedo_spark.functions import (
+    clean_company,
+    clean_email,
+    clean_location,
+    contains_any,
+    flag_any_like,
+    lang_count_in_recent,
+    lang_index_in_recent,
+    null_flag,
+)
+
+
+def _one(spark, value, expr):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(expr(F.col("v")).alias("out")).collect()[0].out
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("@Google", "google"),
+        ("google inc", "google"),
+        ("Google.com", "google"),
+        ("Ex-Facebook", "facebook"),
+        ("formerly Amazon", "amazon"),
+        ("ACME Co Ltd", "acme"),
+        ("", "__empty"),
+        ("!!!", "__empty"),
+        ("小米", "小米"),  # CJK preserved (deliberate fix of reference quirk)
+    ],
+)
+def test_clean_company(spark, raw, expected):
+    assert _one(spark, raw, clean_company) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Vinta@gmail.com", "gmail.com"),
+        ("x@sub.example.co", "sub.example.co"),
+        ("not-an-email", "not-an-email"),
+        ("", "__empty"),
+    ],
+)
+def test_clean_email(spark, raw, expected):
+    assert _one(spark, raw, clean_email) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # space inside city → the reference's full-string match fails and the
+        # whole string is kept (then cleaned) — NOT city extraction
+        ("San Francisco, CA", "san francisco ca"),
+        ("Taipei, Taiwan", "taipei"),
+        ("New York City", "new york"),
+        ("東京, 日本", "東京"),
+        ("", "__empty"),
+    ],
+)
+def test_clean_location(spark, raw, expected):
+    assert _one(spark, raw, clean_location) == expected
+
+
+def test_flag_any_like_and_contains(spark):
+    df = spark.createDataFrame(
+        [("a machine learning phd",), ("plain bio",), (None,)], "v string"
+    )
+    out = df.select(
+        flag_any_like(F.col("v"), ["%machine learning%", "%deep learning%"]).alias("f"),
+        contains_any(F.col("v"), ["phd", "professor"]).alias("c"),
+    ).collect()
+    assert [r.f for r in out] == [1.0, 0.0, 0.0]
+    assert [r.c for r in out] == [1.0, 0.0, 0.0]
+
+
+def test_null_flag(spark):
+    df = spark.createDataFrame([("a", "b"), (None, "b")], "x string, y string")
+    out = df.select(null_flag([F.col("x"), F.col("y")]).alias("f")).collect()
+    assert [r.f for r in out] == [0.0, 1.0]
+
+
+def test_lang_index_and_count(spark):
+    df = spark.createDataFrame(
+        [("Python", ["python", "go", "python"]),
+         ("Rust", ["python", "go", "python"])],
+        "repo_language string, user_recent_repo_languages array<string>",
+    )
+    out = df.select(
+        lang_index_in_recent(
+            F.col("repo_language"), F.col("user_recent_repo_languages")
+        ).alias("idx"),
+        lang_count_in_recent(
+            F.col("repo_language"), F.col("user_recent_repo_languages")
+        ).alias("cnt"),
+    ).collect()
+    # reference indexOf is 0-based; miss → size + 50 (UDFs.scala:80-87)
+    assert (out[0].idx, out[0].cnt) == (0, 2)
+    assert (out[1].idx, out[1].cnt) == (3 + 50, 0)

@@ -1,0 +1,86 @@
+"""NegativeBalancer invariants (FIXTURES.md golden check #5) +
+UserRepoTransformer + IntermediateCacher + persistence round-trips."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from albedo_spark.transformers import (
+    IntermediateCacher,
+    NegativeBalancer,
+    UserRepoTransformer,
+)
+from albedo_spark.transformers.negative_balancer import SENTINEL_TIMESTAMP
+
+
+@pytest.fixture()
+def toy_starring(spark):
+    rows = [
+        (1, 10, "2017-01-01 00:00:00", 1.0),
+        (1, 11, "2017-01-02 00:00:00", 1.0),
+        (2, 10, "2017-01-03 00:00:00", 1.0),
+        (3, 12, "2017-01-04 00:00:00", 1.0),
+        # user 4 has starred every popular item
+        (4, 10, "2017-01-05 00:00:00", 1.0),
+        (4, 11, "2017-01-05 00:00:00", 1.0),
+        (4, 12, "2017-01-05 00:00:00", 1.0),
+        (4, 13, "2017-01-05 00:00:00", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, repo_id int, starred_at string, starring double"
+    ).withColumn("starred_at", F.col("starred_at").cast("timestamp"))
+
+
+POPULAR = [10, 11, 12, 13]
+
+
+def test_negative_balancer_invariants(toy_starring):
+    nb = NegativeBalancer(popular_items=POPULAR, negativePositiveRatio=1.0)
+    out = nb.transform(toy_starring).cache()
+    pos = out.where("starring = 1.0")
+    neg = out.where("starring = 0.0")
+    assert pos.count() == toy_starring.count()
+    # invariant: no emitted negative is a positive of the same user
+    assert neg.join(toy_starring, ["user_id", "repo_id"], "inner").count() == 0
+    # sentinel timestamp (NegativeBalancer.scala:107)
+    stamps = {str(r.starred_at) for r in neg.select("starred_at").distinct().collect()}
+    assert stamps == {"1999-07-01 00:00:00"}
+    # user 1: 2 positives → 2 negatives (most popular unseen first: 12, 13)
+    u1 = sorted(r.repo_id for r in neg.where("user_id = 1").collect())
+    assert u1 == [12, 13]
+    # user 4 starred all popular items → no negatives possible
+    assert neg.where("user_id = 4").count() == 0
+
+
+def test_negative_balancer_ratio_zero(toy_starring):
+    nb = NegativeBalancer(popular_items=POPULAR, negativePositiveRatio=0.0)
+    out = nb.transform(toy_starring)
+    assert out.where("starring = 0.0").count() == 0
+
+
+def test_user_repo_transformer(spark):
+    df = spark.createDataFrame(
+        [(1, "Python", ["python", "go"]), (2, "Nim", ["python"])],
+        "id int, repo_language string, user_recent_repo_languages array<string>",
+    )
+    out = UserRepoTransformer().transform(df).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].repo_language_index_in_user_recent_repo_languages == 0
+    assert by_id[2].repo_language_index_in_user_recent_repo_languages == 51
+    assert by_id[1].repo_language_count_in_user_recent_repo_languages == 1
+
+
+def test_intermediate_cacher(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, x string")
+    out = IntermediateCacher(inputCols=["id"]).transform(df)
+    assert out.columns == ["id"]
+    assert out.is_cached
+
+
+def test_params_persistence_roundtrip(spark, tmp_path):
+    nb = NegativeBalancer(popular_items=POPULAR, negativePositiveRatio=2.0)
+    path = str(tmp_path / "nb")
+    nb.write().overwrite().save(path)
+    loaded = NegativeBalancer.load(path)
+    assert loaded.getOrDefault(loaded.negativePositiveRatio) == 2.0
