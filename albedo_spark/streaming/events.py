@@ -1,0 +1,90 @@
+"""Structured Streaming ingest of star/interaction events (§7.5 extension —
+the reference has no streaming; SURVEY.md §1.1).
+
+The streaming queries REUSE the batch operators' shapes: a windowed
+aggregation here produces the same schema as ``operators.sessions.
+tumbling_agg``, so batch backfill and streaming tail write to one table
+(the kappa pattern). Watermarks bound state for late data; session windows
+use the native ``session_window`` (no custom applyInPandasWithState needed
+for gap-based sessions — reserve that for truly custom state machines).
+
+At scale: file-source streaming reads incrementally (maxFilesPerTrigger);
+the windowed agg shuffles on (window, key) with state in the state store —
+size it via watermark horizon × key cardinality, not input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from albedo_spark.schemas import EVENTS
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-source stream over an events parquet directory (schema pinned —
+    streaming sources cannot infer)."""
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark; schema matches the
+    batch ``tumbling_agg`` so the two paths are interchangeable."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "avg_value")
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows (native ``session_window`` — merges
+    adjacent state as events arrive; works identically in batch)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Drain all available input into an in-memory table (tests/dev)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -59,10 +59,11 @@ def user_info_df(spark, user_ids):
     rows = []
     for uid in user_ids:
         created = _ts(rng, 2008, 2016)
+        company = f"RareCorp{uid}" if rng.random() < 0.1 else rng.choice(companies)
         rows.append((
             uid, f"user{uid}", "Organization" if rng.random() < 0.05 else "User",
             None if rng.random() < 0.2 else f"Name {uid}",
-            rng.choice(companies), "" if rng.random() < 0.7 else f"https://blog{uid}.io",
+            company, "" if rng.random() < 0.7 else f"https://blog{uid}.io",
             rng.choice(locations), None if rng.random() < 0.5 else f"u{uid}@example.com",
             rng.choice(bios), rng.randrange(500), rng.randrange(200),
             int(rng.paretovariate(1.2) * 10), rng.randrange(2000),
@@ -84,10 +85,11 @@ def repo_info_df(spark, repo_ids, user_ids):
         owner = rng.choice(user_ids)
         stars = int(rng.paretovariate(0.6)) + rng.choice([0, 30, 1000, 5000])
         created = _ts(rng, 2010, 2016)
+        lang = f"RareLang{rid % 7}" if rng.random() < 0.04 else rng.choice(langs)
         rows.append((
             rid, owner, f"user{owner}", "User", f"repo{rid}",
             f"user{owner}/repo{rid}", rng.choice(descs),
-            rng.choice(langs), created,
+            lang, created,
             created + dt.timedelta(days=rng.randrange(400)),
             created + dt.timedelta(days=rng.randrange(500)),
             "" if rng.random() < 0.6 else f"https://repo{rid}.dev",

@@ -1,0 +1,64 @@
+"""Multimodal plumbing: real Spark schemas/batches, deterministic fake
+codecs (the container has no PIL/ffmpeg — SURVEY of environment)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from albedo_spark.sources import (
+    MEDIA_SCHEMA,
+    decode_images,
+    extract_embeddings,
+    sample_frames,
+)
+from albedo_spark.sources.multimodal import EMBED_DIM
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rng = random.Random(42)
+    rows = [
+        (i, "image", bytes(rng.randrange(256) for _ in range(200 + i)),
+         "png", None, None, None)
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4).cache()
+
+
+def test_decode_images(media_df):
+    out = decode_images(media_df).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.n_bytes >= 200 and 16 <= r.width <= 2064 and len(r.digest) == 32
+    # deterministic across runs
+    again = {r.media_id: r.digest for r in decode_images(media_df).collect()}
+    assert {r.media_id: r.digest for r in out} == again
+
+
+def test_extract_embeddings(media_df):
+    out = extract_embeddings(media_df)
+    rows = out.collect()
+    assert all(len(r.embedding) == EMBED_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.embedding)
+    # schema is a proper array<float> → composes with similarity operators
+    from albedo_spark.operators.similarity import cosine_knn
+
+    q = out.limit(2).select(F.col("media_id").alias("query_id"), "embedding")
+    knn = cosine_knn(out.withColumnRenamed("media_id", "vec_id"), q, k=3)
+    assert knn.count() == 6
+
+
+def test_sample_frames(media_df):
+    out = sample_frames(media_df, n_frames=4)
+    assert out.count() == 80
+    per = out.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per)
+
+
+def test_real_codec_gate(media_df):
+    with pytest.raises(Exception) as exc_info:
+        decode_images(media_df, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.type.__name__) or "PIL" in str(
+        exc_info.value
+    ) or "codecs" in str(exc_info.value)

@@ -1,0 +1,99 @@
+"""End-to-end LR ranker (E3, downsized params) + Word2Vec corpus +
+tokenizer + ALS train on the seeded fixtures — the reference's full DAG."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from albedo_spark.pipelines import build_repo_profile, build_user_profile
+from albedo_spark.pipelines.ranker import (
+    balance_starring,
+    build_feature_pipeline,
+    build_model_pipeline,
+    cast_booleans,
+    evaluate_auc,
+    rank_candidates,
+    reduce_starring,
+)
+from albedo_spark.pipelines.word2vec_corpus import build_corpus, train_word2vec
+from albedo_spark.recommenders import ALSRecommender, PopularityRecommender
+from albedo_spark.recommenders.als import train_als
+from albedo_spark.recommenders.popularity import build_popular_repo_df
+from albedo_spark.transformers.tokenizer import NativeTokenizer
+
+TODAY = dt.date(2017, 9, 1)
+
+
+def test_tokenizer(spark):
+    df = spark.createDataFrame(
+        [("I love C++ and c# and R, 機器學習 rocks",)], "text string"
+    )
+    out = NativeTokenizer(inputCol="text", outputCol="words").transform(df)
+    words = out.collect()[0].words
+    assert "c++" in words and "c#" in words and "r" in words
+    assert "機" in words  # CJK char unigrams
+    assert "i" not in words  # 1-char non-CJK dropped (except c/r)
+
+
+@pytest.fixture(scope="module")
+def profiles(user_info_df, repo_info_df, starring_df):
+    up = build_user_profile(
+        user_info_df, repo_info_df, starring_df, today=TODAY,
+        company_bin_threshold=2, location_bin_threshold=5,
+    ).cache()
+    rp = build_repo_profile(
+        repo_info_df, starring_df, today=TODAY, language_bin_threshold=5
+    ).cache()
+    return up, rp
+
+
+def test_word2vec_corpus(profiles):
+    up, rp = profiles
+    corpus = build_corpus(up, rp)
+    assert corpus.columns == ["text", "words"]
+    model = train_word2vec(corpus, vectorSize=8, minCount=2, maxIter=2)
+    vecs = model.getVectors()
+    assert vecs.count() > 0
+
+
+def test_als_trains(starring_df):
+    model = train_als(starring_df, rank=4, maxIter=2)
+    assert model.rank == 4
+    recs = ALSRecommender(als_model=model, topK=5).transform(
+        starring_df.select("user_id").distinct().limit(5)
+    )
+    assert recs.count() <= 25
+
+
+def test_full_ranker_flow(spark, starring_df, repo_info_df, profiles):
+    up, rp = profiles
+    reduced = reduce_starring(starring_df, max_starred_repos_count=100)
+    popular = [
+        r.repo_id
+        for r in build_popular_repo_df(repo_info_df).limit(30).collect()
+    ]
+    balanced = balance_starring(reduced, popular, ratio=1.0)
+    dataset = cast_booleans(
+        balanced.join(up, "user_id").join(rp, "repo_id")
+    ).cache()
+    assert dataset.count() > 0
+
+    pipeline = build_feature_pipeline(min_df=1.0)
+    feature_model = pipeline.fit(dataset)
+    featured = feature_model.transform(dataset).cache()
+    assert "features" in featured.columns
+
+    train, test = featured.randomSplit([0.8, 0.2], seed=42)
+    model = build_model_pipeline(today=TODAY, maxIter=10).fit(train)
+    auc = evaluate_auc(model, test)
+    assert 0.4 <= auc <= 1.0  # sanity: trained model, non-degenerate
+
+    users = dataset.select("user_id").distinct().limit(5)
+    pop_rec = PopularityRecommender(
+        popular_repo_df=build_popular_repo_df(repo_info_df), topK=10
+    )
+    ranked = rank_candidates(
+        [pop_rec.transform(users)], up, rp, feature_model, model, top_k=5
+    )
+    assert ranked.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] <= 5

@@ -1,0 +1,53 @@
+"""Streaming = batch parity: the windowed stream agg over the events table
+must reproduce the batch tumbling_agg exactly (kappa-pattern contract)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from albedo_spark.io import load_table
+from albedo_spark.operators.sessions import tumbling_agg
+from albedo_spark.streaming import (
+    read_event_stream,
+    session_window_agg,
+    windowed_event_counts,
+)
+from albedo_spark.streaming.events import run_to_memory
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    # materialize a micro-batch-able copy (ns timestamps normalized)
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    agg = windowed_event_counts(stream, window_duration="1 hour")
+    run_to_memory(agg, "win_counts", mode="complete")
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.avg_value)
+        for r in spark.table("win_counts").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.avg_value)
+        for r in tumbling_agg(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert streamed == batch
+
+
+def test_session_window_stream(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    sess = session_window_agg(stream, gap="30 minutes")
+    run_to_memory(sess, "sess_win", mode="complete")
+    out = spark.table("sess_win")
+    assert out.count() > 0
+    assert out.where(F.col("session_end") < F.col("session_start")).count() == 0
