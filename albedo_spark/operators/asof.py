@@ -1,0 +1,76 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively (the
+reference lacks it too; this is a §7.5-class extension, and the classic
+time-series primitive every training-data pipeline eventually needs).
+
+Implementation is the merge-sorted carry-forward, not a range join:
+union both sides tagged, one shuffle on (key), one sort on (ts, side), then
+``last(value, ignorenulls=True)`` over rows-unbounded-preceding carries the
+most recent right-side row onto each left row. Cost: one shuffle + one sort
+— same as a window agg; a naive ``left.ts >= right.ts`` range join would be
+O(|L|·|R|) per key. Right side must be unique per (key, ts) for
+deterministic output (pre-aggregate duplicates away).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` on the same key (inclusive, like DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    ``value_cols``: right-side columns to carry (prefixed ``asof_``).
+    ``how``: 'inner' drops left rows with no match; 'left' keeps them with
+    nulls.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_ts", F.col(left_ts)
+    )
+    r_tagged = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+        )
+        .withColumn("_side", F.lit(0))
+        .withColumn("asof_ts", F.col("_ts"))
+    )
+    for c in left.columns:
+        if c not in (key,):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in [f"asof_{v}" for v in value_cols] + ["asof_ts"]:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(r_tagged.dtypes)[c]))
+
+    combined = l_tagged.select(r_tagged.columns).unionByName(r_tagged)
+    # right rows sort before left rows at equal ts → inclusive (<=) semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = combined.select(
+        *[c for c in combined.columns if not c.startswith("asof_")],
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in combined.columns
+            if c.startswith("asof_")
+        ],
+    )
+    out = carried.where(F.col("_side") == 1).drop("_side", "_ts")
+    if how == "inner":
+        out = out.where(F.col("asof_ts").isNotNull())
+    return out

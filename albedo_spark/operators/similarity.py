@@ -72,6 +72,13 @@ def cosine_knn(
     )
 
 
+def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """The seeded random hyperplanes — exposed so oracles (DuckDB SQL) can
+    embed the identical literals."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
 def hyperplane_signature(
     vec_col: Column, dim: int, num_planes: int = 16, seed: int = 42
 ) -> Column:
@@ -80,8 +87,7 @@ def hyperplane_signature(
     Hyperplanes are generated driver-side with a seeded RNG and folded into
     the expression as literals — identical across runs and engines.
     """
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    planes = hyperplanes(dim, num_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         proj = dot(vec_col, F.array(*[F.lit(x) for x in plane]))

@@ -62,8 +62,8 @@ def punct_ratio(col: Column) -> Column:
     return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column) -> Column:
-    """Composite document-quality score in [0, 1]:
+def quality_score_raw(col: Column) -> Column:
+    """Unrounded composite document-quality score in [0, 1]:
     0.4·length-band + 0.3·(1-punct_ratio) + 0.3·min(1, 5·stopword_ratio_en).
 
     Deterministic, explainable, and cheap — the standard pre-filter shape
@@ -74,12 +74,24 @@ def quality_score(col: Column) -> Column:
         F.when(n_tok > 0, F.lit(0.5)).otherwise(F.lit(0.0))
     )
     sw = stopword_ratio(col, "en")
-    return F.round(
+    return (
         0.4 * length_band
         + 0.3 * (1.0 - punct_ratio(col))
-        + 0.3 * F.least(F.lit(1.0), 5.0 * sw),
-        4,
+        + 0.3 * F.least(F.lit(1.0), 5.0 * sw)
     )
+
+
+def quality_score(col: Column) -> Column:
+    return F.round(quality_score_raw(col), 4)
+
+
+def quality_score_x10k(col: Column) -> Column:
+    """Integer-scaled score (×10000): ``floor(raw·10⁴ + 0.5)`` — the
+    engine-portable form. round() disagrees across engines on half-boundary
+    doubles (Spark rounds the shortest decimal repr, DuckDB multiplies
+    first); an explicit multiply+floor is the same IEEE op sequence
+    everywhere."""
+    return F.floor(quality_score_raw(col) * 10000.0 + 0.5).cast("long")
 
 
 def lang_id(col: Column) -> Column:

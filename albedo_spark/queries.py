@@ -791,3 +791,356 @@ def q24_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("self_sim"),
         F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 1 batch 2: ML-operator oracles, as-of join, deterministic sampling,
+# SimHash, LSH-ANN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_ndcg_sql",
+    """
+    WITH rev AS (
+        SELECT l_partkey AS p, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    top5 AS (
+        SELECT p, row_number() OVER (ORDER BY revenue DESC, p ASC) AS rnk
+        FROM rev ORDER BY revenue DESC, p ASC LIMIT 5
+    ),
+    actual AS (
+        SELECT o.o_custkey AS c_custkey, list(DISTINCT l.l_partkey) AS items
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey
+    ),
+    dcg AS (
+        SELECT a.c_custkey,
+               sum(CASE WHEN list_contains(a.items, t.p)
+                        THEN 1.0 / log2(t.rnk + 1) ELSE 0.0 END) AS dcg
+        FROM actual a CROSS JOIN top5 t
+        GROUP BY a.c_custkey
+    ),
+    idcg AS (
+        SELECT c_custkey,
+               (SELECT sum(1.0 / log2(i + 2))
+                FROM unnest(range(least(len(items), 5))) AS r(i)) AS idcg
+        FROM actual
+    )
+    SELECT dcg.c_custkey, round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_5
+    FROM dcg JOIN idcg ON dcg.c_custkey = idcg.c_custkey
+    """,
+)
+def q25_ndcg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 per customer, oracle-checked — the RankingEvaluator's metric
+    expressions (M6) validated against a from-scratch SQL formulation.
+    Predicted list = global top-5 parts by revenue (same for every
+    customer); actual = the set of parts the customer ever bought."""
+    from albedo_spark.evaluators.ranking import ndcg_at_k
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    top5 = global_top_k(rev, [F.col("revenue").desc(), F.col("p").asc()], 5)
+    pred = top5.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("revenue").desc_order if False else (-F.col("revenue")).alias("o"), F.col("p")))
+        ).alias("_s")
+    ).select(F.transform(F.col("_s"), lambda s: s["p"]).alias("pred_items"))
+    actual = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.collect_set("l_partkey").alias("actual_items"))
+        .select(F.col("o_custkey").alias("c_custkey"), "actual_items")
+    )
+    joined = actual.crossJoin(F.broadcast(pred))
+    return joined.select(
+        "c_custkey",
+        F.round(ndcg_at_k(F.col("pred_items"), F.col("actual_items"), 5), 6).alias(
+            "ndcg_at_5"
+        ),
+    )
+
+
+@query(
+    "q26_popularity_cross",
+    """
+    WITH sample_users AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0
+    ),
+    top_parts AS (
+        SELECT p_partkey, p_retailprice
+        FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 5
+    )
+    SELECT u.c_custkey AS user_id, t.p_partkey AS item_id,
+           round(log10(t.p_retailprice), 3) AS score,
+           'popularity' AS source
+    FROM sample_users u CROSS JOIN top_parts t
+    """,
+)
+def q26_popularity_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PopularityRecommender shape (M2/J3) on TPC-H data: limited top-k
+    small side × sampled users, native log-score, source tag."""
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    users = c.where(F.col("c_custkey") % 100 == 0).select("c_custkey")
+    top = global_top_k(
+        p.select("p_partkey", "p_retailprice"),
+        [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+        5,
+    )
+    return users.crossJoin(F.broadcast(top)).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("p_partkey").alias("item_id"),
+        F.round(F.log10("p_retailprice"), 3).alias("score"),
+        F.lit("popularity").alias("source"),
+    )
+
+
+@query(
+    "q27_asof_join",
+    """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, ts, max(event_id) AS view_event
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           v.view_event AS asof_view_event,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS asof_ts
+    FROM purchases p
+    ASOF JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior-or-equal
+    view. Spark has no ASOF JOIN — ours is the merge-sorted carry-forward
+    (one shuffle + one sort; operators/asof.py); DuckDB's native ASOF JOIN
+    is the oracle."""
+    from albedo_spark.operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+    )
+    out = as_of_join(
+        purchases, views, key="user_id", value_cols=["view_event"], how="inner"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "asof_view_event",
+        F.col("asof_ts").cast("long").alias("asof_ts"),
+    )
+
+
+@query(
+    "q28_token_topk",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    )
+    SELECT token, count(*) AS doc_freq
+    FROM tok GROUP BY token
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q28_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency top-k (the IDF building block of the
+    content recommender, M5)."""
+    from albedo_spark.operators.textstats import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    return global_top_k(freq, [F.col("doc_freq").desc(), F.col("token").asc()], 20)
+
+
+@query(
+    "q29_quality_scores",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_tok,
+               (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
+                   / greatest(length(text), 1) AS punct_ratio,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0
+                   / greatest(len(w), 1) AS sw_ratio
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(floor((0.4::DOUBLE * (CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 1.0::DOUBLE
+                             WHEN n_tok > 0 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+                 + 0.3::DOUBLE * (1.0::DOUBLE - punct_ratio)
+                 + 0.3::DOUBLE * least(1.0::DOUBLE, 5.0::DOUBLE * sw_ratio))
+                 * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
+    FROM m
+    -- DOUBLE literals + explicit floor(x*1e4+0.5): round() disagrees across
+    -- engines on half-boundary doubles; this is the same IEEE op sequence in
+    -- both (see operators/textstats.quality_score_x10k)
+    """,
+)
+def q29_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality score per document (integer-scaled
+    ×10⁴ for engine-portable hashing), oracle-checked term by term."""
+    from albedo_spark.operators.textstats import quality_score_x10k
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_x10k(F.col("text")).alias("quality_x10k"))
+
+
+@query(
+    "q30_except_all",
+    """
+    SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+    EXCEPT ALL
+    SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def q30_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll (U2/J6 — the reference's RDD subtract, kept in DF-land)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_discount"
+    )
+    return li.exceptAll(li.where(F.col("l_discount") > 0.05))
+
+
+@query(
+    "q31_hash_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+    """,
+)
+def q31_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/20 hash sample (R2's scale-safe, engine-portable
+    replacement: content-hash sampling reproduces EXACTLY in any engine,
+    unlike seeded Bernoulli)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 20 == 0
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _simhash_oracle_sql(num_bits: int = 16) -> str:
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (th & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(num_bits)
+    )
+    recombine = "\n             + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(num_bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS th
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {recombine} AS simhash16
+    FROM votes
+    """
+
+
+@query("q32_simhash", _simhash_oracle_sql(16))
+def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document — bit-identical across
+    engines (md5 token hashes, per-bit majority votes replayed in SQL)."""
+    from albedo_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text"), 16).alias("simhash16"))
+
+
+def _ann_oracle_sql(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
+    from albedo_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, num_planes, seed)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    probe_list = ", ".join(["sig"] + [f"xor(sig, {1 << i}::BIGINT)" for i in range(num_planes)])
+    return f"""
+    WITH hashed AS (
+        SELECT vec_id, embedding, ({sig_terms})::BIGINT AS sig
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS qv, sig
+        FROM hashed WHERE vec_id % 50 = 0
+    ),
+    probes AS (
+        SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM queries
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, h.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(h.embedding AS DOUBLE[])) AS cos_raw
+        FROM probes p JOIN hashed h ON p.bucket = h.sig
+        WHERE p.query_id <> h.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+               ) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("q33_ann_lsh", _ann_oracle_sql(64, 6, 42))
+def q33_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (6 seeded planes, multi-probe
+    Hamming-1): the 100 TB-scale path of q23's brute force. The oracle
+    embeds the identical plane literals and replays bucketing + probing."""
+    from albedo_spark.operators.similarity import random_hyperplane_lsh_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = random_hyperplane_lsh_knn(
+        emb, queries, k=5, dim=64, num_planes=6, seed=42, multi_probe=True
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )

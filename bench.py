@@ -29,6 +29,8 @@ HEADLINE = [
     "q17_sessionization",
     "q21_minhash_lsh_verified",
     "q23_cosine_knn",
+    "q27_asof_join",
+    "q33_ann_lsh",
 ]
 
 
