@@ -1144,3 +1144,130 @@ def q33_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
+
+
+def _content_sim_sql() -> str:
+    return """
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    idf AS (
+        SELECT token, count(*) AS df,
+               (SELECT count(*) FROM documents) - count(*) AS rarity
+        FROM tok GROUP BY token HAVING count(*) >= 2
+    ),
+    queries AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 100 = 0),
+    qtok AS (
+        SELECT q.query_id, t.token, i.rarity
+        FROM queries q
+        JOIN tok t ON q.query_id = t.doc_id
+        JOIN idf i ON t.token = i.token
+    ),
+    scored AS (
+        SELECT q.query_id, t.doc_id AS neighbor_id,
+               sum(q.rarity * q.rarity) AS score
+        FROM qtok q JOIN tok t ON q.token = t.token
+        WHERE t.doc_id <> q.query_id
+        GROUP BY q.query_id, t.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(score AS BIGINT) AS score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@query("q34_content_similarity", _content_sim_sql())
+def q34_content_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ContentRecommender's inverted-index core (M5 rewrite, SURVEY
+    §7.4) as an oracle-checked query: for every 100th document, the top-5
+    most similar documents by rarity-weighted token overlap.
+
+    Weights are INTEGER rarity (N - df) rather than float ln-IDF: summing
+    float idf² across engines reorders near-tied neighbors at ulp level
+    (row_number can't fix ranks that differ below rounding) — integer
+    weights make the score exact in both engines. The production
+    ContentRecommender keeps real ln-IDF (no cross-engine hashing there)."""
+    d = _t(spark, sf_dir, "documents")
+    from albedo_spark.operators.textstats import tokens
+
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    n_docs = d.count()
+    idf = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .withColumn("rarity", (F.lit(n_docs) - F.col("df")).cast("long"))
+    )
+    queries_df = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id")
+    )
+    qtok = (
+        queries_df.join(tok, queries_df.query_id == tok.doc_id)
+        .join(idf, "token")
+        .select("query_id", "token", "rarity")
+    )
+    scored = (
+        qtok.join(tok, "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("rarity") * F.col("rarity")).alias("score"))
+    )
+    ranked = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("neighbor_id").asc()],
+        5,
+        rank_col="rank",
+        keep_rank=True,
+    )
+    return ranked.select(
+        "query_id", "neighbor_id", F.col("score").cast("long").alias("score"), "rank"
+    )
+
+
+@query("q35_als_recommend")
+def q35_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS implicit-feedback top-k (M3) — ML-statistical, so no SQL oracle
+    (driver records the weaker rows-only check; SURVEY §5 note excludes ALS
+    from hash matching). Ratings = customer×part purchase counts from
+    lineitem⋈orders; recommendForUserSubset for a 20-user sample.
+
+    Seeded, tiny rank/iter so the gate stays fast; the reference-parity
+    params live in recommenders.als.REFERENCE_ALS_PARAMS."""
+    from albedo_spark.recommenders import ALSRecommender
+    from albedo_spark.recommenders.als import train_als
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user_id"),
+            F.col("l_partkey").cast("int").alias("repo_id"),
+        )
+        .agg(F.count("*").cast("double").alias("starring"))
+    )
+    model = train_als(ratings, rank=8, maxIter=5, regParam=0.1, alpha=10.0)
+    users = ratings.select("user_id").distinct().where(F.col("user_id") % 75 == 0)
+    rec = ALSRecommender(als_model=model, topK=5)
+    out = rec.transform(users)
+    # scores are float-nondeterministic across BLAS paths → expose only the
+    # deterministic shape (user, item, rank-by-score)
+    return top_k_per_group(
+        out,
+        ["user_id"],
+        [F.col("score").desc(), F.col("repo_id").asc()],
+        5,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("user_id", "repo_id", "rank")

@@ -72,4 +72,7 @@ def test_no_python_udfs_in_catalog(spark):
         assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDF"
         assert "CartesianProduct" not in plan or name in {
             "q23_cosine_knn",  # broadcast NL join over tiny query side is OK
+            # MLlib recommendForUserSubset blockifies factors and crosses the
+            # blocks by design (bounded #blocks, not #rows) — its scale path
+            "q35_als_recommend",
         }, f"{name} has a cartesian product"
