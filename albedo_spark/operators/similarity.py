@@ -12,6 +12,13 @@ reusable operator. Two tiers:
   cross product; multi-probe (flip one bit) trades recall for cost. At
   100 TB, this is the path: the corpus is hashed once (narrow), buckets are
   value-balanced, and the join shuffles only on (table, bucket).
+- ``ivf_knn``: IVF-style coarse quantization — assign every vector to its
+  nearest pivot cell (pivot set folded in as literals, so assignment is a
+  pure projection: no shuffle over the corpus), probe the ``n_probe``
+  nearest cells per query, exact-search only inside probed cells.
+- ``cosine_near_dup_pairs``: embedding near-duplicate detection — banded
+  hyperplane LSH self-join (hash once, equi-join per band on the band
+  signature), then exact cosine verification at a threshold.
 
 Precompute norms once per side rather than per pair.
 """
@@ -69,6 +76,77 @@ def cosine_knn(
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,
         keep_rank=True,
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_bands: int = 8,
+    planes_per_band: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    Banded random-hyperplane LSH: each vector gets ``num_bands`` independent
+    sign-bit signatures (``planes_per_band`` seeded planes each, seed offset
+    per band); a pair is a candidate iff SOME band signature collides. The
+    corpus is hashed once and exploded to (band, sig) rows, so candidate
+    generation is a self equi-join on (band, sig) — never a cross product.
+    Candidate id pairs are deduped *before* vectors are re-attached (narrow
+    shuffle), then verified with exact cosine.
+
+    Recall rises with ``num_bands`` and falls with ``planes_per_band``
+    (per-plane agreement is 1 − θ/π); tune both to the target threshold —
+    at 0.9+ the defaults are reasonable, at low thresholds LSH is
+    intentionally lossy. Output: (id_a, id_b, cosine).
+    """
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hyperplane_signature(
+                    F.col(vec_col), dim, planes_per_band, seed + b
+                ).alias("sig"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    hashed = corpus.select(
+        F.col(id_col), F.explode(sigs).alias("_bs")
+    ).select(id_col, F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
+    left = hashed.select(F.col(id_col).alias("id_a"), "band", "sig")
+    right = hashed.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        left.join(right, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = _with_norm(corpus, vec_col, "_n").select(
+        F.col(id_col), F.col(vec_col).alias("_v"), "_n"
+    )
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -139,6 +217,94 @@ def random_hyperplane_lsh_knn(
     )
     scored = (
         c.join(q, "bucket")
+        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_qn") > 0),
+                dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(query_id_col, "neighbor_id", "cosine")
+        .distinct()
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        keep_rank=True,
+    )
+
+
+def _cell_scores(
+    vec_col: Column, pivots: Sequence[tuple[int, Sequence[float]]]
+) -> Column:
+    """array<struct<cos,cell>> of cosine(vec, pivot) for every pivot,
+    sorted descending — ties broken toward the HIGHER cell id (struct
+    comparison order), which oracles must mirror (ORDER BY cos DESC,
+    cell DESC)."""
+    from albedo_spark.functions.vectors import cosine_similarity
+
+    cells = F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    vec_col, F.array(*[F.lit(float(x)) for x in pv])
+                ).alias("cos"),
+                F.lit(int(cid)).alias("cell"),
+            )
+            for cid, pv in pivots
+        ]
+    )
+    return F.sort_array(cells, asc=False)
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    pivots: Sequence[tuple[int, Sequence[float]]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``len(pivots)`` cells (nearest pivot by cosine), probe the ``n_probe``
+    nearest cells per query, exact-search only within probed cells.
+
+    ``pivots`` is a small driver-side list of (cell_id, vector) — folded
+    into the plan as literals, so corpus assignment is a pure projection
+    (single scan, NO shuffle; at 100 TB this is the difference between a
+    map stage and re-shuffling the whole corpus). The candidate join is a
+    plain equi-join on cell; cells are bounded by pivot spread, and skewed
+    cells fall to AQE skew handling.
+
+    Pivot choice is the caller's (k-means offline, or any deterministic
+    rule); quality degrades gracefully with bad pivots — recall drops,
+    returned distances stay exact.
+    """
+    c = _with_norm(corpus, vec_col, "_cn").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "_cn",
+        F.element_at(_cell_scores(F.col(vec_col), pivots), 1)["cell"].alias("cell"),
+    )
+    q = (
+        _with_norm(queries, vec_col, "_qn")
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            "_qn",
+            F.explode(
+                F.slice(_cell_scores(F.col(vec_col), pivots), 1, n_probe)
+            ).alias("_probe"),
+        )
+        .select(query_id_col, "_qv", "_qn", F.col("_probe.cell").alias("cell"))
+    )
+    scored = (
+        c.join(q, "cell")
         .where(F.col(query_id_col) != F.col("neighbor_id"))
         .withColumn(
             "cosine",

@@ -1271,3 +1271,133 @@ def q35_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rank",
         keep_rank=True,
     ).select("user_id", "repo_id", "rank")
+
+
+def _near_dup_oracle_sql(
+    dim: int = 64,
+    threshold: float = 0.4,
+    num_bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 42,
+) -> str:
+    from albedo_spark.operators.similarity import hyperplanes
+
+    sig_cols = []
+    for b in range(num_bands):
+        planes = hyperplanes(dim, planes_per_band, seed + b)
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        sig_cols.append(f"({terms})::BIGINT AS s{b}")
+    collide = " OR ".join(f"a.s{b} = b.s{b}" for b in range(num_bands))
+    return f"""
+    WITH h AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {", ".join(sig_cols)}
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        FROM h a JOIN h b ON a.vec_id < b.vec_id AND ({collide})
+    )
+    SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 4) AS cosine
+    FROM cand
+    WHERE list_cosine_similarity(va, vb) >= {threshold!r}
+    """
+
+
+@query("q36_embedding_near_dup", _near_dup_oracle_sql(64, 0.4, 4, 6, 42))
+def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH
+    (4 bands × 6 seeded planes) + exact cosine verify at 0.4.
+
+    The oracle embeds the identical plane literals and replays band
+    collision + threshold, so the approximate candidate set is pinned
+    across engines (same convention as q33). The synthetic embeddings are
+    near-orthogonal random vectors — 0.4 is the "near" tail here; real
+    dedup runs at 0.9+ where banded recall is strong."""
+    from albedo_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(
+        emb, threshold=0.4, dim=64, num_bands=4, planes_per_band=6, seed=42
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _ivf_oracle_sql(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    return f"""
+    WITH piv AS (
+        SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS pv
+        FROM embeddings WHERE vec_id < {n_cells}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, piv.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, piv.pv) DESC, piv.cell DESC
+                   ) AS rn
+            FROM e CROSS JOIN piv
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT e.vec_id, piv.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, piv.pv) DESC, piv.cell DESC
+                   ) AS rn
+            FROM e CROSS JOIN piv
+            WHERE e.vec_id % 50 = 0
+        ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+        FROM qprobe q JOIN assign a ON q.cell = a.cell
+        WHERE a.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_cosine_similarity(qe.v, ne.v) AS cos_raw
+        FROM cand c
+        JOIN e qe ON qe.vec_id = c.query_id
+        JOIN e ne ON ne.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q37_ann_ivf", _ivf_oracle_sql(8, 2, 5))
+def q37_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into 8 pivot cells (pivots = vectors
+    with vec_id < 8, a deterministic rule both engines replay), probe the 2
+    nearest cells per query (every 50th vector), exact cosine inside cells.
+
+    Spark side folds the pivots in as literals so corpus assignment is a
+    shuffle-free projection; the oracle recomputes the same assignment via
+    cross-join + row_number (cos DESC, cell DESC matches struct-max ties)."""
+    from albedo_spark.operators.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pivots = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_knn(emb, queries_df, k=5, pivots=pivots, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )

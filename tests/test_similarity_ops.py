@@ -1,0 +1,104 @@
+"""Embedding near-dup and IVF ANN operator semantics: planted duplicates
+are found, IVF returns a subset of brute-force with exact distances, and
+assignment/probing is deterministic."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.similarity import (
+    cosine_knn,
+    cosine_near_dup_pairs,
+    ivf_knn,
+)
+
+DIM = 8
+
+
+def _unit(rng):
+    v = [rng.gauss(0.0, 1.0) for _ in range(DIM)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(7)
+    base = _unit(rng)
+    rows = [(0, base)]
+    rows.append((1, base))  # exact duplicate of 0
+    jitter = [x + 0.01 * rng.gauss(0.0, 1.0) for x in base]
+    rows.append((2, jitter))  # near duplicate of 0
+    for i in range(3, 40):
+        rows.append((i, _unit(rng)))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def test_near_dup_finds_planted_pairs(emb):
+    pairs = cosine_near_dup_pairs(
+        emb, threshold=0.95, dim=DIM, num_bands=8, planes_per_band=4
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # identical vectors share every band signature -> always candidates
+    assert (0, 1) in found
+    assert (0, 2) in found and (1, 2) in found
+    for r in pairs:
+        assert r.cosine >= 0.95
+        assert r.id_a < r.id_b
+
+
+def test_near_dup_no_false_positives_above_threshold(emb):
+    # random unit vectors in 8-d essentially never hit cos >= 0.95
+    pairs = cosine_near_dup_pairs(
+        emb, threshold=0.95, dim=DIM, num_bands=8, planes_per_band=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_ivf_subset_of_bruteforce_with_exact_scores(emb):
+    pivots = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    ]
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_knn(emb, queries, k=40).collect()
+    }
+    approx = ivf_knn(emb, queries, k=5, pivots=pivots, n_probe=2).collect()
+    assert approx  # probing 2/4 cells must surface something
+    for r in approx:
+        # every returned pair exists in the exact ranking with the SAME score
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+    # per-query ranks are 1..n dense
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_full_probe_equals_bruteforce(emb):
+    # probing every cell makes IVF exhaustive -> identical to brute force
+    pivots = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    ]
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(
+        (r.query_id, r.neighbor_id, round(r.cosine, 9), r.rank)
+        for r in cosine_knn(emb, queries, k=5).collect()
+    )
+    full = sorted(
+        (r.query_id, r.neighbor_id, round(r.cosine, 9), r.rank)
+        for r in ivf_knn(emb, queries, k=5, pivots=pivots, n_probe=4).collect()
+    )
+    assert full == exact
