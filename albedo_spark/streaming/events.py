@@ -77,6 +77,66 @@ def session_window_agg(
     )
 
 
+def user_ewma_stream(
+    events: DataFrame,
+    alpha: float = 0.3,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values — a
+    genuinely custom state machine (order-dependent fold), which is what
+    ``applyInPandasWithState`` exists for; gap sessions and tumbling aggs
+    above stay on the native operators.
+
+    State per user: (n_events, ewma, last event-time µs). Each micro-batch
+    is folded in (ts, event_id) order — deterministic within a batch; across
+    batches order is arrival order, the usual streaming-EWMA contract. Null
+    values advance the clock/count but not the average. Emits one updated
+    summary row per user per batch (outputMode=update).
+
+    At scale this shuffles once on user_id per micro-batch and keeps O(1)
+    state per user in the state store — no growth with stream length.
+    """
+    import pandas as pd  # local: executor-side dependency of the UDF only
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, n_events long, ewma double, last_ts timestamp"
+    )
+    state_schema = "n long, ewma double, last_ts_us long"
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, ewma, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for ts, value in zip(pdf[ts_col], pdf[value_col]):
+                n += 1
+                last_us = int(pd.Timestamp(ts).value // 1000)
+                if value is not None and not pd.isna(value):
+                    v = float(value)
+                    ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+        state.update((n, ewma, last_us))
+        yield pd.DataFrame(
+            {
+                user_col: [user_id],
+                "n_events": [n],
+                "ewma": [ewma],
+                "last_ts": [pd.Timestamp(last_us * 1000) if last_us else None],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Drain all available input into an in-memory table (tests/dev)."""
     q = (

@@ -51,3 +51,45 @@ def test_session_window_stream(spark, event_dir):
     out = spark.table("sess_win")
     assert out.count() > 0
     assert out.where(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_user_ewma_stateful_single_batch(spark, event_dir):
+    # one big micro-batch -> fold order is exactly (ts, event_id): the
+    # streaming EWMA must equal a pandas groupby fold over the same data
+    from albedo_spark.streaming import user_ewma_stream
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1000)
+    run_to_memory(user_ewma_stream(stream, alpha=0.3), "ewma_1b", mode="update")
+    got = {
+        r.user_id: (r.n_events, round(r.ewma, 9))
+        for r in spark.table("ewma_1b").collect()
+    }
+
+    pdf = load_table(spark, SF_DIR, "events").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"])
+    import pandas as pd
+
+    expected = {}
+    for uid, g in pdf.groupby("user_id"):
+        ewma = None
+        for v in g["value"]:
+            if v is not None and not pd.isna(v):
+                ewma = float(v) if ewma is None else 0.3 * float(v) + 0.7 * ewma
+        expected[int(uid)] = (len(g), round(ewma, 9))
+    assert got == expected
+
+
+def test_user_ewma_state_survives_micro_batches(spark, event_dir):
+    # 4 files / 1 per trigger -> 4 micro-batches; per-user counts must
+    # accumulate across batches (update mode: keep the LAST row per user)
+    from albedo_spark.streaming import user_ewma_stream
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    run_to_memory(user_ewma_stream(stream), "ewma_mb", mode="update")
+    out = spark.table("ewma_mb").toPandas()
+    final = out.groupby("user_id")["n_events"].max()
+    batch_counts = (
+        load_table(spark, SF_DIR, "events").groupBy("user_id").count().collect()
+    )
+    for r in batch_counts:
+        assert final[r["user_id"]] == r["count"]
