@@ -1,0 +1,21 @@
+"""CLI job smoke: each entry point runs end-to-end on the synthetic
+fixtures and returns a finite NDCG (the §7.6 minimum-slice contract)."""
+
+import math
+
+from albedo_spark.jobs import als, curation, popularity
+
+
+def test_popularity_job(spark):
+    ndcg = popularity.main(["--eval-sample", "20"])
+    assert math.isfinite(ndcg) and 0.0 <= ndcg <= 1.0
+
+
+def test_curation_job(spark):
+    ndcg = curation.main(["--eval-sample", "20"])
+    assert math.isfinite(ndcg) and 0.0 <= ndcg <= 1.0
+
+
+def test_als_job_fast(spark):
+    ndcg = als.main(["--fast", "--eval-sample", "20"])
+    assert math.isfinite(ndcg) and ndcg > 0.0
