@@ -124,3 +124,18 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan currently has fewer partitions
+    than the session's parallelism.
+
+    Single small parquet files scan as ONE input split, serializing every
+    downstream map stage (shingling, hashing, feature extraction) onto one
+    core; a bounded repartition fixes that for pennies. On wide production
+    scans (many splits) this is a no-op — no shuffle is added.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

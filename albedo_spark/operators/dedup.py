@@ -31,18 +31,31 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column as ``array<string>``.
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-SPLIT word array.
 
-    Pure expression: split → sliding slice. Texts shorter than n words
-    yield a single whole-text shingle so no document silently vanishes.
+    Feed it a materialized array column, not an inline ``split(...)``
+    expression: the ``transform`` lambda re-evaluates captured subtrees per
+    element, so an inlined split would re-run the regex once per shingle
+    position (measured ~3× slower on the documents table). Texts shorter
+    than n words yield a single whole-text shingle so no document silently
+    vanishes.
     """
-    words = F.split(normalize_text(col), " ")
     joined = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
     return F.array_distinct(joined)
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column as ``array<string>``.
+
+    Convenience form that inlines the split; prefer materializing the word
+    array and calling ``shingles_from_words`` in hot paths (see its note on
+    lambda re-evaluation).
+    """
+    return shingles_from_words(F.split(normalize_text(col), " "), n)
 
 
 def exact_duplicates(
@@ -119,9 +132,17 @@ def minhash_lsh_pairs(
     # collapse re-inlines the shingle expression into every hash column —
     # recomputing the shingling num_hashes times. The explode form computes
     # shingles once and the groupBy min is map-side-combined.)
-    exploded = df.select(
+    from albedo_spark.io import widen
+
+    # Materialize the word array BELOW the widen() exchange: the shuffle is
+    # a project-collapse barrier, so the split regex runs once per doc and
+    # the shingle lambda above references the materialized array.
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    exploded = widen(words).select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("_sh"),
     )
     sig = exploded.groupBy(id_col).agg(
         *[
@@ -185,8 +206,13 @@ def ngram_jaccard_pairs(
     ultra-common shingles first (df-cap) or use ``minhash_lsh_pairs`` to
     pre-filter; this exact form is the verifier.
     """
-    tok = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    from albedo_spark.io import widen
+
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    tok = widen(words).select(
+        F.col(id_col), F.explode(shingles_from_words(F.col("_w"), n)).alias("sh")
     )
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = tok.alias("a").join(
@@ -242,9 +268,13 @@ def jaccard_verify(
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = (
-        df.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    from albedo_spark.io import widen
+
+    words = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    sh = widen(words).select(
+        F.col(id_col), shingles_from_words(F.col("_w"), shingle_n).alias("sh")
     )
     out = (
         candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
