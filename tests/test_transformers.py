@@ -84,3 +84,49 @@ def test_params_persistence_roundtrip(spark, tmp_path):
     nb.write().overwrite().save(path)
     loaded = NegativeBalancer.load(path)
     assert loaded.getOrDefault(loaded.negativePositiveRatio) == 2.0
+
+
+def test_snowball_stemmer(spark):
+    from albedo_spark.transformers import SnowballStemmer
+
+    df = spark.createDataFrame(
+        [(1, ["running", "flies", "relational", "spark"]), (2, None)],
+        "id int, tokens array<string>",
+    )
+    out = {r.id: r.stemmed for r in SnowballStemmer().transform(df).collect()}
+    assert out[1] == ["run", "fli", "relat", "spark"]
+    assert out[2] is None
+
+
+def test_func_transformer(spark):
+    from pyspark.sql import functions as F
+
+    from albedo_spark.transformers import FuncTransformer
+
+    df = spark.createDataFrame([("Hello World",)], "input string")
+    t = FuncTransformer(lambda c: F.lower(c), outputCol="lowered")
+    row = t.transform(df).collect()[0]
+    assert row.lowered == "hello world"
+    # stays a native expression: no Python-UDF node in the plan
+    plan = t.transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_als_cv_selects_over_grid(spark, starring_df):
+    from albedo_spark.evaluators.ranking import user_actual_items
+    from albedo_spark.pipelines.cv import als_cv, best_params_report
+
+    actual = user_actual_items(starring_df, k=10).withColumnRenamed(
+        "actual_items", "actual_items"
+    )
+    model = als_cv(
+        starring_df,
+        actual,
+        grid={"rank": [4, 8], "maxIter": [2]},
+        num_folds=2,
+        k=10,
+    )
+    report = best_params_report(model)
+    assert len(report) == 2  # one entry per grid point
+    assert report[0][1] >= report[1][1]
+    assert {"rank", "maxIter"} <= set(report[0][0].keys())
