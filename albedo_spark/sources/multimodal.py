@@ -123,6 +123,40 @@ def extract_embeddings(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, EMBED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("content", BinaryType(), True),
+])
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, fake: bool = True
+) -> DataFrame:
+    """binary → resized binary bounded by ``max_side`` (aspect preserved).
+    The fake computes the target dims from the fake-decoded dims and
+    truncates the byte stream proportionally to the area ratio — a real
+    implementation swaps in PIL ``thumbnail``; schema, batch shape, and
+    size-reduction behavior are identical."""
+    if not fake:
+        _require_real_codec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _ = _fake_decode(content)
+                scale = min(max_side / max(w, h), 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                blob = content or b""
+                keep = max(int(len(blob) * (nw * nh) / max(w * h, 1)), 1)
+                out.append((mid, nw, nh, blob[:keep]))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "content"])
+
+    return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
     """video binary → n evenly-spaced 'frames'. The fake slices the byte
     stream; a real implementation seeks keyframes via ffmpeg — same

@@ -62,3 +62,18 @@ def test_real_codec_gate(media_df):
     assert "NotImplementedError" in str(exc_info.type.__name__) or "PIL" in str(
         exc_info.value
     ) or "codecs" in str(exc_info.value)
+
+
+def test_resize_images(spark, media_df):
+    from albedo_spark.sources.multimodal import decode_images, resize_images
+
+    dims = {r.media_id: (r.width, r.height) for r in decode_images(media_df).collect()}
+    out = resize_images(media_df, max_side=64).collect()
+    assert len(out) == media_df.count()
+    for r in out:
+        w0, h0 = dims[r.media_id]
+        assert max(r.width, r.height) <= 64
+        # aspect preserved within integer truncation
+        if w0 >= h0:
+            assert r.width == min(64, w0) or r.width == int(w0 * min(64 / max(w0, h0), 1.0))
+        assert r.content is not None and len(r.content) >= 1
