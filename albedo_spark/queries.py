@@ -1401,3 +1401,41 @@ def q37_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
+
+
+@query(
+    "q38_salted_agg",
+    """
+    SELECT l_suppkey,
+           count(*) AS n_items,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(max(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators.skew.salted_aggregate):
+    per-supplier item counts/sums computed via groupBy(key, salt) then a
+    salt-free merge. Decomposable aggs make the result bit-identical to a
+    direct GROUP BY — which is exactly what the oracle runs, proving
+    salting is semantics-transparent."""
+    from albedo_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_suppkey"],
+        [
+            ("count", "l_quantity", "n_items"),
+            ("sum", "l_quantity", "sum_qty"),
+            ("max", "l_quantity", "max_qty"),
+        ],
+        num_salts=16,
+    )
+    return out.select(
+        "l_suppkey",
+        "n_items",
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        F.col("max_qty").cast("long").alias("max_qty"),
+    )
