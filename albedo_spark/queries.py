@@ -1439,3 +1439,81 @@ def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("long").alias("sum_qty"),
         F.col("max_qty").cast("long").alias("max_qty"),
     )
+
+
+@query(
+    "q39_time_rollup",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+           CAST(strftime(o_orderdate, '%m') AS INTEGER) AS mo,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(grouping(CAST(strftime(o_orderdate, '%Y') AS INTEGER)) * 2
+                + grouping(CAST(strftime(o_orderdate, '%m') AS INTEGER)) AS INTEGER)
+               AS lvl
+    FROM orders
+    GROUP BY ROLLUP (yr, mo)
+    """,
+)
+def q39_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hypertable-style continuous aggregate):
+    month → year → grand-total in ONE pass via the native ROLLUP operator
+    (partial aggregation handles all levels map-side; no per-level
+    re-scan). lvl = grouping_id distinguishes the levels."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_totalprice",
+    )
+    return base.rollup("yr", "mo").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )
+
+
+@query(
+    "q40_running_revenue",
+    """
+    WITH co AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM orders WHERE o_custkey % 500 = 0
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+           ), 2) AS running_revenue,
+           round(o_totalprice - lag(o_totalprice, 1, o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+           ), 2) AS delta_vs_prev
+    FROM co
+    """,
+)
+def q40_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows beyond top-k (§2.5 widened): per-customer running
+    revenue (cumulative sum) and order-over-order delta (lag) in one
+    window spec — a single shuffle on the partition key serves both."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 500 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("order_epoch"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_revenue"),
+        F.round(
+            F.col("o_totalprice")
+            - F.lag("o_totalprice", 1, None).over(w),
+            2,
+        ).alias("delta_vs_prev"),
+    ).na.fill({"delta_vs_prev": 0.0})
