@@ -1517,3 +1517,78 @@ def q40_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("delta_vs_prev"),
     ).na.fill({"delta_vs_prev": 0.0})
+
+
+@query(
+    "q41_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1996'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1997'
+    """,
+)
+def q41_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (§2.7 widened beyond union/exceptAll): customers
+    active in both 1996 and 1997. Catalyst plans INTERSECT as a
+    left-semi join after aggregation — no full materialization of
+    either side."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@query(
+    "q42_price_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q42_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (native ``percentile``
+    aggregate — single shuffle, no sort of the whole table). At 100 TB
+    swap for ``percentile_approx`` (mergeable t-digest-style sketch) and
+    accept the documented error bound; the exact form is the oracle-able
+    gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+@query(
+    "q43_status_pivot",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY yr
+    """,
+)
+def q43_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order counts by year ×
+    status. Pinning the pivot values ('F','O','P') skips Spark's extra
+    distinct-values job — always do that when the domain is known."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.select(F.year("o_orderdate").alias("yr"), "o_orderstatus")
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "yr",
+        F.col("F").alias("n_f"),
+        F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"),
+    )
