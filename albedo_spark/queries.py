@@ -474,21 +474,38 @@ def q14_sparsity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(avg(value), 4) AS avg_value
+           floor(sum(CAST(round(value * 100) AS BIGINT)) * 100.0
+                 / count(*) + 0.5) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
 )
 def q15_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window agg (batch twin of the streaming windowed agg §7.5).
-    Window start emitted as epoch seconds — engine-portable hashing."""
-    e = _t(spark, sf_dir, "events")
+    Window start emitted as epoch seconds — engine-portable hashing.
+
+    The 4-decimal average is produced by the floor(x·10⁴+0.5) convention
+    over EXACT integer cents (values are 2-decimal quantities): float sums
+    reduce in engine-specific order, and Spark's round() is decimal
+    HALF_UP while DuckDB rounds the binary double — at sf0.1 both effects
+    split groups sitting on half boundaries (e.g. 51.51125). Integer sums
+    are order-independent and the floor trick is the same IEEE op sequence
+    everywhere. Production ``tumbling_agg`` keeps plain ``avg`` — this is
+    a cross-engine hashing convention, not operator semantics."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
     out = tumbling_agg(e, window_duration="1 hour")
+    # reconstruct the exact cent sum from the rounded mean (|err|·n < 0.5),
+    # then floor-scale: identical doubles in both engines
+    s = F.round(F.col("avg_value") * F.col("n_events")).cast("long")
     return out.select(
         F.col("window_start").cast("long").alias("window_start"),
         "event_type",
         "n_events",
-        "avg_value",
+        (
+            F.floor(s * F.lit(100.0) / F.col("n_events") + F.lit(0.5)) / 10000.0
+        ).alias("avg_value"),
     )
 
 
