@@ -514,21 +514,31 @@ def q15_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           round(avg(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k
+           floor(sum(CAST(json_extract(props, '$.k') AS BIGINT)) * 10000.0
+                 / count(json_extract(props, '$.k')) + 0.5) / 10000.0 AS avg_k
     FROM events
     GROUP BY event_type
     """,
 )
 def q16_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction from a string column (semi-structured props)."""
+    """JSON path extraction from a string column (semi-structured props).
+    props.k values are integers, so the mean is emitted via exact integer
+    sums + the floor(x·10⁴+0.5) convention (see q15's note on why
+    round(avg(float)) splits across engines)."""
     e = _t(spark, sf_dir, "events")
     return (
         e.select(
             "event_type",
-            F.get_json_object("props", "$.k").cast("double").alias("k"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
         )
         .groupBy("event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.avg("k"), 4).alias("avg_k"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.floor(F.sum("k") * F.lit(10000.0) / F.count("k") + F.lit(0.5))
+                / 10000.0
+            ).alias("avg_k"),
+        )
     )
 
 
