@@ -1619,3 +1619,28 @@ def q43_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("n_o"),
         F.col("P").alias("n_p"),
     )
+
+
+_ABOVE_AVG_SQL = """
+    SELECT o.o_custkey,
+           count(*) AS n_above_avg,
+           round(max(o.o_totalprice), 2) AS max_price
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT avg(i.o_totalprice) FROM orders i
+        WHERE i.o_custkey = o.o_custkey
+    )
+    GROUP BY o.o_custkey
+"""
+
+
+@query("q44_sql_correlated", _ABOVE_AVG_SQL)
+def q44_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry path (the reference's only SQL string is a
+    SQLTransformer, S/LogisticRegressionRanker.scala:316-325; here the
+    engine's full Spark SQL surface is a first-class API): per-customer
+    orders above that customer's own average, via a correlated scalar
+    subquery. Catalyst de-correlates it into an aggregate + join — the
+    oracle text IS the Spark text (shared ANSI dialect)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ABOVE_AVG_SQL)
