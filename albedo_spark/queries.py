@@ -1644,3 +1644,48 @@ def q44_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle text IS the Spark text (shared ANSI dialect)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+@query(
+    "q45_time_range_join",
+    """
+    SELECT e.event_id AS error_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS error_epoch,
+           count(c.event_id) AS n_recent_clicks
+    FROM events e
+    JOIN events c
+      ON e.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND epoch(c.ts) >= epoch(e.ts) - 600
+     AND epoch(c.ts) <= epoch(e.ts)
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.ts
+    """,
+)
+def q45_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join (operators.rangejoin): for every error event, the
+    same user's clicks in the preceding 10 minutes. The bucketed rewrite
+    turns Spark's would-be nested-loop range join into a plain equi-join
+    on (user_id, time-bucket); the oracle runs the naive BETWEEN join —
+    identical pairs, different plan."""
+    from albedo_spark.operators.rangejoin import time_range_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    pairs = time_range_join(
+        errors, clicks, ["user_id"], "error_ts", "click_ts", -600, 0
+    )
+    return pairs.groupBy("error_id", "error_ts").agg(
+        F.count("click_id").alias("n_recent_clicks")
+    ).select(
+        "error_id",
+        F.unix_timestamp("error_ts").alias("error_epoch"),
+        "n_recent_clicks",
+    )
