@@ -1,0 +1,87 @@
+"""Property-based checks (hypothesis) for pure components, plus a
+randomized equivalence check for the bucketed range join. Spark-backed
+properties keep example counts small — each example is a Spark job."""
+
+import datetime as dt
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from albedo_spark.operators.similarity import hyperplanes
+from albedo_spark.transformers.stemmer import porter_stem
+
+words = st.text(alphabet=string.ascii_letters, min_size=1, max_size=24)
+
+
+@given(words)
+@settings(max_examples=300, deadline=None)
+def test_porter_total_and_deterministic(w):
+    s1, s2 = porter_stem(w), porter_stem(w)
+    assert s1 == s2
+    assert s1 == s1.lower()
+    assert 1 <= len(s1) <= len(w) + 1  # step-1b can append 'e'
+
+
+@given(st.integers(2, 128), st.integers(1, 16), st.integers(0, 10_000))
+@settings(max_examples=50, deadline=None)
+def test_hyperplanes_deterministic_shape(dim, n, seed):
+    a = hyperplanes(dim, n, seed)
+    b = hyperplanes(dim, n, seed)
+    assert a == b
+    assert len(a) == n and all(len(p) == dim for p in a)
+
+
+def test_gate_hash_is_order_insensitive():
+    # the correctness-gate replica must hash identically under row AND
+    # column permutations (that's what makes Spark/DuckDB comparable)
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import table_hash
+
+    rows = [(1, "a", 2.5), (2, "b", None), (3, "c", 0.1)]
+    cols = ["x", "y", "z"]
+    n1, h1 = table_hash(rows, cols)
+    n2, h2 = table_hash(list(reversed(rows)), cols)
+    perm = [(r[2], r[0], r[1]) for r in rows]
+    n3, h3 = table_hash(perm, ["z", "x", "y"])
+    assert (n1, h1) == (n2, h2) == (n3, h3)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-900, 900)), min_size=1, max_size=12
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-900, 900)), min_size=1, max_size=12
+    ),
+)
+@settings(max_examples=5, deadline=None)
+def test_range_join_equals_naive_random(spark, left_rows, right_rows):
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.rangejoin import time_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(u, i, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(left_rows)],
+        "u int, lid int, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(u, i, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(right_rows)],
+        "u int, rid int, rts timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in time_range_join(ldf, rdf, ["u"], "lts", "rts", -120, 60).collect()
+    )
+    want = sorted(
+        (r.lid, r.rid)
+        for r in ldf.join(
+            rdf,
+            (ldf.u == rdf.u)
+            & (F.unix_timestamp(rdf.rts) >= F.unix_timestamp(ldf.lts) - 120)
+            & (F.unix_timestamp(rdf.rts) <= F.unix_timestamp(ldf.lts) + 60),
+        ).collect()
+    )
+    assert got == want
