@@ -238,26 +238,32 @@ def random_hyperplane_lsh_knn(
 
 
 def _cell_scores(
-    vec_col: Column, pivots: Sequence[tuple[int, Sequence[float]]]
+    vec_col: Column, norm_col: Column, pivots: Sequence[tuple[int, Sequence[float]]]
 ) -> Column:
     """array<struct<cos,cell>> of cosine(vec, pivot) for every pivot,
     sorted descending — ties broken toward the HIGHER cell id (struct
     comparison order), which oracles must mirror (ORDER BY cos DESC,
-    cell DESC)."""
-    from albedo_spark.functions.vectors import cosine_similarity
+    cell DESC).
 
-    cells = F.array(
-        *[
-            F.struct(
-                cosine_similarity(
-                    vec_col, F.array(*[F.lit(float(x)) for x in pv])
-                ).alias("cos"),
-                F.lit(int(cid)).alias("cell"),
-            )
-            for cid, pv in pivots
-        ]
-    )
-    return F.sort_array(cells, asc=False)
+    ``norm_col`` is the PRECOMPUTED row-vector norm and pivot norms are
+    computed driver-side (left-to-right double sum — the identical IEEE
+    sequence Spark's fold and DuckDB's loop produce), so each pivot costs
+    one dot product instead of a dot plus two interpreted norm folds —
+    a 3× cut in the per-row HOF work."""
+    import math
+
+    cells = []
+    for cid, pv in pivots:
+        pnorm = math.sqrt(sum(float(x) * float(x) for x in pv))
+        d = dot(vec_col, F.array(*[F.lit(float(x)) for x in pv]))
+        cos = (
+            F.when(
+                (norm_col > 0) & F.lit(pnorm > 0.0),
+                d / (norm_col * F.lit(pnorm)),
+            ).otherwise(F.lit(0.0))
+        )
+        cells.append(F.struct(cos.alias("cos"), F.lit(int(cid)).alias("cell")))
+    return F.sort_array(F.array(*cells), asc=False)
 
 
 def ivf_knn(
@@ -289,7 +295,9 @@ def ivf_knn(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         "_cn",
-        F.element_at(_cell_scores(F.col(vec_col), pivots), 1)["cell"].alias("cell"),
+        F.element_at(
+            _cell_scores(F.col(vec_col), F.col("_cn"), pivots), 1
+        )["cell"].alias("cell"),
     )
     q = (
         _with_norm(queries, vec_col, "_qn")
@@ -298,7 +306,7 @@ def ivf_knn(
             F.col(vec_col).alias("_qv"),
             "_qn",
             F.explode(
-                F.slice(_cell_scores(F.col(vec_col), pivots), 1, n_probe)
+                F.slice(_cell_scores(F.col(vec_col), F.col("_qn"), pivots), 1, n_probe)
             ).alias("_probe"),
         )
         .select(query_id_col, "_qv", "_qn", F.col("_probe.cell").alias("cell"))

@@ -35,6 +35,11 @@ HEADLINE = [
     "q23_cosine_knn",
     "q27_asof_join",
     "q33_ann_lsh",
+    "q37_ann_ivf",
+    "q38_salted_agg",
+    "q39_time_rollup",
+    "q40_running_revenue",
+    "q45_time_range_join",
 ]
 
 
