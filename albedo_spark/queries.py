@@ -1569,24 +1569,26 @@ def q41_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q42_price_percentiles",
     """
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.9) AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def q42_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (native ``percentile``
-    aggregate — single shuffle, no sort of the whole table). At 100 TB
-    swap for ``percentile_approx`` (mergeable t-digest-style sketch) and
-    accept the documented error bound; the exact form is the oracle-able
-    gate."""
+    """Per-group percentiles as DISCRETE order statistics (an actual data
+    element, no interpolation): ``percentile_approx`` with accuracy ≫ n is
+    exact and matches DuckDB's quantile_disc selection on all SFs —
+    interpolated percentiles synthesize new floats whose op order differs
+    between engines (q15's lesson). percentile_approx is also the 100 TB
+    path as-is: it's a mergeable sketch, so the same query scales by
+    lowering accuracy instead of changing shape."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+        F.percentile_approx("l_extendedprice", 0.5, 1_000_000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1_000_000).alias("p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 1_000_000).alias("p99"),
     )
 
 
