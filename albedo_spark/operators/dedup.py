@@ -320,3 +320,54 @@ def simhash(col: Column, num_bits: int = 32) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fuzzy-duplicate id pairs: shared-token blocking + Levenshtein verify.
+
+    Entity-resolution shape (record-linkage blocking; cf. Fellegi-Sunter):
+    candidates are pairs of rows whose normalized texts share at least one
+    whitespace token (an inverted-index equi-join, like ``ngram_jaccard_pairs``
+    with n=1 — never all-pairs), verified with the built-in ``levenshtein``
+    (JVM codegen, no UDF). Prefix blocking would miss head edits
+    ("cold ring" / "old ring"); a shared token catches any pair that keeps
+    one word intact, which is the right recall/cost trade for short strings
+    (names, titles). Run ``exact_dedup`` first so identical texts don't
+    re-verify pairwise.
+
+    At 100 TB: cost is bounded by per-token posting-list sizes, so drop
+    stopword-grade tokens (df-capped) before joining if the corpus has them;
+    the verify is O(len_a * len_b) per candidate — keep it for short fields,
+    use MinHash for documents.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
+    ).where(F.length("t") > 0)
+    tok = base.select("id", "t", F.explode(F.split("t", " ")).alias("w")).dropDuplicates(
+        ["id", "w"]
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.t").alias("t_a"),
+            F.col("b.t").alias("t_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.where(F.abs(F.length("t_a") - F.length("t_b")) <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("t_a", "t_b").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= max_dist)
+    )

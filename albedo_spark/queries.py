@@ -1691,3 +1691,213 @@ def q45_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("error_ts").alias("error_epoch"),
         "n_recent_clicks",
     )
+
+
+@query(
+    "q46_cube_status_year",
+    """
+    WITH o AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+               o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT coalesce(yr, -1) AS yr,
+           coalesce(status, 'ALL') AS status,
+           count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM o
+    GROUP BY CUBE (yr, status)
+    """,
+)
+def q46_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status) — all four grouping-set levels in one pass
+    (q39 covers ROLLUP; this completes the grouping-sets family). Spark
+    plans cube as Expand + one hash agg: each input row fans out to 4
+    grouping-set rows BEFORE the shuffle, partial agg still applies, so at
+    100 TB it is one scan + one (4x-expanded but pre-combined) shuffle, not
+    four queries. Revenue is aggregated in integer cents (memory: never
+    round(sum(float)) cross-engine); null grouping keys are coalesced to
+    sentinels (-1 / 'ALL') so the hash compare never sees NULL-vs-NULL
+    ordering differences."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_orderstatus").alias("status"),
+            (F.floor(F.col("o_totalprice") * 100 + 0.5)).cast("bigint").alias("cents"),
+        )
+        .cube("yr", "status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            F.coalesce("status", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+@query(
+    "q47_fuzzy_name_pairs",
+    """
+    WITH names AS (
+        SELECT DISTINCT trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')) AS t
+        FROM part
+    ),
+    tok AS (
+        SELECT DISTINCT t, unnest(string_split(t, ' ')) AS w FROM names
+        WHERE len(t) > 0
+    ),
+    cand AS (
+        SELECT DISTINCT a.t AS name_a, b.t AS name_b
+        FROM tok a JOIN tok b ON a.w = b.w AND a.t < b.t
+    )
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS edit_dist
+    FROM cand
+    WHERE abs(len(name_a) - len(name_b)) <= 2
+      AND levenshtein(name_a, name_b) <= 2
+    """,
+)
+def q47_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity resolution): distinct part
+    names within Levenshtein distance 2, candidates blocked on a shared
+    token (operators.dedup.edit_distance_pairs). The blocking join is an
+    inverted-index equi-join — never all-pairs — and the verifier is the
+    built-in levenshtein (identical cost model in DuckDB), so Spark and the
+    oracle replay the exact same candidate set."""
+    from albedo_spark.operators.dedup import edit_distance_pairs, normalize_text
+
+    p = _t(spark, sf_dir, "part")
+    names = p.select(normalize_text(F.col("p_name")).alias("t")).distinct()
+    pairs = edit_distance_pairs(names, id_col="t", text_col="t", max_dist=2)
+    return pairs.select(
+        F.col("id_a").alias("name_a"),
+        F.col("id_b").alias("name_b"),
+        "edit_dist",
+    )
+
+
+@query(
+    "q48_exists_semi_join",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey
+          AND l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+          AND l.l_quantity >= 45
+    )
+    """,
+)
+def q48_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left SEMI join (EXISTS) — the join type SURVEY §2.3 notes the
+    reference never uses. Semi join never duplicates or widens the probe
+    side: Spark stops probing a supplier on first match, and the filter on
+    lineitem is pushed to the scan. At 100 TB prefer this over
+    join+distinct — no dedup shuffle of a fanned-out result."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    hits = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_quantity") >= 45)
+    )
+    return s.join(
+        hits, s.s_suppkey == hits.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q49_heavy_hitters",
+    """
+    WITH cnt AS (
+        SELECT l_partkey, count(*) AS n_lineitems
+        FROM lineitem GROUP BY l_partkey
+    ),
+    rk AS (
+        SELECT l_partkey, n_lineitems,
+               dense_rank() OVER (ORDER BY n_lineitems DESC) AS rk
+        FROM cnt
+    )
+    SELECT rk.l_partkey AS p_partkey, p.p_name, rk.n_lineitems, rk.rk
+    FROM rk JOIN part p ON rk.l_partkey = p.p_partkey
+    WHERE rk.rk <= 3
+    """,
+)
+def q49_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with ties: the most-referenced parts by dense_rank
+    over group counts (ties all surface — deterministic, unlike limit).
+    The global window runs AFTER the groupBy has reduced lineitem to one
+    row per part, so the single-partition window sees |parts| rows, not
+    |lineitems| — the 100 TB cost is the count shuffle, which is partial-
+    aggregated map-side. Names attach via broadcast join after the rank
+    filter (tiny surviving set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("n_lineitems"))
+    w = Window.orderBy(F.col("n_lineitems").desc())
+    rk = cnt.select("l_partkey", "n_lineitems", F.dense_rank().over(w).alias("rk")).where(
+        F.col("rk") <= 3
+    )
+    return rk.join(F.broadcast(p), rk.l_partkey == p.p_partkey).select(
+        F.col("l_partkey").alias("p_partkey"), "p_name", "n_lineitems", "rk"
+    )
+
+
+@query(
+    "q50_full_outer_reconcile",
+    """
+    WITH y96 AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_1996
+        FROM orders WHERE strftime(o_orderdate, '%Y') = '1996'
+        GROUP BY o_custkey
+    ),
+    y97 AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_1997
+        FROM orders WHERE strftime(o_orderdate, '%Y') = '1997'
+        GROUP BY o_custkey
+    )
+    SELECT coalesce(y96.o_custkey, y97.o_custkey) AS custkey,
+           coalesce(cents_1996, 0) AS cents_1996,
+           coalesce(cents_1997, 0) AS cents_1997,
+           CASE WHEN y96.o_custkey IS NULL THEN 'only_1997'
+                WHEN y97.o_custkey IS NULL THEN 'only_1996'
+                ELSE 'both' END AS presence
+    FROM y96 FULL OUTER JOIN y97 ON y96.o_custkey = y97.o_custkey
+    """,
+)
+def q50_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — snapshot reconciliation (per-customer 1996 vs
+    1997 revenue, presence classified). The outer join key is the same
+    key both aggregations shuffled on, so with matching partitioning the
+    join adds no third shuffle; revenue in integer cents keeps the hash
+    compare float-free."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.floor(F.col("o_totalprice") * 100 + 0.5)).cast("bigint")
+
+    def year_rev(yr: int, out: str) -> DataFrame:
+        return (
+            o.where(F.year("o_orderdate") == yr)
+            .select("o_custkey", cents.alias("c"))
+            .groupBy("o_custkey")
+            .agg(F.sum("c").alias(out))
+        )
+
+    y96 = year_rev(1996, "cents_1996").alias("y96")
+    y97 = year_rev(1997, "cents_1997").alias("y97")
+    joined = y96.join(y97, F.col("y96.o_custkey") == F.col("y97.o_custkey"), "full_outer")
+    return joined.select(
+        F.coalesce("y96.o_custkey", "y97.o_custkey").alias("custkey"),
+        F.coalesce("cents_1996", F.lit(0)).alias("cents_1996"),
+        F.coalesce("cents_1997", F.lit(0)).alias("cents_1997"),
+        F.when(F.col("y96.o_custkey").isNull(), "only_1997")
+        .when(F.col("y97.o_custkey").isNull(), "only_1996")
+        .otherwise("both")
+        .alias("presence"),
+    )

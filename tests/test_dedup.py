@@ -81,3 +81,37 @@ def test_simhash_properties(docs):
         return bin(a ^ b).count("1")
     assert ham(out[1], out[3]) < ham(out[1], out[4])
     assert all(0 <= v < (1 << 32) for v in out.values())
+
+
+def test_edit_distance_pairs_planted(spark):
+    from albedo_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "cold ring"),
+        (2, "old ring"),      # dist 1 from 1, shares token "ring"
+        (3, "cold rimg"),     # dist 1 from 1 (typo), shares "cold"
+        (4, "warm plate"),    # unrelated
+        (5, "entirely disjoint tokens"),  # no shared token with anyone
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in edit_distance_pairs(df, max_dist=2).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    # "old ring" vs "cold rimg" is 2 edits but shares NO token — the
+    # blocking contract misses it (recall trade documented on the operator)
+    assert (2, 3) not in got
+    assert all(d <= 2 for d in got.values())
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_edit_distance_pairs_blocking_contract(spark):
+    """Pairs sharing NO token are (by contract) not candidates even if close."""
+    from albedo_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd")], "doc_id long, text string"
+    )
+    assert edit_distance_pairs(df, max_dist=2).count() == 0

