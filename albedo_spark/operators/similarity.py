@@ -322,7 +322,10 @@ def ivf_knn(
             ).otherwise(F.lit(0.0)),
         )
         .select(query_id_col, "neighbor_id", "cosine")
-        .distinct()
+        # No dedup: each corpus vector lives in exactly ONE cell
+        # (element_at(..., 1)) and a query's probed cells are distinct, so a
+        # (query, neighbor) pair occurs at most once — a distinct here would
+        # be a second full shuffle of every candidate pair.
     )
     return top_k_per_group(
         scored,
