@@ -1901,3 +1901,245 @@ def q50_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@query(
+    "q51_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q51_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with a same-nation constraint between
+    customer and supplier (cf. reference J1 multi-join chains,
+    `S/LogisticRegressionRanker.scala:271-273`). Scale plan: region+nation
+    reduce to a broadcast list of Asian nation keys applied to customer and
+    supplier BEFORE the fact joins, so the only big shuffles are
+    lineitem⋈orders and ⋈customer on their join keys; the date filter is
+    pushed to the orders scan. Revenue accumulates integer cents (exact,
+    order-insensitive) per the cross-engine hashing convention."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+
+    asia_nations = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    cust = c.join(
+        F.broadcast(asia_nations), c.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey")
+    supp = s.join(
+        F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ord_96 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        li.select("l_orderkey", "l_suppkey", cents.alias("cents"))
+        .join(ord_96, F.col("l_orderkey") == ord_96.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+
+
+@query(
+    "q52_customer_order_histogram",
+    """
+    SELECT c_count, count(*) AS n_custs
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q52_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers,
+    per-customer count (count(col) skips the nulls the outer join
+    introduced), then a second aggregation into a histogram. At scale the
+    first agg shuffles on c_custkey — same key as the join, so AQE/
+    co-partitioning collapses it — and the histogram input is one row per
+    customer, so the second shuffle is tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+
+
+@query(
+    "q53_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS order_epoch,
+           q.sum_qty
+    FROM (
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 250
+    ) q
+    JOIN orders o ON q.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q53_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-filter (HAVING) feeding joins.
+    The quantity sum runs over integer units so the > 250 cut is exact on
+    both engines. Scale plan: the HAVING survivor set is ~1% of orders, so
+    orders and customer join against a tiny aggregated side — Catalyst/AQE
+    turns both into broadcast joins; the only lineitem-sized cost is the
+    partial-aggregated groupBy(l_orderkey) shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("bigint")
+    big = (
+        li.select("l_orderkey", qty.alias("q"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("q").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q54_disjunctive_revenue",
+    """
+    SELECT count(*) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q54_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides (the classic
+    pushdown-hostile predicate; cf. reference P7 OR-folds,
+    `S/UserProfileBuilder.scala:80-92`). Catalyst extracts the common
+    single-side conjuncts: part prunes to the three brands and lineitem to
+    the quantity hull before the join, so the disjunction only evaluates on
+    pre-filtered rows; part is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (p.p_brand == "Brand#12")
+        & p.p_size.between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (p.p_brand == "Brand#23")
+        & p.p_size.between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (p.p_brand == "Brand#34")
+        & p.p_size.between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q55_idle_rich_customers",
+    """
+    WITH thresh AS (
+        SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) AS avg_cents
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n_cust,
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer c, thresh
+    WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) > thresh.avg_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q55_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join
+    (above-average-balance customers with no order since 2000). The
+    average is computed over integer cents (exact bigint sum / exact
+    count → one IEEE division) so the > threshold cut cannot split on
+    engine-specific float reduction order. Scale plan: the threshold is a
+    one-row broadcast; the anti join's right side is date-filtered at the
+    orders scan and projected to the key column before shuffling."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+    thresh = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .select(cents.alias("cc"))
+        .agg((F.sum("cc").cast("double") / F.count("*")).alias("avg_cents"))
+    )
+    return (
+        c.select("c_custkey", "c_mktsegment", cents.alias("bal"))
+        .crossJoin(F.broadcast(thresh))
+        .where(F.col("bal") > F.col("avg_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), F.sum("bal").alias("bal_cents"))
+    )

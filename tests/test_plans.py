@@ -104,3 +104,38 @@ def test_q49_window_after_agg(spark):
 def test_q50_full_outer(spark):
     plan = _plan(spark, "q50_full_outer_reconcile")
     assert "FullOuter" in plan
+
+
+def test_q51_dims_broadcast_and_date_pushdown(spark):
+    plan = _plan(spark, "q51_local_supplier_volume")
+    # nation/region/supplier sides arrive via broadcast; orders date filter
+    # reaches the scan
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q52_left_outer_preserved(spark):
+    plan = _plan(spark, "q52_customer_order_histogram")
+    assert "LeftOuter" in plan
+
+
+def test_q53_having_then_broadcast(spark):
+    plan = _plan(spark, "q53_large_orders")
+    # the aggregated HAVING survivor set is tiny → AQE turns the orders and
+    # customer joins into broadcast joins rather than shuffling the facts
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q54_brand_pushdown(spark):
+    plan = _plan(spark, "q54_disjunctive_revenue")
+    # Catalyst must extract the brand disjunction as a part-scan filter
+    assert "Brand#12" in plan and "PushedFilters" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q55_anti_join_with_filtered_build(spark):
+    plan = _plan(spark, "q55_idle_rich_customers")
+    assert "LeftAnti" in plan
+    # the 2000-01-01 recency bound is pushed to the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
