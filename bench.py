@@ -12,7 +12,7 @@ data processing and that a long-running cluster pays once), then the
 timed run. Headliners cover the perf-critical plan shapes: scan+agg (q1),
 multi-join (q2), global top-k (q4), window top-k (q5), sessionization
 (q17), windowed events agg (q15), MinHash LSH dedup (q21), brute-force
-ANN (q23), as-of join (q27), LSH ANN (q33).
+ANN (q23), as-of join (q27), LSH ANN (q33), six-table join (q51).
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ HEADLINE = [
     "q39_time_rollup",
     "q40_running_revenue",
     "q45_time_range_join",
+    "q51_local_supplier_volume",
 ]
 
 
