@@ -2143,3 +2143,65 @@ def q55_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_cust"), F.sum("bal").alias("bal_cents"))
     )
+
+
+@query(
+    "q56_stream_tumbling_gate",
+    """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q56_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the correctness gate: a REAL streaming
+    query (file source → watermark → tumbling-window agg → memory sink,
+    ``Trigger.AvailableNow``) whose drained result is compared against the
+    batch oracle. On a finite replay this is deterministic: counts are
+    exact integers, and complete-output mode keeps all window state, so
+    arrival order cannot change the final table (the watermark only bounds
+    state on unbounded streams — the production contract this query's plan
+    carries over verbatim).
+
+    At scale the same plan runs unbounded: incremental file listing
+    (maxFilesPerTrigger), shuffle on (window, event_type) into the state
+    store, state bounded by watermark horizon × key cardinality — input
+    volume never accumulates. Cf. streaming/events.py (§7.5 extension;
+    the reference has no streaming surface, SURVEY.md §1.1)."""
+    import re
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    stage = f"/root/repo/.stream_stage/{tag}/events"
+    name = f"stream_gate_{tag}"
+    (
+        _t(spark, sf_dir, "events")
+        .select("ts", "event_type")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").cast("long").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
