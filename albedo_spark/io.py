@@ -71,7 +71,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # ns -> us must be INTEGER division: epoch-ns (~1.7e18) exceeds
+        # double's 53-bit mantissa, so `/ 1000` in double drifts by up to
+        # ~1 us — enough to split any us-exact cross-engine comparison.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -2145,6 +2145,25 @@ def q55_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize a micro-batch-able normalized copy of the events table
+    (ns timestamps -> micros via load_table; 8 files so AvailableNow replays
+    as multiple triggers). Streaming file sources cannot read the raw
+    TIMESTAMP(NANOS) parquet directly."""
+    import re as _re
+
+    tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    stage = f"/root/repo/.stream_stage/{tag}/events"
+    (
+        _t(spark, sf_dir, "events")
+        .select("ts", "event_type", "user_id")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    return stage, tag
+
+
 @query(
     "q56_stream_tumbling_gate",
     """
@@ -2170,18 +2189,8 @@ def q56_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, state bounded by watermark horizon × key cardinality — input
     volume never accumulates. Cf. streaming/events.py (§7.5 extension;
     the reference has no streaming surface, SURVEY.md §1.1)."""
-    import re
-
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    stage = f"/root/repo/.stream_stage/{tag}/events"
+    stage, tag = _stage_event_stream(spark, sf_dir)
     name = f"stream_gate_{tag}"
-    (
-        _t(spark, sf_dir, "events")
-        .select("ts", "event_type")
-        .repartition(8)
-        .write.mode("overwrite")
-        .parquet(stage)
-    )
     stream = (
         spark.readStream.schema("ts timestamp, event_type string")
         .option("maxFilesPerTrigger", 3)
@@ -2203,5 +2212,72 @@ def q56_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("w.start").cast("long").alias("window_start"),
         "event_type",
+        "n_events",
+    )
+
+
+@query(
+    "q57_stream_session_gate",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   AS prev_us
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, us,
+               sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM e
+    )
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS session_start_us,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+)
+def q57_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` streaming agg through the correctness
+    gate. The oracle replays Spark's session semantics exactly: an event
+    extends the session iff it lands strictly inside [start, last+gap), so
+    a microsecond gap >= 30 min starts a new session; ties at equal
+    timestamps merge regardless of order (gap 0). Session starts emitted
+    as exact epoch-microsecond BIGINTs (no float epoch). Complete-output
+    drain of a finite replay; unlike tumbling aggregation (q56), the
+    session operator enforces the watermark in every output mode, so an
+    unordered replay needs a watermark wider than the replay's disorder —
+    here the full dataset span — or late micro-batches are dropped.
+    Unbounded, production would shrink the horizon to the real arrival
+    skew and the state store evicts closed sessions past it."""
+    stage, tag = _stage_event_stream(spark, sf_dir)
+    name = f"stream_session_gate_{tag}"
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(stage)
+    )
+    sess = (
+        stream.withWatermark("ts", "87600 hours")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("sw.start")).alias("session_start_us"),
         "n_events",
     )
