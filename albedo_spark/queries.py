@@ -2156,7 +2156,7 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     stage = f"/root/repo/.stream_stage/{tag}/events"
     (
         _t(spark, sf_dir, "events")
-        .select("ts", "event_type", "user_id")
+        .select("event_id", "ts", "user_id", "event_type", "value")
         .repartition(8)
         .write.mode("overwrite")
         .parquet(stage)
@@ -2280,4 +2280,38 @@ def q57_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros(F.col("sw.start")).alias("session_start_us"),
         "n_events",
+    )
+
+
+@query("q58_stream_ewma_stateful")
+def q58_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator through the catalog: per-user
+    EWMA of event values via ``applyInPandasWithState`` (an order-dependent
+    fold — the one shape reserved for arbitrary state, SURVEY §7.5; gap
+    sessions and tumbling windows stay on native operators in q56/q57).
+    No oracle: an EWMA is not SQL-expressible order-independently, so this
+    is a rows-only entry; determinism comes from draining the replay as a
+    single micro-batch, where the fold order is pinned to (ts, event_id)
+    — tests/test_streaming.py proves equality with a pandas fold.
+
+    At scale the operator shuffles once on user_id per micro-batch and
+    holds O(1) state per user in the state store (no growth with stream
+    length); Arrow batches the per-group pandas transfer."""
+    from albedo_spark.streaming.events import run_to_memory, user_ewma_stream
+
+    stage, tag = _stage_event_stream(spark, sf_dir)
+    name = f"stream_ewma_{tag}"
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(stage)
+    )
+    run_to_memory(user_ewma_stream(stream, alpha=0.3), name, mode="update")
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("ewma"), 6).alias("ewma_6dp"),
+        F.unix_micros(F.col("last_ts")).alias("last_ts_us"),
     )
