@@ -64,10 +64,13 @@ def exact_duplicates(
     """Groups of exact duplicates: (digest, n_dups, min doc id as keeper).
 
     Single hash-shuffle; map-side combine makes the common all-unique case
-    cheap. Output only groups with >1 member.
+    cheap. Output only groups with >1 member. NULL texts carry no content to
+    compare, so they are excluded rather than lumped into one NULL-digest
+    "duplicate" group.
     """
     return (
-        df.select(F.md5(normalize_text(F.col(text_col))).alias("digest"), F.col(id_col))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.md5(normalize_text(F.col(text_col))).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
             F.count("*").alias("n_dups"),
@@ -78,10 +81,19 @@ def exact_duplicates(
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per normalized-text digest."""
-    w_digest = df.withColumn("_digest", F.md5(normalize_text(F.col(text_col))))
+    """Keep one row (min id) per normalized-text digest.
+
+    NULL texts pass through unchanged: md5(NULL) is NULL and a null-unsafe
+    join key would silently drop every NULL-text row (data loss, not dedup),
+    so rows without text are exempt from deduplication rather than hashed.
+    """
+    null_rows = df.where(F.col(text_col).isNull())
+    w_digest = df.where(F.col(text_col).isNotNull()).withColumn(
+        "_digest", F.md5(normalize_text(F.col(text_col)))
+    )
     keepers = w_digest.groupBy("_digest").agg(F.min(id_col).alias(id_col))
-    return w_digest.join(keepers, ["_digest", id_col], "inner").drop("_digest")
+    deduped = w_digest.join(keepers, ["_digest", id_col], "inner").drop("_digest")
+    return deduped.unionByName(null_rows)
 
 
 def minhash_signature(col: Column, num_hashes: int, shingle_n: int = 3) -> Column:

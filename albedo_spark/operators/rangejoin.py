@@ -38,22 +38,30 @@ def time_range_join(
     most ``ceil(span/width)+1 = 2`` buckets, enumerated with
     ``sequence()`` (no duplicate pairs — bucket ids are distinct by
     construction, so no distinct pass is needed).
+
+    All arithmetic is in integer microseconds (``unix_micros``): the earlier
+    ``unix_timestamp`` form truncated to whole seconds, so with µs-grained
+    events a row up to ~1 s outside the true window could be accepted (or a
+    boundary row rejected). Bounds are honored µs-exact; fractional-second
+    ``lower/upper_seconds`` round to the nearest microsecond.
     """
     if upper_seconds < lower_seconds:
         raise ValueError("upper_seconds must be >= lower_seconds")
-    width = max(upper_seconds - lower_seconds, 1.0)
+    lower_us = round(lower_seconds * 1_000_000)
+    upper_us = round(upper_seconds * 1_000_000)
+    width_us = max(upper_us - lower_us, 1_000_000)
 
-    l_epoch = F.unix_timestamp(F.col(left_ts)).cast("double")
-    r_epoch = F.unix_timestamp(F.col(right_ts)).cast("double")
+    l_epoch = F.unix_micros(F.col(left_ts))
+    r_epoch = F.unix_micros(F.col(right_ts))
 
-    lo_bucket = F.floor((l_epoch + lower_seconds) / width).cast("long")
-    hi_bucket = F.floor((l_epoch + upper_seconds) / width).cast("long")
+    lo_bucket = F.floor((l_epoch + F.lit(lower_us)) / width_us).cast("long")
+    hi_bucket = F.floor((l_epoch + F.lit(upper_us)) / width_us).cast("long")
     l = left.withColumn("_bucket", F.explode(F.sequence(lo_bucket, hi_bucket)))
-    r = right.withColumn("_bucket", F.floor(r_epoch / width).cast("long"))
+    r = right.withColumn("_bucket", F.floor(r_epoch / width_us).cast("long"))
 
     joined = l.join(r, [*keys, "_bucket"]).drop("_bucket")
-    lj = F.unix_timestamp(F.col(left_ts)).cast("double")
-    rj = F.unix_timestamp(F.col(right_ts)).cast("double")
+    lj = F.unix_micros(F.col(left_ts))
+    rj = F.unix_micros(F.col(right_ts))
     return joined.where(
-        (rj >= lj + lower_seconds) & (rj <= lj + upper_seconds)
+        (rj >= lj + F.lit(lower_us)) & (rj <= lj + F.lit(upper_us))
     )

@@ -22,15 +22,24 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap since the
-    previous event of the same user exceeds ``gap_minutes``.
+    previous event of the same user reaches ``gap_minutes``.
+
+    Boundary semantics match the Structured Streaming twin
+    (``streaming.events.session_window_agg`` / Spark ``session_window``):
+    microsecond-exact gaps, new session when gap >= gap_minutes (a session
+    window is ``[start, last_event + gap)``, end-exclusive — an event landing
+    exactly ``gap`` after the previous one opens a NEW session). The earlier
+    whole-second ``>`` form diverged from the streaming half on boundary and
+    sub-second cases.
 
     Classic lag + cumulative-sum-of-boundaries; both windows share one
     partitioning/ordering so Spark sorts once.
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
     boundary = F.when(
-        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        gap.isNull() | (gap >= gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn("_boundary", boundary).withColumn(
         "session_seq", F.sum("_boundary").over(w)

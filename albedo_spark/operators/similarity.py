@@ -46,12 +46,19 @@ def cosine_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Plan: broadcast(queries) × corpus → cosine via precomputed norms →
     row_number window per query (ties broken by neighbor id). Output
     (query_id, neighbor_id, cosine, rank).
+
+    ``exclude_self`` drops candidates with ``query_id == neighbor_id`` —
+    correct ONLY when queries are drawn from the corpus so the two id
+    columns share one id space. Pass ``False`` when queries come from an
+    independent table, or an unrelated corpus vector whose id numerically
+    collides with a query id would silently vanish from that query's top-k.
     """
     c = _with_norm(corpus, vec_col, "_cn").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_cn"
@@ -59,8 +66,11 @@ def cosine_knn(
     q = _with_norm(queries, vec_col, "_qn").select(
         F.col(query_id_col), F.col(vec_col).alias("_qv"), "_qn"
     )
+    cond = (
+        F.col(query_id_col) != F.col("neighbor_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id"))
+        c.join(F.broadcast(q), cond)
         .withColumn(
             "cosine",
             F.when(
@@ -186,12 +196,14 @@ def random_hyperplane_lsh_knn(
     num_planes: int = 8,
     seed: int = 42,
     multi_probe: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors whose hyperplane signatures
     match (optionally within Hamming distance 1 via query-side probes).
 
     The corpus is hashed once; queries explode to 1+num_planes probe buckets;
-    the candidate join is a plain equi-join on bucket.
+    the candidate join is a plain equi-join on bucket. ``exclude_self`` as in
+    ``cosine_knn`` — only valid when queries are drawn from the corpus.
     """
     c = _with_norm(corpus, vec_col, "_cn").select(
         F.col(id_col).alias("neighbor_id"),
@@ -217,7 +229,11 @@ def random_hyperplane_lsh_knn(
     )
     scored = (
         c.join(q, "bucket")
-        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .where(
+            F.col(query_id_col) != F.col("neighbor_id")
+            if exclude_self
+            else F.lit(True)
+        )
         .withColumn(
             "cosine",
             F.when(
@@ -275,6 +291,7 @@ def ivf_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``len(pivots)`` cells (nearest pivot by cosine), probe the ``n_probe``
@@ -289,7 +306,8 @@ def ivf_knn(
 
     Pivot choice is the caller's (k-means offline, or any deterministic
     rule); quality degrades gracefully with bad pivots — recall drops,
-    returned distances stay exact.
+    returned distances stay exact. ``exclude_self`` as in ``cosine_knn`` —
+    only valid when queries are drawn from the corpus.
     """
     c = _with_norm(corpus, vec_col, "_cn").select(
         F.col(id_col).alias("neighbor_id"),
@@ -313,7 +331,11 @@ def ivf_knn(
     )
     scored = (
         c.join(q, "cell")
-        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .where(
+            F.col(query_id_col) != F.col("neighbor_id")
+            if exclude_self
+            else F.lit(True)
+        )
         .withColumn(
             "cosine",
             F.when(

@@ -27,7 +27,11 @@ ALS_CV_GRID = {  # ALSRecommenderCV.scala:67-73
 
 LR_CV_WEIGHT_COLS = [  # LogisticRegressionRankerCV.scala:326-338
     "positive_weight",
-    "recent_starred_weight",
+    # The CV reference's weightSQL names this axis recentStarredWeight; the
+    # repo's single weight_sql() (pipelines/ranker.py, following
+    # LogisticRegressionRanker.scala:320) emits it as positive_starred_weight.
+    # Use the repo's name so default ranker_cv() resolves on repo-built data.
+    "positive_starred_weight",
     "positive_created_weight",
     "positive_created_week_weight",
 ]

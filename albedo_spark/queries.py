@@ -548,7 +548,7 @@ def q16_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                     THEN 1 ELSE 0 END AS boundary
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -566,8 +566,10 @@ def q16_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (lag + cumulative boundary sum; gap 30 min).
-    session_start emitted as epoch seconds for portable hashing."""
+    """Sessionization (lag + cumulative boundary sum; gap 30 min,
+    µs-exact ``>=`` boundary — identical to the streaming session_window
+    twin, q57). session_start emitted as epoch seconds for portable
+    hashing."""
     e = _t(spark, sf_dir, "events")
     out = session_stats(e, gap_minutes=30)
     return out.withColumn("session_start", F.col("session_start").cast("long"))
@@ -585,6 +587,7 @@ def q17_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_dups,
            min(doc_id) AS keeper_id
     FROM documents
+    WHERE text IS NOT NULL
     GROUP BY 1
     HAVING count(*) > 1
     """,

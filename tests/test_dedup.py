@@ -115,3 +115,19 @@ def test_edit_distance_pairs_blocking_contract(spark):
         [(1, "abc"), (2, "abd")], "doc_id long, text string"
     )
     assert edit_distance_pairs(df, max_dist=2).count() == 0
+
+
+def test_null_text_rows_survive_exact_dedup(spark):
+    """NULL texts carry no content: exact_dedup must pass them through
+    unchanged (the null-unsafe join of the earlier form silently DROPPED
+    every NULL-text row), and exact_duplicates must not lump them into one
+    NULL-digest 'duplicate' group."""
+    rows = [(1, "same text"), (2, "same text"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept = {r.doc_id for r in exact_dedup(df).collect()}
+    assert kept == {1, 3, 4}  # real dup collapsed, both NULL rows intact
+
+    groups = exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0].keeper_id == 1 and groups[0].n_dups == 2

@@ -118,3 +118,62 @@ def test_textstats(spark):
     assert out[1].lang == "en" and out[3].lang == "de"
     assert out[2].n == 0 and out[2].q == pytest.approx(0.3)
     assert 0.0 <= out[1].q <= 1.0
+
+
+def test_sessionize_boundary_matches_streaming_semantics(spark):
+    """Batch sessionize == Spark session_window semantics: a session window
+    is [start, last_event + gap) — an event exactly ``gap`` after the
+    previous one starts a NEW session; one microsecond earlier it merges.
+    (The earlier whole-second ``>`` form diverged from the streaming twin.)"""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),  # gap == 30 min → NEW session
+        (2, base),
+        (2, base + dt.timedelta(minutes=30, microseconds=-1)),  # merges
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sessionize(df, gap_minutes=30)
+    got = {(r.user_id, r.ts): r.session_seq for r in out.collect()}
+    assert got[(1, rows[1][1])] == 2
+    assert got[(2, rows[3][1])] == 1
+
+
+def test_hash_stratified_split(spark):
+    """Partition property, determinism, and ~per-stratum fraction with no
+    driver-side strata collect (the high-cardinality scale path)."""
+    from albedo_spark.operators.sampling import hash_stratified_split
+
+    df = spark.range(4000).select(
+        (F.col("id") % 40).alias("stratum"), F.col("id").alias("key")
+    )
+    s1, c1 = hash_stratified_split(df, "stratum", 0.5, ["key"], seed=7)
+    s2, _ = hash_stratified_split(df, "stratum", 0.5, ["key"], seed=7)
+    assert s1.count() + c1.count() == 4000
+    assert s1.join(c1, ["stratum", "key"], "inner").count() == 0
+    assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in s2.collect()}
+    per_stratum = {
+        r.stratum: r.frac
+        for r in s1.groupBy("stratum")
+        .agg((F.count("*") / 100.0).alias("frac"))
+        .collect()
+    }
+    assert all(0.25 < f < 0.75 for f in per_stratum.values())
+
+
+def test_cosine_knn_exclude_self_flag(spark):
+    """query_id and vec_id are independent id spaces when queries come from
+    a separate table: with exclude_self=False a corpus vector whose id
+    collides with the query id must still be returned."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    strict = cosine_knn(corpus, queries, k=2, exclude_self=False).collect()
+    assert {(r.neighbor_id, r.rank) for r in strict} == {(1, 1), (2, 2)}
+    legacy = cosine_knn(corpus, queries, k=2, exclude_self=True).collect()
+    assert {r.neighbor_id for r in legacy} == {2}  # id-collision drop

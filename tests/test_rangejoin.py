@@ -45,3 +45,26 @@ def test_plan_is_equi_join_not_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_subsecond_bounds_are_exact(spark):
+    """The window predicate honors microseconds: a right row 600.1 s before
+    the left row is OUTSIDE a [-600, 0] window even though whole-second
+    truncation (the old unix_timestamp form) would have accepted it."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0, 500_000)
+    ldf = spark.createDataFrame([(1, 1, base)], "u int, lid int, lts timestamp")
+    rdf = spark.createDataFrame(
+        [
+            (1, 100, base - dt.timedelta(seconds=600, milliseconds=100)),  # out
+            (1, 101, base - dt.timedelta(seconds=599, milliseconds=900)),  # in
+            (1, 102, base - dt.timedelta(seconds=600)),                    # boundary: in
+            (1, 103, base + dt.timedelta(microseconds=1)),                 # out (future)
+            (1, 104, base),                                                # boundary: in
+        ],
+        "u int, rid int, rts timestamp",
+    )
+    got = sorted(
+        r.rid
+        for r in time_range_join(ldf, rdf, ["u"], "lts", "rts", -600, 0).collect()
+    )
+    assert got == [101, 102, 104]

@@ -97,3 +97,36 @@ def test_full_ranker_flow(spark, starring_df, repo_info_df, profiles):
         [pop_rec.transform(users)], up, rp, feature_model, model, top_k=5
     )
     assert ranked.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] <= 5
+
+
+def test_ranker_cv_default_weight_cols_resolve(spark):
+    """ranker_cv's default grid must name columns that the repo's own
+    weight_sql() emits (the CV reference used recentStarredWeight where the
+    ranker's weightSQL used positiveStarredWeight — the repo standardizes on
+    the latter). Exercises fit end-to-end over all four weight columns."""
+    from pyspark.ml.feature import SQLTransformer
+    from pyspark.ml.linalg import Vectors
+
+    from albedo_spark.pipelines.cv import LR_CV_WEIGHT_COLS, ranker_cv
+    from albedo_spark.pipelines.ranker import weight_sql
+
+    rows = []
+    for i in range(80):
+        label = float(i % 2)
+        rows.append(
+            (
+                Vectors.dense([label + 0.1 * ((i * 7) % 5), 1.0 - label]),
+                label,
+                dt.datetime(2017, 5, 1) + dt.timedelta(days=i),
+                dt.datetime(2016, 1, 1) + dt.timedelta(days=i),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, ["features", "starring", "starred_at", "repo_created_at"]
+    )
+    featured = SQLTransformer(statement=weight_sql(TODAY)).transform(df)
+    assert set(LR_CV_WEIGHT_COLS) <= set(featured.columns)
+
+    model = ranker_cv(featured, num_folds=2, maxIter=5)
+    assert len(model.avgMetrics) == len(LR_CV_WEIGHT_COLS)
+    assert model.bestModel.getWeightCol() in LR_CV_WEIGHT_COLS
