@@ -2318,3 +2318,197 @@ def q58_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ewma"), 6).alias("ewma_6dp"),
         F.unix_micros(F.col("last_ts")).alias("last_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns through the oracle gate (q59-q62)
+# ---------------------------------------------------------------------------
+
+
+def _hex_int_sql(expr: str, start: str, n: int) -> str:
+    """DuckDB SQL computing ``int(substr(<expr>, <start>, n), 16)`` — n hex
+    chars to integer via positional strpos arithmetic (DuckDB has no native
+    hex→int), used by the multimodal oracles to replay the deterministic
+    fake-decode rule (sources/multimodal.py:_fake_decode) engine-side."""
+    terms = [
+        f"{16 ** (n - 1 - i)}*(strpos('0123456789abcdef',"
+        f" substr({expr}, ({start}) + {i}, 1)) - 1)"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _media_from_documents(
+    spark: SparkSession, sf_dir: str, ascii_only: bool = False
+) -> DataFrame:
+    """documents → MEDIA-shaped frame: the text's UTF-8 bytes become the
+    opaque ``binary`` content column (deterministic synthetic media derived
+    from an existing gate table, so DuckDB oracles can recompute everything
+    from ``documents`` — the staging trick q56 uses for streaming input).
+    ``ascii_only`` keeps docs whose byte length == char length, making byte
+    slices expressible as SQL substr for the frame/resize oracles."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    if ascii_only:
+        d = d.where(F.octet_length(F.col("text")) == F.length(F.col("text")))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+
+_W_SQL = f"CAST(16 + {_hex_int_sql('digest', '1', 4)} % 2048 AS INTEGER)"
+_H_SQL = f"CAST(16 + {_hex_int_sql('digest', '5', 4)} % 2048 AS INTEGER)"
+
+
+@query(
+    "q59_multimodal_decode",
+    f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               md5(text) AS digest,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT media_id,
+           {_W_SQL} AS width,
+           {_H_SQL} AS height,
+           n_bytes,
+           digest
+    FROM m
+    """,
+)
+def q59_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode through the oracle gate: an opaque binary column
+    (UTF-8 bytes of each document) runs through the REAL Arrow-batched
+    ``mapInPandas`` decode stage (sources/multimodal.py:decode_images);
+    DuckDB independently replays the deterministic fake-decode rule
+    (dims from the md5 hex digest) straight from ``documents``. Verifies
+    the binary column plumbing end-to-end: schema, Arrow transfer, per-row
+    digest/dims/byte-counts."""
+    from albedo_spark.sources.multimodal import decode_images
+
+    return decode_images(_media_from_documents(spark, sf_dir))
+
+
+@query(
+    "q60_multimodal_embed",
+    f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, md5(text) AS digest
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT media_id,
+           CAST(i AS INTEGER) AS pos,
+           CAST({_hex_int_sql('digest', '1 + 2*i', 2)} AS INTEGER) AS byte_val
+    FROM m, generate_series(0, 15) t(i)
+    """,
+)
+def q60_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding extraction through the oracle gate. The mapInPandas stage
+    emits ``array<float>`` (md5 bytes scaled to [0,1)); the check inverts
+    the scaling to exact integers (round(x*255) recovers each byte bit-for-
+    bit from float32) and posexplodes to rows, so every one of the 16
+    embedding components is hash-compared without cross-engine float-
+    canonicalization risk. DuckDB recomputes the bytes from md5 hex."""
+    from albedo_spark.sources.multimodal import extract_embeddings
+
+    emb = extract_embeddings(_media_from_documents(spark, sf_dir))
+    return emb.select(
+        "media_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x * 255).cast("int"),
+            )
+        ).alias("pos", "byte_val"),
+    )
+
+
+@query(
+    "q61_multimodal_frames",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)
+    ),
+    s AS (SELECT media_id, text, n, greatest(n // 4, 1) AS step FROM m)
+    SELECT media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           md5(substr(text, i*step + 1, step)) AS frame_digest,
+           CAST(greatest(least(n - i*step, step), 0) AS INTEGER) AS frame_len
+    FROM s, generate_series(0, 3) t(i)
+    """,
+)
+def q61_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1 row in → n rows out) through the oracle gate, on
+    the ASCII-only subset where byte slices == char slices so DuckDB can
+    replay the byte-range slicing with substr. Verifies the row-explosion
+    shape and each frame's exact byte content via md5."""
+    from albedo_spark.sources.multimodal import sample_frames
+
+    frames = sample_frames(
+        _media_from_documents(spark, sf_dir, ascii_only=True), n_frames=4
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.md5(F.col("frame")).alias("frame_digest"),
+        F.length(F.col("frame")).alias("frame_len"),
+    )
+
+
+@query(
+    "q62_multimodal_resize",
+    f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, text, md5(text) AS digest,
+               length(text) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)
+    ),
+    dims AS (
+        SELECT media_id, text, n,
+               {_W_SQL} AS w,
+               {_H_SQL} AS h
+        FROM m
+    ),
+    scaled AS (
+        SELECT media_id, text, n, w, h,
+               least(256.0 / greatest(w, h), 1.0) AS scale
+        FROM dims
+    ),
+    resized AS (
+        SELECT media_id, text, n, w, h,
+               greatest(CAST(floor(w * scale) AS INTEGER), 1) AS nw,
+               greatest(CAST(floor(h * scale) AS INTEGER), 1) AS nh
+        FROM scaled
+    )
+    SELECT media_id, nw AS width, nh AS height,
+           CAST(greatest(CAST(floor((n * (nw * nh)) / greatest(w * h, 1)) AS BIGINT), 1) AS INTEGER)
+               AS kept_bytes,
+           md5(substr(text, 1,
+               greatest(CAST(floor((n * (nw * nh)) / greatest(w * h, 1)) AS BIGINT), 1)))
+               AS digest
+    FROM resized
+    """,
+)
+def q62_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through the oracle gate (ASCII-only subset, as q61): the fake
+    resize derives target dims from the fake-decoded dims and truncates the
+    byte stream by area ratio; DuckDB replays the identical double
+    arithmetic (same operation order: scale division, then multiply, then
+    floor — IEEE-deterministic cross-engine) and md5-checks the truncated
+    content byte-for-byte."""
+    from albedo_spark.sources.multimodal import resize_images
+
+    resized = resize_images(
+        _media_from_documents(spark, sf_dir, ascii_only=True), max_side=256
+    )
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length(F.col("content")).alias("kept_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
