@@ -48,6 +48,13 @@ class NegativeBalancer(
     negativePositiveRatio = Param(
         Params._dummy(), "negativePositiveRatio", "", TypeConverters.toFloat
     )
+    # a Param (not a plain attribute) so PipelineModel.save/load round-trips
+    # the candidate pool — as a plain attribute it silently loaded back empty
+    # and a restored pipeline emitted zero negatives
+    popularItems = Param(
+        Params._dummy(), "popularItems", "candidate negative item ids",
+        TypeConverters.toListInt,
+    )
 
     def __init__(
         self,
@@ -60,16 +67,21 @@ class NegativeBalancer(
         negativePositiveRatio: float = 1.0,
     ):
         super().__init__()
-        self.popular_items = list(popular_items)
         self._setDefault(
             userCol="user_id", itemCol="repo_id", timeCol="starred_at",
             labelCol="starring", negativeValue=0.0, negativePositiveRatio=1.0,
+            popularItems=[],
         )
         self._set(
             userCol=userCol, itemCol=itemCol, timeCol=timeCol,
             labelCol=labelCol, negativeValue=negativeValue,
             negativePositiveRatio=negativePositiveRatio,
+            popularItems=list(popular_items),
         )
+
+    @property
+    def popular_items(self) -> list[int]:
+        return self.getOrDefault(self.popularItems)
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
         user_col = self.getOrDefault(self.userCol)

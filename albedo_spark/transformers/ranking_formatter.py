@@ -25,6 +25,9 @@ class RankingMetricFormatter(Transformer, DefaultParamsReadable, DefaultParamsWr
     predictionCol = Param(Params._dummy(), "predictionCol", "", TypeConverters.toString)
     topK = Param(Params._dummy(), "topK", "", TypeConverters.toInt)
     sourceType = Param(Params._dummy(), "sourceType", "als | lr", TypeConverters.toString)
+    # a Param (not a plain attribute) so PipelineModel.save/load round-trips
+    # a non-default output column — SURVEY §7.4's finicky-serialization trap
+    listCol = Param(Params._dummy(), "listCol", "", TypeConverters.toString)
 
     def __init__(
         self,
@@ -38,13 +41,12 @@ class RankingMetricFormatter(Transformer, DefaultParamsReadable, DefaultParamsWr
         super().__init__()
         self._setDefault(
             sourceType="als", userCol="user_id", itemCol="repo_id",
-            predictionCol="prediction", topK=30,
+            predictionCol="prediction", topK=30, listCol="pred_items",
         )
         self._set(
             sourceType=sourceType, userCol=userCol, itemCol=itemCol,
-            predictionCol=predictionCol, topK=topK,
+            predictionCol=predictionCol, topK=topK, listCol=listCol,
         )
-        self.listCol = listCol
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
         user_col = self.getOrDefault(self.userCol)
@@ -69,5 +71,5 @@ class RankingMetricFormatter(Transformer, DefaultParamsReadable, DefaultParamsWr
             item_col,
             [order, F.col(item_col).asc()],
             k,
-            list_col=self.listCol,
+            list_col=self.getOrDefault(self.listCol),
         )

@@ -130,3 +130,72 @@ def test_als_cv_selects_over_grid(spark, starring_df):
     assert len(report) == 2  # one entry per grid point
     assert report[0][1] >= report[1][1]
     assert {"rank", "maxIter"} <= set(report[0][0].keys())
+
+
+def test_pipeline_model_save_load_all_custom_stages(spark, tmp_path):
+    """PipelineModel.save/load with EVERY custom stage in one pipeline
+    (SURVEY §7.4: 'finicky param serialization; test early'; the reference
+    memoizes whole fitted pipelines, S/utils/ModelUtils.scala:7-21).
+    Asserts identical transform output pre/post load and that non-default
+    params — including the two that were plain attributes before
+    (RankingMetricFormatter.listCol, NegativeBalancer.popularItems) —
+    survive the roundtrip."""
+    import datetime as dt
+
+    from pyspark.ml import Pipeline, PipelineModel
+
+    from albedo_spark.transformers import (
+        IntermediateCacher,
+        NativeTokenizer,
+        NegativeBalancer,
+        RankingMetricFormatter,
+        SnowballStemmer,
+        UserRepoTransformer,
+    )
+
+    rows = [
+        (u, r, dt.datetime(2017, 1, 1 + (u + r) % 20), 1.0,
+         "python" if r % 2 else "scala",
+         ["python", "go"] if u % 2 else ["scala"],
+         f"running relational queries number {u * 10 + r}",
+         float((u * 7 + r * 3) % 10))
+        for u in range(1, 6)
+        for r in range(1, 4 + u % 2)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, repo_id long, starred_at timestamp, starring double, "
+        "repo_language string, user_recent_repo_languages array<string>, "
+        "text string, prediction double",
+    )
+
+    stages = [
+        NativeTokenizer(inputCol="text", outputCol="words"),
+        SnowballStemmer(inputCol="words", outputCol="stemmed"),
+        UserRepoTransformer(),
+        IntermediateCacher(inputCols=[
+            "user_id", "repo_id", "starred_at", "starring",
+            "repo_language_index_in_user_recent_repo_languages",
+        ]),
+        NegativeBalancer(popular_items=POPULAR, negativePositiveRatio=1.0),
+        RankingMetricFormatter(
+            sourceType="als", predictionCol="starring", topK=3,
+            listCol="top_items",
+        ),
+    ]
+    model = Pipeline(stages=stages).fit(df)
+    before = {(r.user_id, tuple(r.top_items)) for r in model.transform(df).collect()}
+    assert before  # non-degenerate
+
+    path = str(tmp_path / "full_pipeline")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+
+    after = {(r.user_id, tuple(r.top_items)) for r in loaded.transform(df).collect()}
+    assert after == before
+
+    lst = loaded.stages
+    assert lst[-1].getOrDefault(lst[-1].listCol) == "top_items"
+    assert lst[-2].popular_items == list(POPULAR)
+    assert lst[1].getOrDefault(lst[1].outputCol) == "stemmed"
+    assert lst[3].getOrDefault(lst[3].inputCols)[0] == "user_id"
