@@ -105,6 +105,78 @@ def read_jdbc(
     return reader.load()
 
 
+# Raw-DB column -> canonical name bridges (S/utils/DatasetUtils.scala:58-106:
+# the reference's 24 withColumnRenamed calls after each MySQL read; one dict
+# per table here, applied as a single projection instead of 24 chained
+# renames so the scan stays one Project node).
+USER_INFO_RENAMES = {
+    "id": "user_id",
+    "login": "user_login",
+    "account_type": "user_account_type",
+    "name": "user_name",
+    "company": "user_company",
+    "blog": "user_blog",
+    "location": "user_location",
+    "email": "user_email",
+    "bio": "user_bio",
+    "public_repos": "user_public_repos_count",
+    "public_gists": "user_public_gists_count",
+    "followers": "user_followers_count",
+    "following": "user_following_count",
+    "created_at": "user_created_at",
+    "updated_at": "user_updated_at",
+}
+
+REPO_INFO_RENAMES = {
+    "id": "repo_id",
+    "owner_id": "repo_owner_id",
+    "owner_username": "repo_owner_username",
+    "owner_type": "repo_owner_type",
+    "name": "repo_name",
+    "full_name": "repo_full_name",
+    "description": "repo_description",
+    "language": "repo_language",
+    "created_at": "repo_created_at",
+    "updated_at": "repo_updated_at",
+    "pushed_at": "repo_pushed_at",
+    "homepage": "repo_homepage",
+    "size": "repo_size",
+    "stargazers_count": "repo_stargazers_count",
+    "forks_count": "repo_forks_count",
+    "subscribers_count": "repo_subscribers_count",
+    "fork": "repo_is_fork",
+    "has_issues": "repo_has_issues",
+    "has_projects": "repo_has_projects",
+    "has_downloads": "repo_has_downloads",
+    "has_wiki": "repo_has_wiki",
+    "has_pages": "repo_has_pages",
+    "open_issues_count": "repo_open_issues_count",
+    "topics": "repo_topics",
+}
+
+
+def canonicalize_columns(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+    """Apply a raw→canonical rename map as ONE projection (columns not in
+    the map pass through untouched)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+    )
+
+
+def read_jdbc_canonical(
+    spark: SparkSession, url: str, table: str, properties: dict[str, str],
+    renames: dict[str, str], **partition_kwargs,
+) -> DataFrame:
+    """JDBC read + canonical renames — the reference's per-table load shape
+    (S/utils/DatasetUtils.scala:52-106) as one call. Pass
+    ``partition_column``/bounds so the scan parallelizes (always, at scale)."""
+    return canonicalize_columns(
+        read_jdbc(spark, url, table, properties, **partition_kwargs), renames
+    )
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Overwrite-mode parquet sink (S/utils/DatasetUtils.scala:43)."""
     writer = df.write.mode("overwrite")
