@@ -35,11 +35,22 @@ REFERENCE_ALS_PARAMS = dict(
 )
 
 
-def train_als(starring_df: DataFrame, **overrides) -> ALSModel:
+def train_als(
+    starring_df: DataFrame,
+    checkpoint_dir: str | None = None,
+    **overrides,
+) -> ALSModel:
     """Fit the reference-configured implicit ALS on the starring matrix.
-    Checkpointing the lineage is the caller's concern
-    (``spark.sparkContext.setCheckpointDir``, S12)."""
+
+    ``checkpoint_dir`` (S12, ``S/ALSRecommenderBuilder.scala:36``) truncates
+    the factor lineage every ``checkpointInterval`` iterations — at the
+    reference's maxIter=26 the unchecked lineage grows one stage pair per
+    iteration and the DAG replays from the raw ratings on any executor
+    loss; with a checkpoint dir, recovery restarts from the last
+    materialized factors instead. Set it for any real iteration count."""
     params = {**REFERENCE_ALS_PARAMS, **overrides}
+    if checkpoint_dir is not None:
+        starring_df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     return ALS(**params).fit(starring_df)
 
 

@@ -108,3 +108,54 @@ def test_end_to_end_ndcg(spark, repo_info_df, starring_df, test_users):
     joined = pred.join(actual, "user_id", "inner")
     ndcg = RankingEvaluator(metricName="ndcg@k", k=30).evaluate(joined)
     assert 0.0 <= ndcg <= 1.0
+
+
+def test_als_seeded_determinism_and_ndcg_floor(spark, starring_df, test_users):
+    """VERDICT r1 #7: strengthen the rows-only q35 — (a) seeded ALS must
+    produce IDENTICAL per-user rank lists across two independent fits
+    (rank order is deterministic under a fixed seed even though raw float
+    scores may vary across BLAS paths — the q35 shape contract), and
+    (b) recommendations must beat a quality floor: NDCG@10 against each
+    user's actually-starred items well above random on the seeded fixture."""
+    from albedo_spark.recommenders import ALSRecommender
+    from albedo_spark.recommenders.als import train_als
+
+    def fit_and_rank():
+        model = train_als(starring_df, rank=8, maxIter=5, regParam=0.1, alpha=10.0)
+        rec = ALSRecommender(als_model=model, topK=10).transform(test_users)
+        w = RankingMetricFormatter(
+            sourceType="als", predictionCol="score", topK=10
+        ).transform(rec)
+        return {r.user_id: tuple(r.pred_items) for r in w.collect()}
+
+    lists_a = fit_and_rank()
+    lists_b = fit_and_rank()
+    assert lists_a and lists_a == lists_b  # stable rank lists, run to run
+
+    preds = spark.createDataFrame(
+        [(u, list(items)) for u, items in lists_a.items()],
+        "user_id int, pred_items array<int>",
+    )
+    actual = user_actual_items(starring_df, k=10)
+    joined = preds.join(actual, "user_id")
+    ndcg = RankingEvaluator(metricName="ndcg@k", k=10).evaluate(joined)
+    # ~300 repos in the fixture: random top-10 lists score < 0.05 here;
+    # trained ALS on the seeded tastes must clear a real margin
+    assert ndcg > 0.15, f"NDCG@10 {ndcg:.4f} below floor"
+
+
+def test_train_als_sets_checkpoint_dir(spark, starring_df, tmp_path):
+    """S12: train_als(checkpoint_dir=...) must actually install the
+    checkpoint dir on the SparkContext (ALSRecommenderBuilder.scala:36) —
+    it was a docstring promise before."""
+    from albedo_spark.recommenders.als import train_als
+
+    ckpt = str(tmp_path / "als_ckpt")
+    model = train_als(
+        starring_df, checkpoint_dir=ckpt, rank=4, maxIter=3,
+        checkpointInterval=1,
+    )
+    assert model.rank == 4
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getCheckpointDir().isDefined()
+    assert "als_ckpt" in jsc.getCheckpointDir().get()
