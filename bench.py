@@ -44,6 +44,98 @@ HEADLINE = [
 ]
 
 
+# Pipeline-bench fixture size: big enough that fit/transform dominates
+# session overhead, small enough to keep the bench a one-minute affair.
+PIPE_USERS = int(os.environ.get("SPARK_GRAFT_BENCH_USERS", "1500"))
+PIPE_REPOS = int(os.environ.get("SPARK_GRAFT_BENCH_REPOS", "3000"))
+
+
+def bench_pipelines(spark) -> dict[str, float]:
+    """Wall-times for the reference's published pipeline units
+    (BASELINE.md: UserProfileBuilder 5m18s / RepoProfileBuilder 3m8s /
+    ALSRecommenderBuilder 10m19s / LogisticRegressionRanker 1h35m on
+    Dataproc at crawl scale) — same DAG shapes on the seeded synthetic
+    fixture, so rounds are comparable to each other and regressions in the
+    ML path show up here rather than only in query timings."""
+    import datetime as dt
+
+    from albedo_spark.fixtures import generate_dataset
+    from albedo_spark.pipelines import build_repo_profile, build_user_profile
+    from albedo_spark.pipelines.ranker import (
+        balance_starring,
+        build_feature_pipeline,
+        build_model_pipeline,
+        cast_booleans,
+        evaluate_auc,
+        reduce_starring,
+    )
+    from albedo_spark.recommenders.als import train_als
+    from albedo_spark.recommenders.popularity import build_popular_repo_df
+
+    today = dt.date(2017, 9, 1)
+    tables = generate_dataset(spark, n_users=PIPE_USERS, n_repos=PIPE_REPOS)
+    for t in tables.values():
+        t.cache().count()  # materialize fixtures outside the timed regions
+
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    up = build_user_profile(
+        tables["user_info"], tables["repo_info"], tables["starring"], today=today
+    ).cache()
+    rp = build_repo_profile(tables["repo_info"], tables["starring"], today=today).cache()
+    up.count(), rp.count()
+    out["profiles"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    model = train_als(tables["starring"], rank=16, maxIter=10)
+    users = tables["starring"].select("user_id").distinct()
+    model.recommendForUserSubset(users, 30).count()
+    out["als"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    reduced = reduce_starring(tables["starring"], max_starred_repos_count=4000)
+    popular = [
+        r.repo_id for r in build_popular_repo_df(tables["repo_info"]).limit(500).collect()
+    ]
+    balanced = balance_starring(reduced, popular, ratio=1.0)
+    dataset = cast_booleans(balanced.join(up, "user_id").join(rp, "repo_id")).cache()
+    dataset.count()
+    featured = build_feature_pipeline(min_df=1.0).fit(dataset).transform(dataset).cache()
+    train, test = featured.randomSplit([0.9, 0.1], seed=42)
+    lr_model = build_model_pipeline(today=today, maxIter=30).fit(train)
+    evaluate_auc(lr_model, test)
+    out["ranker"] = round(time.perf_counter() - t0, 3)
+
+    return out
+
+
+def bench_oracles(sf_dir: str) -> dict[str, float]:
+    """The SAME headline oracles in DuckDB on the same parquet — an explicit
+    single-node engine ratio per round. At toy SFs DuckDB wins on fixed
+    task/exchange overhead; the number exists to keep that gap measured
+    instead of anecdotal."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    oracles = ent.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in oracles:
+            continue
+        con.sql(oracles[name]).fetchall()  # warm-up (buffer cache, catalog)
+        t0 = time.perf_counter()
+        con.sql(oracles[name]).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from albedo_spark.queries import QUERIES
@@ -64,8 +156,12 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    pipelines = bench_pipelines(spark)
+    oracle = bench_oracles(sf_dir)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    oracle_total = round(sum(oracle.values()), 3)
     print(
         json.dumps(
             {
@@ -74,6 +170,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pipelines": pipelines,
+                "pipeline_fixture": {"n_users": PIPE_USERS, "n_repos": PIPE_REPOS},
+                "oracle_queries": oracle,
+                "oracle_total": oracle_total,
+                "spark_vs_duckdb": round(total / oracle_total, 2) if oracle_total else None,
             }
         )
     )

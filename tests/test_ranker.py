@@ -130,3 +130,47 @@ def test_ranker_cv_default_weight_cols_resolve(spark):
     model = ranker_cv(featured, num_folds=2, maxIter=5)
     assert len(model.avgMetrics) == len(LR_CV_WEIGHT_COLS)
     assert model.bestModel.getWeightCol() in LR_CV_WEIGHT_COLS
+
+
+def test_tokenizer_jieba_mode_segments_cjk_runs(spark, monkeypatch):
+    """cjkSegmentation='jieba' routes CJK runs through a dictionary
+    segmenter in an Arrow-batched pandas_udf while non-CJK tokens keep the
+    native rules. Uses the closure-captured segmenter hook with a
+    deterministic fake (jieba itself is an optional dep not present here);
+    the hook crosses the Python-worker boundary via cloudpickle, which
+    sys.modules patching would not."""
+    from albedo_spark.transformers import tokenizer as tok_mod
+
+    # fake dictionary segmenter: splits a CJK run into 2-char words
+    monkeypatch.setattr(
+        tok_mod, "_SEGMENT_FACTORY",
+        lambda: (lambda run: [run[i:i + 2] for i in range(0, len(run), 2)]),
+    )
+    df = spark.createDataFrame(
+        [("I love C++ and 機器學習 rocks",)], "text string"
+    )
+    out = tok_mod.NativeTokenizer(
+        inputCol="text", outputCol="words", cjkSegmentation="jieba"
+    ).transform(df)
+    words = out.collect()[0].words
+    assert "c++" in words and "love" in words and "rocks" in words
+    assert "機器" in words and "學習" in words      # segmented pairs
+    assert "機" not in words                        # NOT character unigrams
+    assert "i" not in words                         # 1-char non-CJK dropped
+
+
+def test_tokenizer_jieba_mode_without_jieba_raises(spark):
+    import pytest as _pytest
+
+    from albedo_spark.transformers import tokenizer as tok_mod
+
+    if tok_mod._SEGMENT_FACTORY is not None:  # pragma: no cover
+        _pytest.skip("segmenter hook active")
+    try:
+        import jieba  # noqa: F401
+        _pytest.skip("real jieba installed")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([("text",)], "text string")
+    with _pytest.raises(NotImplementedError, match="jieba"):
+        tok_mod.NativeTokenizer(cjkSegmentation="jieba").transform(df)
