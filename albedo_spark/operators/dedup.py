@@ -383,3 +383,69 @@ def edit_distance_pairs(
         )
         .where(F.col("edit_dist") <= max_dist)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (node,
+    component) with component = min node id in the component. The step
+    that turns near-dup PAIRS into dedup GROUPS (pick one keeper per
+    component) — at corpus scale a doc can pair with many near-dups and
+    naive per-pair keeper selection double-drops.
+
+    Algorithm: iterative HashMin label propagation (label = smallest id
+    seen) with a path-halving step (label := label of one's label) each
+    round, so convergence is O(log diameter) rather than O(diameter) —
+    the pointer-jumping idea behind the two-phase star-contraction
+    algorithms used for web-scale graphs. Each iteration is two
+    equi-joins + one aggregate (all key-partitioned shuffles, AQE handles
+    skewed hub nodes); ``localCheckpoint`` truncates the growing lineage
+    every round, the iterative-algorithm failure mode SURVEY §7.4 flags
+    for ALS. The driver loop runs O(log diameter) times and moves only a
+    convergence counter, never data.
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    edges = sym.distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # HashMin: pull the smallest label from the neighborhood
+        prop = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        merged = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # path halving: adopt one's label's own label (pointer jumping)
+        lab2 = merged.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        jumped = (
+            merged.join(lab2, "label", "left")
+            .select(
+                "node", F.least("label", F.coalesce("label2", "label")).alias("label")
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "_old"), "node")
+            .where(F.col("label") < F.col("_old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

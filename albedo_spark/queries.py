@@ -656,10 +656,12 @@ def q20_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@query(
-    "q21_minhash_lsh_verified",
-    """
-    WITH docs AS (
+# Shared CTE prefix: banded-minhash candidate pairs verified by exact
+# shingle Jaccard >= 0.8 — q21 selects the pairs, q63 builds connected
+# components on top of the SAME pair graph. WITH RECURSIVE is inert for
+# q21 (DuckDB allows it with no recursive member) and required for q63.
+_MINHASH_VERIFIED_PAIRS_CTES = """
+    WITH RECURSIVE docs AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
         FROM documents
     ),
@@ -693,16 +695,23 @@ def q20_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inb a JOIN inb b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
-    shsets AS (SELECT doc_id, list(DISTINCT sh) AS shset FROM shingles GROUP BY doc_id)
-    SELECT id_a, id_b,
-           round(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
-                 len(list_distinct(list_concat(sa.shset, sb.shset))), 4) AS jaccard
-    FROM cand
-    JOIN shsets sa ON cand.id_a = sa.doc_id
-    JOIN shsets sb ON cand.id_b = sb.doc_id
-    WHERE len(list_intersect(sa.shset, sb.shset)) * 1.0 /
-          len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.8
-    """,
+    shsets AS (SELECT doc_id, list(DISTINCT sh) AS shset FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+                     len(list_distinct(list_concat(sa.shset, sb.shset))), 4) AS jaccard
+        FROM cand
+        JOIN shsets sa ON cand.id_a = sa.doc_id
+        JOIN shsets sb ON cand.id_b = sb.doc_id
+        WHERE len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+              len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.8
+    )
+"""
+
+
+@query(
+    "q21_minhash_lsh_verified",
+    _MINHASH_VERIFIED_PAIRS_CTES + "\n    SELECT id_a, id_b, jaccard FROM pairs",
 )
 def q21_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (8 hashes → 4 bands × 2 rows, 3-word
@@ -2511,4 +2520,49 @@ def q62_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.length(F.col("content")).alias("kept_bytes"),
         F.md5(F.col("content")).alias("digest"),
+    )
+
+
+@query(
+    "q63_dedup_components",
+    _MINHASH_VERIFIED_PAIRS_CTES
+    + """
+    , nodes AS (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+        WHERE r.label < e.b
+    )
+    SELECT node AS doc_id, min(label) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def q63_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    q21 verified-pair graph (HashMin label propagation + path halving,
+    ``operators.dedup.connected_components``) → (doc_id, min-id component).
+    The step that makes dedup decisions transitive — per-pair keeper
+    selection double-drops when a doc near-dups with several others.
+
+    The oracle replays the SAME pair graph (shared CTE prefix with q21)
+    and closes it with a recursive CTE propagating the smallest reachable
+    label — a fixpoint DuckDB iterates to exhaustion, exactly the
+    semantics the Spark loop converges to in O(log diameter) rounds."""
+    d = _t(spark, sf_dir, "documents")
+    from albedo_spark.operators.dedup import connected_components
+
+    prs = minhash_lsh_pairs(
+        d, num_hashes=8, rows_per_band=2, shingle_n=3, max_bucket=200
+    )
+    verified = jaccard_verify(prs, d, shingle_n=3, threshold=0.8)
+    comps = connected_components(verified.select("id_a", "id_b"))
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

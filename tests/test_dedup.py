@@ -131,3 +131,33 @@ def test_null_text_rows_survive_exact_dedup(spark):
     groups = exact_duplicates(df).collect()
     assert len(groups) == 1
     assert groups[0].keeper_id == 1 and groups[0].n_dups == 2
+
+
+def test_connected_components_structure(spark):
+    """Chain (tests O(log diameter) pointer-jumping convergence), a
+    separate triangle, and an isolated pair — labels must be the min id
+    of each true component."""
+    from albedo_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 25)]          # one 16-node chain
+    tri = [(100, 101), (101, 102), (100, 102)]           # triangle
+    iso = [(7, 3)]                                       # pair, reversed ids
+    df = spark.createDataFrame(chain + tri + iso, "id_a long, id_b long")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert all(got[n] == 10 for n in range(10, 26))
+    assert got[100] == got[101] == got[102] == 100
+    assert got[3] == got[7] == 3
+    assert len(got) == 16 + 3 + 2
+
+
+def test_connected_components_iteration_bound(spark):
+    """A 64-node path must converge within max_iter=10: pure HashMin needs
+    ~63 rounds (labels travel one hop per round); path halving gets
+    O(log n). If someone drops the pointer-jumping step this fails."""
+    from albedo_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    got = {r.node: r.label for r in connected_components(df, max_iter=10).collect()}
+    assert set(got.values()) == {0}
