@@ -2566,3 +2566,60 @@ def q63_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+@query(
+    "q64_doc_keywords",
+    """
+    WITH docs AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.term ASC
+               ) AS rank
+        FROM tf t JOIN dfreq d ON t.term = d.term
+    )
+    SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q64_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 distinctive terms ranked by
+    (term frequency DESC, corpus document-frequency ASC, term ASC) — the
+    TF-IDF idea with a pure-integer total order, so the ranking is
+    bit-deterministic cross-engine (float tf·idf scores reorder near-ties
+    at ulp level; see q34's integer-score convention).
+
+    Plan shape at scale: one shuffle on (doc, term) for TF (map-side
+    combined), one on term for DF, a term-keyed shuffle join (vocabulary
+    is heavy-tailed — AQE skew handling covers stop-word-ish hubs), one
+    doc-partitioned window. No floats, no UDFs, no collects."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    from albedo_spark.operators.dedup import normalize_text
+
+    from albedo_spark.io import widen
+
+    tok = widen(
+        d.select("doc_id", normalize_text(F.col("text")).alias("_t"))
+    ).select("doc_id", F.explode(F.split(F.col("_t"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    ranked = top_k_per_group(
+        tf.join(dfreq, "term"),
+        ["doc_id"],
+        [F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()],
+        3,
+        rank_col="rank",
+        keep_rank=True,
+    )
+    return ranked.select("doc_id", "term", "tf", "df", "rank")
