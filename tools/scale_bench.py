@@ -41,8 +41,10 @@ from pyspark.sql import functions as F  # noqa: E402
 def replicate(docs, n_copies: int):
     if n_copies == 1:
         return docs
+    # long, not int: replica * 10M overflows int32 past ~214 copies (ANSI
+    # mode rightly refuses to wrap)
     copies = docs.sparkSession.range(n_copies).select(
-        F.col("id").cast("int").alias("_replica")
+        F.col("id").cast("long").alias("_replica")
     )
     words = F.split(F.col("text"), " ")
     perturbed = F.array_join(
@@ -58,7 +60,9 @@ def replicate(docs, n_copies: int):
     return (
         docs.crossJoin(copies)
         .select(
-            (F.col("doc_id") + F.col("_replica") * F.lit(10_000_000)).alias("doc_id"),
+            (F.col("doc_id") + F.col("_replica") * F.lit(10_000_000).cast("long")).alias(
+                "doc_id"
+            ),
             perturbed.alias("text"),
             "_replica",
         )
