@@ -16,11 +16,20 @@ def main(argv: list[str] | None = None) -> float:
     parser = common.build_parser(__doc__)
     parser.add_argument("--fast", action="store_true",
                         help="rank=8/maxIter=5 smoke config")
+    parser.add_argument(
+        "--checkpoint-dir", default="/tmp/albedo_spark/als_checkpoints",
+        help="ALS factor-lineage checkpoint dir (S12, "
+        "ALSRecommenderBuilder.scala:36); pass '' to disable",
+    )
     args = parser.parse_args(argv)
     spark = common.get_session(args, "als")
     tables = common.load_tables(spark, args)
     overrides = dict(rank=8, maxIter=5) if args.fast else {}
-    model = train_als(tables["starring"], **overrides)
+    model = train_als(
+        tables["starring"],
+        checkpoint_dir=args.checkpoint_dir or None,
+        **overrides,
+    )
     test_users = common.sample_test_users(tables["starring"], args.eval_sample)
     rec = ALSRecommender(als_model=model, topK=args.top_k)
     return common.run_and_report(
