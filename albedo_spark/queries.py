@@ -2623,3 +2623,51 @@ def q64_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_rank=True,
     )
     return ranked.select("doc_id", "term", "tf", "df", "rank")
+
+
+@query(
+    "q65_stream_interval_join",
+    """
+    SELECT e.event_id AS error_id, c.event_id AS click_id
+    FROM events e
+    JOIN events c
+      ON e.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND epoch(c.ts) >= epoch(e.ts) - 600
+     AND epoch(c.ts) <= epoch(e.ts)
+    WHERE e.event_type = 'error'
+    """,
+)
+def q65_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the correctness gate: the
+    streaming twin of q45's bucketed range join, run as a REAL stateful
+    join (two filtered derivatives of one file-source stream, watermarks
+    on both sides, event-time range condition, append mode, AvailableNow
+    replay over 8-file micro-batches). Pairs that straddle micro-batch
+    boundaries must come out of the join state store — the property the
+    batch oracle (naive BETWEEN join in DuckDB) verifies row-for-row.
+
+    The replay watermark spans the whole dataset so unordered micro-batch
+    arrival drops nothing; unbounded, production narrows it to the real
+    arrival skew and per-side state is input-rate × (horizon + window),
+    independent of stream length (see streaming.error_click_interval_join).
+    """
+    from albedo_spark.streaming.events import error_click_interval_join
+
+    stage, tag = _stage_event_stream(spark, sf_dir)
+    name = f"stream_ivjoin_{tag}"
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(stage)
+    )
+    joined = error_click_interval_join(stream, window_seconds=600, watermark="87600 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("error_id", "click_id")

@@ -137,6 +137,52 @@ def user_ewma_stream(
     )
 
 
+def error_click_interval_join(
+    events: DataFrame,
+    window_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream self interval join: every error event paired with the
+    SAME user's clicks in the preceding ``window_seconds`` — the streaming
+    twin of the batch ``operators.rangejoin`` (q45), as two filtered
+    derivatives of one source stream joined on key + event-time range.
+
+    This is the stateful-join shape: both sides buffer rows in the state
+    store until the other side's watermark passes the time bound in the
+    join condition; the event-time range predicate is what lets Spark
+    evict (without it an inner stream-stream join holds state forever).
+    State per side ≈ input rate × (watermark horizon + window span) —
+    independent of total stream length. Matches straddling micro-batch
+    boundaries come from state, which is the property worth testing; a
+    replay drained with a wide watermark emits exactly the batch join's
+    pairs.
+    """
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+    )
+    return errors.join(clicks, cond, "inner").select("error_id", "click_id")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Drain all available input into an in-memory table (tests/dev)."""
     q = (

@@ -93,3 +93,41 @@ def test_user_ewma_state_survives_micro_batches(spark, event_dir):
     )
     for r in batch_counts:
         assert final[r["user_id"]] == r["count"]
+
+
+def test_interval_join_matches_across_micro_batches(spark, tmp_path):
+    """A click written in file A must join an error written in file B when
+    the files replay as SEPARATE micro-batches — the pair can only come
+    out of the stream-stream join's state store. Also checks the window
+    bounds: a click 601s before the error is excluded, one at exactly
+    -600s included."""
+    import datetime as dt
+
+    from albedo_spark.streaming.events import (
+        error_click_interval_join,
+        run_to_memory,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    d = str(tmp_path / "ev")
+    # file 1: the clicks; file 2: the errors — forced separate micro-batches
+    spark.createDataFrame(
+        [
+            (1, base - dt.timedelta(seconds=600), 7, "click"),  # boundary: in
+            (2, base - dt.timedelta(seconds=601), 7, "click"),  # out
+            (3, base - dt.timedelta(seconds=10), 8, "click"),   # other user
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [(100, base, 7, "error")], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    joined = error_click_interval_join(stream, 600, watermark="240 hours")
+    run_to_memory(joined, "ivjoin_test", mode="append")
+    got = {(r.error_id, r.click_id) for r in spark.table("ivjoin_test").collect()}
+    assert got == {(100, 1)}
