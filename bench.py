@@ -53,10 +53,11 @@ PIPE_REPOS = int(os.environ.get("SPARK_GRAFT_BENCH_REPOS", "3000"))
 def bench_pipelines(spark) -> dict[str, float]:
     """Wall-times for the reference's published pipeline units
     (BASELINE.md: UserProfileBuilder 5m18s / RepoProfileBuilder 3m8s /
-    ALSRecommenderBuilder 10m19s / LogisticRegressionRanker 1h35m on
-    Dataproc at crawl scale) — same DAG shapes on the seeded synthetic
-    fixture, so rounds are comparable to each other and regressions in the
-    ML path show up here rather than only in query timings."""
+    ALSRecommenderBuilder 10m19s / Word2VecCorpusBuilder 38m58s /
+    LogisticRegressionRanker 1h35m on Dataproc at crawl scale) — same DAG
+    shapes on the seeded synthetic fixture, so rounds are comparable to
+    each other and regressions in the ML path show up here rather than
+    only in query timings."""
     import datetime as dt
 
     from albedo_spark.fixtures import generate_dataset
@@ -92,6 +93,13 @@ def bench_pipelines(spark) -> dict[str, float]:
     users = tables["starring"].select("user_id").distinct()
     model.recommendForUserSubset(users, 30).count()
     out["als"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    from albedo_spark.pipelines.word2vec_corpus import build_corpus, train_word2vec
+
+    corpus = build_corpus(up, rp)
+    train_word2vec(corpus, vectorSize=32, minCount=2, maxIter=2).getVectors().count()
+    out["word2vec"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     reduced = reduce_starring(tables["starring"], max_starred_repos_count=4000)
