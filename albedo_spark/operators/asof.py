@@ -25,15 +25,29 @@ def as_of_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` on the same key (inclusive, like DuckDB
-    ``ASOF JOIN ... ON l.ts >= r.ts``).
+    """For each left row, attach the nearest right row on the same key:
+    ``direction='backward'`` (default) takes the latest right row with
+    ``right.ts <= left.ts`` (inclusive, like DuckDB ``ASOF JOIN ... ON
+    l.ts >= r.ts``); ``direction='forward'`` the earliest right row with
+    ``right.ts >= left.ts`` — the pandas ``merge_asof`` surface, minus
+    'nearest' (compose the two directions if needed).
+
+    ``tolerance_seconds`` bounds the match distance (µs-exact): a carried
+    row farther than the tolerance counts as NO match (nulled, and dropped
+    under ``how='inner'``). Same plan either way: one shuffle + one sort,
+    the tolerance is a post-projection filter, so the operator stays
+    O(n log n) per key, never a range join.
 
     ``value_cols``: right-side columns to carry (prefixed ``asof_``).
     ``how``: 'inner' drops left rows with no match; 'left' keeps them with
-    nulls.
+    nulls. With duplicate right (key, ts) rows the carried values follow
+    sort order — pre-aggregate duplicates for determinism.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
@@ -56,10 +70,12 @@ def as_of_join(
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(r_tagged.dtypes)[c]))
 
     combined = l_tagged.select(r_tagged.columns).unionByName(r_tagged)
-    # right rows sort before left rows at equal ts → inclusive (<=) semantics
+    # right rows sort before left rows at equal ts → inclusive semantics in
+    # both directions; forward = the same carry over a descending traversal
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = combined.select(
@@ -71,6 +87,22 @@ def as_of_join(
         ],
     )
     out = carried.where(F.col("_side") == 1).drop("_side", "_ts")
+    if tolerance_seconds is not None:
+        tol_us = round(tolerance_seconds * 1_000_000)
+        delta = (
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("asof_ts"))
+            if direction == "backward"
+            else F.unix_micros(F.col("asof_ts")) - F.unix_micros(F.col(left_ts))
+        )
+        in_tol = F.col("asof_ts").isNotNull() & (delta <= F.lit(tol_us))
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("asof_")],
+            *[
+                F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in out.columns
+                if c.startswith("asof_")
+            ],
+        )
     if how == "inner":
         out = out.where(F.col("asof_ts").isNotNull())
     return out

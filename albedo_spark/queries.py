@@ -2671,3 +2671,59 @@ def q65_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("error_id", "click_id")
+
+
+@query(
+    "q66_asof_forward",
+    """
+    WITH err AS (
+        SELECT event_id AS error_id, user_id, ts FROM events
+        WHERE event_type = 'error'
+    ),
+    clk AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    nxt AS (
+        SELECT e.error_id, e.ts AS e_ts, min(c.ts) AS c_ts
+        FROM err e
+        JOIN clk c
+          ON e.user_id = c.user_id
+         AND c.ts >= e.ts
+         AND epoch_us(c.ts) - epoch_us(e.ts) <= 3600000000
+        GROUP BY e.error_id, e.ts
+    )
+    SELECT error_id,
+           CAST(epoch_us(e_ts) AS BIGINT) AS error_us,
+           CAST(epoch_us(c_ts) AS BIGINT) AS next_click_us
+    FROM nxt
+    """,
+)
+def q66_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (operators.asof): for each error,
+    the same user's NEXT click within 1 hour — the other direction of
+    q27's backward as-of, with the µs-exact tolerance bound. Same plan
+    shape: union + one shuffle + one sort + carry window, never a range
+    join; the DuckDB oracle replays it as a min-over-window join (fine at
+    oracle scale, quadratic at real scale — which is the point of the
+    operator)."""
+    from albedo_spark.operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = as_of_join(
+        errors,
+        clicks,
+        key="user_id",
+        direction="forward",
+        tolerance_seconds=3600,
+        how="inner",
+        value_cols=[],
+    )
+    return out.select(
+        "error_id",
+        F.unix_micros(F.col("ts")).alias("error_us"),
+        F.unix_micros(F.col("asof_ts")).alias("next_click_us"),
+    )
