@@ -139,3 +139,25 @@ def test_q55_anti_join_with_filtered_build(spark):
     assert "LeftAnti" in plan
     # the 2000-01-01 recency bound is pushed to the orders scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q64_single_window_after_aggs(spark):
+    # keyword ranking = two hash aggs + ONE doc-partitioned rank window,
+    # and Spark's WindowGroupLimit must prune to top-3 BEFORE the final
+    # sort (partial + final) — the rank computation never materializes
+    # full per-doc term lists
+    plan = _plan(spark, "q64_doc_keywords")
+    assert plan.count("Window [") == 1
+    assert plan.count("WindowGroupLimit") == 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
+def test_q66_asof_is_carry_window_not_a_join(spark):
+    # the as-of operator's whole point: union + sort + carry window —
+    # NO join operator of any kind in the plan
+    plan = _plan(spark, "q66_asof_forward")
+    assert "Window" in plan and "Union" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct",
+                 "ShuffledHashJoin"):
+        assert node not in plan, f"unexpected {node} in as-of plan"
