@@ -67,6 +67,12 @@ def exact_duplicates(
     cheap. Output only groups with >1 member. NULL texts carry no content to
     compare, so they are excluded rather than lumped into one NULL-digest
     "duplicate" group.
+
+    NULL policy differs from ``exact_dedup`` BY DESIGN: this reporter drops
+    NULL-text rows (they form no group), while ``exact_dedup`` passes them
+    through to its output (dropping them there would be data loss). A caller
+    composing "report groups, then dedup" will therefore see NULL-text rows
+    in the deduped output but never in a group report.
     """
     return (
         df.where(F.col(text_col).isNotNull())
@@ -86,6 +92,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     NULL texts pass through unchanged: md5(NULL) is NULL and a null-unsafe
     join key would silently drop every NULL-text row (data loss, not dedup),
     so rows without text are exempt from deduplication rather than hashed.
+
+    NULL policy differs from ``exact_duplicates`` BY DESIGN: the group
+    reporter excludes NULL-text rows entirely (nothing to compare), while
+    this operator keeps them. See its docstring for the composition caveat.
     """
     null_rows = df.where(F.col(text_col).isNull())
     w_digest = df.where(F.col(text_col).isNotNull()).withColumn(

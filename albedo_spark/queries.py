@@ -1670,8 +1670,8 @@ def q44_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN events c
       ON e.user_id = c.user_id
      AND c.event_type = 'click'
-     AND epoch(c.ts) >= epoch(e.ts) - 600
-     AND epoch(c.ts) <= epoch(e.ts)
+     AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000
+     AND epoch_us(c.ts) <= epoch_us(e.ts)
     WHERE e.event_type = 'error'
     GROUP BY e.event_id, e.ts
     """,
@@ -2162,10 +2162,28 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     (ns timestamps -> micros via load_table; 8 files so AvailableNow replays
     as multiple triggers). Streaming file sources cannot read the raw
     TIMESTAMP(NANOS) parquet directly."""
+    import json as _json
+    import os as _os
     import re as _re
 
     tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
     stage = f"/root/repo/.stream_stage/{tag}/events"
+    # Reuse-if-unchanged: staging is write-amplification if the gate (or a
+    # bench loop) runs repeatedly over the same immutable source. Identify the
+    # source by the parquet file's (size, mtime) and skip the rewrite when the
+    # existing stage was built from the same bytes.
+    src = _os.path.join(sf_dir, "events.parquet")
+    st = _os.stat(src)
+    ident = {"src": src, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    marker = _os.path.join(stage, "_SOURCE_IDENT.json")
+    try:
+        with open(marker) as f:
+            if _json.load(f) == ident and _os.path.exists(
+                _os.path.join(stage, "_SUCCESS")
+            ):
+                return stage, tag
+    except (OSError, ValueError):
+        pass
     (
         _t(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -2173,6 +2191,8 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .write.mode("overwrite")
         .parquet(stage)
     )
+    with open(marker, "w") as f:
+        _json.dump(ident, f)
     return stage, tag
 
 
@@ -2633,8 +2653,8 @@ def q64_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN events c
       ON e.user_id = c.user_id
      AND c.event_type = 'click'
-     AND epoch(c.ts) >= epoch(e.ts) - 600
-     AND epoch(c.ts) <= epoch(e.ts)
+     AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000
+     AND epoch_us(c.ts) <= epoch_us(e.ts)
     WHERE e.event_type = 'error'
     """,
 )

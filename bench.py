@@ -43,6 +43,20 @@ HEADLINE = [
     "q51_local_supplier_volume",
 ]
 
+# Second tracked tier (added round 3): the operator families that landed in
+# round 2 — connected-components dedup, keyword extraction, the streaming
+# gates, and the stream-stream interval join. Kept in a separate list so the
+# original 16-query HEADLINE stays comparable across rounds while these get
+# regression tracking of their own.
+HEADLINE2 = [
+    "q56_stream_tumbling_gate",
+    "q57_stream_session_gate",
+    "q63_dedup_components",
+    "q64_doc_keywords",
+    "q65_stream_interval_join",
+    "q66_asof_forward",
+]
+
 
 # Pipeline-bench fixture size: big enough that fit/transform dominates
 # session overhead, small enough to keep the bench a one-minute affair.
@@ -155,14 +169,19 @@ def main() -> None:
     # Warm the JVM + file listing with a trivial action.
     spark.range(1).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        # untimed warm-up: compile/JIT the plan once (steady-state protocol)
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run_tier(names: list[str]) -> dict[str, float]:
+        tier: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES[name]
+            # untimed warm-up: compile/JIT the plan once (steady-state protocol)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            tier[name] = round(time.perf_counter() - t0, 3)
+        return tier
+
+    timings = run_tier(HEADLINE)
+    timings2 = run_tier(HEADLINE2)
 
     pipelines = bench_pipelines(spark)
     oracle = bench_oracles(sf_dir)
@@ -170,6 +189,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     oracle_total = round(sum(oracle.values()), 3)
+    # Engine ratio over the SAME query set on both sides: bench_oracles skips
+    # headliners without an oracle_sql entry, so the Spark numerator must be
+    # filtered to the names the oracle actually ran (ADVICE r2).
+    spark_on_oracle_set = round(sum(timings[n] for n in oracle), 3)
     print(
         json.dumps(
             {
@@ -178,11 +201,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries_tier2": timings2,
+                "tier2_total": round(sum(timings2.values()), 3),
                 "pipelines": pipelines,
                 "pipeline_fixture": {"n_users": PIPE_USERS, "n_repos": PIPE_REPOS},
                 "oracle_queries": oracle,
                 "oracle_total": oracle_total,
-                "spark_vs_duckdb": round(total / oracle_total, 2) if oracle_total else None,
+                "spark_vs_duckdb": (
+                    round(spark_on_oracle_set / oracle_total, 2) if oracle_total else None
+                ),
             }
         )
     )
