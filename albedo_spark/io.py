@@ -50,16 +50,37 @@ def load_or_create_model(model_cls, path: str, create: Callable[[], object]):
         return model_cls.load(path)
 
 
+# Columns that must come out of load_table as TIMESTAMP regardless of how
+# the parquet on disk encodes them.  The driver's TESTDATA has shipped the
+# same logical column under three physical representations so far
+# (int64 epoch-nanos in rounds 1-2, timestamp[us] without a UTC flag —
+# i.e. TIMESTAMP_NTZ to Spark >= 3.4 — in round 3); this contract is what
+# the rest of the engine programs against.
+_TIMESTAMP_CONTRACT: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver TESTDATA table (TESTDATA.md).
 
-    Normalizes nanosecond-timestamp columns (read as int64 under
-    ``spark.sql.legacy.parquet.nanosAsLong``) back to real timestamps.
+    Representation-proof timestamp handling: whatever the parquet stores
+    (int64 epoch-nanos via ``nanosAsLong``, TIMESTAMP_NTZ from
+    micros-without-UTC, or a plain UTC timestamp), contract columns come
+    out as session-zone TIMESTAMP so downstream ``unix_micros``/``window``
+    calls always analyze.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Read micros-without-UTC-flag parquet as plain TIMESTAMP (instant
+    # micros) instead of TIMESTAMP_NTZ: timezone-INDEPENDENT, unlike the
+    # NTZ->TIMESTAMP cast below (which interprets wall-clock in the session
+    # zone and is kept only as a fallback; both agree when the session zone
+    # is UTC, which every entry point here sets).
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:  # noqa: BLE001 — conf may not exist on future Spark
+        pass
     try:
         df = spark.read.parquet(path)
         df.schema  # force schema resolution now
@@ -70,11 +91,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # SQL conf, so set it and retry.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # ns -> us must be INTEGER division: epoch-ns (~1.7e18) exceeds
-        # double's 53-bit mantissa, so `/ 1000` in double drifts by up to
-        # ~1 us — enough to split any us-exact cross-engine comparison.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    # TIMESTAMP_NTZ -> TIMESTAMP for every NTZ column (not just contract
+    # ones): the driver generates with naive pandas datetimes, the session
+    # zone is UTC, so the wall-clock micros ARE the instant micros and the
+    # cast is value-preserving.
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz_cols:
+        df = df.select(
+            *[
+                F.col(c).cast(TimestampType()).alias(c) if c in ntz_cols else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    for col in _TIMESTAMP_CONTRACT.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            # ns -> us must be INTEGER division: epoch-ns (~1.7e18) exceeds
+            # double's 53-bit mantissa, so `/ 1000` in double drifts by up
+            # to ~1 us — enough to split a us-exact cross-engine comparison.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        if col in df.columns and not isinstance(
+            df.schema[col].dataType, TimestampType
+        ):
+            raise TypeError(
+                f"schema contract violated: {name}.{col} resolved to "
+                f"{df.schema[col].dataType} (expected TIMESTAMP); the "
+                "TESTDATA representation changed again — extend load_table."
+            )
     return df
 
 

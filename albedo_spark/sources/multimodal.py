@@ -79,23 +79,40 @@ def _require_real_codec():
 
 def _fake_decode(content: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for pixel decoding: dimensions derived from the
-    content digest. STUB — replace body with PIL decode when available."""
+    content digest. STUB — ``_real_decode`` is the PIL-backed twin."""
     digest = hashlib.md5(content or b"").hexdigest()
     w = 16 + int(digest[:4], 16) % 2048
     h = 16 + int(digest[4:8], 16) % 2048
     return w, h, digest
 
 
+def _real_decode(content: bytes) -> tuple[int, int, str]:
+    """PIL-backed decode (only reachable after ``_require_real_codec``):
+    true pixel dimensions, same (w, h, digest) contract as the fake."""
+    import io as _io
+
+    import PIL.Image
+
+    with PIL.Image.open(_io.BytesIO(content)) as img:
+        w, h = img.size
+    return w, h, hashlib.md5(content or b"").hexdigest()
+
+
 def decode_images(media: DataFrame, fake: bool = True) -> DataFrame:
-    """binary → (width, height, n_bytes, digest) via mapInPandas."""
+    """binary → (width, height, n_bytes, digest) via mapInPandas.
+
+    ``fake=False`` is a REAL path where PIL is installed (true pixel dims),
+    raising ``NotImplementedError`` only when it isn't — the swap-in is the
+    per-row decoder alone; schema/batching/partitioning are identical."""
     if not fake:
         _require_real_codec()
+    decode = _fake_decode if fake else _real_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, digest = _fake_decode(content)
+                w, h, digest = decode(content)
                 out.append((mid, w, h, len(content or b""), digest))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "n_bytes", "digest"]
@@ -136,22 +153,40 @@ def resize_images(
 ) -> DataFrame:
     """binary → resized binary bounded by ``max_side`` (aspect preserved).
     The fake computes the target dims from the fake-decoded dims and
-    truncates the byte stream proportionally to the area ratio — a real
-    implementation swaps in PIL ``thumbnail``; schema, batch shape, and
-    size-reduction behavior are identical."""
+    truncates the byte stream proportionally to the area ratio;
+    ``fake=False`` is a REAL PIL ``thumbnail`` re-encode where PIL is
+    installed. Schema, batch shape, and size-reduction behavior are
+    identical either way."""
     if not fake:
         _require_real_codec()
+
+    def _fake_resize(content: bytes) -> tuple[int, int, bytes]:
+        w, h, _ = _fake_decode(content)
+        scale = min(max_side / max(w, h), 1.0)
+        nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+        blob = content or b""
+        keep = max(int(len(blob) * (nw * nh) / max(w * h, 1)), 1)
+        return nw, nh, blob[:keep]
+
+    def _real_resize(content: bytes) -> tuple[int, int, bytes]:
+        import io as _io
+
+        import PIL.Image
+
+        with PIL.Image.open(_io.BytesIO(content)) as img:
+            img.thumbnail((max_side, max_side))
+            buf = _io.BytesIO()
+            img.save(buf, format=img.format or "PNG")
+            return img.size[0], img.size[1], buf.getvalue()
+
+    resize = _fake_resize if fake else _real_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, _ = _fake_decode(content)
-                scale = min(max_side / max(w, h), 1.0)
-                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                blob = content or b""
-                keep = max(int(len(blob) * (nw * nh) / max(w * h, 1)), 1)
-                out.append((mid, nw, nh, blob[:keep]))
+                nw, nh, blob = resize(content)
+                out.append((mid, nw, nh, blob))
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "content"])
 
     return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)

@@ -183,6 +183,38 @@ def error_click_interval_join(
     return errors.join(clicks, cond, "inner").select("error_id", "click_id")
 
 
+def run_to_files(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Production sink: parquet files + ``checkpointLocation`` recovery.
+
+    This is the deployable counterpart of ``run_to_memory``: the checkpoint
+    directory holds the source's processed-file log, the sink's commit log,
+    and the aggregation state store, so a stopped/killed query restarted
+    with the SAME (path, checkpoint) pair resumes exactly where it left
+    off — no reprocessing, no duplicate windows (exactly-once file sink).
+    Windowed aggs must run in ``append`` mode here (parquet cannot retract):
+    a window is written once, when the watermark passes its end.
+
+    Drains all currently-available input (``availableNow``) then stops —
+    call again after more data lands, or swap the trigger for a continuous
+    deployment. Returns the terminated query handle.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Drain all available input into an in-memory table (tests/dev)."""
     q = (

@@ -169,22 +169,37 @@ def main() -> None:
     # Warm the JVM + file listing with a trivial action.
     spark.range(1).count()
 
+    errors: dict[str, str] = {}
+
     def run_tier(names: list[str]) -> dict[str, float]:
+        # Per-query isolation (VERDICT r3 ask #4): one broken query must not
+        # zero the whole artifact — record its error, keep timing the rest.
         tier: dict[str, float] = {}
         for name in names:
-            fn = QUERIES[name]
-            # untimed warm-up: compile/JIT the plan once (steady-state protocol)
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            tier[name] = round(time.perf_counter() - t0, 3)
+            try:
+                fn = QUERIES[name]
+                # untimed warm-up: compile/JIT the plan once (steady-state)
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                tier[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — isolation is the point
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         return tier
 
     timings = run_tier(HEADLINE)
     timings2 = run_tier(HEADLINE2)
 
-    pipelines = bench_pipelines(spark)
-    oracle = bench_oracles(sf_dir)
+    try:
+        pipelines = bench_pipelines(spark)
+    except Exception as exc:  # noqa: BLE001
+        pipelines = {}
+        errors["pipelines"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        oracle = bench_oracles(sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        oracle = {}
+        errors["oracles"] = f"{type(exc).__name__}: {exc}"[:500]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -192,7 +207,7 @@ def main() -> None:
     # Engine ratio over the SAME query set on both sides: bench_oracles skips
     # headliners without an oracle_sql entry, so the Spark numerator must be
     # filtered to the names the oracle actually ran (ADVICE r2).
-    spark_on_oracle_set = round(sum(timings[n] for n in oracle), 3)
+    spark_on_oracle_set = round(sum(timings[n] for n in oracle if n in timings), 3)
     print(
         json.dumps(
             {
@@ -210,6 +225,7 @@ def main() -> None:
                 "spark_vs_duckdb": (
                     round(spark_on_oracle_set / oracle_total, 2) if oracle_total else None
                 ),
+                "errors": errors,
             }
         )
     )

@@ -131,3 +131,54 @@ def test_interval_join_matches_across_micro_batches(spark, tmp_path):
     run_to_memory(joined, "ivjoin_test", mode="append")
     got = {(r.error_id, r.click_id) for r in spark.table("ivjoin_test").collect()}
     assert got == {(100, 1)}
+
+
+def test_file_sink_checkpoint_recovery(spark, event_dir, tmp_path):
+    """Stop/restart recovery (VERDICT r3 ask #6): a query killed after
+    draining part of the input, restarted with the same checkpoint, must
+    produce EXACTLY the uninterrupted run's output — no missing windows,
+    no duplicates (file-source processed-file log + state store + sink
+    commit log together give exactly-once)."""
+    import glob
+    import shutil
+
+    from albedo_spark.streaming import run_to_files
+
+    part_files = sorted(glob.glob(f"{event_dir}/part-*.parquet"))
+    assert len(part_files) >= 4
+
+    def agg_over(path):
+        stream = read_event_stream(spark, path, max_files_per_trigger=1)
+        return windowed_event_counts(stream, window_duration="1 hour")
+
+    # --- interrupted run: half the input, drain, "crash" (query is gone),
+    # then the rest of the input lands and we restart from the checkpoint.
+    in_a = tmp_path / "in_a"; in_a.mkdir()
+    out_a = str(tmp_path / "out_a"); ckpt_a = str(tmp_path / "ckpt_a")
+    half = len(part_files) // 2
+    for f in part_files[:half]:
+        shutil.copy(f, in_a)
+    run_to_files(agg_over(str(in_a)), out_a, ckpt_a)
+    rows_after_crash = spark.read.parquet(out_a).count()
+    for f in part_files[half:]:
+        shutil.copy(f, in_a)
+    run_to_files(agg_over(str(in_a)), out_a, ckpt_a)  # same checkpoint
+
+    # --- uninterrupted control run over identical total input
+    in_b = tmp_path / "in_b"; in_b.mkdir()
+    out_b = str(tmp_path / "out_b"); ckpt_b = str(tmp_path / "ckpt_b")
+    for f in part_files:
+        shutil.copy(f, in_b)
+    run_to_files(agg_over(str(in_b)), out_b, ckpt_b)
+
+    key = ("window_start", "event_type")
+    resumed = spark.read.parquet(out_a)
+    control = spark.read.parquet(out_b)
+    got = {tuple(r) for r in resumed.collect()}
+    want = {tuple(r) for r in control.collect()}
+    assert got == want
+    assert resumed.count() == resumed.select(*key).distinct().count()  # no dups
+    # the restart actually added windows (it resumed, not restarted-from-zero
+    # and not no-op'd)
+    assert resumed.count() >= rows_after_crash
+    assert len(want) > 0
