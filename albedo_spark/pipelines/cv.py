@@ -131,6 +131,41 @@ def ranker_cv(
     return cv.fit(featured_df)
 
 
+def ranker_cv_full(
+    featured_df: DataFrame,
+    today=None,
+    weight_cols: list[str] | None = None,
+    num_folds: int = 2,
+    seed: int = 42,
+    **lr_overrides,
+) -> CrossValidatorModel:
+    """CV through the COMPLETE model pipeline (weight SQLTransformer + LR,
+    ``build_model_pipeline``), gridding the LR stage's weightCol — the
+    exact training DAG the ranker job deploys, so the selected weighting
+    is validated under the same per-fold weight computation it will see in
+    production (LogisticRegressionRankerCV.scala:326-350). ``ranker_cv``
+    above is the lighter pre-weighted variant."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from albedo_spark.pipelines.ranker import build_model_pipeline
+
+    pipe = build_model_pipeline(today=today, **lr_overrides)
+    lr = pipe.getStages()[-1]
+    builder = ParamGridBuilder().addGrid(
+        lr.weightCol, weight_cols or LR_CV_WEIGHT_COLS
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=builder.build(),
+        evaluator=BinaryClassificationEvaluator(
+            labelCol="starring", metricName="areaUnderROC"
+        ),
+        numFolds=num_folds,
+        seed=seed,
+    )
+    return cv.fit(featured_df)
+
+
 def best_params_report(cv_model: CrossValidatorModel) -> list[tuple[dict, float]]:
     """(param-map → avg metric) pairs, best first — the reference's
     'Show Best Parameters' block (ALSRecommenderCV.scala:92-96)."""

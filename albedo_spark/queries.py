@@ -2176,7 +2176,18 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # existing stage was built from the same bytes.
     src = _os.path.join(sf_dir, "events.parquet")
     st = _os.stat(src)
-    ident = {"src": src, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    # STAGE_VERSION captures the staging TRANSFORM (column set, timestamp
+    # normalization, partition count): bump it whenever this function's
+    # write path changes, so an existing stage built by older logic is
+    # invalidated even though the source bytes are unchanged (ADVICE r3).
+    ident = {
+        "src": src,
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "stage_version": 2,
+        "columns": ["event_id", "ts", "user_id", "event_type", "value"],
+        "partitions": 8,
+    }
     marker = _os.path.join(stage, "_SOURCE_IDENT.json")
     try:
         with open(marker) as f:

@@ -174,3 +174,37 @@ def test_tokenizer_jieba_mode_without_jieba_raises(spark):
     df = spark.createDataFrame([("text",)], "text string")
     with _pytest.raises(NotImplementedError, match="jieba"):
         tok_mod.NativeTokenizer(cjkSegmentation="jieba").transform(df)
+
+
+def test_ranker_cv_end_to_end_on_fixture(spark, starring_df, repo_info_df, profiles):
+    """2-fold CV through the full build_model_pipeline DAG on the seeded
+    fixture (VERDICT r3 ask #8): feature pipeline -> CrossValidator over
+    the weight-column grid -> best_params_report ranks the schemes."""
+    from albedo_spark.pipelines.cv import (
+        LR_CV_WEIGHT_COLS,
+        best_params_report,
+        ranker_cv_full,
+    )
+
+    up, rp = profiles
+    reduced = reduce_starring(starring_df, max_starred_repos_count=100)
+    popular = [
+        r.repo_id for r in build_popular_repo_df(repo_info_df).limit(30).collect()
+    ]
+    balanced = balance_starring(reduced, popular, ratio=1.0)
+    dataset = cast_booleans(balanced.join(up, "user_id").join(rp, "repo_id")).cache()
+    featured = (
+        build_feature_pipeline(min_df=1.0).fit(dataset).transform(dataset).cache()
+    )
+
+    cols = LR_CV_WEIGHT_COLS[:2]  # 2-point grid keeps the test ~a minute
+    cv_model = ranker_cv_full(featured, today=TODAY, weight_cols=cols,
+                              num_folds=2, maxIter=5)
+    report = best_params_report(cv_model)
+    assert len(report) == len(cols)
+    assert all(0.0 <= m <= 1.0 for _, m in report)
+    metrics = [m for _, m in report]
+    assert metrics == sorted(metrics, reverse=True)  # best first
+    assert report[0][0]["weightCol"] in cols
+    # the winning model is the full pipeline: transforms raw featured rows
+    assert "rawPrediction" in cv_model.bestModel.transform(featured).columns
