@@ -2159,6 +2159,29 @@ def q55_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down for a streaming gate
+    query. A stateful streaming op instantiates one state store PER shuffle
+    partition PER trigger (two per partition for a stream-stream join);
+    at gate scale (1e5 events) 32 partitions is pure fixed overhead —
+    ~4x the stateful-trigger latency for zero parallelism benefit. The
+    conf is captured when the streaming query STARTS, so wrapping
+    start()+awaitTermination suffices; the previous value is restored for
+    the batch queries around it. At 100 TB you size this to
+    state-volume/executor-memory, not down — the knob, not the number,
+    is the design."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize a micro-batch-able normalized copy of the events table
     (ns timestamps -> micros via load_table; 8 files so AvailableNow replays
@@ -2246,14 +2269,15 @@ def q56_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("w.start").cast("long").alias("window_start"),
         "event_type",
@@ -2313,14 +2337,15 @@ def q57_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"))
     )
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.unix_micros(F.col("sw.start")).alias("session_start_us"),
@@ -2353,7 +2378,8 @@ def q58_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1_000_000)
         .parquet(stage)
     )
-    run_to_memory(user_ewma_stream(stream, alpha=0.3), name, mode="update")
+    with _stream_state_partitions(spark):
+        run_to_memory(user_ewma_stream(stream, alpha=0.3), name, mode="update")
     return spark.table(name).select(
         "user_id",
         "n_events",
@@ -2695,14 +2721,15 @@ def q65_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     joined = error_click_interval_join(stream, window_seconds=600, watermark="87600 hours")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("error_id", "click_id")
 
 

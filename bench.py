@@ -132,6 +132,30 @@ def bench_pipelines(spark) -> dict[str, float]:
     return out
 
 
+def bench_calibration(spark) -> dict[str, float]:
+    """Fixed-size hardware probes, independent of the engine under test.
+    The bench runs on whatever host the round's driver provides; round 4
+    observed EVERY timing (Spark AND the DuckDB oracle, unchanged code +
+    data) uniformly ~2x slower than round 2 — i.e. host speed, not a code
+    regression. These two numbers let any cross-round comparison be
+    normalized: ``cpu_single`` is a pure-Python single-thread probe,
+    ``spark_parallel`` a 100M-row JVM sum using every core."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    blob = b"x" * 1_000_000
+    for _ in range(200):
+        h.update(blob)
+    cpu_single = round(time.perf_counter() - t0, 3)
+
+    spark.range(100_000_000).selectExpr("sum(id)").collect()  # warm
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id)").collect()
+    spark_parallel = round(time.perf_counter() - t0, 3)
+    return {"cpu_single": cpu_single, "spark_parallel": spark_parallel}
+
+
 def bench_oracles(sf_dir: str) -> dict[str, float]:
     """The SAME headline oracles in DuckDB on the same parquet — an explicit
     single-node engine ratio per round. At toy SFs DuckDB wins on fixed
@@ -191,6 +215,11 @@ def main() -> None:
     timings2 = run_tier(HEADLINE2)
 
     try:
+        calibration = bench_calibration(spark)
+    except Exception as exc:  # noqa: BLE001
+        calibration = {}
+        errors["calibration"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
         pipelines = bench_pipelines(spark)
     except Exception as exc:  # noqa: BLE001
         pipelines = {}
@@ -225,6 +254,7 @@ def main() -> None:
                 "spark_vs_duckdb": (
                     round(spark_on_oracle_set / oracle_total, 2) if oracle_total else None
                 ),
+                "calibration": calibration,
                 "errors": errors,
             }
         )
