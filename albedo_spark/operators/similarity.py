@@ -173,16 +173,33 @@ def hyperplane_signature(
     """Bit-signature bucket id from r seeded random hyperplanes.
 
     Hyperplanes are generated driver-side with a seeded RNG and folded into
-    the expression as literals — identical across runs and engines.
+    the expression as ONE parsed array-of-arrays literal looped by an
+    indexed ``transform`` (bit i set iff dot(vec, planes[i]) > 0), not as
+    per-element ``F.lit`` calls unrolled per plane — the unrolled form was
+    ~1000 Py4J round-trips plus a large Catalyst tree re-analyzed on every
+    query construction (same fixed-overhead trap as ``_cell_scores``).
+    Projection sign per plane is computed by the identical runtime fold,
+    so bucket ids are unchanged.
     """
     planes = hyperplanes(dim, num_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = dot(vec_col, F.array(*[F.lit(x) for x in plane]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+            for plane in planes
         )
-    return bucket
+        + ")"
+    )
+    terms = F.transform(
+        planes_lit,
+        lambda p, i: F.when(
+            dot(vec_col, p) > 0,
+            # 2^i as pow-then-cast: shiftleft needs a literal int, and
+            # doubles represent 2^i exactly for i < 53 (num_planes <= 16)
+            F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def random_hyperplane_lsh_knn(
@@ -265,21 +282,36 @@ def _cell_scores(
     computed driver-side (left-to-right double sum — the identical IEEE
     sequence Spark's fold and DuckDB's loop produce), so each pivot costs
     one dot product instead of a dot plus two interpreted norm folds —
-    a 3× cut in the per-row HOF work."""
+    a 3× cut in the per-row HOF work.
+
+    The pivot matrix enters the plan as ONE parsed SQL literal looped by
+    ``transform`` at runtime, not as per-element ``F.lit`` calls unrolled
+    per pivot: the unrolled form cost ~1000 Py4J round-trips plus a huge
+    Catalyst tree to analyze on EVERY query construction (~2.5 s of
+    driver time at 8x64 pivots — pure fixed overhead that dominated the
+    sf0.1 bench), while the parsed literal is O(1) JVM calls and a small
+    tree. Runtime fold order per dot product is unchanged, so scores are
+    bit-identical."""
     import math
 
-    cells = []
+    parts = []
     for cid, pv in pivots:
         pnorm = math.sqrt(sum(float(x) * float(x) for x in pv))
-        d = dot(vec_col, F.array(*[F.lit(float(x)) for x in pv]))
-        cos = (
-            F.when(
-                (norm_col > 0) & F.lit(pnorm > 0.0),
-                d / (norm_col * F.lit(pnorm)),
-            ).otherwise(F.lit(0.0))
+        arr = ",".join(f"{float(x)!r}D" for x in pv)
+        parts.append(
+            f"named_struct('cell', {int(cid)}, 'pv', array({arr}),"
+            f" 'pnorm', {pnorm!r}D)"
         )
-        cells.append(F.struct(cos.alias("cos"), F.lit(int(cid)).alias("cell")))
-    return F.sort_array(F.array(*cells), asc=False)
+    piv_lit = F.expr("array(" + ",".join(parts) + ")")
+
+    def score(p):
+        cos = F.when(
+            (norm_col > 0) & (p["pnorm"] > 0),
+            dot(vec_col, p["pv"]) / (norm_col * p["pnorm"]),
+        ).otherwise(F.lit(0.0))
+        return F.struct(cos.alias("cos"), p["cell"].alias("cell"))
+
+    return F.sort_array(F.transform(piv_lit, score), asc=False)
 
 
 def ivf_knn(
