@@ -2163,9 +2163,9 @@ from contextlib import contextmanager as _contextmanager
 
 
 @_contextmanager
-def _stream_state_partitions(spark: SparkSession, n: int = 8):
-    """Scope ``spark.sql.shuffle.partitions`` down for a streaming gate
-    query. A stateful streaming op instantiates one state store PER shuffle
+def _scoped_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down around code that EXECUTES
+    jobs inside it (streaming gate drains, iterative batch loops). A stateful streaming op instantiates one state store PER shuffle
     partition PER trigger (two per partition for a stream-stream join);
     at gate scale (1e5 events) 32 partitions is pure fixed overhead —
     ~4x the stateful-trigger latency for zero parallelism benefit. The
@@ -2269,7 +2269,7 @@ def q56_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    with _stream_state_partitions(spark):
+    with _scoped_shuffle_partitions(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -2337,7 +2337,7 @@ def q57_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"))
     )
-    with _stream_state_partitions(spark):
+    with _scoped_shuffle_partitions(spark):
         q = (
             sess.writeStream.format("memory")
             .queryName(name)
@@ -2378,7 +2378,7 @@ def q58_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1_000_000)
         .parquet(stage)
     )
-    with _stream_state_partitions(spark):
+    with _scoped_shuffle_partitions(spark):
         run_to_memory(user_ewma_stream(stream, alpha=0.3), name, mode="update")
     return spark.table(name).select(
         "user_id",
@@ -2621,7 +2621,13 @@ def q63_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, num_hashes=8, rows_per_band=2, shingle_n=3, max_bucket=200
     )
     verified = jaccard_verify(prs, d, shingle_n=3, threshold=0.8)
-    comps = connected_components(verified.select("id_a", "id_b"))
+    # The iterative loop EXECUTES here (localCheckpoint + convergence
+    # count per round), so the scoped-partition guard covers it: the
+    # label frontier is tiny relative to the corpus, and per-round fixed
+    # cost is jobs x shuffle-partition tasks. Size up, not down, at
+    # real graph scale.
+    with _scoped_shuffle_partitions(spark):
+        comps = connected_components(verified.select("id_a", "id_b"))
     return comps.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
@@ -2721,7 +2727,7 @@ def q65_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     joined = error_click_interval_join(stream, window_seconds=600, watermark="87600 hours")
-    with _stream_state_partitions(spark):
+    with _scoped_shuffle_partitions(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
