@@ -133,19 +133,52 @@ def test_interval_join_matches_across_micro_batches(spark, tmp_path):
     assert got == {(100, 1)}
 
 
-def test_file_sink_checkpoint_recovery(spark, event_dir, tmp_path):
+@pytest.fixture(scope="module")
+def ranged_event_dir(spark, tmp_path_factory):
+    """Stage copy with files RANGE-partitioned on ts (file k's events all
+    precede file k+1's). In-order arrival means the watermark can never
+    drop anything, so the append-mode emitted set depends only on the
+    final watermark — deterministic across any batch/restart split. The
+    hash-partitioned ``event_dir`` is deliberately NOT reusable here:
+    every file spans the whole time range, so after the first batch the
+    watermark is near global max and what survives depends on file
+    discovery order."""
+    path = str(tmp_path_factory.mktemp("events_ranged"))
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        load_table(spark, SF_DIR, "events")
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def test_file_sink_checkpoint_recovery(spark, ranged_event_dir, tmp_path):
     """Stop/restart recovery (VERDICT r3 ask #6): a query killed after
     draining part of the input, restarted with the same checkpoint, must
     produce EXACTLY the uninterrupted run's output — no missing windows,
     no duplicates (file-source processed-file log + state store + sink
     commit log together give exactly-once)."""
     import glob
-    import shutil
+    import os
+    import shutil as _sh
+    import time as _time
 
     from albedo_spark.streaming import run_to_files
 
-    part_files = sorted(glob.glob(f"{event_dir}/part-*.parquet"))
-    assert len(part_files) >= 4
+    # part-0000k holds the k-th ts range; copy preserving that order and
+    # pin strictly increasing mtimes so the file source's discovery order
+    # matches event-time order in BOTH runs.
+    part_files = sorted(glob.glob(f"{ranged_event_dir}/part-*.parquet"))
+    assert len(part_files) == 4
+    base = _time.time() - 3600
+
+    def land(f, dest_dir, seq):
+        dst = os.path.join(dest_dir, os.path.basename(f))
+        _sh.copy(f, dst)
+        os.utime(dst, (base + seq, base + seq))
 
     def agg_over(path):
         stream = read_event_stream(spark, path, max_files_per_trigger=1)
@@ -155,20 +188,19 @@ def test_file_sink_checkpoint_recovery(spark, event_dir, tmp_path):
     # then the rest of the input lands and we restart from the checkpoint.
     in_a = tmp_path / "in_a"; in_a.mkdir()
     out_a = str(tmp_path / "out_a"); ckpt_a = str(tmp_path / "ckpt_a")
-    half = len(part_files) // 2
-    for f in part_files[:half]:
-        shutil.copy(f, in_a)
+    for i, f in enumerate(part_files[:2]):
+        land(f, str(in_a), i)
     run_to_files(agg_over(str(in_a)), out_a, ckpt_a)
     rows_after_crash = spark.read.parquet(out_a).count()
-    for f in part_files[half:]:
-        shutil.copy(f, in_a)
+    for i, f in enumerate(part_files[2:], start=2):
+        land(f, str(in_a), i)
     run_to_files(agg_over(str(in_a)), out_a, ckpt_a)  # same checkpoint
 
     # --- uninterrupted control run over identical total input
     in_b = tmp_path / "in_b"; in_b.mkdir()
     out_b = str(tmp_path / "out_b"); ckpt_b = str(tmp_path / "ckpt_b")
-    for f in part_files:
-        shutil.copy(f, in_b)
+    for i, f in enumerate(part_files):
+        land(f, str(in_b), i)
     run_to_files(agg_over(str(in_b)), out_b, ckpt_b)
 
     key = ("window_start", "event_type")
