@@ -127,3 +127,35 @@ def lang_count_in_recent(repo_language: Column, recent_languages: Column) -> Col
     (UDFs.scala:85-87) via higher-order ``filter`` — no UDF."""
     lang = F.lower(repo_language)
     return F.size(F.filter(recent_languages, lambda x: x == lang))
+
+
+# --- PII scrub (training-data pipeline extension; not in the reference) ---
+# Pattern syntax is deliberately restricted to the common subset of Java
+# regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+# repetition, \b word boundaries — no backrefs or lookaround, so both
+# engines match identically and the redaction is replayable in the gate.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses and international phone numbers with
+    typed placeholder tokens — applied in PII_PATTERNS order (email first:
+    its local part may contain digits a later pattern would mangle). One
+    chained regexp_replace projection, JVM-side, no UDF."""
+    out = col
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Match counts per PII class (before redaction), as one column each —
+    the audit signal a scrub job reports alongside the cleaned text."""
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]

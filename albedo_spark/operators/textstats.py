@@ -116,6 +116,44 @@ def lang_id(col: Column) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
 
 
+def ngrams(tok: Column, n: int) -> Column:
+    """Word n-grams of a token array (space-joined; fewer than n tokens →
+    empty array). Pure HOF — no explode, so the per-doc signal below stays
+    one projection."""
+    if n == 1:
+        return tok
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tok, i + F.lit(j) + 1) for j in range(n)]
+    )
+    return F.when(F.size(tok) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(tok) - n), gram)
+    )
+
+
+def dup_ngram_ratio(col: Column, n: int) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier one —
+    1 - distinct/total (0.0 for empty). The repetition family of quality
+    filters from the Gopher corpus analysis (Rae et al. 2021, published
+    description): heavily templated / looping documents score high and
+    get dropped before training. n=1 is word repetition, n=2/3 phrase
+    repetition."""
+    g = ngrams(tokens(col), n)
+    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(g)) / F.size(g)
+    )
+
+
+def repetition_signals(col: Column) -> list[Column]:
+    """The per-document repetition profile as x10k integer-scaled columns
+    (engine-portable, cf. ``quality_score_x10k``)."""
+    return [
+        F.floor(dup_ngram_ratio(col, n) * 10000.0 + 0.5)
+        .cast("long")
+        .alias(f"dup_{name}_x10k")
+        for n, name in ((1, "word"), (2, "bigram"), (3, "trigram"))
+    ]
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of sorted distinct tokens — robust to token
     order and duplication (the 'fingerprint' of Broder's shingling family;

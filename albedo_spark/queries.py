@@ -2795,6 +2795,105 @@ def q66_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q67_repetition_quality",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS tok
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, tok,
+               CASE WHEN len(tok) < 2 THEN []::VARCHAR[]
+                    ELSE list_transform(generate_series(1, len(tok) - 1),
+                                        i -> tok[i] || ' ' || tok[i + 1]) END AS big,
+               CASE WHEN len(tok) < 3 THEN []::VARCHAR[]
+                    ELSE list_transform(generate_series(1, len(tok) - 2),
+                                        i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]) END AS tri
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(floor((CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(tok)) / len(tok) END) * 10000.0 + 0.5) AS BIGINT)
+               AS dup_word_x10k,
+           CAST(floor((CASE WHEN len(big) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(big)) / len(big) END) * 10000.0 + 0.5) AS BIGINT)
+               AS dup_bigram_x10k,
+           CAST(floor((CASE WHEN len(tri) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(tri)) / len(tri) END) * 10000.0 + 0.5) AS BIGINT)
+               AS dup_trigram_x10k
+    FROM g
+    """,
+)
+def q67_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters (duplicate word / bigram / trigram
+    fraction per document, ``operators.textstats.repetition_signals``) —
+    the quality gate that drops looping/templated documents before
+    training. One projection, pure HOF expressions, no explode: at 100 TB
+    this runs at scan speed with zero shuffle."""
+    from albedo_spark.operators.textstats import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *repetition_signals(F.col("text")))
+
+
+@query(
+    "q68_pii_redaction",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS n_email,
+           len(regexp_extract_all(text2,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+           len(regexp_extract_all(text2, '\\+\\d{1,3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+\\d{1,3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM w
+    """,
+)
+def q68_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (``functions.text.redact_pii`` / ``pii_counts``):
+    the synthetic corpus carries no natural PII, so the query plants a
+    deterministic email + IP + phone per row ON BOTH ENGINES (derived from
+    doc_id) and the oracle must agree on every match count and on the md5
+    of the redacted text — i.e. the regex semantics themselves are gated,
+    not just the plumbing. Chained regexp_replace projection; scan-speed
+    at 100 TB."""
+    from albedo_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    w = d.select("doc_id", text2.alias("text2"))
+    return w.select(
+        "doc_id",
+        *[
+            c.alias(a)
+            for c, a in zip(pii_counts(F.col("text2")), ["n_email", "n_ipv4", "n_phone"])
+        ],
+        F.md5(redact_pii(F.col("text2"))).alias("redacted_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

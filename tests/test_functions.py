@@ -103,3 +103,51 @@ def test_lang_index_and_count(spark):
     # reference indexOf is 0-based; miss → size + 50 (UDFs.scala:80-87)
     assert (out[0].idx, out[0].cnt) == (0, 2)
     assert (out[1].idx, out[1].cnt) == (3 + 50, 0)
+
+
+def test_repetition_signals(spark):
+    from albedo_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),               # all dup words; bigrams 'a a' x3 dup
+            (2, "w x y z"),               # no repetition at any n
+            (3, "go stop go stop go"),    # bigram loop
+            (4, ""),                      # empty -> all zero
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_word_x10k, r.dup_bigram_x10k, r.dup_trigram_x10k)
+        for r in df.select("doc_id", *repetition_signals(F.col("text"))).collect()
+    }
+    assert got[1] == (7500, 6667, 5000)   # 1-1/4, 1-1/3, 1-1/2
+    assert got[2] == (0, 0, 0)
+    # words: 5 tokens 2 distinct -> 0.6; bigrams: 4 total 2 distinct -> 0.5;
+    # trigrams: 3 total 2 distinct -> 1/3
+    assert got[3] == (6000, 5000, 3333)
+    assert got[4] == (0, 0, 0)
+
+
+def test_pii_redaction(spark):
+    from albedo_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp-mail.co.uk now"),
+            (2, "from 192.168.1.17 and 10.0.0.1 end"),
+            (3, "call +1-555-0099 or +44-123-4567"),
+            (4, "clean text, no pii here 1234"),
+            (5, "mix a@b.io at 8.8.8.8 tel +1-555-1234"),
+        ],
+        "id long, text string",
+    )
+    out = df.select(
+        "id", redact_pii(F.col("text")).alias("red"), *pii_counts(F.col("text"))
+    )
+    got = {r.id: (r.red, r.n_email, r.n_ipv4, r.n_phone) for r in out.collect()}
+    assert got[1] == ("mail <EMAIL> now", 1, 0, 0)
+    assert got[2] == ("from <IP> and <IP> end", 0, 2, 0)
+    assert got[3] == ("call <PHONE> or <PHONE>", 0, 0, 2)
+    assert got[4] == ("clean text, no pii here 1234", 0, 0, 0)
+    assert got[5] == ("mix <EMAIL> at <IP> tel <PHONE>", 1, 1, 1)
