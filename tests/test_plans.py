@@ -161,3 +161,17 @@ def test_q66_asof_is_carry_window_not_a_join(spark):
                  "BroadcastNestedLoopJoin", "CartesianProduct",
                  "ShuffledHashJoin"):
         assert node not in plan, f"unexpected {node} in as-of plan"
+
+
+def test_q67_repetition_is_shuffle_free_projection(spark):
+    # Gopher repetition signals must run at scan speed: one projection
+    # over the parquet scan, no Exchange, no Python evaluation.
+    plan = _plan(spark, "q67_repetition_quality")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q68_pii_redaction_is_shuffle_free_projection(spark):
+    plan = _plan(spark, "q68_pii_redaction")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
