@@ -55,6 +55,8 @@ HEADLINE2 = [
     "q64_doc_keywords",
     "q65_stream_interval_join",
     "q66_asof_forward",
+    "q67_repetition_quality",
+    "q68_pii_redaction",
 ]
 
 
