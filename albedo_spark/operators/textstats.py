@@ -8,7 +8,7 @@ corpus, so nothing here leaves the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from albedo_spark.operators.dedup import normalize_text
@@ -159,3 +159,61 @@ def fingerprint(col: Column) -> Column:
     order and duplication (the 'fingerprint' of Broder's shingling family;
     cheap canonical identity for clustering/dedup joins)."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap with a probe set's
+    word n-grams → (id, n_hits, n_grams, contaminated_x10k fraction).
+    The standard pre-training hygiene step — documents sharing enough
+    n-grams with an evaluation benchmark are quarantined so the benchmark
+    stays out of the training set.
+
+    Scale design: probe n-grams are distinct-ed and BROADCAST (benchmark
+    suites are tiny next to a corpus), corpus n-grams are exploded then
+    immediately semi-reduced by the broadcast hash join — only MATCHING
+    grams reach the one groupBy shuffle, so cost is scan + matches, never
+    scan x gram-multiplicity. The per-doc denominator rides through the
+    explode (grouped max), avoiding a second join against the corpus.
+    """
+    from pyspark.sql import functions as _F
+
+    def distinct_grams(col):
+        return _F.array_distinct(ngrams(tokens(col), n))
+
+    probe_grams = (
+        probes.select(_F.explode(distinct_grams(_F.col(text_col))).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        _F.col(id_col),
+        distinct_grams(_F.col(text_col)).alias("_grams"),
+    ).select(
+        id_col,
+        _F.size("_grams").alias("n_grams"),
+        _F.explode_outer("_grams").alias("gram"),  # keep zero-gram docs
+    )
+    hit = _F.when(_F.col("probe_gram").isNotNull(), 1).otherwise(0)
+    joined = doc_grams.join(
+        _F.broadcast(probe_grams.withColumn("probe_gram", _F.col("gram"))),
+        "gram",
+        "left",
+    )
+    agg = joined.groupBy(id_col).agg(
+        _F.max("n_grams").alias("n_grams"),
+        _F.sum(hit).alias("n_hits"),
+    )
+    ratio = _F.when(
+        _F.col("n_grams") > 0, _F.col("n_hits") / _F.col("n_grams")
+    ).otherwise(_F.lit(0.0))
+    return agg.select(
+        id_col,
+        "n_hits",
+        "n_grams",
+        _F.floor(ratio * 10000.0 + 0.5).cast("long").alias("contaminated_x10k"),
+    )

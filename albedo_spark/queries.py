@@ -2894,6 +2894,56 @@ def q68_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q69_contamination",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END)
+                   AS grams
+        FROM tok
+    ),
+    probe AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 5
+    ),
+    hits AS (
+        SELECT dg.doc_id, count(*) AS n_hits
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
+        JOIN probe USING (gram)
+        GROUP BY dg.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(len(g.grams) AS INTEGER) AS n_grams,
+           CAST(floor((CASE WHEN len(g.grams) > 0
+                            THEN coalesce(h.n_hits, 0) / len(g.grams)
+                            ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT)
+               AS contaminated_x10k
+    FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    """,
+)
+def q69_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (``operators.textstats.ngram_contamination``):
+    trigram overlap of every document against a probe set (docs with
+    doc_id < 5 stand in for an eval benchmark; the probe docs themselves
+    score 10000 — the self-hit is the sanity signal). Probe grams
+    broadcast; corpus grams are filtered by the broadcast join BEFORE the
+    single groupBy shuffle, so at 100 TB the shuffle carries matches only."""
+    from albedo_spark.operators.textstats import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    probes = d.where(F.col("doc_id") < 5)
+    return ngram_contamination(d, probes, n=3)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

@@ -151,3 +151,35 @@ def test_pii_redaction(spark):
     assert got[3] == ("call <PHONE> or <PHONE>", 0, 0, 2)
     assert got[4] == ("clean text, no pii here 1234", 0, 0, 0)
     assert got[5] == ("mix <EMAIL> at <IP> tel <PHONE>", 1, 1, 1)
+
+
+def test_ngram_contamination(spark):
+    from albedo_spark.operators.textstats import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox goes elsewhere entirely today"),
+            (3, "completely different words with zero overlap here"),
+            (4, "xy"),  # 1 token -> no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    probes = docs.where("doc_id = 1")
+    got = {
+        r.doc_id: (r.n_hits, r.n_grams, r.contaminated_x10k)
+        for r in ngram_contamination(docs, probes, n=3).collect()
+    }
+    assert got[1] == (7, 7, 10000)       # self-probe: full contamination
+    assert got[2] == (1, 5, 2000)        # shares 'quick brown fox'
+    assert got[3] == (0, 5, 0)  # 7 tokens -> 5 trigrams, none shared
+    assert got[4] == (0, 0, 0)           # no grams -> defined zero
+
+
+def test_contamination_plan_broadcasts_probes(spark):
+    from albedo_spark.operators.textstats import ngram_contamination
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = ngram_contamination(docs, docs, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
