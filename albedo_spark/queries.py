@@ -2944,6 +2944,60 @@ def q69_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(d, probes, n=3)
 
 
+@query(
+    "q70_corpus_profile",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS n_tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT count(DISTINCT gram) AS n_vocab FROM (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                       AS gram
+            FROM documents
+        )
+    )
+    SELECT t.lang,
+           count(*) AS n_docs,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+           CAST(floor(avg(t.n_tok) * 10000.0 + 0.5) AS BIGINT) AS avg_tok_x10k,
+           CAST(min(t.n_tok) AS BIGINT) AS min_tok,
+           CAST(max(t.n_tok) AS BIGINT) AS max_tok,
+           (SELECT CAST(n_vocab AS BIGINT) FROM vocab) AS corpus_vocab
+    FROM tok t
+    GROUP BY t.lang
+    """,
+)
+def q70_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus reporting: per-language doc/token totals plus a corpus-wide
+    vocabulary size — the summary a training-data pipeline publishes per
+    snapshot. Vocabulary is an exact distinct over the exploded token
+    stream here (oracle-replayable); at 100 TB swap the exact distinct for
+    ``approx_count_distinct`` (HLL sketch, no giant shuffle) — same plan
+    shape, tested in pytest against the exact count's tolerance."""
+    from albedo_spark.operators.textstats import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("gram"))
+        .agg(F.countDistinct("gram").alias("n_vocab"))
+    )
+    per_lang = tok.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.floor(F.avg("n_tok") * 10000.0 + 0.5).cast("long").alias("avg_tok_x10k"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+    )
+    return per_lang.crossJoin(F.broadcast(vocab)).withColumnRenamed(
+        "n_vocab", "corpus_vocab"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

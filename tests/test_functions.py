@@ -183,3 +183,19 @@ def test_contamination_plan_broadcasts_probes(spark):
     out = ngram_contamination(docs, docs, n=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_sketch_matches_exact_within_tolerance(spark):
+    """The 100 TB path for q70's vocabulary count is approx_count_distinct
+    (HLL, default rsd=5%); pin that the sketch lands within tolerance of
+    the exact distinct on a real corpus so the swap is a config change,
+    not a leap of faith."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.textstats import tokens
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    grams = d.select(F.explode(tokens(F.col("text"))).alias("g"))
+    exact = grams.agg(F.countDistinct("g")).collect()[0][0]
+    approx = grams.agg(F.approx_count_distinct("g", rsd=0.05)).collect()[0][0]
+    assert exact > 0
+    assert abs(approx - exact) / exact < 0.15  # 3x the nominal 5% rsd
