@@ -116,18 +116,36 @@ def lang_id(col: Column) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass the materialized value to
+    ``fn`` as a lambda-bound variable (single-element transform).
+
+    Column expressions are trees, not values: writing ``size(g) /
+    size(array_distinct(g))`` evaluates the whole ``g`` subtree per
+    reference, and a reference INSIDE a higher-order-function lambda
+    re-evaluates it per ELEMENT. The first q67 cut paid exactly that —
+    the token split re-ran for every n-gram element, ~110 s for 5k docs;
+    bound form: ~1 s."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def _ngrams_of(t: Column, n: int) -> Column:
+    """n-grams from an already-BOUND token array variable ``t``."""
+    if n == 1:
+        return t
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + F.lit(j) + 1) for j in range(n)]
+    )
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(t) - n), gram)
+    )
+
+
 def ngrams(tok: Column, n: int) -> Column:
     """Word n-grams of a token array (space-joined; fewer than n tokens →
-    empty array). Pure HOF — no explode, so the per-doc signal below stays
-    one projection."""
-    if n == 1:
-        return tok
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tok, i + F.lit(j) + 1) for j in range(n)]
-    )
-    return F.when(F.size(tok) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(0), F.size(tok) - n), gram)
-    )
+    empty array). Pure HOF — no explode; the input expression is bound
+    once per row regardless of how many times the gram builder reads it."""
+    return _bind(tok, lambda t: _ngrams_of(t, n))
 
 
 def dup_ngram_ratio(col: Column, n: int) -> Column:
@@ -136,10 +154,16 @@ def dup_ngram_ratio(col: Column, n: int) -> Column:
     filters from the Gopher corpus analysis (Rae et al. 2021, published
     description): heavily templated / looping documents score high and
     get dropped before training. n=1 is word repetition, n=2/3 phrase
-    repetition."""
-    g = ngrams(tokens(col), n)
-    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(g)) / F.size(g)
+    repetition. Token and gram arrays are each evaluated once per row
+    (``_bind``)."""
+    return _bind(
+        tokens(col),
+        lambda t: _bind(
+            _ngrams_of(t, n),
+            lambda g: F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(g)) / F.size(g)
+            ),
+        ),
     )
 
 
