@@ -113,14 +113,19 @@ def minhash_signature(col: Column, num_hashes: int, shingle_n: int = 3) -> Colum
     approximates Jaccard similarity per MinHash. md5 keeps it portable
     (same values in the DuckDB oracle).
     """
-    sh = word_shingles(col, shingle_n)
+    from albedo_spark.functions.arrays import bind
 
     def hash_i(i: int):
         prefix = f"{i}:"
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    return F.array(
-        *[F.array_min(F.transform(sh, hash_i(i))) for i in range(num_hashes)]
+    # Bind the shingle array once: the num_hashes min-scans read the
+    # materialized value instead of re-shingling per hash family.
+    return bind(
+        word_shingles(col, shingle_n),
+        lambda sh: F.array(
+            *[F.array_min(F.transform(sh, hash_i(i))) for i in range(num_hashes)]
+        ),
     )
 
 
@@ -322,8 +327,12 @@ def simhash(col: Column, num_bits: int = 32) -> Column:
     array, no explode, no UDF. Near-dups then group by fingerprint or by
     Hamming-ball probes.
     """
+    from albedo_spark.functions.arrays import bind
+
     words = F.array_distinct(F.split(normalize_text(col), " "))
-    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
 
     def bit_vote(i: int):
         mask = 1 << i
@@ -331,17 +340,23 @@ def simhash(col: Column, num_bits: int = 32) -> Column:
             h.bitwiseAND(F.lit(mask)) != 0, 1
         ).otherwise(-1)
 
-    bits = [
-        F.when(
-            F.aggregate(hashes, F.lit(0), bit_vote(i)) > 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(num_bits)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    def fold_bits(hs: Column) -> Column:
+        # hs is the BOUND hash array: the 32 per-bit aggregates scan the
+        # materialized value instead of re-hashing every word 32 times
+        # (functions.arrays.bind — expressions are trees, not values).
+        bits = [
+            F.when(
+                F.aggregate(hs, F.lit(0), bit_vote(i)) > 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(num_bits)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    return bind(hashes, fold_bits)
 
 
 def edit_distance_pairs(

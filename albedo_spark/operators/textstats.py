@@ -116,17 +116,7 @@ def lang_id(col: Column) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
 
 
-def _bind(expr: Column, fn) -> Column:
-    """Evaluate ``expr`` ONCE per row and pass the materialized value to
-    ``fn`` as a lambda-bound variable (single-element transform).
-
-    Column expressions are trees, not values: writing ``size(g) /
-    size(array_distinct(g))`` evaluates the whole ``g`` subtree per
-    reference, and a reference INSIDE a higher-order-function lambda
-    re-evaluates it per ELEMENT. The first q67 cut paid exactly that —
-    the token split re-ran for every n-gram element, ~110 s for 5k docs;
-    bound form: ~1 s."""
-    return F.element_at(F.transform(F.array(expr), fn), 1)
+from albedo_spark.functions.arrays import bind as _bind  # noqa: E402
 
 
 def _ngrams_of(t: Column, n: int) -> Column:
