@@ -1,0 +1,110 @@
+"""Training-corpus hygiene job — the LLM-data-pipeline extension as one
+runnable surface (north-star extension; the reference has no corpus
+tooling):
+
+    python -m albedo_spark.jobs.corpus --sf-dir /root/testdata/sf0.001 \
+        [--out DIR] [--probe-ids 5] [--jaccard 0.8]
+
+Pipeline: per-document stats (tokens, quality, language, repetition,
+fingerprint) → PII scrub → exact-dup groups → MinHash-LSH near-dup pairs
+(exact-Jaccard verified) → decontamination vs the probe set → one summary
+JSON line on stdout; with ``--out``, the cleaned per-document table and
+the near-dup pair list land as parquet.
+
+Every stage is the same oracle-gated operator the catalog exposes
+(q18/q21/q22/q29/q67/q68/q69) — the job only wires them together, so the
+correctness evidence carries over.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", default=None, help="write per-doc + pairs parquet here")
+    p.add_argument("--probe-ids", type=int, default=5,
+                   help="doc_id < N is the decontamination probe set")
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from albedo_spark.functions.text import pii_counts, redact_pii
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.dedup import (
+        exact_duplicates,
+        jaccard_verify,
+        minhash_lsh_pairs,
+    )
+    from albedo_spark.operators.textstats import (
+        fingerprint,
+        lang_id,
+        ngram_contamination,
+        quality_score_x10k,
+        repetition_signals,
+        token_count,
+    )
+    from albedo_spark.session import get_spark
+
+    spark = get_spark("corpus-job", shuffle_partitions=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, args.sf_dir, "documents")
+    text = F.col("text")
+
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        token_count(text).alias("n_tokens"),
+        quality_score_x10k(text).alias("quality_x10k"),
+        lang_id(text).alias("lang_pred"),
+        *repetition_signals(text),
+        fingerprint(text).alias("fp"),
+        redact_pii(text).alias("text_clean"),
+        *pii_counts(text),
+    ).persist()
+
+    dup_groups = exact_duplicates(docs)
+    pairs = jaccard_verify(
+        minhash_lsh_pairs(docs, num_hashes=8, rows_per_band=2, shingle_n=3,
+                          max_bucket=200),
+        docs, shingle_n=3, threshold=args.jaccard,
+    ).persist()
+    contam = ngram_contamination(
+        docs, docs.where(F.col("doc_id") < args.probe_ids), n=3
+    )
+
+    summary = {
+        "n_docs": per_doc.count(),
+        "n_tokens": per_doc.agg(F.sum("n_tokens")).collect()[0][0],
+        "langs": {
+            r["lang_pred"]: r["n"]
+            for r in per_doc.groupBy("lang_pred").agg(F.count("*").alias("n")).collect()
+        },
+        "n_exact_dup_groups": dup_groups.count(),
+        "n_near_dup_pairs": pairs.count(),
+        "n_pii_docs": per_doc.where(
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+        ).count(),
+        "n_contaminated": contam.where(F.col("contaminated_x10k") >= 8000).count(),
+        "median_quality_x10k": per_doc.agg(
+            F.expr("percentile(quality_x10k, 0.5)")
+        ).collect()[0][0],
+    }
+    if args.out:
+        per_doc.write.mode("overwrite").parquet(os.path.join(args.out, "per_doc"))
+        pairs.write.mode("overwrite").parquet(os.path.join(args.out, "near_dup_pairs"))
+        summary["out"] = args.out
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -39,3 +39,18 @@ def test_jobs_data_dir_roundtrip(spark, tmp_path):
         df.write.mode("overwrite").parquet(f"{out}/{name}")
     ndcg = popularity.main(["--data-dir", out, "--eval-sample", "15"])
     assert 0.0 <= ndcg <= 1.0
+
+
+def test_corpus_job_summary(tmp_path, capsys):
+    from albedo_spark.jobs.corpus import main
+
+    summary = main(["--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path)])
+    assert summary["n_docs"] == 500
+    assert summary["n_tokens"] > 0
+    assert sum(summary["langs"].values()) == summary["n_docs"]
+    assert summary["n_near_dup_pairs"] >= 0
+    assert summary["n_contaminated"] >= 5  # the probe docs self-match
+    # --out writes both artifacts
+    import os
+    assert os.path.isdir(tmp_path / "per_doc")
+    assert os.path.isdir(tmp_path / "near_dup_pairs")
