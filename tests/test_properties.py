@@ -5,6 +5,9 @@ properties keep example counts small — each example is a Spark job."""
 import datetime as dt
 import string
 
+import pytest
+from pyspark.sql import functions as F
+
 from hypothesis import given, settings, strategies as st
 
 from albedo_spark.operators.similarity import hyperplanes
@@ -85,3 +88,74 @@ def test_range_join_equals_naive_random(spark, left_rows, right_rows):
         ).collect()
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=30
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_dup_ngram_ratio_bounds_and_invariance(words):
+    """Pure-python replay of dup_ngram_ratio's definition: bounds hold, and
+    duplicating the whole document pushes the dup-word ratio up (never
+    down). Exercises the exact formula the Column expression implements."""
+    def ratio(tokens, n):
+        grams = [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)] \
+            if len(tokens) >= n else []
+        return 0.0 if not grams else 1.0 - len(set(grams)) / len(grams)
+
+    for n in (1, 2, 3):
+        r = ratio(words, n)
+        assert 0.0 <= r < 1.0 or r == 0.0
+    if words:
+        assert ratio(words * 2, 1) >= ratio(words, 1)
+
+
+def test_dup_ngram_ratio_column_matches_python(spark):
+    """The Spark expression equals the pure-python definition on a seeded
+    batch of random word docs (the hypothesis twin above pins the math;
+    this pins the Column translation)."""
+    import random
+
+    from albedo_spark.operators.textstats import dup_ngram_ratio
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice("aa bb cc dd ee".split()) for _ in range(rng.randrange(0, 25))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = df.select(
+        "doc_id", *[dup_ngram_ratio(F.col("text"), n).alias(f"r{n}") for n in (1, 2, 3)]
+    )
+    got = {r.doc_id: (r.r1, r.r2, r.r3) for r in out.collect()}
+
+    def ratio(tokens, n):
+        grams = [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)] \
+            if len(tokens) >= n else []
+        return 0.0 if not grams else 1.0 - len(set(grams)) / len(grams)
+
+    for i, text in docs:
+        toks = text.split() if text else []
+        want = tuple(ratio(toks, n) for n in (1, 2, 3))
+        assert got[i] == pytest.approx(want), (i, text)
+
+
+def test_redact_pii_idempotent(spark):
+    """Redaction applied twice equals once (placeholders contain no PII
+    shapes), over a seeded mix of clean and dirty rows."""
+    from albedo_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "a@b.com c@d.org 1.2.3.4 +1-555-1234"),
+        (2, "no pii"),
+        (3, "<EMAIL> already redacted +9-999-9999"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = df.select("id", redact_pii(F.col("text")).alias("t"))
+    twice = once.select("id", redact_pii(F.col("t")).alias("t"))
+    assert [r.t for r in once.orderBy("id").collect()] == [
+        r.t for r in twice.orderBy("id").collect()
+    ]
