@@ -231,6 +231,28 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def write_partitioned_overwrite(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Idempotent partition-level reprocessing sink: overwrite ONLY the
+    partitions present in ``df``, leave sibling partitions untouched
+    (dynamic partition overwrite). This is how a day/hour of a derived
+    table is recomputed at 100 TB — rewriting one partition, not the
+    dataset, and re-running the same job twice converges to the same
+    bytes. Static mode (the Spark default) would instead DELETE every
+    other partition under ``path``; the conf is scoped to this write and
+    restored after.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, old)
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, num_buckets: int = 256,
 ) -> None:

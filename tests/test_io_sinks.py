@@ -1,0 +1,47 @@
+"""Partitioned sink semantics: dynamic partition overwrite must touch only
+the partitions being reprocessed (io.write_partitioned_overwrite)."""
+
+from pyspark.sql import functions as F
+
+from albedo_spark.io import write_partitioned_overwrite
+
+
+def _day_df(spark, rows):
+    return spark.createDataFrame(rows, "day string, k long, v double")
+
+
+def test_partition_overwrite_is_surgical(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = _day_df(
+        spark,
+        [("2024-01-01", 1, 1.0), ("2024-01-02", 2, 2.0), ("2024-01-03", 3, 3.0)],
+    )
+    write_partitioned_overwrite(base, path, ["day"])
+
+    # reprocess ONE day with different contents
+    fix = _day_df(spark, [("2024-01-02", 99, 9.9)])
+    write_partitioned_overwrite(fix, path, ["day"])
+
+    got = {
+        (str(r.day), r.k, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1, 1.0),
+        ("2024-01-02", 99, 9.9),   # replaced
+        ("2024-01-03", 3, 3.0),    # untouched
+    }
+    # conf restored for the session
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == "static"
+    )
+
+
+def test_partition_overwrite_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    df = _day_df(spark, [("2024-02-01", 1, 1.0), ("2024-02-02", 2, 2.0)])
+    write_partitioned_overwrite(df, path, ["day"])
+    write_partitioned_overwrite(df, path, ["day"])  # rerun converges
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    assert out.select(F.countDistinct("day")).collect()[0][0] == 2
