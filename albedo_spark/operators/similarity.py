@@ -388,3 +388,32 @@ def ivf_knn(
         k,
         keep_rank=True,
     )
+
+
+def kmeans_pivots(
+    corpus: DataFrame,
+    k: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Learn IVF pivot cells with MLlib KMeans — the offline step
+    ``ivf_knn``'s docstring delegates to the caller. Returns the
+    driver-side ``[(cell_id, center)]`` list ivf_knn folds into the plan
+    (bounded at k x dim floats, so the collect is O(kB), never data-sized).
+
+    Seeded and deterministic for a fixed corpus; at 100 TB train on a
+    sample (`df.sample`) — KMeans cost is per-point x k x iterations and
+    pivot QUALITY only needs distributional coverage, not every row.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]

@@ -102,3 +102,40 @@ def test_ivf_full_probe_equals_bruteforce(emb):
         for r in ivf_knn(emb, queries, k=5, pivots=pivots, n_probe=4).collect()
     )
     assert full == exact
+
+
+def test_ivf_with_kmeans_pivots_beats_arbitrary_pivots(spark):
+    """Learned pivots must give ivf_knn at least the recall of the
+    arbitrary first-k-ids pivots at the same n_probe — the reason the
+    offline KMeans step exists."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.similarity import cosine_knn, ivf_knn, kmeans_pivots
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_knn(emb, queries, k=5).collect()
+    }
+
+    def recall(pivots):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_knn(emb, queries, k=5, pivots=pivots, n_probe=2).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    learned = kmeans_pivots(emb, k=8, seed=42)
+    assert len(learned) == 8 and len(learned[0][1]) == 64
+    naive = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    r_learned, r_naive = recall(learned), recall(naive)
+    assert r_learned >= r_naive - 0.05   # never materially worse
+    assert r_learned >= 0.5              # and genuinely useful
