@@ -417,3 +417,76 @@ def kmeans_pivots(
         (i, [float(x) for x in center])
         for i, center in enumerate(model.clusterCenters())
     ]
+
+
+def cosine_knn_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via Arrow-batched numpy matmul — the
+    high-throughput twin of ``cosine_knn`` for when the scoring math (not
+    the plan) is the bottleneck.
+
+    The query set is collected driver-side (BOUNDED: queries are the small
+    side by contract, same as cosine_knn's broadcast) and closed over as a
+    normalized numpy matrix. Each corpus partition then computes one
+    (batch x dim) @ (dim x Q) GEMM per Arrow batch and emits only its
+    PARTIAL top-k rows per query — so the shuffle that follows carries at
+    most partitions x Q x k candidate rows instead of |corpus| x Q scored
+    pairs, and the global ``top_k_per_group`` merge finishes it. Results
+    are bit-comparable to cosine_knn up to float64 summation order;
+    ranking ties break identically (cosine desc, neighbor id asc).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm_safe = np.where(q_norm > 0, q_norm, 1.0)
+
+    def score_partition(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            c_norm = np.linalg.norm(mat, axis=1)
+            c_norm_safe = np.where(c_norm > 0, c_norm, 1.0)
+            scores = (mat @ q_mat.T) / np.outer(c_norm_safe, q_norm_safe)
+            scores[c_norm == 0, :] = 0.0
+            scores[:, q_norm == 0] = 0.0
+            out_q, out_n, out_s = [], [], []
+            top = min(k + (1 if exclude_self else 0), scores.shape[0])
+            for j in range(scores.shape[1]):
+                col = scores[:, j]
+                # partial top-(k+1): argpartition then exact ordering of the head
+                idx = np.argpartition(-col, top - 1)[:top] if top < len(col) else np.arange(len(col))
+                if exclude_self:
+                    idx = idx[ids[idx] != q_ids[j]]
+                order = np.lexsort((ids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                out_q.extend([q_ids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_s.extend(col[sel])
+            yield pd.DataFrame(
+                {query_id_col: out_q, "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score_partition,
+        schema=f"{query_id_col} long, neighbor_id long, cosine double",
+    )
+    return top_k_per_group(
+        partial,
+        [query_id_col],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        keep_rank=True,
+    )

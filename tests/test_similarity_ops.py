@@ -139,3 +139,30 @@ def test_ivf_with_kmeans_pivots_beats_arbitrary_pivots(spark):
     r_learned, r_naive = recall(learned), recall(naive)
     assert r_learned >= r_naive - 0.05   # never materially worse
     assert r_learned >= 0.5              # and genuinely useful
+
+
+def test_blas_knn_matches_hof_knn(spark):
+    """The GEMM path must agree with the HOF expression path: same
+    neighbor sets, same ranks, cosines equal to 1e-9 (float64 both ways)."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.similarity import cosine_knn, cosine_knn_blas
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in cosine_knn(emb, queries, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in cosine_knn_blas(emb, queries, k=5).collect()
+    }
+    assert set(a) == set(b)
+    for key, (nid, cos) in a.items():
+        nid_b, cos_b = b[key]
+        assert nid == nid_b, (key, a[key], b[key])
+        assert abs(cos - cos_b) < 1e-8
