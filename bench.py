@@ -57,6 +57,9 @@ HEADLINE2 = [
     "q66_asof_forward",
     "q67_repetition_quality",
     "q68_pii_redaction",
+    "q69_contamination",
+    "q70_corpus_profile",
+    "q71_cosine_knn_blas",
 ]
 
 
