@@ -223,15 +223,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard over all co-occurring pairs.
 
     Explode distinct shingles → self-equi-join on shingle → count
     intersections → Jaccard = inter / (|A|+|B|-inter). Only pairs sharing at
     least one shingle are ever materialized, so the complexity is driven by
-    shingle document-frequency, not |docs|². For 100 TB runs, drop
-    ultra-common shingles first (df-cap) or use ``minhash_lsh_pairs`` to
-    pre-filter; this exact form is the verifier.
+    shingle document-frequency, not |docs|².
+
+    ``max_df`` is the 100 TB guard: shingles appearing in more than
+    ``max_df`` documents are dropped BEFORE the self-join (stop-shingles
+    generate df² candidate rows while carrying no discriminative signal —
+    one shingle in half the corpus is a quadratic blowup by itself). The
+    cap is applied consistently to set sizes AND intersections, so the
+    result is the true Jaccard over the reduced shingle universe — scores
+    shift slightly (documented approximation), near-dup pairs whose
+    similarity lives in rare shingles are preserved. ``None`` (default)
+    keeps the exact semantics the q20 oracle replays; alternatively use
+    ``minhash_lsh_pairs`` to pre-filter and this as the verifier.
     """
     from albedo_spark.io import widen
 
@@ -241,6 +251,16 @@ def ngram_jaccard_pairs(
     tok = widen(words).select(
         F.col(id_col), F.explode(shingles_from_words(F.col("_w"), n)).alias("sh")
     )
+    if max_df is not None:
+        stop = (
+            tok.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("sh")
+        )
+        # anti-join, not isin: the stop-shingle list is data-sized, never
+        # a driver-side collect
+        tok = tok.join(stop, "sh", "left_anti")
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = tok.alias("a").join(
         tok.alias("b"),

@@ -161,3 +161,43 @@ def test_connected_components_iteration_bound(spark):
     )
     got = {r.node: r.label for r in connected_components(df, max_iter=10).collect()}
     assert set(got.values()) == {0}
+
+
+def test_ngram_jaccard_max_df_guard(spark):
+    """df-cap semantics: with a cap no shingle above the cap contributes,
+    quadratic stop-shingle pairs disappear, and a cap at/above the true
+    max document frequency reproduces the exact result."""
+    from albedo_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        # 'common' appears in every doc (stop-shingle); docs 1/2 share the
+        # rare 'alpha beta', doc 3 is unrelated
+        (1, "common alpha beta x1"),
+        (2, "common alpha beta x2"),
+        (3, "common zz yy x3"),
+        (4, "common qq pp x4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.3, max_df=3).collect()
+    }
+    # exact: every pair shares 'common' (jaccard 1/7 < 0.3 for unrelated,
+    # 3/5 for 1-2) -> only (1,2) passes either way
+    assert set(exact) == {(1, 2)}
+    assert set(capped) == {(1, 2)}
+    # capped drops 'common' from both sizes and intersections:
+    # (1,2): inter=2 ('alpha','beta'), sizes 3,3 -> 2/4
+    assert capped[(1, 2)] == 0.5
+    assert exact[(1, 2)] == round(3 / 5, 6)
+    # a cap above max df reproduces exact semantics
+    loose = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.3, max_df=100).collect()
+    }
+    assert loose == exact
