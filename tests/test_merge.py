@@ -1,0 +1,74 @@
+"""MERGE emulation semantics: partition-pruned upsert and SCD2 folding
+(operators/merge.py)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.merge import scd2_apply, upsert_partitioned
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "day string, id long, v double")
+
+
+def test_upsert_touches_only_update_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = _rows(
+        spark,
+        [("d1", 1, 1.0), ("d1", 2, 2.0), ("d2", 3, 3.0), ("d3", 4, 4.0)],
+    )
+    upsert_partitioned(spark, base, path, ["id"], ["day"])
+
+    batch = _rows(spark, [("d1", 2, 20.0), ("d1", 9, 9.0)])  # update + insert
+    upsert_partitioned(spark, batch, path, ["id"], ["day"])
+
+    got = {(str(r.day), r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("d1", 1, 1.0),
+        ("d1", 2, 20.0),   # updated
+        ("d1", 9, 9.0),    # inserted
+        ("d2", 3, 3.0),    # untouched partition
+        ("d3", 4, 4.0),
+    }
+    # idempotent: rerunning the batch converges
+    upsert_partitioned(spark, batch, path, ["id"], ["day"])
+    assert {(str(r.day), r.id, r.v) for r in spark.read.parquet(path).collect()} == got
+
+
+def test_scd2_fold(spark):
+    ts = dt.datetime(2024, 1, 1)
+    ts2 = dt.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [
+            # key 1: one closed + one live version
+            (1, "a_old", dt.datetime(2023, 1, 1), ts),
+            (1, "a", ts, None),
+            (2, "b", ts, None),
+            (3, "c", ts, None),
+        ],
+        "id long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", ts2),   # changed -> close + open
+            (2, "b", ts2),    # identical -> dropped
+            (9, "new", ts2),  # new key -> insert
+        ],
+        "id long, attr string, effective_ts timestamp",
+    )
+    out = scd2_apply(current, changes, ["id"])
+    got = {
+        (r.id, r.attr, r.valid_from, r.valid_to) for r in out.collect()
+    }
+    assert got == {
+        (1, "a_old", dt.datetime(2023, 1, 1), ts),   # history untouched
+        (1, "a", ts, ts2),                           # closed now
+        (1, "a2", ts2, None),                        # new live version
+        (2, "b", ts, None),                          # identical change dropped
+        (3, "c", ts, None),                          # untouched key
+        (9, "new", ts2, None),                       # brand-new key
+    }
+    # exactly one live row per present key
+    live = out.where(F.col("valid_to").isNull())
+    assert live.groupBy("id").count().agg(F.max("count")).collect()[0][0] == 1
