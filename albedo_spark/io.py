@@ -231,6 +231,41 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def read_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest a JSON-lines corpus (the lingua franca of training-data
+    drops) with explicit schema and corrupt-record accounting.
+
+    Returns ``(good, bad)``: ``good`` carries the schema's columns for
+    rows that parsed; ``bad`` carries the raw offending line. PERMISSIVE
+    mode with a pinned schema (never ``inferSchema`` — at 100 TB a schema
+    inference pass reads the corpus twice and a drifting field silently
+    retypes the world); a malformed line lands in ``_corrupt_record``
+    instead of killing the job, and the caller decides whether bad-rate
+    is acceptable (the hygiene-job pattern: count, log, threshold).
+
+    Spark requires caching/materializing before filtering on the corrupt
+    column (it is populated only while parsing the same scan); the
+    returned frames share one cached parse.
+    """
+    full = (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()
+    from pyspark.sql import functions as F
+
+    good = full.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = full.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
+
+
 def write_partitioned_overwrite(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> None:

@@ -45,3 +45,23 @@ def test_partition_overwrite_idempotent(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 2
     assert out.select(F.countDistinct("day")).collect()[0][0] == 2
+
+
+def test_jsonl_ingest_with_corrupt_accounting(spark, tmp_path):
+    from albedo_spark.io import read_jsonl_documents
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}\n'
+        'this line is not json at all\n'
+        '{"doc_id": 2, "text": "zwei", "lang": "de", "source": "web"}\n'
+        '{"doc_id": 3, "text": "three"}\n'          # missing fields -> nulls, OK
+        '{"doc_id": "not_a_number", "text": "bad type"}\n'
+    )
+    good, bad = read_jsonl_documents(spark, str(p))
+    g = {r.doc_id: (r.text, r.lang) for r in good.collect()}
+    assert g == {1: ("hello world", "en"), 2: ("zwei", "de"), 3: ("three", None)}
+    raws = [r.raw_line for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    assert any("not_a_number" in r for r in raws)
