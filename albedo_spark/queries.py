@@ -3041,6 +3041,30 @@ def q71_cosine_knn_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q72_part_unpivot",
+    """
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_size > 40
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_size > 40
+    """,
+)
+def q72_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via ``stack`` — the inverse of q43's pivot,
+    completing the reshape pair. One projection after the pushed filter;
+    the oracle replays it as a UNION ALL (the engine-portable spelling)."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_size") > 40).select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice,"
+            " 'size', CAST(p_size AS DOUBLE))"
+        ).alias("metric", "value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
