@@ -2191,18 +2191,19 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os as _os
     import re as _re
 
+    import hashlib as _hashlib
+    import shutil as _shutil
+
     tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
-    stage = f"/root/repo/.stream_stage/{tag}/events"
-    # Reuse-if-unchanged: staging is write-amplification if the gate (or a
-    # bench loop) runs repeatedly over the same immutable source. Identify the
-    # source by the parquet file's (size, mtime) and skip the rewrite when the
-    # existing stage was built from the same bytes.
+    # Reuse-if-unchanged AND race-safe (ADVICE r3): the stage identity —
+    # source bytes (size, mtime) plus the staging transform (version,
+    # columns, partition count; bump stage_version when the write path
+    # below changes) — is hashed INTO THE DIRECTORY NAME. A stage is
+    # immutable once built: concurrent builders write to private tmp dirs
+    # and the loser of the atomic rename just adopts the winner's dir, so
+    # no reader ever sees a stage rewritten underneath it.
     src = _os.path.join(sf_dir, "events.parquet")
     st = _os.stat(src)
-    # STAGE_VERSION captures the staging TRANSFORM (column set, timestamp
-    # normalization, partition count): bump it whenever this function's
-    # write path changes, so an existing stage built by older logic is
-    # invalidated even though the source bytes are unchanged (ADVICE r3).
     ident = {
         "src": src,
         "size": st.st_size,
@@ -2211,24 +2212,32 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         "columns": ["event_id", "ts", "user_id", "event_type", "value"],
         "partitions": 8,
     }
-    marker = _os.path.join(stage, "_SOURCE_IDENT.json")
-    try:
-        with open(marker) as f:
-            if _json.load(f) == ident and _os.path.exists(
-                _os.path.join(stage, "_SUCCESS")
-            ):
-                return stage, tag
-    except (OSError, ValueError):
-        pass
+    ident_hash = _hashlib.md5(
+        _json.dumps(ident, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    root = f"/root/repo/.stream_stage/{tag}"
+    stage = _os.path.join(root, f"events-{ident_hash}")
+    if _os.path.exists(_os.path.join(stage, "_SUCCESS")):
+        return stage, tag
+    tmp = f"{stage}.tmp-{_os.getpid()}"
     (
         _t(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .repartition(8)
         .write.mode("overwrite")
-        .parquet(stage)
+        .parquet(tmp)
     )
-    with open(marker, "w") as f:
-        _json.dump(ident, f)
+    try:
+        _os.rename(tmp, stage)  # atomic publish; loses only to an equal stage
+    except OSError:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    # best-effort GC of stages built from superseded identities
+    for d in _os.listdir(root):
+        p = _os.path.join(root, d)
+        if d.startswith("events") and p != stage and not d.endswith(
+            f".tmp-{_os.getpid()}"
+        ):
+            _shutil.rmtree(p, ignore_errors=True)
     return stage, tag
 
 
