@@ -59,6 +59,14 @@ def load_or_create_model(model_cls, path: str, create: Callable[[], object]):
 _TIMESTAMP_CONTRACT: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def _conf_get_or_none(spark: SparkSession, key: str) -> str | None:
+    """Current session-conf value, or None when unset AND defaultless."""
+    try:
+        return spark.conf.get(key, None)
+    except Exception:  # noqa: BLE001 — unknown conf on this Spark build
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver TESTDATA table (TESTDATA.md).
 
@@ -77,20 +85,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # NTZ->TIMESTAMP cast below (which interprets wall-clock in the session
     # zone and is kept only as a fallback; both agree when the session zone
     # is UTC, which every entry point here sets).
+    #
+    # Conf hygiene (ADVICE r4): both confs are flipped only for the
+    # duration of THIS read's schema resolution and restored in `finally`,
+    # so concurrent/later parquet reads on the shared session keep their
+    # own timestamp semantics. Safe because the resolved schema is baked
+    # into the returned DataFrame's plan (verified: collect() after
+    # restore still honors it).
+    _saved = {
+        k: _conf_get_or_none(spark, k)
+        for k in (
+            "spark.sql.parquet.inferTimestampNTZ.enabled",
+            "spark.sql.legacy.parquet.nanosAsLong",
+        )
+    }
     try:
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    except Exception:  # noqa: BLE001 — conf may not exist on future Spark
-        pass
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force schema resolution now
-    except AnalysisException as exc:
-        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
-            raise
-        # Driver-provided sessions may lack the nanos conf; it is a runtime
-        # SQL conf, so set it and retry.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        except Exception:  # noqa: BLE001 — conf may not exist on future Spark
+            pass
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force schema resolution now
+        except AnalysisException as exc:
+            if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+                raise
+            # Driver-provided sessions may lack the nanos conf; it is a
+            # runtime SQL conf, so set it and retry.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            df.schema
+    finally:
+        for k, v in _saved.items():
+            try:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001
+                pass
 
     # TIMESTAMP_NTZ -> TIMESTAMP for every NTZ column (not just contract
     # ones): the driver generates with naive pandas datetimes, the session

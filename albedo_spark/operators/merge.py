@@ -17,6 +17,7 @@ import operator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from albedo_spark.io import write_partitioned_overwrite
 
@@ -55,13 +56,31 @@ def upsert_partitioned(
     )
     try:
         target = spark.read.parquet(path).where(pred)
+    except AnalysisException as e:
+        # First write only: the target path genuinely does not exist yet.
+        # Anything else (permissions, corrupt footer, schema failure,
+        # transient FS error) must PROPAGATE — falling through to
+        # `merged = updates` would dynamic-overwrite the touched
+        # partitions with the batch alone, silently dropping every
+        # pre-existing unmatched row in them.
+        if not _is_path_not_found(e):
+            raise
+        merged = updates
+    else:
         keep = target.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         )
         merged = keep.unionByName(updates.select(*target.columns))
-    except Exception:  # first write: no target yet
-        merged = updates
     write_partitioned_overwrite(merged, path, partition_cols)
+
+
+def _is_path_not_found(e: AnalysisException) -> bool:
+    """True iff the AnalysisException is the missing-root-path case."""
+    cls = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))() or ""
+    if cls == "PATH_NOT_FOUND":
+        return True
+    # older message-only surface (mirrors io.load_or_create_df)
+    return "Path does not exist" in str(e)
 
 
 def scd2_apply(

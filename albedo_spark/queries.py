@@ -557,7 +557,8 @@ def q16_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts,
-               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+               CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+                   AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq,
@@ -2193,6 +2194,7 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     import hashlib as _hashlib
     import shutil as _shutil
+    import time as _time
 
     tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
     # Reuse-if-unchanged AND race-safe (ADVICE r3): the stage identity —
@@ -2231,13 +2233,23 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         _os.rename(tmp, stage)  # atomic publish; loses only to an equal stage
     except OSError:
         _shutil.rmtree(tmp, ignore_errors=True)
-    # best-effort GC of stages built from superseded identities
+    # Best-effort GC of stages built from superseded identities.
+    # Concurrency contract (ADVICE r4): NEVER touch any '*.tmp-*' dir —
+    # each process cleans only its own tmp (above) — and only reap
+    # superseded published stages past a grace period, so a concurrent
+    # reader still streaming from a just-superseded stage isn't yanked
+    # mid-drain.
+    now = _time.time()
+    grace_sec = 600
     for d in _os.listdir(root):
         p = _os.path.join(root, d)
-        if d.startswith("events") and p != stage and not d.endswith(
-            f".tmp-{_os.getpid()}"
-        ):
-            _shutil.rmtree(p, ignore_errors=True)
+        if ".tmp-" in d or not d.startswith("events") or p == stage:
+            continue
+        try:
+            if now - _os.stat(p).st_mtime > grace_sec:
+                _shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     return stage, tag
 
 
@@ -3090,9 +3102,21 @@ def q72_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q42 (math family: q1 remains)       q48 (semi: q6 anti + q44 EXISTS)
 #   q49 (skew: q38 remains)             q51-q55 (TPC-H variants of q1-q13)
 #   q61/q62 (multimodal frames/resize: q59/q60 cover the mapInPandas path)
+#   q9 (union-distinct: q30 exceptAll keeps the U-family)
+#   q12 (date arithmetic: q15/q45 keep the date/time family)
+#   q24 (label-centroid cosine: q23 keeps the exact-cosine family)
+#   q29 (quality scores: q19 token stats + q22 lang-ID keep textstats)
+#   q36 (embedding near-dup: q33/q37 ANN + q20/q21 near-dup remain)
+#   q66 (as-of forward: q27 keeps the as-of family's backward direction)
 # Demoted entries still run in pytest, tools/check_correctness.py (which
 # has no cap), and bench.py.
 _DEMOTED = [
+    "q9_union_distinct_keys",
+    "q12_date_arithmetic",
+    "q24_label_centroid_sim",
+    "q29_quality_scores",
+    "q36_embedding_near_dup",
+    "q66_asof_forward",
     "q3_region_nation_rollup",
     "q10_cross_join_topk",
     "q28_token_topk",

@@ -237,11 +237,26 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    oracle_total = round(sum(oracle.values()), 3)
-    # Engine ratio over the SAME query set on both sides: bench_oracles skips
-    # headliners without an oracle_sql entry, so the Spark numerator must be
-    # filtered to the names the oracle actually ran (ADVICE r2).
-    spark_on_oracle_set = round(sum(timings[n] for n in oracle if n in timings), 3)
+    # Engine ratio over the SAME query set on both sides: both sums range
+    # over the INTERSECTION of oracle-ran and Spark-ran names, so a query
+    # that errored on either side drops out of numerator AND denominator
+    # (ADVICE r2 + r4's follow-up: filtering only the numerator biased the
+    # ratio low whenever per-query isolation recorded a Spark error).
+    common = sorted(set(oracle) & set(timings))
+    oracle_total = round(sum(oracle[n] for n in common), 3)
+    spark_on_oracle_set = round(sum(timings[n] for n in common), 3)
+    # Host-speed-normalized headline (VERDICT r4 ask #6): rounds run on
+    # whatever host the driver provides, and r4 saw every timing scale
+    # ~1.45x purely from host speed. Anchor = round 4's measured
+    # cpu_single (BENCH_r04.json calibration, 0.351 s for the fixed
+    # 200x1MB md5 probe); headline_normalized is the headline total
+    # re-expressed in r4-host-equivalent seconds, directly comparable
+    # across rounds regardless of host.
+    REF_CPU_SINGLE = 0.351
+    cpu_single = calibration.get("cpu_single")
+    headline_normalized = (
+        round(total * REF_CPU_SINGLE / cpu_single, 3) if cpu_single else None
+    )
     print(
         json.dumps(
             {
@@ -260,6 +275,8 @@ def main() -> None:
                     round(spark_on_oracle_set / oracle_total, 2) if oracle_total else None
                 ),
                 "calibration": calibration,
+                "headline_normalized": headline_normalized,
+                "normalization_anchor": {"ref_cpu_single": REF_CPU_SINGLE, "round": 4},
                 "errors": errors,
             }
         )

@@ -36,6 +36,30 @@ def test_upsert_touches_only_update_partitions(spark, tmp_path):
     assert {(str(r.day), r.id, r.v) for r in spark.read.parquet(path).collect()} == got
 
 
+def test_upsert_non_enoent_failure_raises_not_truncates(spark, tmp_path):
+    """A target-read failure that is NOT path-not-found must propagate.
+
+    Regression for the bare-except hazard: swallowing e.g. a schema-drift
+    AnalysisException as 'first write' would rewrite the touched
+    partitions with the update batch alone, destroying existing rows."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    path = str(tmp_path / "t")
+    base = _rows(spark, [("d1", 1, 1.0), ("d1", 2, 2.0)])
+    upsert_partitioned(spark, base, path, ["id"], ["day"])
+
+    # Partition column mismatch: target exists, but the pruning predicate
+    # references a column the target lacks -> UNRESOLVED_COLUMN, not ENOENT.
+    drifted = spark.createDataFrame([("x", 2, 20.0)], "shard string, id long, v double")
+    with pytest.raises(AnalysisException):
+        upsert_partitioned(spark, drifted, path, ["id"], ["shard"])
+
+    # Target untouched: the failed merge wrote nothing.
+    got = {(str(r.day), r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", 1, 1.0), ("d1", 2, 2.0)}
+
+
 def test_scd2_fold(spark):
     ts = dt.datetime(2024, 1, 1)
     ts2 = dt.datetime(2024, 6, 1)
