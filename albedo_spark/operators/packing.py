@@ -1,0 +1,119 @@
+"""Sequence packing for LLM pre-training (no reference twin — §7.5-style
+extension surface, same family as dedup/textstats).
+
+Pre-training consumes documents as one concatenated token stream chopped
+into fixed-length training sequences ("concat-and-chunk" packing: docs may
+straddle chunk boundaries). The operator that decides where every document
+lands is a GLOBAL exclusive prefix sum of token counts over a total
+document order — the one primitive Spark's Window cannot do at scale
+(``Window.orderBy`` with no partition key collapses the whole table onto a
+single task).
+
+``global_cumsum`` is the textbook two-phase distributed scan instead:
+
+1. range-shuffle rows by the order key (``repartitionByRange`` keeps each
+   partition a contiguous key range),
+2. per-partition inclusive running sum (Window partitioned by
+   ``spark_partition_id()`` — parallel, no global collapse),
+3. per-partition TOTALS — one number per partition — come to the driver,
+   their running sum becomes each partition's offset (a few thousand longs
+   at cluster scale, never row data),
+4. offset joins back as a literal map lookup: a pure projection.
+
+Cost: two shuffles of the row data (range + the pid-window's hash
+exchange) and a #partitions-sized driver exchange. The result is exact
+and independent of where the sampled range boundaries fall, because
+offsets are computed from the partitions actually produced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` over ``order_col`` order.
+
+    ``order_col`` must be unique (a document/row id): uniqueness makes the
+    total order — and therefore the result — deterministic regardless of
+    partitioning. ``exclusive=True`` gives the sum of all STRICTLY earlier
+    rows (0 for the first), the form packing needs.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local", F.sum(value_col).over(w))
+    # One row per partition reaches the driver — bounded by the shuffle
+    # partition count, never by data volume.
+    totals = local.groupBy("_pid").agg(
+        F.max("_local").alias("_tot"), F.min(order_col).alias("_lo")
+    ).collect()
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in sorted(totals, key=lambda r: r["_lo"]):
+        offsets[r["_pid"]] = run
+        run += r["_tot"] or 0
+    if offsets:
+        off_expr = F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+        )[F.col("_pid")]
+    else:  # empty input
+        off_expr = F.lit(0)
+    adj = F.col(value_col) if exclusive else F.lit(0)
+    return (
+        local.withColumn(out_col, F.col("_local") + off_expr - adj)
+        .drop("_pid", "_local")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tok",
+) -> DataFrame:
+    """Concat-and-chunk packing plan: map every document to its span of
+    fixed-``capacity`` training chunks.
+
+    Documents are laid out contiguously in ``id_col`` order; a document
+    occupying token offsets ``[start, start + n_tok)`` lands in chunks
+    ``start // capacity`` .. ``(start + n_tok - 1) // capacity``
+    (straddling documents span several — the standard GPT-style packing
+    that wastes zero tokens on padding). Zero-token documents are dropped
+    (they occupy no chunk).
+
+    Output per doc: ``(id, n_tok, start_offset, first_chunk, last_chunk,
+    n_chunks)`` — the full shard map a downstream tokenizer/writer needs
+    to emit chunk files independently per partition.
+    """
+    nonempty = docs.where(F.col(tokens_col) > 0)
+    laid = global_cumsum(
+        nonempty, id_col, tokens_col, out_col="start_offset", exclusive=True
+    )
+    # `div` (integer division), not `/`: double division + cast is exact
+    # only while offsets stay far below 2^53 — a 100 TB token stream does
+    # not honor that forever.
+    first = F.expr(f"start_offset div {capacity}")
+    last = F.expr(f"(start_offset + {tokens_col} - 1) div {capacity}")
+    return laid.select(
+        id_col,
+        tokens_col,
+        F.col("start_offset").cast("long").alias("start_offset"),
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )

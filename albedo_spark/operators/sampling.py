@@ -70,6 +70,67 @@ def hash_stratified_split(
     return df.where(keep), df.where(~keep)
 
 
+def mixture_sample(
+    df: DataFrame,
+    strat_col: str,
+    weights: dict[str, int],
+    key_col: str,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic corpus-mixture downsampling: keep a subset whose
+    ``strat_col`` composition matches integer target ``weights`` (e.g.
+    ``{"web": 6, "wiki": 3, "books": 1}``), keeping the binding stratum
+    (the one scarcest relative to its weight) WHOLE and downsampling the
+    rest — the standard pre-training data-mixing step.
+
+    Everything is computed inside the engine — per-stratum counts are a
+    tiny aggregate that broadcast-joins back onto the scan, so unlike
+    ``stratified_split`` there is NO driver-side collect at any
+    cardinality. Row selection is the catalog's engine-portable md5 rule
+    (cf. q31): ``u = int(md5(key)[:8], 16) % resolution < floor(rate *
+    resolution)``, so an external oracle replays the exact same rows.
+    Strata absent from ``weights`` are dropped.
+
+    Rate algebra (all inside SQL): ``rate_s = w_s * min_t(c_t / w_t) /
+    c_s`` — the unique per-stratum rates that hit the target mixture with
+    max(rate) = 1. The float divisions are the same IEEE expression in
+    any engine, and the comparison is integerized through ``floor``, so
+    cross-engine replay is exact.
+    """
+    w_expr = F.create_map(
+        *[F.lit(x) for s, w in weights.items() for x in (s, w)]
+    )
+    tagged = df.where(F.col(strat_col).isin(list(weights))).withColumn(
+        "_w", w_expr[F.col(strat_col)].cast("double")
+    )
+    counts = tagged.groupBy(strat_col, "_w").agg(F.count("*").alias("_c"))
+    scale = counts.agg(
+        F.min(F.col("_c").cast("double") / F.col("_w")).alias("_scale")
+    )
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        strat_col,
+        # +0.5 (round-half-up): the binding stratum's rate is exactly 1 in
+        # real arithmetic but can land at 1 - 1ulp in float; bare floor
+        # would then shave 1/resolution of the stratum it promises to keep
+        # whole.
+        F.floor(
+            F.col("_w") * F.col("_scale") / F.col("_c").cast("double")
+            * resolution
+            + F.lit(0.5)
+        ).alias("_thr"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % resolution
+    )
+    return (
+        tagged.join(F.broadcast(rates), strat_col)
+        .where(u < F.col("_thr"))
+        .drop("_w", "_thr")
+    )
+
+
 def random_split(df: DataFrame, weights: list[float], seed: int = 42) -> list[DataFrame]:
     """R1 (``randomSplit(Array(0.9, 0.1))`` in every builder)."""
     return df.randomSplit(weights, seed)

@@ -60,6 +60,9 @@ HEADLINE2 = [
     "q69_contamination",
     "q70_corpus_profile",
     "q71_cosine_knn_blas",
+    "q73_sequence_packing",
+    "q74_corpus_mixture",
+    "q75_bpe_pair_counts",
 ]
 
 

@@ -183,6 +183,16 @@ def test_contamination_plan_broadcasts_probes(spark):
     out = ngram_contamination(docs, docs, n=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # The gram-level probe join must be INNER (non-matching grams die
+    # map-side, before the hit aggregate's shuffle); the only outer join
+    # is the doc-keyed denominator stitch. Pins the VERDICT r4 #3
+    # restructure: mechanism now matches the docstring's cost story.
+    import re
+
+    gram_joins = re.findall(
+        r"BroadcastHashJoin \[gram[^\]]*\], \[gram[^\]]*\], (\w+)", plan
+    )
+    assert gram_joins and all(j == "Inner" for j in gram_joins), plan
 
 
 def test_vocab_sketch_matches_exact_within_tolerance(spark):

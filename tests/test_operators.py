@@ -195,7 +195,16 @@ def test_driver_record_window_contains_flagships():
         "q63_dedup_components",
         "q64_doc_keywords",
         "q65_stream_interval_join",
-        "q66_asof_forward",
+        "q27_asof_join",  # as-of family rep (q66 forward demoted, r5)
+        # round-4/5 LLM-pipeline flagships (VERDICT r4 ask #2)
+        "q67_repetition_quality",
+        "q68_pii_redaction",
+        "q69_contamination",
+        "q70_corpus_profile",
+        "q71_cosine_knn_blas",
+        "q73_sequence_packing",
+        "q74_corpus_mixture",
+        "q75_bpe_pair_counts",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"

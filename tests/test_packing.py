@@ -1,0 +1,118 @@
+"""Sequence packing + distributed prefix sum (operators/packing.py),
+mixture sampling (operators/sampling.py), BPE pair counts (operators/bpe.py)."""
+
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.packing import global_cumsum, pack_sequences
+
+
+def test_global_cumsum_matches_serial(spark):
+    rows = [(i, (i * 37) % 11 + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.cs
+        for r in global_cumsum(df, "id", "v", out_col="cs").collect()
+    }
+    run = 0
+    for i, v in rows:
+        assert got[i] == run, f"id {i}: {got[i]} != {run}"
+        run += v
+
+
+def test_global_cumsum_inclusive_and_partitioning_invariance(spark):
+    rows = [(i, i) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    for nparts in (1, 3, 16):
+        got = {
+            r.id: r.cs
+            for r in global_cumsum(
+                df, "id", "v", out_col="cs", exclusive=False,
+                num_partitions=nparts,
+            ).collect()
+        }
+        assert got == {i: i * (i + 1) // 2 for i in range(1, 51)}, nparts
+
+
+def test_pack_sequences_layout(spark):
+    # capacity 10; docs of 4, 8, 10, 3 tokens in id order
+    df = spark.createDataFrame(
+        [(1, 4), (2, 8), (3, 10), (4, 3), (5, 0)], "doc_id long, n_tok long"
+    )
+    got = {
+        r.doc_id: (r.start_offset, r.first_chunk, r.last_chunk, r.n_chunks)
+        for r in pack_sequences(df, capacity=10).collect()
+    }
+    assert got == {
+        1: (0, 0, 0, 1),    # [0,4) inside chunk 0
+        2: (4, 0, 1, 2),    # [4,12) straddles 0->1
+        3: (12, 1, 2, 2),   # [12,22) straddles 1->2
+        4: (22, 2, 2, 1),   # [22,25) inside chunk 2
+    }  # doc 5: zero tokens -> dropped
+
+
+def test_pack_total_tokens_conserved(spark):
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(100)], "doc_id long, n_tok long"
+    )
+    packed = pack_sequences(df, capacity=16)
+    total = df.agg(F.sum("n_tok")).collect()[0][0]
+    # last doc's end offset == total token count (no gaps, no padding)
+    last = packed.orderBy(F.col("doc_id").desc()).first()
+    assert last.start_offset + last.n_tok == total
+
+
+def test_mixture_sample_hits_target_and_keeps_binding_stratum(spark):
+    from albedo_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a") for i in range(600)] + \
+           [(i + 1000, "b") for i in range(300)] + \
+           [(i + 2000, "c") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    # target a:b:c = 1:1:1 -> c (scarcest per weight) kept whole,
+    # a and b downsampled to ~100 each
+    out = mixture_sample(df, "src", {"a": 1, "b": 1, "c": 1}, key_col="id")
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["c"] == 100                     # binding stratum whole
+    assert abs(counts["a"] - 100) <= 25           # hash-sample tolerance
+    assert abs(counts["b"] - 100) <= 25
+    # deterministic: rerun identical
+    again = mixture_sample(df, "src", {"a": 1, "b": 1, "c": 1}, key_col="id")
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+    # strata outside the weight map are dropped
+    out2 = mixture_sample(df, "src", {"a": 1, "b": 2}, key_col="id")
+    assert out2.where(F.col("src") == "c").count() == 0
+
+
+def test_mixture_sample_no_driver_collect_plan(spark):
+    # The rate computation must stay inside the plan: counts agg +
+    # broadcast join, no Python evaluation anywhere.
+    from albedo_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, src string")
+    out = mixture_sample(df, "src", {"a": 1, "b": 1}, key_col="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_pair_counts(spark):
+    from albedo_spark.operators.bpe import pair_counts, word_frequencies
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "ab cd")], "doc_id long, text string"
+    )
+    wf = {r.word: r.freq for r in word_frequencies(docs).collect()}
+    assert wf == {"abab": 1, "ab": 2, "cd": 1}
+    pc = {r.pair: r.n for r in pair_counts(word_frequencies(docs)).collect()}
+    # 'abab' contributes ab,ba,ab once; 'ab' (freq 2) contributes ab twice
+    assert pc == {"ab": 4, "ba": 1, "cd": 1}
+
+
+def test_bpe_single_char_and_empty_words_ignored(spark):
+    from albedo_spark.operators.bpe import top_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c xy"), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    got = [(r.pair, r.n) for r in top_pairs(docs, k=5).collect()]
+    assert got == [("xy", 1)]

@@ -175,3 +175,24 @@ def test_q68_pii_redaction_is_shuffle_free_projection(spark):
     plan = _plan(spark, "q68_pii_redaction")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q74_mixture_rates_stay_in_engine(spark):
+    # Rate algebra must be a tiny agg broadcast back onto the scan: one
+    # BroadcastHashJoin for the rates, the 1-row scale frame as a
+    # broadcast-NL (by design), no Python evaluation, no shuffle of the
+    # fact side beyond the counts aggregate.
+    plan = _plan(spark, "q74_corpus_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q75_bpe_vocab_collapse_before_pair_explode(spark):
+    # The corpus-sized explode feeds ONE partial+final agg (the vocab
+    # groupBy); the pair explode runs on the |vocab| frame. Two hash
+    # exchanges total, everything JVM-side.
+    plan = _plan(spark, "q75_bpe_pair_counts")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

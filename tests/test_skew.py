@@ -44,18 +44,37 @@ def test_salted_join_equals_plain_join(spark):
 
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
-    # write_bucketed co-locates both sides; the join plan must not reshuffle
+    # write_bucketed co-locates both sides; the join plan must not reshuffle.
+    # Broadcast is disabled inside the test so the proof is non-vacuous: a
+    # small table would otherwise broadcast-join (trivially exchange-free)
+    # and the bucketing claim would never be exercised. With broadcast off,
+    # the plan MUST be a SortMergeJoin whose two bucketed scans feed it
+    # with NO Exchange — the 100 TB property write_bucketed sells.
     from albedo_spark.io import write_bucketed
 
     a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("x", F.col("k") * 2)
     b = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("y", F.col("k") + 1)
     write_bucketed(a, "bkt_a", "k", num_buckets=8)
     write_bucketed(b, "bkt_b", "k", num_buckets=8)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
         assert joined.count() == 1000
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan
+        assert "SelectedBucketsCount" in plan  # both scans read bucket layout
+
+        # Aggregation on the bucket key rides the same layout: partial+final
+        # hash agg collapse onto the bucketed scan with no exchange.
+        agg = spark.table("bkt_a").groupBy("k").agg(F.sum("x").alias("sx"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan
     finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
