@@ -117,3 +117,59 @@ def pack_sequences(
         last.alias("last_chunk"),
         (last - first + 1).alias("n_chunks"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/embedding-ingest twin of
+    ``pack_sequences``): split each document into chunks of ``chunk_size``
+    tokens advancing by ``chunk_size - overlap``, so consecutive chunks
+    share ``overlap`` tokens and no boundary sentence is lost to a hard
+    cut. The last chunk is the first window covering the document's end
+    (no degenerate tail fully contained in its predecessor).
+
+    Pure higher-order array expressions — sequence → transform → explode,
+    shuffle-free, embarrassingly parallel per document; chunk counts are
+    integer arithmetic (no float ceil). Output: (id, chunk_id, n_chunks,
+    chunk_text, chunk_tokens).
+    """
+    from albedo_spark.operators.textstats import tokens
+
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    # K = max(0, ceil((n - chunk_size) / stride)) via integer arithmetic
+    k_max = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(f"(size - {chunk_size} + {stride} - 1) div {stride}"),
+    )
+    chunked = (
+        docs.select(
+            F.col(id_col), toks.alias("_toks"), n.alias("size")
+        )
+        .where(F.col("size") > 0)
+        .select(
+            id_col,
+            "size",
+            k_max.alias("_k_max"),
+            F.explode(F.sequence(F.lit(0).cast("long"), k_max)).alias("chunk_id"),
+            "_toks",
+        )
+    )
+    piece = F.slice(
+        F.col("_toks"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_size
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        (F.col("_k_max") + 1).alias("n_chunks"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+    )

@@ -78,3 +78,29 @@ def tumbling_agg(
         .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
         .select(F.col("w.start").alias("window_start"), key_col, "n_events", "avg_value")
     )
+
+
+def hopping_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    slide_duration: str = "15 minutes",
+) -> DataFrame:
+    """Hopping (sliding) window aggregation: every event lands in
+    ``window/slide`` overlapping epoch-aligned windows — ``F.window`` with
+    a slide emits one row per covering window BEFORE the aggregate, so the
+    groupBy shuffle carries the duplication factor; at 100 TB pick
+    slide as coarse as the report needs (factor = window/slide) rather
+    than defaulting to fine-grained slides."""
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
+    )

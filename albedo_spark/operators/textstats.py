@@ -175,6 +175,34 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
+# Rabin-Karp rolling-hash parameters: base/modulus sized so the fold
+# `h*B + t` never leaves int64 (h < M ~ 1e9, t < M, so h*B + t < 1.4e11).
+ROLLING_B = 131
+ROLLING_M = 1_000_000_007
+
+
+def rolling_hash_fingerprint(col: Column) -> Column:
+    """ORDER-SENSITIVE document fingerprint: Rabin-Karp polynomial hash of
+    the token stream, ``h = fold(h * B + md5_u32(token) mod M)`` — the
+    rolling-hash identity of content-defined chunking / winnowing
+    families. Unlike ``fingerprint`` (sorted-set identity), two documents
+    with the same words in different order hash differently.
+
+    Pure higher-order ``F.aggregate`` fold — JVM-side, shuffle-free, one
+    pass over the token array. Token hashes use the catalog's portable
+    md5-u32 rule so an external engine replays the fold exactly in
+    integer arithmetic (no float anywhere). Empty/blank text folds over
+    the empty array and yields 0.
+    """
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda h, t: (h * ROLLING_B + (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % ROLLING_M
+        )) % ROLLING_M,
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     probes: DataFrame,

@@ -3242,6 +3242,112 @@ def q75_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_pairs(d, k=20)
 
 
+@query(
+    "q76_events_hopping",
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               (epoch_us(ts) // 900000000) * 900000000 AS aligned_us
+        FROM events
+    ),
+    expanded AS (
+        SELECT event_type, cents, aligned_us - k * 900000000 AS start_us
+        FROM ev, LATERAL (SELECT unnest(range(0, 4)) AS k) t
+    )
+    SELECT CAST(start_us // 1000000 AS BIGINT) AS window_start, event_type,
+           count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q76_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1 h window, 15 min slide): every event
+    contributes to 4 overlapping epoch-aligned windows
+    (operators/sessions.py hopping_agg). Values aggregated as exact
+    integer cents (q15's portable-hashing convention); the oracle expands
+    each event into its covering windows via integer alignment arithmetic
+    — the same window set ``F.window(ts, 1h, 15m)`` produces."""
+    from albedo_spark.operators.sessions import hopping_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
+    out = hopping_agg(
+        e, window_duration="1 hour", slide_duration="15 minutes"
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("long").alias("sum_cents"),
+    )
+
+
+@query(
+    "q77_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT), [
+                   CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1000000007
+                   for t in string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               ]),
+               (h, t) -> (h * 131 + t) % 1000000007
+           ) AS rolling_fp
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+    """,
+)
+def q77_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE Rabin-Karp rolling-hash fingerprint over the token
+    stream (operators/textstats.py rolling_hash_fingerprint) — the
+    content-defined-chunking/winnowing identity, complementing q19's
+    order-insensitive sorted-set fingerprint. Pure integer fold (md5-u32
+    token hashes, mod 1e9+7), so the DuckDB oracle replays it exactly
+    with a list comprehension + list_reduce."""
+    from albedo_spark.operators.textstats import rolling_hash_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", rolling_hash_fingerprint(F.col("text")).alias("rolling_fp"))
+
+
+@query(
+    "q78_doc_chunking",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    sized AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+               greatest(CAST(0 AS BIGINT), (CAST(len(toks) AS BIGINT) - 64 + 48 - 1) // 48)
+                   AS k_max
+        FROM d WHERE len(toks) > 0
+    )
+    SELECT doc_id, k AS chunk_id, k_max + 1 AS n_chunks,
+           array_to_string(list_slice(toks, CAST(k * 48 + 1 AS BIGINT),
+                                      CAST(k * 48 + 64 AS BIGINT)), ' ')
+               AS chunk_text,
+           CAST(len(list_slice(toks, CAST(k * 48 + 1 AS BIGINT),
+                               CAST(k * 48 + 64 AS BIGINT))) AS BIGINT)
+               AS chunk_tokens
+    FROM sized, LATERAL (SELECT unnest(range(0, k_max + 1)) AS k) t
+    """,
+)
+def q78_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for RAG/embedding ingest
+    (operators/packing.py chunk_documents): 64-token chunks, 16-token
+    overlap (stride 48); the last chunk is the first window covering the
+    document's end. Shuffle-free higher-order array expressions; the
+    oracle replays the same integer window arithmetic with list_slice."""
+    from albedo_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=64, overlap=16)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

@@ -63,6 +63,9 @@ HEADLINE2 = [
     "q73_sequence_packing",
     "q74_corpus_mixture",
     "q75_bpe_pair_counts",
+    "q76_events_hopping",
+    "q77_rolling_fingerprint",
+    "q78_doc_chunking",
 ]
 
 

@@ -116,3 +116,87 @@ def test_bpe_single_char_and_empty_words_ignored(spark):
     )
     got = [(r.pair, r.n) for r in top_pairs(docs, k=5).collect()]
     assert got == [("xy", 1)]
+
+
+def test_chunk_documents_window_layout(spark):
+    from albedo_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    # chunk_size=4, overlap=2 -> stride 2; n=10 -> k_max=ceil(6/2)=3, 4 chunks
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunks, r.chunk_text, r.chunk_tokens)
+        for r in chunk_documents(docs, chunk_size=4, overlap=2).collect()
+    }
+    assert got[(1, 0)] == (4, "w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == (4, "w2 w3 w4 w5", 4)
+    assert got[(1, 2)] == (4, "w4 w5 w6 w7", 4)
+    assert got[(1, 3)] == (4, "w6 w7 w8 w9", 4)   # covers the end exactly
+    assert got[(2, 0)] == (1, "a b", 2)           # short doc: single chunk
+    assert set(d for d, _ in got) == {1, 2}       # empty/null dropped
+
+
+def test_chunk_documents_no_degenerate_tail(spark):
+    from albedo_spark.operators.packing import chunk_documents
+
+    # n=9, chunk=4, stride=2 -> k_max=ceil(5/2)=3; last chunk [6..9] has 3
+    # tokens and covers token 9; a naive k<ceil(n/stride) rule would emit a
+    # 5th chunk fully inside the 4th.
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(9)))], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, chunk_size=4, overlap=2).collect()
+    assert len(rows) == 4
+    last = max(rows, key=lambda r: r.chunk_id)
+    assert last.chunk_text == "w6 w7 w8" and last.chunk_tokens == 3
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from albedo_spark.operators.textstats import (
+        ROLLING_B,
+        ROLLING_M,
+        rolling_hash_fingerprint,
+    )
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", rolling_hash_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    # serial replay
+    def fold(text):
+        h = 0
+        for t in text.split():
+            u = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % ROLLING_M
+            h = (h * ROLLING_B + u) % ROLLING_M
+        return h
+
+    assert got[1] == fold("alpha beta gamma")
+    assert got[2] == fold("gamma beta alpha")
+    assert got[1] != got[2]      # order-sensitive
+    assert got[1] == got[3]      # deterministic
+    assert got[4] == 0           # empty -> 0
+
+
+def test_hopping_agg_covering_windows(spark):
+    import datetime as dt
+    from albedo_spark.operators.sessions import hopping_agg
+
+    # one event at 00:20 -> windows starting 23:30, 23:45, 00:00, 00:15
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 0, 20), "click", 3.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    got = sorted(
+        r.window_start for r in hopping_agg(df).collect()
+    )
+    assert [g.strftime("%H:%M") for g in got] == ["23:30", "23:45", "00:00", "00:15"]
