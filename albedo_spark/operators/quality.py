@@ -1,0 +1,146 @@
+"""Declarative data-quality constraint checking (no reference twin —
+warehouse-maintenance extension surface, same family as merge/io sinks;
+the Deequ/dbt-test shape re-expressed as one Spark aggregate).
+
+A check suite compiles into a SINGLE aggregation pass over the table:
+every row-level predicate becomes a conditional sum, uniqueness becomes a
+``count - count_distinct`` pair, and the whole suite is one
+map-side-combinable HashAggregate — at 100 TB the suite costs one scan
+regardless of how many checks it carries. Referential checks (which need
+the other table) are the one exception: each adds a broadcast-or-shuffle
+anti-join semi-reduced to a count.
+
+Output: one row per check — ``(check, violations, n_rows, passed)`` —
+small enough to collect, alert on, or append to a run-ledger table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One named constraint: ``violation`` is a row-level Column predicate
+    that is TRUE when the row VIOLATES the constraint."""
+
+    name: str
+    violation: Column
+
+
+@dataclass
+class CheckSuite:
+    checks: list[Check] = field(default_factory=list)
+
+    def not_null(self, col: str) -> "CheckSuite":
+        self.checks.append(Check(f"not_null({col})", F.col(col).isNull()))
+        return self
+
+    def in_range(self, col: str, lo, hi) -> "CheckSuite":
+        c = F.col(col)
+        self.checks.append(
+            Check(
+                f"in_range({col},{lo},{hi})",
+                c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+            )
+        )
+        return self
+
+    def accepted_values(self, col: str, values: list) -> "CheckSuite":
+        c = F.col(col)
+        self.checks.append(
+            Check(
+                f"accepted_values({col})",
+                c.isNotNull() & ~c.isin(values),
+            )
+        )
+        return self
+
+    def matches(self, col: str, pattern: str) -> "CheckSuite":
+        c = F.col(col)
+        self.checks.append(
+            Check(
+                f"matches({col})",
+                c.isNotNull() & ~c.rlike(pattern),
+            )
+        )
+        return self
+
+    def custom(self, name: str, violation: Column) -> "CheckSuite":
+        self.checks.append(Check(name, violation))
+        return self
+
+
+def run_checks(
+    df: DataFrame,
+    suite: CheckSuite,
+    unique_keys: list[list[str]] | None = None,
+) -> DataFrame:
+    """Execute the suite in one aggregate pass (+ one distinct-count per
+    uniqueness key-set, still inside the same aggregate).
+
+    ``unique_keys``: e.g. ``[["o_orderkey"], ["o_custkey", "o_orderdate"]]``
+    — each becomes a ``unique(...)`` check whose violation count is
+    ``n_rows - n_distinct_keys`` (0 when the key-set is unique).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in suite.checks:
+        aggs.append(
+            F.sum(F.when(c.violation, 1).otherwise(0)).alias(f"_v_{c.name}")
+        )
+    for ks in unique_keys or []:
+        label = "unique(" + ",".join(ks) + ")"
+        aggs.append(
+            F.count_distinct(*[F.col(k) for k in ks]).alias(f"_d_{label}")
+        )
+    row = df.agg(*aggs)
+
+    pieces = []
+    for c in suite.checks:
+        pieces.append(f"'{c.name}', CAST(`_v_{c.name}` AS BIGINT)")
+    for ks in unique_keys or []:
+        label = "unique(" + ",".join(ks) + ")"
+        pieces.append(f"'{label}', CAST(_n - `_d_{label}` AS BIGINT)")
+    stacked = row.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            f"stack({len(pieces)}, "
+            + ", ".join(pieces)
+            + ") AS (check, violations)"
+        ),
+    )
+    return stacked.select(
+        "check",
+        F.col("violations").cast("long").alias("violations"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity check as a broadcast-friendly anti-join count:
+    rows in ``child`` whose ``child_key`` has no match in ``parent``.
+    Same output shape as ``run_checks`` so suites union cleanly."""
+    n_rows = child.count()
+    orphans = (
+        child.where(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .count()
+    )
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(f"referential({child_key}->{parent_key})", orphans, n_rows, orphans == 0)],
+        "check string, violations long, n_rows long, passed boolean",
+    )

@@ -3348,6 +3348,59 @@ def q78_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, chunk_size=64, overlap=16)
 
 
+@query(
+    "q79_quality_checks",
+    """
+    WITH m AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_nn,
+               sum(CASE WHEN o_totalprice IS NOT NULL
+                             AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                        THEN 1 ELSE 0 END) AS v_rng,
+               sum(CASE WHEN o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END) AS v_acc,
+               sum(CASE WHEN o_orderpriority IS NOT NULL
+                             AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 1 ELSE 0 END) AS v_re,
+               count(DISTINCT o_orderkey) AS d_key
+        FROM orders
+    )
+    SELECT 'not_null(o_orderdate)' AS check, CAST(v_nn AS BIGINT) AS violations,
+           CAST(n AS BIGINT) AS n_rows, v_nn = 0 AS passed FROM m
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,1000000)', CAST(v_rng AS BIGINT),
+           CAST(n AS BIGINT), v_rng = 0 FROM m
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)', CAST(v_acc AS BIGINT),
+           CAST(n AS BIGINT), v_acc = 0 FROM m
+    UNION ALL
+    SELECT 'matches(o_orderpriority)', CAST(v_re AS BIGINT),
+           CAST(n AS BIGINT), v_re = 0 FROM m
+    UNION ALL
+    SELECT 'unique(o_orderkey)', CAST(n - d_key AS BIGINT),
+           CAST(n AS BIGINT), n = d_key FROM m
+    """,
+)
+def q79_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/quality.py) compiled into
+    ONE aggregate pass over orders: however many checks ride along, the
+    table is scanned once (conditional sums + a distinct count, map-side
+    combinable; plan-pinned in tests/test_quality.py). The oracle replays
+    the same conditional sums and unions the long-format rows."""
+    from albedo_spark.operators.quality import CheckSuite, run_checks
+
+    o = _t(spark, sf_dir, "orders")
+    suite = (
+        CheckSuite()
+        .not_null("o_orderdate")
+        .in_range("o_totalprice", 0, 1000000)
+        .accepted_values("o_orderstatus", ["O", "F", "P"])
+        .matches("o_orderpriority", r"^[1-5]-")
+    )
+    return run_checks(o, suite, unique_keys=[["o_orderkey"]])
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

@@ -110,14 +110,22 @@ def user_ewma_stream(
     def update(key, pdf_iter, state: GroupState):
         (user_id,) = key
         n, ewma, last_us = state.get if state.exists else (0, None, None)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([ts_col, id_col])
-            for ts, value in zip(pdf[ts_col], pdf[value_col]):
-                n += 1
-                last_us = int(pd.Timestamp(ts).value // 1000)
-                if value is not None and not pd.isna(value):
-                    v = float(value)
-                    ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+        # A large group arrives as SEVERAL pandas chunks (Arrow batch
+        # slicing), in arbitrary relative order — sorting each chunk
+        # independently folds out of order whenever a group straddles a
+        # chunk boundary (bit us at sf0.1: 8/1500 users wrong). Within a
+        # micro-batch the fold order contract is GLOBAL (ts, id) order for
+        # the group, so buffer the batch's chunks and sort once; state
+        # memory stays bounded by one group's rows per micro-batch.
+        chunks = list(pdf_iter)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values([ts_col, id_col])
+        for ts, value in zip(pdf[ts_col], pdf[value_col]):
+            n += 1
+            last_us = int(pd.Timestamp(ts).value // 1000)
+            if value is not None and not pd.isna(value):
+                v = float(value)
+                ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
         state.update((n, ewma, last_us))
         yield pd.DataFrame(
             {

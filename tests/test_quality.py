@@ -1,0 +1,76 @@
+"""Declarative data-quality constraint checking (operators/quality.py)."""
+
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.quality import (
+    CheckSuite,
+    referential_check,
+    run_checks,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a@x.com", 10.0, "open"),
+            (2, None, 5.0, "closed"),
+            (3, "bad-email", -2.0, "open"),
+            (4, "c@y.org", 120.0, "weird"),
+            (4, "d@z.net", 50.0, "open"),   # duplicate id
+        ],
+        "id long, email string, amount double, status string",
+    )
+
+
+def test_suite_single_pass_results(spark):
+    suite = (
+        CheckSuite()
+        .not_null("email")
+        .in_range("amount", 0, 100)
+        .accepted_values("status", ["open", "closed"])
+        .matches("email", r"^[^@]+@[^@]+\.[^@]+$")
+        .custom("amount_not_negative", F.col("amount") < 0)
+    )
+    out = {
+        r.check: (r.violations, r.n_rows, r.passed)
+        for r in run_checks(_df(spark), suite, unique_keys=[["id"]]).collect()
+    }
+    assert out["not_null(email)"] == (1, 5, False)
+    assert out["in_range(amount,0,100)"] == (2, 5, False)      # -2 and 120
+    assert out["accepted_values(status)"] == (1, 5, False)     # weird
+    assert out["matches(email)"] == (1, 5, False)              # bad-email
+    assert out["amount_not_negative"] == (1, 5, False)
+    assert out["unique(id)"] == (1, 5, False)                  # id 4 twice
+
+
+def test_suite_passes_on_clean_data(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, v double")
+    suite = CheckSuite().not_null("v").in_range("v", 0, 10)
+    out = run_checks(df, suite, unique_keys=[["id"]])
+    assert all(r.passed for r in out.collect())
+
+
+def test_suite_is_one_aggregate_pass(spark):
+    # However many checks ride along, the physical plan must stay one
+    # partial+final HashAggregate over one scan — no per-check jobs.
+    suite = (
+        CheckSuite()
+        .not_null("email")
+        .in_range("amount", 0, 100)
+        .accepted_values("status", ["open", "closed"])
+    )
+    out = run_checks(_df(spark), suite, unique_keys=[["id"]])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one aggregation chain: a single Exchange (the final-agg gather)
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_referential_check(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    row = referential_check(child, parent, "fk", "pk").collect()[0]
+    # 99 is an orphan; NULL fk is not a referential violation (not_null's job)
+    assert (row.violations, row.n_rows, row.passed) == (1, 4, False)
