@@ -11,9 +11,15 @@ fingerprint) → PII scrub → exact-dup groups → MinHash-LSH near-dup pairs
 JSON line on stdout; with ``--out``, the cleaned per-document table and
 the near-dup pair list land as parquet.
 
+With ``--mixture`` (e.g. ``en=5,de=2,fr=2,es=2,zh=1``) the surviving
+documents are mixture-downsampled to the target language weights, and
+with ``--pack-capacity N`` the final corpus is laid out as fixed-capacity
+training chunks (concat-and-chunk packing over the distributed prefix
+sum) — the complete pre-training data path: hygiene → mix → pack.
+
 Every stage is the same oracle-gated operator the catalog exposes
-(q18/q21/q22/q29/q67/q68/q69) — the job only wires them together, so the
-correctness evidence carries over.
+(q18/q21/q22/q29/q67/q68/q69/q73/q74) — the job only wires them
+together, so the correctness evidence carries over.
 """
 
 from __future__ import annotations
@@ -34,6 +40,10 @@ def main(argv: list[str] | None = None) -> dict:
                    help="doc_id < N is the decontamination probe set")
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--mixture", default=None,
+                   help="target language weights, e.g. en=5,de=2,fr=2,es=2,zh=1")
+    p.add_argument("--pack-capacity", type=int, default=None,
+                   help="emit a chunk layout at this token capacity")
     args = p.parse_args(argv)
 
     from albedo_spark.functions.text import pii_counts, redact_pii
@@ -98,6 +108,46 @@ def main(argv: list[str] | None = None) -> dict:
             F.expr("percentile(quality_x10k, 0.5)")
         ).collect()[0][0],
     }
+    # Post-hygiene corpus: quarantined (contaminated) docs drop out before
+    # mixing/packing.
+    contaminated_ids = contam.where(
+        F.col("contaminated_x10k") >= 8000
+    ).select("doc_id")
+    survivors = docs.join(contaminated_ids, "doc_id", "left_anti")
+
+    if args.mixture:
+        from albedo_spark.operators.sampling import mixture_sample
+
+        weights = {
+            k: int(v)
+            for k, v in (pair.split("=") for pair in args.mixture.split(","))
+        }
+        survivors = mixture_sample(survivors, "lang", weights, key_col="doc_id")
+        summary["mixture"] = {
+            r["lang"]: r["n"]
+            for r in survivors.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+
+    if args.pack_capacity:
+        from albedo_spark.operators.packing import pack_sequences
+        from albedo_spark.operators.textstats import token_count as _tc
+
+        layout = pack_sequences(
+            survivors.select(
+                "doc_id", _tc(F.col("text")).cast("long").alias("n_tok")
+            ),
+            capacity=args.pack_capacity,
+        ).persist()
+        summary["pack"] = {
+            "capacity": args.pack_capacity,
+            "n_docs_packed": layout.count(),
+            "n_chunks": (layout.agg(F.max("last_chunk")).collect()[0][0] or -1) + 1,
+        }
+        if args.out:
+            layout.write.mode("overwrite").parquet(
+                os.path.join(args.out, "pack_layout")
+            )
+
     if args.out:
         per_doc.write.mode("overwrite").parquet(os.path.join(args.out, "per_doc"))
         pairs.write.mode("overwrite").parquet(os.path.join(args.out, "near_dup_pairs"))

@@ -54,3 +54,24 @@ def test_corpus_job_summary(tmp_path, capsys):
     import os
     assert os.path.isdir(tmp_path / "per_doc")
     assert os.path.isdir(tmp_path / "near_dup_pairs")
+
+
+def test_corpus_job_mixture_and_packing(tmp_path):
+    from albedo_spark.jobs.corpus import main
+
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path),
+        "--mixture", "en=5,de=2,fr=2,es=2,zh=1",
+        "--pack-capacity", "512",
+    ])
+    mix = summary["mixture"]
+    assert set(mix) == {"en", "de", "fr", "es", "zh"}
+    # binding stratum survives whole-ish; every stratum nonempty and the
+    # top-weighted language dominates
+    assert mix["en"] == max(mix.values())
+    pack = summary["pack"]
+    assert pack["capacity"] == 512
+    assert pack["n_docs_packed"] == sum(mix.values())  # all mixed docs packed
+    assert pack["n_chunks"] > 0
+    import os
+    assert os.path.isdir(tmp_path / "pack_layout")
