@@ -465,6 +465,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_sum = None
     for _ in range(max_iter):
         # HashMin: pull the smallest label from the neighborhood
         prop = edges.join(
@@ -484,13 +485,18 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("label", "_old"), "node")
-            .where(F.col("label") < F.col("_old"))
-            .count()
-        )
+        # Convergence via the label-sum invariant: every step is
+        # non-increasing per node (min over neighborhood, then min with
+        # the label's label), so ANY change strictly decreases
+        # sum(label) — one aggregate on the just-checkpointed frame
+        # replaces the old join-against-previous-labels count job.
+        # decimal(38,0) so the sum never overflows at web-graph scale.
+        label_sum = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = jumped
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     edges.unpersist()
     return labels
