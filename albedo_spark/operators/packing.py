@@ -11,19 +11,23 @@ single task).
 
 ``global_cumsum`` is the textbook two-phase distributed scan instead:
 
-1. range-shuffle rows by the order key (``repartitionByRange`` keeps each
-   partition a contiguous key range),
-2. per-partition inclusive running sum (Window partitioned by
-   ``spark_partition_id()`` — parallel, no global collapse),
-3. per-partition TOTALS — one number per partition — come to the driver,
-   their running sum becomes each partition's offset (a few thousand longs
-   at cluster scale, never row data),
-4. offset joins back as a literal map lookup: a pure projection.
+1. bucket rows by VALUE against approximate-quantile boundaries folded
+   into the plan as literals (a pure projection — never
+   ``spark_partition_id``, which is physical placement and changes
+   between jobs),
+2. per-bucket running sum (Window partitioned by the bucket id —
+   parallel, no global collapse),
+3. per-bucket TOTALS — one number per bucket — come to the driver, their
+   running sum becomes each bucket's offset (a few thousand longs at
+   cluster scale, never row data),
+4. offsets join back as a literal map lookup: a pure projection.
 
-Cost: two shuffles of the row data (range + the pid-window's hash
-exchange) and a #partitions-sized driver exchange. The result is exact
-and independent of where the sampled range boundaries fall, because
-offsets are computed from the partitions actually produced.
+Cost: one boundary-estimation aggregate plus one hash exchange of the
+row data (the bucket window). Quantile approximation skews only bucket
+BALANCE, never correctness — the offsets are computed from the buckets
+actually produced, and because the bucket id is a function of the row
+value, every job that recomputes the plan reproduces identical buckets
+(no localCheckpoint/persist needed).
 """
 
 from __future__ import annotations
@@ -48,23 +52,43 @@ def global_cumsum(
     rows (0 for the first), the form packing needs.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # The bucket id must be a PURE FUNCTION OF THE ROW VALUE, never of
+    # physical placement: repartitionByRange + spark_partition_id looks
+    # natural but samples its boundaries independently per job, so the
+    # offsets collected below would describe a different partitioning
+    # than the one the caller's action recomputes (bit-exact at toy
+    # sizes where the sample sees every row, silently wrong from ~10^6
+    # rows — caught by a 50M-row scale check). Instead: approximate
+    # quantile boundaries are collected ONCE and folded into the plan as
+    # literals — approximation only skews bucket balance, never
+    # correctness, and every job sees the same buckets with zero
+    # materialization.
+    probs = [i / n for i in range(1, n)]
+    raw = df.agg(
+        F.percentile_approx(order_col, probs, 10_000).alias("b")
+    ).collect()[0]["b"]
+    bounds = sorted(set(raw or []))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda b: b <= F.col(order_col))
+        ).cast("int")
+    else:  # empty input or single value
+        bucket = F.lit(0)
+    ranged = df.withColumn("_pid", bucket)
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("_local", F.sum(value_col).over(w))
-    # One row per partition reaches the driver — bounded by the shuffle
-    # partition count, never by data volume.
-    totals = local.groupBy("_pid").agg(
-        F.max("_local").alias("_tot"), F.min(order_col).alias("_lo")
-    ).collect()
+    # One row per bucket reaches the driver — bounded by the bucket
+    # count, never by data volume. Bucket ids ascend with key ranges, so
+    # the running total in _pid order IS each bucket's offset.
+    totals = local.groupBy("_pid").agg(F.max("_local").alias("_tot")).collect()
     offsets: dict[int, int] = {}
     run = 0
-    for r in sorted(totals, key=lambda r: r["_lo"]):
+    for r in sorted(totals, key=lambda r: r["_pid"]):
         offsets[r["_pid"]] = run
         run += r["_tot"] or 0
     if offsets:
