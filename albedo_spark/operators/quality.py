@@ -144,3 +144,39 @@ def referential_check(
         [(f"referential({child_key}->{parent_key})", orphans, n_rows, orphans == 0)],
         "check string, violations long, n_rows long, passed boolean",
     )
+
+
+def iqr_outlier_summary(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    factor: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier profile per group: quartiles via one exact
+    ``percentile`` aggregate, then a conditional re-aggregation counting
+    values outside ``[q1 - f*iqr, q3 + f*iqr]`` — two passes total
+    regardless of group count, both map-side-combinable hash aggregates
+    (the bounds frame is tiny and broadcast-joins back onto the scan).
+
+    The standard numeric data-quality screen (fat-finger prices, sensor
+    spikes) at table scale. Output per group: (group, n, q1, q3, lo, hi,
+    n_low, n_high).
+    """
+    gcols = group_cols or []
+    bounds = df.groupBy(*gcols).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - factor * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + factor * (F.col("q3") - F.col("q1"))
+    bounds = bounds.select(*gcols, "q1", "q3", lo.alias("lo"), hi.alias("hi"))
+    joined = (
+        df.join(F.broadcast(bounds), gcols) if gcols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col)
+    return joined.groupBy(*gcols, "q1", "q3", "lo", "hi").agg(
+        F.count(value_col).alias("n"),
+        F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).alias("n_low"),
+        F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).alias("n_high"),
+    )

@@ -131,6 +131,40 @@ def mixture_sample(
     )
 
 
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement: each row
+    draws a deterministic pseudo-uniform u from the engine-portable md5
+    rule and competes on the key ``ln(u) / w`` (the log-monotone form of
+    u^(1/w)); the k LARGEST keys win. Inclusion probability is
+    proportional to weight, no replacement, single pass + one top-k
+    (`TakeOrderedAndProject`-shaped limit, never a full sort at scale
+    when combined with per-partition partial top-k — Spark's
+    sort+limit does exactly that).
+
+    Deterministic: same data → same sample, replayable in any engine
+    with md5 (the u32 is shifted by +1 so u is never 0 and the log never
+    hits -inf). Rows with non-positive weight are excluded.
+    """
+    u32 = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    u = (u32 + 1).cast("double") / F.lit(float(2**32 + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").desc(), F.col(key_col))
+        .limit(k)
+        .drop("_es_key")
+    )
+
+
 def random_split(df: DataFrame, weights: list[float], seed: int = 42) -> list[DataFrame]:
     """R1 (``randomSplit(Array(0.9, 0.1))`` in every builder)."""
     return df.randomSplit(weights, seed)

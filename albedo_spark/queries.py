@@ -3401,6 +3401,78 @@ def q79_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_checks(o, suite, unique_keys=[["o_orderkey"]])
 
 
+@query(
+    "q80_weighted_sample",
+    """
+    WITH keyed AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1) / 4294967297.0)
+                   / o_totalprice AS es_key
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM keyed ORDER BY es_key DESC, o_orderkey LIMIT 100
+    """,
+)
+def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/sampling.py weighted_sample_without_replacement): 100
+    orders drawn with probability ∝ o_totalprice, deterministic via the
+    portable md5-u32 rule (log-monotone key ln(u)/w, top-k). Spark's
+    sort+limit runs as per-partition partial top-k + a 100-row merge
+    (TakeOrderedAndProject), never a full sort; the oracle replays the
+    identical float expression."""
+    from albedo_spark.operators.sampling import weighted_sample_without_replacement
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return weighted_sample_without_replacement(
+        o, weight_col="o_totalprice", k=100, key_col="o_orderkey"
+    )
+
+
+@query(
+    "q81_iqr_outliers",
+    """
+    WITH b AS (
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY o_orderstatus
+    ),
+    f AS (
+        SELECT o_orderstatus, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        FROM b
+    )
+    SELECT o.o_orderstatus, f.q1, f.q3, f.lo, f.hi,
+           count(o.o_totalprice) AS n,
+           CAST(sum(CASE WHEN o.o_totalprice < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low,
+           CAST(sum(CASE WHEN o.o_totalprice > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high
+    FROM orders o JOIN f USING (o_orderstatus)
+    GROUP BY o.o_orderstatus, f.q1, f.q3, f.lo, f.hi
+    """,
+)
+def q81_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per order status
+    (operators/quality.py iqr_outlier_summary): exact quartiles in one
+    hash aggregate, fences broadcast back onto the scan, conditional
+    counts in a second map-side-combinable aggregate — two passes total
+    at any group count. Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the linear-interpolation definition, so the bounds replay
+    exactly."""
+    from albedo_spark.operators.quality import iqr_outlier_summary
+
+    o = _t(spark, sf_dir, "orders")
+    return iqr_outlier_summary(
+        o, "o_totalprice", group_cols=["o_orderstatus"]
+    ).select("o_orderstatus", "q1", "q3", "lo", "hi", "n", "n_low", "n_high")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

@@ -200,3 +200,42 @@ def test_hopping_agg_covering_windows(spark):
         r.window_start for r in hopping_agg(df).collect()
     )
     assert [g.strftime("%H:%M") for g in got] == ["23:30", "23:45", "00:00", "00:15"]
+
+
+def test_weighted_sample_without_replacement(spark):
+    from albedo_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+    import hashlib, math
+
+    rows = [(i, float((i % 10) + 1)) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in
+           weighted_sample_without_replacement(df, "w", 50, "id").collect()]
+    assert len(got) == len(set(got)) == 50      # without replacement
+    # deterministic serial replay of the E-S keys
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1) / (2**32 + 1)
+        return math.log(u) / w
+    expect = sorted(rows, key=lambda r: (-key(*r), r[0]))[:50]
+    assert sorted(got) == sorted(i for i, _ in expect)
+    # weight bias: the top-weight stratum (w=10) should out-represent w=1
+    w_of = dict(rows)
+    assert sum(1 for i in got if w_of[i] == 10.0) > sum(1 for i in got if w_of[i] == 1.0)
+    # zero/negative weights excluded
+    df2 = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "id long, w double")
+    assert [r.id for r in
+            weighted_sample_without_replacement(df2, "w", 10, "id").collect()] == [3]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from albedo_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    out = weighted_sample_without_replacement(df, "w", 10, "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan   # heap top-k, never a full sort

@@ -74,3 +74,23 @@ def test_referential_check(spark):
     row = referential_check(child, parent, "fk", "pk").collect()[0]
     # 99 is an orphan; NULL fk is not a referential violation (not_null's job)
     assert (row.violations, row.n_rows, row.passed) == (1, 4, False)
+
+
+def test_iqr_outlier_summary(spark):
+    from albedo_spark.operators.quality import iqr_outlier_summary
+
+    vals = [float(v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 100]]  # 100 is the spike
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = iqr_outlier_summary(df, "x").collect()[0]
+    assert row.n == 9
+    assert row.n_high == 1 and row.n_low == 0
+    assert row.q1 == 3.0 and row.q3 == 7.0  # exact quartiles, n=9
+    # grouped form: independent fences per group
+    df2 = spark.createDataFrame(
+        [("a", v) for v in vals] + [("b", 100.0), ("b", 101.0), ("b", 102.0)],
+        "g string, x double",
+    )
+    got = {r.g: (r.n, r.n_high) for r in
+           iqr_outlier_summary(df2, "x", ["g"]).collect()}
+    assert got["a"] == (9, 1)
+    assert got["b"] == (3, 0)   # 100s are normal in group b
