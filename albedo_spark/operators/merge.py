@@ -156,3 +156,56 @@ def scd2_apply(
         .unionByName(closed_now)
         .unionByName(opened)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per key
+    that ADDED, REMOVED, or CHANGED (any non-key column differs,
+    null-safe). Unchanged keys drop out — the diff is the (usually tiny)
+    delta, not the table.
+
+    One full-outer equi-join on the key — both sides shuffle once; at
+    scale the diff feeds `upsert_partitioned`/SCD2 as the change batch,
+    completing the CDC loop without a table format. Output: key columns +
+    ``change_type``.
+    """
+    import functools as _ft
+    import operator as _op
+
+    attr_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in attr_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_new_{c}") for c in attr_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    differs = (
+        _ft.reduce(
+            _op.or_,
+            [
+                ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+                for c in attr_cols
+            ],
+        )
+        if attr_cols
+        else F.lit(False)
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

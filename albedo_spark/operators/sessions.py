@@ -104,3 +104,49 @@ def hopping_agg(
         )
         .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users complete each prefix of
+    ``steps`` in order (each step strictly after the previous one, and —
+    with ``within_seconds`` — inside that window of step 1).
+
+    Step k's earliest-completion time is a conditional ``min`` over the
+    user's events after step k-1: one hash aggregate + one user-keyed
+    equi-join per step, k small (funnels are 3-5 steps). Everything
+    stays key-partitioned; no window over the whole event stream, no
+    per-user collect. Output: (step_index, step, n_users) with
+    monotonically non-increasing counts.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    spark = events.sparkSession
+
+    reached = None  # (user, _t_prev) frame for users who completed step k-1
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), us.alias("_ts")
+        )
+        if reached is None:
+            cur = ev.groupBy("u").agg(F.min("_ts").alias("_t"))
+        else:
+            joined = ev.join(reached, "u").where(F.col("_ts") > F.col("_t_prev"))
+            if within_seconds is not None:
+                joined = joined.where(
+                    F.col("_ts") <= F.col("_t0") + within_seconds * 1_000_000
+                )
+            cur = joined.groupBy("u", "_t0").agg(F.min("_ts").alias("_t"))
+        if i == 0:
+            cur = cur.withColumn("_t0", F.col("_t"))
+        reached = cur.select("u", F.col("_t").alias("_t_prev"), "_t0")
+        counts.append((i + 1, step, reached.count()))
+    return spark.createDataFrame(
+        counts, "step_index int, step string, n_users long"
+    )

@@ -3473,6 +3473,93 @@ def q81_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderstatus", "q1", "q3", "lo", "hi", "n", "n_low", "n_high")
 
 
+@query(
+    "q82_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                     THEN 'changed' END AS change_type
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                     THEN 'changed' END) IS NOT NULL
+    """,
+)
+def q82_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture snapshot diff (operators/merge.py
+    snapshot_diff): added/removed/changed keys between two derived order
+    snapshots (deterministic modular perturbation both engines can
+    replay). One full-outer key join; the delta it emits is exactly the
+    change batch `upsert_partitioned`/`scd2_apply` consume — the CDC loop
+    without a table format."""
+    from albedo_spark.operators.merge import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 7 != 0).select("o_orderkey", "o_totalprice")
+    new = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@query(
+    "q83_event_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, s1.t1, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+          AND epoch_us(e.ts) <= s1.t1 + 86400000000
+        GROUP BY e.user_id, s1.t1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+          AND epoch_us(e.ts) <= s2.t1 + 86400000000
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step_index, 'view' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def q83_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase within 24 h of the first
+    view (operators/sessions.py funnel): per step one conditional-min
+    hash aggregate + one user-keyed equi-join — never a window over the
+    whole stream, never a per-user collect. The oracle nests the same
+    earliest-completion CTEs."""
+    from albedo_spark.operators.sessions import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel(
+        e, ["view", "click", "purchase"], within_seconds=86400
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

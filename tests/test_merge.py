@@ -96,3 +96,28 @@ def test_scd2_fold(spark):
     # exactly one live row per present key
     live = out.where(F.col("valid_to").isNull())
     assert live.groupBy("id").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_snapshot_diff(spark):
+    from albedo_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (4, None, 4.0), (5, "e", 5.0)],
+        "id long, s string, v double",
+    )
+    got = {r.id: r.change_type for r in snapshot_diff(old, new, ["id"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 null-safe unchanged, 5 added
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_transitions(spark):
+    from albedo_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, s string")
+    new = spark.createDataFrame([(1, "x")], "id long, s string")
+    got = snapshot_diff(old, new, ["id"]).collect()
+    assert [(r.id, r.change_type) for r in got] == [(1, "changed")]

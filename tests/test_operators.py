@@ -210,3 +210,25 @@ def test_driver_record_window_contains_flagships():
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
     # every oracle key must still correspond to a registered query
     assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_funnel_ordering_and_window(spark):
+    import datetime as dt
+    from albedo_spark.operators.sessions import funnel
+
+    t = dt.datetime(2024, 1, 1)
+    S = lambda s: t + dt.timedelta(seconds=s)
+    rows = [
+        # u1 completes all three in order
+        (1, S(0), "view"), (1, S(10), "click"), (1, S(20), "purchase"),
+        # u2: click BEFORE view -> funnel stops after view
+        (2, S(10), "click"), (2, S(20), "view"),
+        # u3: completes view+click; purchase outside the 1h window
+        (3, S(0), "view"), (3, S(10), "click"), (3, S(4000), "purchase"),
+        # u4: never views
+        (4, S(0), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: r.n_users for r in
+           funnel(e, ["view", "click", "purchase"], within_seconds=3600).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
