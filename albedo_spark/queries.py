@@ -3586,6 +3586,9 @@ def q83_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q23 (exact cosine kNN: q71 GEMM kNN is the in-window exact-kNN rep,
 #        parity-tested to 1e-8 against this one; q33/q37 cover ANN)
 #   q46 (cube: q43 pivot + q72 unpivot keep the reshape family)
+#   q47 (edit-distance pairs: dedup family keeps q18/q20/q21/q32/q63)
+#   q50 (full-outer reconcile: q82 snapshot-diff IS the full-outer shape,
+#        plus the merge family's first oracle-gated entry)
 # Demoted entries still run in pytest, tools/check_correctness.py (which
 # has no cap), and bench.py.
 _DEMOTED = [
@@ -3614,9 +3617,33 @@ _DEMOTED = [
     "q55_idle_rich_customers",
     "q61_multimodal_frames",
     "q62_multimodal_resize",
+    "q47_fuzzy_name_pairs",
+    "q50_full_outer_reconcile",
+]
+# Family extensions OUTSIDE the 50-entry window by design (each family
+# keeps an in-window representative; all remain in the no-cap local gate
+# + pytest): hopping windows (q15 tumbling), rolling-hash fingerprint
+# (q19/q32), doc chunking (q73 packing), weighted sampling (q31/q74),
+# IQR outliers (q79 quality), funnel (q15/q17 events). New FAMILIES
+# (q79 data-quality, q82 CDC diff) go IN-window instead — q47/q50
+# demoted above to make room (dedup keeps 5 reps; q82 IS the full-outer
+# shape q50 exercised).
+_POST_WINDOW = [
+    "q76_events_hopping",
+    "q77_rolling_fingerprint",
+    "q78_doc_chunking",
+    "q80_weighted_sample",
+    "q81_iqr_outliers",
+    "q83_event_funnel",
 ]
 assert set(_DEMOTED) <= set(QUERIES), sorted(set(_DEMOTED) - set(QUERIES))
-_order = [n for n in QUERIES if n not in _DEMOTED] + _DEMOTED
+assert set(_POST_WINDOW) <= set(QUERIES)
+assert not set(_POST_WINDOW) & set(_DEMOTED)
+_order = (
+    [n for n in QUERIES if n not in _DEMOTED and n not in _POST_WINDOW]
+    + _POST_WINDOW
+    + _DEMOTED
+)
 _q_reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_q_reordered)

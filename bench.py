@@ -66,6 +66,11 @@ HEADLINE2 = [
     "q76_events_hopping",
     "q77_rolling_fingerprint",
     "q78_doc_chunking",
+    "q79_quality_checks",
+    "q80_weighted_sample",
+    "q81_iqr_outliers",
+    "q82_snapshot_diff",
+    "q83_event_funnel",
 ]
 
 

@@ -205,6 +205,9 @@ def test_driver_record_window_contains_flagships():
         "q73_sequence_packing",
         "q74_corpus_mixture",
         "q75_bpe_pair_counts",
+        # round-5 new families
+        "q79_quality_checks",
+        "q82_snapshot_diff",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
