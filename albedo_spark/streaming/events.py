@@ -234,3 +234,60 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the ingest
+    guard against at-least-once upstream delivery (replayed Kafka
+    offsets, retried file drops).
+
+    State holds one entry per distinct key seen inside the horizon and is
+    evicted as the watermark advances — bounded by rate x horizon, never
+    by stream length. Exactly the batch ``dropDuplicates(keys)`` result
+    when the replay fits one horizon (pinned in tests)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def run_to_upsert(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+):
+    """Streaming MERGE: each micro-batch upserts into a partitioned
+    parquet dataset via ``foreachBatch`` + ``operators.merge
+    .upsert_partitioned`` — the table-format-free CDC sink (late updates
+    overwrite their key in place, only touched partitions rewrite).
+
+    foreachBatch gives at-least-once batch delivery on restart; the
+    upsert is idempotent per batch (anti-join drops prior versions), so
+    the sink converges to exactly-once EFFECTS — same contract a
+    Delta/Iceberg MERGE sink provides, at day-partition granularity.
+    Drains available input then stops; returns the query handle.
+    """
+    from albedo_spark.operators.merge import upsert_partitioned
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitioned(
+            batch_df.sparkSession, batch_df, path, key_cols, partition_cols
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

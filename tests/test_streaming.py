@@ -214,3 +214,78 @@ def test_file_sink_checkpoint_recovery(spark, ranged_event_dir, tmp_path):
     # and not no-op'd)
     assert resumed.count() >= rows_after_crash
     assert len(want) > 0
+
+
+def test_dedup_stream_matches_batch_distinct(spark, tmp_path):
+    import datetime as dt
+    from albedo_spark.streaming.events import dedup_stream
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t, 1.0), (1, t, 1.0),                      # duplicate key in-batch
+        (2, t + dt.timedelta(minutes=1), 2.0),
+        (2, t + dt.timedelta(minutes=2), 2.5),         # same key, later arrival
+        (3, t + dt.timedelta(minutes=3), 3.0),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "k long, ts timestamp, v double").coalesce(1)\
+        .write.parquet(src)
+    stream = (
+        spark.readStream.schema("k long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = dedup_stream(stream, ["k"], watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_gate")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.k,) for r in spark.table("dedup_gate").select("k").collect())
+    assert got == [(1,), (2,), (3,)]
+
+
+def test_run_to_upsert_streaming_merge(spark, tmp_path):
+    from albedo_spark.streaming.events import run_to_upsert
+
+    target = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    # seed target with an existing partition
+    spark.createDataFrame(
+        [("d1", 1, 1.0), ("d1", 2, 2.0), ("d2", 3, 3.0)],
+        "day string, id long, v double",
+    ).write.partitionBy("day").parquet(target)
+    # stream carries an update (id 2) and an insert (id 9) for d1 only
+    spark.createDataFrame(
+        [("d1", 2, 20.0), ("d1", 9, 9.0)], "day string, id long, v double"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("day string, id long, v double")
+        .option("maxFilesPerTrigger", 10).parquet(src)
+    )
+    run_to_upsert(stream, target, ck, key_cols=["id"], partition_cols=["day"])
+    got = {(str(r.day), r.id, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        ("d1", 1, 1.0), ("d1", 2, 20.0), ("d1", 9, 9.0),  # merged
+        ("d2", 3, 3.0),                                   # untouched
+    }
+
+
+def test_compact_partitions(spark, tmp_path):
+    from albedo_spark.io import compact_partitions
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    # 20 tiny files per partition (simulating per-trigger sink output)
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("day"), "id",
+        (F.col("id") * 1.5).alias("v"),
+    )
+    df.repartition(20).write.partitionBy("day").parquet(path)
+    before = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    assert before >= 20
+    res = compact_partitions(spark, path, ["day"], target_mb=128)
+    assert res["files_before"] == before
+    assert res["files_after"] < before
+    # data survives byte-for-byte
+    got = spark.read.parquet(path)
+    assert got.count() == 2000
+    assert got.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
