@@ -120,15 +120,19 @@ def funnel(
 
     Step k's earliest-completion time is a conditional ``min`` over the
     user's events after step k-1: one hash aggregate + one user-keyed
-    equi-join per step, k small (funnels are 3-5 steps). Everything
-    stays key-partitioned; no window over the whole event stream, no
-    per-user collect. Output: (step_index, step, n_users) with
-    monotonically non-increasing counts.
+    equi-join per step, k small (funnels are 3-5 steps). Each step's
+    reached-set is persisted so step k builds on k-1's materialized frame
+    instead of recomputing the whole chain per count — at scale the
+    reached frame is one small row per surviving user. Everything stays
+    key-partitioned; no window over the whole event stream, no per-user
+    collect. Output: (step_index, step, n_users) with monotonically
+    non-increasing counts.
     """
     us = F.unix_micros(F.col(ts_col))
     spark = events.sparkSession
 
-    reached = None  # (user, _t_prev) frame for users who completed step k-1
+    reached = None  # (user, _t_prev, _t0) frame for step-k-1 completers
+    persisted = []
     counts = []
     for i, step in enumerate(steps):
         ev = events.where(F.col(type_col) == step).select(
@@ -145,8 +149,47 @@ def funnel(
             cur = joined.groupBy("u", "_t0").agg(F.min("_ts").alias("_t"))
         if i == 0:
             cur = cur.withColumn("_t0", F.col("_t"))
-        reached = cur.select("u", F.col("_t").alias("_t_prev"), "_t0")
+        reached = cur.select("u", F.col("_t").alias("_t_prev"), "_t0").persist()
+        persisted.append(reached)
         counts.append((i + 1, step, reached.count()))
+    for p in persisted:
+        p.unpersist()
     return spark.createDataFrame(
         counts, "step_index int, step string, n_users long"
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (cohort), counted in every later period they return —
+    ``(cohort_period, period_offset, n_users)``, the classic retention
+    triangle.
+
+    Two hash aggregates: first-seen per user (one shuffle on user), then
+    distinct (cohort, offset, user) → counts. Periods are integer epoch
+    divisions (no calendar lib), so any engine reproduces the exact
+    bucketing; the user-period dedup collapses multi-event periods
+    map-side before the final count shuffle.
+    """
+    day_us = 86_400_000_000
+    # integer `div` end-to-end: float division + cast is floor only while
+    # the quotient stays in double's exact range, and the bucketing must
+    # replay bit-identically in any engine
+    period = F.expr(f"unix_micros({ts_col}) div {day_us} div {period_days}")
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(period).alias("cohort")
+    )
+    activity = events.select(
+        F.col(user_col).alias("u"), period.alias("p")
+    ).distinct()
+    return (
+        activity.join(first, "u")
+        .select("cohort", (F.col("p") - F.col("cohort")).alias("period_offset"), "u")
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("u").alias("n_users"))
     )

@@ -3560,6 +3560,34 @@ def q83_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q84_retention_cohorts",
+    """
+    WITH first AS (
+        SELECT user_id, min(epoch_us(ts) // 86400000000 // 7) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS p
+        FROM events
+    )
+    SELECT f.cohort, a.p - f.cohort AS period_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN first f USING (user_id)
+    GROUP BY f.cohort, period_offset
+    """,
+)
+def q84_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/sessions.py
+    retention_cohorts): first-seen period per user, then distinct
+    user-periods joined back and counted per (cohort, offset). Integer
+    epoch division end-to-end so both engines bucket identically."""
+    from albedo_spark.operators.sessions import retention_cohorts
+
+    e = _t(spark, sf_dir, "events")
+    return retention_cohorts(e, period_days=7)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -3630,6 +3658,7 @@ _DEMOTED = [
 # shape q50 exercised).
 _POST_WINDOW = [
     "q76_events_hopping",
+    "q84_retention_cohorts",
     "q77_rolling_fingerprint",
     "q78_doc_chunking",
     "q80_weighted_sample",

@@ -71,6 +71,7 @@ HEADLINE2 = [
     "q81_iqr_outliers",
     "q82_snapshot_diff",
     "q83_event_funnel",
+    "q84_retention_cohorts",
 ]
 
 

@@ -235,3 +235,29 @@ def test_funnel_ordering_and_window(spark):
     got = {r.step: r.n_users for r in
            funnel(e, ["view", "click", "purchase"], within_seconds=3600).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts(spark):
+    import datetime as dt
+    from albedo_spark.operators.sessions import retention_cohorts
+
+    # anchor to an epoch-aligned week start so offsets are readable:
+    # 2024-01-04 is day 19726 = 2818*7 exactly
+    base_day = dt.datetime(2024, 1, 4)
+    d = lambda day: base_day + dt.timedelta(days=day)
+    rows = [
+        (1, d(0)), (1, d(1)),    # u1: cohort w0, active only w0
+        (2, d(0)), (2, d(8)),    # u2: cohort w0, returns w1
+        (3, d(7)), (3, d(20)),   # u3: cohort w1, active again w2 (offset 1)
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort, r.period_offset): r.n_users
+           for r in retention_cohorts(e, period_days=7).collect()}
+    base = min(c for c, _ in got)
+    rel = {(c - base, o): n for (c, o), n in got.items()}
+    assert rel == {
+        (0, 0): 2,   # u1, u2 in week-0 cohort
+        (0, 1): 1,   # u2 returns next week
+        (1, 0): 1,   # u3's cohort week
+        (1, 1): 1,   # u3 returns the following week (day 20 = week 2)
+    }
