@@ -393,21 +393,21 @@ def compact_partitions(
         )
         df = df.where(pred)
 
-    # file inventory via the input_file_name of the pruned scan — no
-    # driver-side directory walk, works on any hadoop-compatible FS
-    inv = (
-        df.select(F.input_file_name().alias("f"))
+    # File inventory via the hidden `_metadata` file columns of the pruned
+    # scan: count + byte total aggregate IN-ENGINE, so the driver receives
+    # two numbers — never a million file names — and it works on any
+    # hadoop-compatible FS (no os.path, no directory walk).
+    row = (
+        df.select(
+            F.col("_metadata.file_path").alias("_f"),
+            F.col("_metadata.file_size").alias("_s"),
+        )
         .distinct()
-        .collect()
+        .agg(F.count("*").alias("n"), F.sum("_s").alias("b"))
+        .collect()[0]
     )
-    files_before = len(inv)
-    total_bytes = 0
-    for r in inv:
-        p = r.f.removeprefix("file://")
-        try:
-            total_bytes += os.path.getsize(p)
-        except OSError:
-            pass
+    files_before = row["n"]
+    total_bytes = row["b"] or 0
     n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     # Dynamic partition overwrite stages new files before replacing, so
     # rewriting the same path the frame reads from is safe (the same
