@@ -264,3 +264,50 @@ def ngram_contamination(
         "n_grams",
         _F.floor(ratio * 10000.0 + 0.5).cast("long").alias("contaminated_x10k"),
     )
+
+
+def hashed_tf_features(
+    docs,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Hashing-trick document featurizer (the scalable, vocabulary-free
+    bag-of-words embedding): each token hashes into one of ``dim``
+    buckets via the portable md5-u32 rule, per-bucket counts are
+    L2-normalized, and the output is LONG format ``(id, dim_idx,
+    weight_x1m)`` — ready to pivot into a dense vector for the kNN/ANN
+    operators or to feed a linear model directly.
+
+    Plan: explode tokens → one (doc, bucket) hash aggregate → window-sum
+    the squared counts per doc for the norm (tiny groups: ≤ dim rows per
+    doc). No vocabulary broadcast, no fitting pass — the property that
+    lets it run on an unbounded corpus. Weights integerized
+    (``floor(c·10⁶/‖c‖ + 0.5)``) so any engine replays the exact values.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+        % dim
+    )
+    counts = (
+        tok.select(id_col, bucket.alias("dim_idx"))
+        .groupBy(id_col, "dim_idx")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy(id_col)
+    norm = F.sqrt(F.sum(F.col("c") * F.col("c")).over(w))
+    return counts.select(
+        id_col,
+        "dim_idx",
+        F.floor(F.col("c") * F.lit(1_000_000.0) / norm + F.lit(0.5))
+        .cast("long")
+        .alias("weight_x1m"),
+    )

@@ -3588,6 +3588,40 @@ def q84_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(e, period_days=7)
 
 
+@query(
+    "q85_hashed_tf",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    counts AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS dim_idx,
+               count(*) AS c
+        FROM tok GROUP BY doc_id, dim_idx
+    )
+    SELECT doc_id, dim_idx,
+           CAST(floor(c * 1000000.0
+                      / sqrt(sum(c * c) OVER (PARTITION BY doc_id)) + 0.5)
+                AS BIGINT) AS weight_x1m
+    FROM counts
+    """,
+)
+def q85_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document featurizer (operators/textstats.py
+    hashed_tf_features): vocabulary-free 64-dim L2-normalized bag-of-words
+    in long format — the featurization bridge from raw text to the
+    kNN/ANN and linear-model operators. One (doc, bucket) hash aggregate
+    + a per-doc window norm (≤ dim rows per group); weights integerized
+    so both engines replay exact values."""
+    from albedo_spark.operators.textstats import hashed_tf_features
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_tf_features(d, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -3659,6 +3693,7 @@ _DEMOTED = [
 _POST_WINDOW = [
     "q76_events_hopping",
     "q84_retention_cohorts",
+    "q85_hashed_tf",
     "q77_rolling_fingerprint",
     "q78_doc_chunking",
     "q80_weighted_sample",

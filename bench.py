@@ -72,6 +72,7 @@ HEADLINE2 = [
     "q82_snapshot_diff",
     "q83_event_funnel",
     "q84_retention_cohorts",
+    "q85_hashed_tf",
 ]
 
 

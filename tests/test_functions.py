@@ -209,3 +209,24 @@ def test_vocab_sketch_matches_exact_within_tolerance(spark):
     approx = grams.agg(F.approx_count_distinct("g", rsd=0.05)).collect()[0][0]
     assert exact > 0
     assert abs(approx - exact) / exact < 0.15  # 3x the nominal 5% rsd
+
+
+def test_hashed_tf_features(spark):
+    import hashlib, math
+    from albedo_spark.operators.textstats import hashed_tf_features
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.dim_idx): r.weight_x1m
+           for r in hashed_tf_features(docs, dim=16).collect()}
+    assert set(d for d, _ in got) == {1}   # empty/null dropped
+    b = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16
+    ba, bb = b("apple"), b("banana")
+    norm = math.sqrt(2 * 2 + 1 * 1)
+    assert got[(1, ba)] == math.floor(2 * 1e6 / norm + 0.5)
+    assert got[(1, bb)] == math.floor(1 * 1e6 / norm + 0.5)
+    # L2 normalization: sum of squared weights ~ 1e12
+    total = sum(w * w for w in got.values())
+    assert abs(total - 1e12) < 1e7
