@@ -48,8 +48,9 @@ def global_cumsum(
 
     ``order_col`` must be unique (a document/row id): uniqueness makes the
     total order — and therefore the result — deterministic regardless of
-    partitioning. ``exclusive=True`` gives the sum of all STRICTLY earlier
-    rows (0 for the first), the form packing needs.
+    partitioning. It must also be NUMERIC (quantile boundary estimation;
+    hash string ids to a long first). ``exclusive=True`` gives the sum of
+    all STRICTLY earlier rows (0 for the first), the form packing needs.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # The bucket id must be a PURE FUNCTION OF THE ROW VALUE, never of
