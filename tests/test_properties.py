@@ -159,3 +159,48 @@ def test_redact_pii_idempotent(spark):
     assert [r.t for r in once.orderBy("id").collect()] == [
         r.t for r in twice.orderBy("id").collect()
     ]
+
+
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=40),
+    st.integers(2, 64),
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_conservation_property(spark, sizes, capacity):
+    """Packing invariants for arbitrary doc-size multisets: offsets are the
+    exclusive prefix sums, chunks cover every token exactly once (no gaps,
+    no padding), and chunk spans are consistent with capacity."""
+    from albedo_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tok long"
+    )
+    rows = sorted(pack_sequences(df, capacity=capacity).collect(),
+                  key=lambda r: r.doc_id)
+    run = 0
+    for r in rows:
+        assert r.start_offset == run          # contiguous layout
+        run += r.n_tok
+        assert r.first_chunk == r.start_offset // capacity
+        assert r.last_chunk == (r.start_offset + r.n_tok - 1) // capacity
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+    assert run == sum(sizes)
+
+
+@given(st.lists(st.tuples(st.integers(0, 99), st.sampled_from("abc")),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]))
+@settings(max_examples=8, deadline=None)
+def test_snapshot_diff_identity_and_symmetry_property(spark, rows):
+    """diff(x, x) is empty; diff(x, y) added/removed swap under argument
+    reversal."""
+    from albedo_spark.operators.merge import snapshot_diff
+
+    x = spark.createDataFrame(rows, "id long, s string")
+    assert snapshot_diff(x, x, ["id"]).count() == 0
+    y = spark.createDataFrame(
+        [(i + 1, s) for i, s in rows], "id long, s string"
+    )
+    fwd = {(r.id, r.change_type) for r in snapshot_diff(x, y, ["id"]).collect()}
+    rev = {(r.id, r.change_type) for r in snapshot_diff(y, x, ["id"]).collect()}
+    swap = {"added": "removed", "removed": "added", "changed": "changed"}
+    assert rev == {(i, swap[c]) for i, c in fwd}
