@@ -170,26 +170,28 @@ def retention_cohorts(
     ``(cohort_period, period_offset, n_users)``, the classic retention
     triangle.
 
-    Two hash aggregates: first-seen per user (one shuffle on user), then
-    distinct (cohort, offset, user) → counts. Periods are integer epoch
-    divisions (no calendar lib), so any engine reproduces the exact
-    bucketing; the user-period dedup collapses multi-event periods
-    map-side before the final count shuffle.
+    JOIN-FREE: one ``collect_set(period)`` aggregate per user (the set is
+    bounded by the number of periods the user was ever active in — weeks,
+    not events — and ``collect_set`` de-dups map-side), the cohort is
+    simply ``array_min`` of that set, and exploding it yields each user
+    exactly once per (cohort, offset), so the final count is a plain
+    ``count(*)``. Two shuffles total at any scale. Periods are integer
+    epoch divisions (no calendar lib), so any engine reproduces the exact
+    bucketing.
     """
     day_us = 86_400_000_000
     # integer `div` end-to-end: float division + cast is floor only while
     # the quotient stays in double's exact range, and the bucketing must
     # replay bit-identically in any engine
     period = F.expr(f"unix_micros({ts_col}) div {day_us} div {period_days}")
-    first = events.groupBy(F.col(user_col).alias("u")).agg(
-        F.min(period).alias("cohort")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.collect_set(period).alias("_ps")
     )
-    activity = events.select(
-        F.col(user_col).alias("u"), period.alias("p")
-    ).distinct()
     return (
-        activity.join(first, "u")
-        .select("cohort", (F.col("p") - F.col("cohort")).alias("period_offset"), "u")
-        .groupBy("cohort", "period_offset")
-        .agg(F.count_distinct("u").alias("n_users"))
+        per_user.select(
+            F.array_min("_ps").alias("cohort"),
+            F.explode("_ps").alias("_p"),
+        )
+        .groupBy("cohort", (F.col("_p") - F.col("cohort")).alias("period_offset"))
+        .agg(F.count("*").alias("n_users"))
     )
