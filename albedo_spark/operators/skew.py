@@ -68,3 +68,39 @@ def salted_join(
         "_salt", (F.rand(seed=42) * num_salts).cast("int")
     )
     return skewed_salted.join(small_rep, [*keys, "_salt"]).drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-key diagnostic for shuffle/join planning: per-key row counts
+    for the ``top_n`` heaviest keys, each with its share of the table and
+    its skew factor (count ÷ mean-count-per-key) — the number that tells
+    you whether a join on this key needs salting (factor ≫ shuffle
+    partition count) or AQE's skew split will absorb it.
+
+    One hash aggregate + a global scalar aggregate broadcast back + a
+    TakeOrderedAndProject top-n — no full sort, no driver-side data.
+    Shares integerized (×10⁶) for engine-portable comparison.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    enriched = counts.crossJoin(F.broadcast(totals)).select(
+        *key_cols,
+        "n",
+        F.floor(F.col("n") * 1_000_000.0 / F.col("_total") + 0.5)
+        .cast("long")
+        .alias("share_x1m"),
+        F.floor(
+            F.col("n") * F.col("_nkeys") * 1_000_000.0 / F.col("_total") + 0.5
+        )
+        .cast("long")
+        .alias("skew_factor_x1m"),
+    )
+    return enriched.orderBy(
+        F.col("n").desc(), *[F.col(c) for c in key_cols]
+    ).limit(top_n)

@@ -3622,6 +3622,37 @@ def q85_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_tf_features(d, dim=64)
 
 
+@query(
+    "q86_key_skew_profile",
+    """
+    WITH counts AS (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    totals AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS total,
+               CAST(count(*) AS DOUBLE) AS nkeys
+        FROM counts
+    )
+    SELECT c.o_custkey, c.n,
+           CAST(floor(c.n * 1000000.0 / t.total + 0.5) AS BIGINT) AS share_x1m,
+           CAST(floor(c.n * t.nkeys * 1000000.0 / t.total + 0.5) AS BIGINT)
+               AS skew_factor_x1m
+    FROM counts c, totals t
+    ORDER BY c.n DESC, c.o_custkey LIMIT 20
+    """,
+)
+def q86_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key shuffle diagnostic (operators/skew.py key_skew_profile):
+    top-20 heaviest join keys with table share and skew factor — the
+    pre-flight check that decides between a plain shuffle join, AQE skew
+    split, and `salted_join`. One hash aggregate + broadcast scalar
+    totals + heap top-n."""
+    from albedo_spark.operators.skew import key_skew_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return key_skew_profile(o, ["o_custkey"], top_n=20)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -3692,6 +3723,7 @@ _DEMOTED = [
 # shape q50 exercised).
 _POST_WINDOW = [
     "q76_events_hopping",
+    "q86_key_skew_profile",
     "q84_retention_cohorts",
     "q85_hashed_tf",
     "q77_rolling_fingerprint",

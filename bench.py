@@ -73,6 +73,7 @@ HEADLINE2 = [
     "q83_event_funnel",
     "q84_retention_cohorts",
     "q85_hashed_tf",
+    "q86_key_skew_profile",
 ]
 
 

@@ -78,3 +78,19 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_key_skew_profile(spark):
+    from albedo_spark.operators.skew import key_skew_profile
+
+    rows = [(1,)] * 80 + [(2,)] * 15 + [(3,)] * 3 + [(4,)] * 1 + [(5,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    got = {r.k: (r.n, r.share_x1m, r.skew_factor_x1m)
+           for r in key_skew_profile(df, ["k"], top_n=3).collect()}
+    assert set(got) == {1, 2, 3}            # top-3 heaviest only
+    assert got[1] == (80, 800000, 4000000)  # 80% share, 4x mean (mean=20)
+    assert got[2] == (15, 150000, 750000)
+    # plan: heap top-n, no full sort
+    plan = key_skew_profile(df, ["k"], top_n=3)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
