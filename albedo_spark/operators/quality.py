@@ -180,3 +180,49 @@ def iqr_outlier_summary(
         F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).alias("n_low"),
         F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).alias("n_high"),
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: list[str],
+) -> DataFrame:
+    """One-pass numeric table profile: per column — row count, nulls,
+    distinct, min, max, and mean — in LONG format ``(column, stat,
+    value)`` (doubles; counts exact). The data-discovery twin of
+    ``run_checks``: however many columns ride along, the table is scanned
+    once (a single map-side-combinable aggregate), and the result is a
+    handful of rows.
+
+    Means are emitted as ``sum/count`` computed in double — callers
+    needing cross-engine exactness should integerize like the catalog
+    queries do; min/max/counts are exact.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in numeric_cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
+            F.count_distinct(col).alias(f"_dist_{c}"),
+            F.min(col).alias(f"_min_{c}"),
+            F.max(col).alias(f"_max_{c}"),
+            F.sum(col).alias(f"_sum_{c}"),
+        ]
+    row = df.agg(*aggs)
+    pieces = []
+    for c in numeric_cols:
+        for stat, expr in (
+            ("n_rows", "_n"),
+            ("n_null", f"`_null_{c}`"),
+            ("n_distinct", f"`_dist_{c}`"),
+            ("min", f"`_min_{c}`"),
+            ("max", f"`_max_{c}`"),
+            ("mean", f"`_sum_{c}` / (_n - `_null_{c}`)"),
+        ):
+            pieces.append(f"'{c}', '{stat}', CAST({expr} AS DOUBLE)")
+    stacked = row.select(
+        F.expr(
+            f"stack({len(pieces)}, " + ", ".join(pieces)
+            + ") AS (column, stat, value)"
+        )
+    )
+    return stacked

@@ -3653,6 +3653,57 @@ def q86_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(o, ["o_custkey"], top_n=20)
 
 
+@query(
+    "q87_table_profile",
+    """
+    WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               o_custkey
+        FROM orders
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS null_p,
+               count(DISTINCT price_cents) AS dist_p,
+               min(price_cents) AS min_p, max(price_cents) AS max_p,
+               CAST(sum(price_cents) AS BIGINT) AS sum_p,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_c,
+               count(DISTINCT o_custkey) AS dist_c,
+               min(o_custkey) AS min_c, max(o_custkey) AS max_c,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_c
+        FROM o
+    )
+    SELECT 'price_cents' AS "column", 'n_rows' AS stat, CAST(n AS DOUBLE) AS value FROM m
+    UNION ALL SELECT 'price_cents', 'n_null', CAST(null_p AS DOUBLE) FROM m
+    UNION ALL SELECT 'price_cents', 'n_distinct', CAST(dist_p AS DOUBLE) FROM m
+    UNION ALL SELECT 'price_cents', 'min', CAST(min_p AS DOUBLE) FROM m
+    UNION ALL SELECT 'price_cents', 'max', CAST(max_p AS DOUBLE) FROM m
+    UNION ALL SELECT 'price_cents', 'mean', CAST(sum_p AS DOUBLE) / (n - null_p) FROM m
+    UNION ALL SELECT 'o_custkey', 'n_rows', CAST(n AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_custkey', 'n_null', CAST(null_c AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_custkey', 'n_distinct', CAST(dist_c AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_custkey', 'min', CAST(min_c AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_custkey', 'max', CAST(max_c AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_custkey', 'mean', CAST(sum_c AS DOUBLE) / (n - null_c) FROM m
+    """,
+)
+def q87_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric table profile (operators/quality.py
+    profile_columns): count/nulls/distinct/min/max/mean per column in
+    long format — a single map-side-combinable aggregate at any column
+    count. Prices are profiled as exact integer CENTS — a double sum
+    reduces in engine-specific order and would split the mean's last
+    bits, the same trap q15/q44 integerize around; integer sums are
+    order-independent and the double division then divides identical
+    operands."""
+    from albedo_spark.operators.quality import profile_columns
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return profile_columns(o, ["price_cents", "o_custkey"])
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -3724,6 +3775,7 @@ _DEMOTED = [
 _POST_WINDOW = [
     "q76_events_hopping",
     "q86_key_skew_profile",
+    "q87_table_profile",
     "q84_retention_cohorts",
     "q85_hashed_tf",
     "q77_rolling_fingerprint",

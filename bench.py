@@ -74,6 +74,7 @@ HEADLINE2 = [
     "q84_retention_cohorts",
     "q85_hashed_tf",
     "q86_key_skew_profile",
+    "q87_table_profile",
 ]
 
 

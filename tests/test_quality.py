@@ -94,3 +94,24 @@ def test_iqr_outlier_summary(spark):
            iqr_outlier_summary(df2, "x", ["g"]).collect()}
     assert got["a"] == (9, 1)
     assert got["b"] == (3, 0)   # 100s are normal in group b
+
+
+def test_profile_columns_one_pass(spark):
+    from albedo_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 10.0)], "id long, v double"
+    )
+    got = {(r.column, r.stat): r.value
+           for r in profile_columns(df, ["v", "id"]).collect()}
+    assert got[("v", "n_rows")] == 4.0
+    assert got[("v", "n_null")] == 1.0
+    assert got[("v", "n_distinct")] == 2.0
+    assert got[("v", "min")] == 10.0 and got[("v", "max")] == 20.0
+    assert abs(got[("v", "mean")] - 40.0 / 3) < 1e-12
+    assert got[("id", "n_distinct")] == 4.0
+    # one aggregate chain: <= 1 exchange, no Python
+    out = profile_columns(df, ["v", "id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan
