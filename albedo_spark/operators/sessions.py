@@ -195,3 +195,62 @@ def retention_cohorts(
         .groupBy("cohort", (F.col("_p") - F.col("cohort")).alias("period_offset"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    step_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: per user, one row every
+    ``step_seconds`` from their first to their last event, carrying the
+    most recent observed value — the gap-filling step before any
+    fixed-frequency time-series model.
+
+    Grid generation is a per-user ``sequence`` + explode (rows ∝ span ÷
+    step, generated in parallel, never a driver loop); the fill is the
+    as-of carry idiom (union grid + observations, one window sort per
+    user, ``last(value, ignorenulls=True)``) — one shuffle on user, no
+    range join, no per-user collect. Grid timestamps are integer epoch
+    arithmetic, so any engine reproduces the exact grid.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    step_us = step_seconds * 1_000_000
+    span = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
+    )
+    # grid points aligned to each user's first event
+    grid = span.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr(f"(_hi - _lo) div {step_us}"),
+            )
+        ).alias("_k"),
+        "_lo",
+    ).select(
+        "u", (F.col("_lo") + F.col("_k") * step_us).alias("_us"),
+        F.lit(1).alias("_is_grid"),
+    )
+    obs = events.select(
+        F.col(user_col).alias("u"), us.alias("_us"),
+        F.lit(0).alias("_is_grid"),
+        F.col(value_col).alias("_v"),
+    )
+    merged = grid.unionByName(obs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("u")
+        # observations sort before grid points at the same instant, so a
+        # grid point lands on the value observed AT its own timestamp
+        .orderBy(F.col("_us").asc(), F.col("_is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.withColumn("_fv", F.last("_v", ignorenulls=True).over(w))
+    return filled.where(F.col("_is_grid") == 1).select(
+        F.col("u").alias(user_col),
+        F.col("_us").alias("grid_us"),
+        F.col("_fv").alias(value_col),
+    )

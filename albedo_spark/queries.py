@@ -3704,6 +3704,50 @@ def q87_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(o, ["price_cents", "o_custkey"])
 
 
+@query(
+    "q88_resample_ffill",
+    """
+    WITH span AS (
+        SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, lo + k * 21600000000 AS us
+        FROM span, LATERAL (
+            SELECT unnest(range(0, (hi - lo) // 21600000000 + 1)) AS k
+        ) t
+    ),
+    merged AS (
+        SELECT user_id, us, 1 AS is_grid, NULL AS v FROM grid
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS us, 0 AS is_grid, value AS v
+        FROM events
+    ),
+    filled AS (
+        SELECT user_id, us, is_grid,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY us, is_grid
+                   ROWS UNBOUNDED PRECEDING) AS fv
+        FROM merged
+    )
+    SELECT user_id, CAST(us AS BIGINT) AS grid_us, fv AS value
+    FROM filled WHERE is_grid = 1
+    """,
+)
+def q88_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid time-series resampling with forward fill
+    (operators/sessions.py resample_ffill): per user one row every 6 h
+    from first to last event carrying the latest observed value — the
+    gap-filling step before fixed-frequency modeling. Grid = per-user
+    ``sequence`` explode (integer epoch arithmetic, engine-exact); fill =
+    the as-of carry idiom (union + one window sort per user,
+    ``last ignore nulls``), never a range join or driver loop."""
+    from albedo_spark.operators.sessions import resample_ffill
+
+    e = _t(spark, sf_dir, "events")
+    return resample_ffill(e, step_seconds=21600)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -3776,6 +3820,7 @@ _POST_WINDOW = [
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",
+    "q88_resample_ffill",
     "q84_retention_cohorts",
     "q85_hashed_tf",
     "q77_rolling_fingerprint",

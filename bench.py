@@ -75,6 +75,7 @@ HEADLINE2 = [
     "q85_hashed_tf",
     "q86_key_skew_profile",
     "q87_table_profile",
+    "q88_resample_ffill",
 ]
 
 

@@ -261,3 +261,28 @@ def test_retention_cohorts(spark):
         (1, 0): 1,   # u3's cohort week
         (1, 1): 1,   # u3 returns the following week (day 20 = week 2)
     }
+
+
+def test_resample_ffill(spark):
+    import datetime as dt
+    from albedo_spark.operators.sessions import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        (1, m(0), 10.0),    # grid anchors at first event
+        (1, m(25), 20.0),   # between grid points
+        (1, m(45), 30.0),   # exactly halfway
+        (2, m(5), 1.0),     # single event -> single grid point
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.grid_us): r.value
+           for r in resample_ffill(e, step_seconds=1200).collect()}  # 20 min
+    base = int(t0.timestamp() * 1_000_000)
+    us = lambda k: base + k * 60 * 1_000_000
+    assert got == {
+        (1, us(0)): 10.0,    # at the event itself
+        (1, us(20)): 10.0,   # carries first value
+        (1, us(40)): 20.0,   # carries the 25-min observation
+        (2, us(5)): 1.0,
+    }
