@@ -22,6 +22,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _sq(label: str) -> str:
+    """SQL single-quoted string literal (labels embed column names, which
+    may legally contain quotes — never splice them raw into expr())."""
+    return "'" + label.replace("'", "''") + "'"
+
+
+def _bt(name: str) -> str:
+    """Backtick-quoted identifier reference, backticks escaped."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 @dataclass(frozen=True)
 class Check:
     """One named constraint: ``violation`` is a row-level Column predicate
@@ -100,10 +111,10 @@ def run_checks(
 
     pieces = []
     for c in suite.checks:
-        pieces.append(f"'{c.name}', CAST(`_v_{c.name}` AS BIGINT)")
+        pieces.append(f"{_sq(c.name)}, CAST({_bt('_v_' + c.name)} AS BIGINT)")
     for ks in unique_keys or []:
         label = "unique(" + ",".join(ks) + ")"
-        pieces.append(f"'{label}', CAST(_n - `_d_{label}` AS BIGINT)")
+        pieces.append(f"{_sq(label)}, CAST(_n - {_bt('_d_' + label)} AS BIGINT)")
     stacked = row.select(
         F.col("_n").alias("n_rows"),
         F.expr(
@@ -212,13 +223,13 @@ def profile_columns(
     for c in numeric_cols:
         for stat, expr in (
             ("n_rows", "_n"),
-            ("n_null", f"`_null_{c}`"),
-            ("n_distinct", f"`_dist_{c}`"),
-            ("min", f"`_min_{c}`"),
-            ("max", f"`_max_{c}`"),
-            ("mean", f"`_sum_{c}` / (_n - `_null_{c}`)"),
+            ("n_null", _bt(f"_null_{c}")),
+            ("n_distinct", _bt(f"_dist_{c}")),
+            ("min", _bt(f"_min_{c}")),
+            ("max", _bt(f"_max_{c}")),
+            ("mean", f"{_bt(f'_sum_{c}')} / (_n - {_bt(f'_null_{c}')})"),
         ):
-            pieces.append(f"'{c}', '{stat}', CAST({expr} AS DOUBLE)")
+            pieces.append(f"{_sq(c)}, {_sq(stat)}, CAST({expr} AS DOUBLE)")
     stacked = row.select(
         F.expr(
             f"stack({len(pieces)}, " + ", ".join(pieces)
