@@ -133,7 +133,7 @@ def pack_sequences(
     # only while offsets stay far below 2^53 — a 100 TB token stream does
     # not honor that forever.
     first = F.expr(f"start_offset div {capacity}")
-    last = F.expr(f"(start_offset + {tokens_col} - 1) div {capacity}")
+    last = F.expr(f"(start_offset + `{tokens_col}` - 1) div {capacity}")
     return laid.select(
         id_col,
         tokens_col,

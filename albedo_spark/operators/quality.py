@@ -175,8 +175,8 @@ def iqr_outlier_summary(
     """
     gcols = group_cols or []
     bounds = df.groupBy(*gcols).agg(
-        F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
-        F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+        F.expr(f"percentile({_bt(value_col)}, 0.25)").alias("q1"),
+        F.expr(f"percentile({_bt(value_col)}, 0.75)").alias("q3"),
     )
     lo = F.col("q1") - factor * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + factor * (F.col("q3") - F.col("q1"))

@@ -183,7 +183,7 @@ def retention_cohorts(
     # integer `div` end-to-end: float division + cast is floor only while
     # the quotient stays in double's exact range, and the bucketing must
     # replay bit-identically in any engine
-    period = F.expr(f"unix_micros({ts_col}) div {day_us} div {period_days}")
+    period = F.expr(f"unix_micros(`{ts_col}`) div {day_us} div {period_days}")
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
         F.collect_set(period).alias("_ps")
     )
