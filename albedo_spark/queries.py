@@ -3748,6 +3748,42 @@ def q88_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(e, step_seconds=21600)
 
 
+@query(
+    "q89_sliding_active_users",
+    """
+    WITH ev AS (
+        SELECT user_id,
+               (epoch_us(ts) // 900000000) * 900000000 AS aligned_us
+        FROM events
+    ),
+    expanded AS (
+        SELECT DISTINCT user_id, aligned_us - k * 900000000 AS start_us
+        FROM ev, LATERAL (SELECT unnest(range(0, 4)) AS k) t
+    )
+    SELECT CAST(start_us // 1000000 AS BIGINT) AS window_start,
+           count(*) AS n_users
+    FROM expanded GROUP BY 1
+    """,
+)
+def q89_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding active-user counts (1 h window, 15 min slide): exact
+    distinct users per overlapping window — the live-dashboard staple.
+    ``F.window`` expands each event into its 4 covering windows, the
+    (window, user) pair de-dups map-side inside the count_distinct
+    partial aggregate; at 100 TB swap ``approx_count_distinct`` (HLL
+    sketches merge across partials) — the same documented trade as q70's
+    vocabulary. The oracle expands windows with the identical integer
+    alignment arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"), "n_users"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -3821,6 +3857,7 @@ _POST_WINDOW = [
     "q86_key_skew_profile",
     "q87_table_profile",
     "q88_resample_ffill",
+    "q89_sliding_active_users",
     "q84_retention_cohorts",
     "q85_hashed_tf",
     "q77_rolling_fingerprint",

@@ -76,6 +76,7 @@ HEADLINE2 = [
     "q86_key_skew_profile",
     "q87_table_profile",
     "q88_resample_ffill",
+    "q89_sliding_active_users",
 ]
 
 
