@@ -366,17 +366,26 @@ def compact_partitions(
     scan planning time (footer reads, task scheduling) long before data
     volume does.
 
-    Per touched partition: size on disk → ``ceil(bytes / target)`` output
-    files → coalesce-rewrite via dynamic partition overwrite (untouched
-    partitions' bytes are never read or written — same surgical contract
-    as ``upsert_partitioned``). Returns {files_before, files_after,
-    partitions_compacted}.
+    Sizing is PER TOUCHED PARTITION, not global: each Hive partition's
+    bytes on disk → ``ceil(bytes / target)`` output files FOR THAT
+    PARTITION, so one 10 GB day among a hundred 10 MB days gets ~80
+    target-sized files while every tiny day collapses to exactly one —
+    a global coalesce would give neither. Rows are routed by
+    ``repartition(partition_cols…, bucket)`` where ``bucket`` is a
+    per-row draw in ``[0, that partition's file count)``; a partition
+    with one target file is a single shuffle key, so it lands in exactly
+    one task → exactly one file. (Hash collisions between DIFFERENT
+    partitions' buckets are harmless — dynamic overwrite writes one file
+    per (task, partition) pair — and same-partition collisions, made
+    rare by a 2× slot headroom, only merge two buckets into one larger
+    file, never fragment.) Untouched partitions' bytes are never read or
+    written — the same surgical contract as ``upsert_partitioned``.
+    Returns {files_before, files_after, bytes, target_files}, with both
+    file counts measured over the SAME pruned scan.
     """
-    import math
-
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
+    pred = None
     if partitions:
         import functools as _ft
         import operator as _op
@@ -391,35 +400,61 @@ def compact_partitions(
                 for p in partitions
             ],
         )
+
+    df = spark.read.parquet(path)
+    if pred is not None:
         df = df.where(pred)
 
-    # File inventory via the hidden `_metadata` file columns of the pruned
-    # scan: count + byte total aggregate IN-ENGINE, so the driver receives
-    # two numbers — never a million file names — and it works on any
-    # hadoop-compatible FS (no os.path, no directory walk).
-    row = (
+    # Per-partition file inventory via the hidden `_metadata` file columns
+    # of the pruned scan: grouped IN-ENGINE by the partition values, so
+    # the driver-visible side is one small frame (a row per touched
+    # partition — broadcast back, never collected per-file), and it works
+    # on any hadoop-compatible FS (no os.path, no directory walk).
+    target_bytes = target_mb * 1024 * 1024
+    inv = (
         df.select(
+            *partition_cols,
             F.col("_metadata.file_path").alias("_f"),
             F.col("_metadata.file_size").alias("_s"),
         )
-        .distinct()
-        .agg(F.count("*").alias("n"), F.sum("_s").alias("b"))
-        .collect()[0]
+        .distinct()  # one row per file (each file lives in one partition)
+        .groupBy(*partition_cols)
+        .agg(F.count("*").alias("_n_files"), F.sum("_s").alias("_bytes"))
+        .withColumn(
+            "_n_out",
+            F.greatest(F.lit(1), F.ceil(F.col("_bytes") / target_bytes)),
+        )
     )
-    files_before = row["n"]
-    total_bytes = row["b"] or 0
-    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    tot = inv.agg(
+        F.sum("_n_files").alias("n"),
+        F.sum("_bytes").alias("b"),
+        F.sum("_n_out").alias("t"),
+    ).collect()[0]
+    files_before = tot["n"] or 0
+    total_bytes = tot["b"] or 0
+    total_out = int(tot["t"] or 1)
     # Dynamic partition overwrite stages new files before replacing, so
     # rewriting the same path the frame reads from is safe (the same
     # contract upsert_partitioned relies on); with no partition filter
     # every partition present in the frame — i.e. all of them — rewrites.
-    write_partitioned_overwrite(df.coalesce(n_out), path, partition_cols)
+    routed = (
+        df.join(F.broadcast(inv.select(*partition_cols, "_n_out")), partition_cols)
+        .withColumn(
+            "_bucket", F.floor(F.rand(seed=42) * F.col("_n_out")).cast("int")
+        )
+        .repartition(max(2 * total_out, 1), *partition_cols, "_bucket")
+        .drop("_n_out", "_bucket")
+    )
+    write_partitioned_overwrite(routed, path, partition_cols)
+    after_df = spark.read.parquet(path)
+    if pred is not None:
+        after_df = after_df.where(pred)
     after = (
-        spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+        after_df.select(F.col("_metadata.file_path")).distinct().count()
     )
     return {
         "files_before": files_before,
         "files_after": after,
         "bytes": total_bytes,
-        "target_files": n_out,
+        "target_files": total_out,
     }

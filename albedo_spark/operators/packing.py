@@ -85,8 +85,13 @@ def global_cumsum(
     local = ranged.withColumn("_local", F.sum(value_col).over(w))
     # One row per bucket reaches the driver — bounded by the bucket
     # count, never by data volume. Bucket ids ascend with key ranges, so
-    # the running total in _pid order IS each bucket's offset.
-    totals = local.groupBy("_pid").agg(F.max("_local").alias("_tot")).collect()
+    # the running total in _pid order IS each bucket's offset. The total
+    # is a plain per-bucket SUM (correct for any sign of value_col —
+    # max(_local) would equal the bucket total only for non-negative
+    # values).
+    totals = (
+        ranged.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+    )
     offsets: dict[int, int] = {}
     run = 0
     for r in sorted(totals, key=lambda r: r["_pid"]):

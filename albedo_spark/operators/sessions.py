@@ -215,6 +215,12 @@ def resample_ffill(
     user, ``last(value, ignorenulls=True)``) — one shuffle on user, no
     range join, no per-user collect. Grid timestamps are integer epoch
     arithmetic, so any engine reproduces the exact grid.
+
+    Tied observations (same user, same microsecond) resolve to the MAX
+    value: the window sort ends on the value itself, making the order
+    total in effect — rows that still tie are identical in the only
+    column ``last`` reads, so no arrival-order dependence survives (the
+    q58 (ts, event_id) lesson applied without an id requirement).
     """
     us = F.unix_micros(F.col(ts_col))
     step_us = step_seconds * 1_000_000
@@ -244,8 +250,13 @@ def resample_ffill(
     w = (
         Window.partitionBy("u")
         # observations sort before grid points at the same instant, so a
-        # grid point lands on the value observed AT its own timestamp
-        .orderBy(F.col("_us").asc(), F.col("_is_grid").asc())
+        # grid point lands on the value observed AT its own timestamp;
+        # the trailing value key makes tied instants deterministic (max wins)
+        .orderBy(
+            F.col("_us").asc(),
+            F.col("_is_grid").asc(),
+            F.col("_v").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.withColumn("_fv", F.last("_v", ignorenulls=True).over(w))

@@ -2234,19 +2234,23 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     except OSError:
         _shutil.rmtree(tmp, ignore_errors=True)
     # Best-effort GC of stages built from superseded identities.
-    # Concurrency contract (ADVICE r4): NEVER touch any '*.tmp-*' dir —
-    # each process cleans only its own tmp (above) — and only reap
-    # superseded published stages past a grace period, so a concurrent
-    # reader still streaming from a just-superseded stage isn't yanked
-    # mid-drain.
+    # Concurrency contract (ADVICE r4/r5): each process cleans its own
+    # tmp above; a FOREIGN '*.tmp-*' dir is reaped only after a much
+    # longer grace (a live builder writes continuously, so an hours-old
+    # tmp can only be the debris of a crashed builder whose rename never
+    # ran — without this they accumulate forever). Superseded published
+    # stages get the short grace, so a concurrent reader still streaming
+    # from a just-superseded stage isn't yanked mid-drain.
     now = _time.time()
     grace_sec = 600
+    tmp_grace_sec = 6 * 3600
     for d in _os.listdir(root):
         p = _os.path.join(root, d)
-        if ".tmp-" in d or not d.startswith("events") or p == stage:
+        if not d.startswith("events") or p == stage:
             continue
+        grace = tmp_grace_sec if ".tmp-" in d else grace_sec
         try:
-            if now - _os.stat(p).st_mtime > grace_sec:
+            if now - _os.stat(p).st_mtime > grace:
                 _shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
@@ -3726,7 +3730,8 @@ def q87_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled AS (
         SELECT user_id, us, is_grid,
                last_value(v IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY us, is_grid
+                   PARTITION BY user_id
+                   ORDER BY us, is_grid, v ASC NULLS FIRST
                    ROWS UNBOUNDED PRECEDING) AS fv
         FROM merged
     )
@@ -3741,7 +3746,9 @@ def q88_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-filling step before fixed-frequency modeling. Grid = per-user
     ``sequence`` explode (integer epoch arithmetic, engine-exact); fill =
     the as-of carry idiom (union + one window sort per user,
-    ``last ignore nulls``), never a range join or driver loop."""
+    ``last ignore nulls``), never a range join or driver loop. Tied
+    observations at one microsecond resolve to MAX value on both sides
+    (the sort ends on the value column → total order in effect)."""
     from albedo_spark.operators.sessions import resample_ffill
 
     e = _t(spark, sf_dir, "events")

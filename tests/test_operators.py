@@ -286,3 +286,29 @@ def test_resample_ffill(spark):
         (1, us(40)): 20.0,   # carries the 25-min observation
         (2, us(5)): 1.0,
     }
+
+
+def test_resample_ffill_tied_instant_deterministic(spark):
+    """Two observations at the SAME (user, microsecond) must resolve to
+    the documented max-value policy, not arrival order (r5 ADVICE: the
+    (_us, _is_grid) sort alone was not total)."""
+    import datetime as dt
+    from albedo_spark.operators.sessions import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 5.0),
+        (1, t0, 9.0),   # tied with the row above — max (9.0) must win
+        (1, t0 + dt.timedelta(minutes=20), 1.0),
+    ]
+    base = int(t0.timestamp() * 1_000_000)
+    for order in (rows, rows[::-1]):
+        e = spark.createDataFrame(
+            order, "user_id long, ts timestamp, value double"
+        ).repartition(4)
+        got = {(r.user_id, r.grid_us): r.value
+               for r in resample_ffill(e, step_seconds=1200).collect()}
+        assert got == {
+            (1, base): 9.0,
+            (1, base + 1200 * 1_000_000): 1.0,
+        }, order

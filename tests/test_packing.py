@@ -239,3 +239,21 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     out = weighted_sample_without_replacement(df, "w", 10, "id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan   # heap top-k, never a full sort
+
+
+def test_global_cumsum_negative_values(spark):
+    """Bucket totals are per-bucket SUMS, so any-sign values stay exact
+    (r5 ADVICE: max(_local) equalled the total only for non-negative
+    value columns)."""
+    rows = [(i, ((i * 7) % 5) - 2) for i in range(1, 101)]  # values in [-2, 2]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.cs
+        for r in global_cumsum(
+            df, "id", "v", out_col="cs", num_partitions=8
+        ).collect()
+    }
+    run = 0
+    for i, v in rows:
+        assert got[i] == run, f"id {i}: {got[i]} != {run}"
+        run += v
