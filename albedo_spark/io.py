@@ -327,7 +327,23 @@ def write_bucketed(
     """Bucketed managed-table sink: co-locates future joins/aggs on
     ``bucket_col`` without a shuffle. The scale-path upgrade of the
     reference's ad-hoc ``repartition($"user_id")`` calls
-    (S/utils/DatasetUtils.scala:121,134)."""
+    (S/utils/DatasetUtils.scala:121,134).
+
+    Overwrite is made robust across SESSIONS: with the default in-memory
+    catalog, a table written by a previous process is gone from the
+    catalog but its warehouse directory persists, and a fresh
+    ``saveAsTable`` then dies with LOCATION_ALREADY_EXISTS — so any
+    orphaned managed location is removed first (via the Hadoop FS API,
+    never os.path, so it works on any hadoop-compatible FS). A real
+    metastore deployment hits the DROP TABLE path instead.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    jvm = spark.sparkContext._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)

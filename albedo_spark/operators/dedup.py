@@ -129,6 +129,43 @@ def minhash_signature(col: Column, num_hashes: int, shingle_n: int = 3) -> Colum
     )
 
 
+def minhash_sig_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document minhash signature columns ``(id, _h0.._hN)``.
+
+    The shared signature stage of ``minhash_lsh_pairs`` and the
+    incremental store (``dedup_store``): explode shingles once, hash each
+    row ``num_hashes`` ways, min-agg per doc. (A projection-based
+    signature looks cheaper but Catalyst's project collapse re-inlines
+    the shingle expression into every hash column — recomputing the
+    shingling num_hashes times. The explode form computes shingles once
+    and the groupBy min is map-side-combined.)
+    """
+    from albedo_spark.io import widen
+
+    # Materialize the word array BELOW the widen() exchange: the shuffle
+    # is a project-collapse barrier, so the split regex runs once per doc
+    # and the shingle lambda references the materialized array.
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    exploded = widen(words).select(
+        F.col(id_col),
+        F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("_sh"),
+    )
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -154,29 +191,7 @@ def minhash_lsh_pairs(
     ``jaccard_verify``.
     """
     num_bands = num_hashes // rows_per_band
-    # Explode shingles once, hash each row num_hashes ways, then min-agg.
-    # (A projection-based signature looks cheaper but Catalyst's project
-    # collapse re-inlines the shingle expression into every hash column —
-    # recomputing the shingling num_hashes times. The explode form computes
-    # shingles once and the groupBy min is map-side-combined.)
-    from albedo_spark.io import widen
-
-    # Materialize the word array BELOW the widen() exchange: the shuffle is
-    # a project-collapse barrier, so the split regex runs once per doc and
-    # the shingle lambda above references the materialized array.
-    words = df.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
-    )
-    exploded = widen(words).select(
-        F.col(id_col),
-        F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("_sh"),
-    )
-    sig = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    sig = minhash_sig_table(df, text_col, id_col, num_hashes, shingle_n)
     band_keys = sig.select(
         F.col(id_col),
         F.posexplode(

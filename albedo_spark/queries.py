@@ -3791,6 +3791,80 @@ def q89_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q90_incremental_dedup",
+    """
+    WITH docs_t AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs_t),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[i + 1 : i + 3], ' ') AS sh
+        FROM words, unnest(range(greatest(len(w) - 3, 0) + 1)) AS r(i)
+    ),
+    sigs AS (
+        SELECT doc_id, i, min(md5(i || ':' || sh)) AS minhash
+        FROM shingles, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS h(i)
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id,
+               md5((i // 2) || '|' || string_agg(minhash, ',' ORDER BY i)) AS bkey
+        FROM sigs GROUP BY doc_id, i // 2
+    ),
+    capped AS (SELECT bkey FROM bands GROUP BY bkey HAVING count(*) <= 200),
+    inb AS (SELECT b.doc_id, b.bkey FROM bands b JOIN capped c USING (bkey)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inb a JOIN inb b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+    ),
+    shsets AS (
+        SELECT doc_id, list(DISTINCT sh) AS shset FROM shingles GROUP BY doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+                 len(list_distinct(list_concat(sa.shset, sb.shset))), 4) AS jaccard
+    FROM cand
+    JOIN shsets sa ON cand.id_a = sa.doc_id
+    JOIN shsets sb ON cand.id_b = sb.doc_id
+    WHERE len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+          len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.8
+    """,
+)
+def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED signature store
+    (operators/dedup_store.py — VERDICT r5 top ask): historical docs
+    (doc_id % 5 != 0) are shingled/minhashed ONCE into a bucketed band-key
+    table; the new batch (doc_id % 5 = 0) then finds its near-dup pairs
+    vs the corpus + within itself WITHOUT re-reading historical text and
+    without shuffling the store (bucket-aware scan; only the batch
+    shuffles, into the store's layout — plan-pinned in tests/test_dedup).
+    Candidates verified by exact shingle Jaccard >= 0.8 as in q21; the
+    combined (store+batch) bucket cap equals a whole-corpus cap, which is
+    exactly what the oracle replays. Same md5 band scheme as q21 with the
+    band index folded into the key (single bucket/join column)."""
+    import re as _re
+
+    from albedo_spark.operators.dedup_store import (
+        build_signature_store,
+        dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.where("doc_id % 5 != 0")
+    batch = d.where("doc_id % 5 = 0")
+    table = "sigstore_q90_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    build_signature_store(hist, table, num_buckets=16)
+    pairs = dedup_incremental(batch, table, max_bucket=200)
+    verified = jaccard_verify(pairs, d, shingle_n=3, threshold=0.8)
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -3860,6 +3934,7 @@ _DEMOTED = [
 # demoted above to make room (dedup keeps 5 reps; q82 IS the full-outer
 # shape q50 exercised).
 _POST_WINDOW = [
+    "q90_incremental_dedup",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

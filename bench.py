@@ -77,7 +77,13 @@ HEADLINE2 = [
     "q87_table_profile",
     "q88_resample_ffill",
     "q89_sliding_active_users",
+    "q90_incremental_dedup",
 ]
+
+# Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
+# tier-2 metric sums over this FROZEN round-5 set, so queries added later
+# (q90+) widen tier2_total without breaking the regression series.
+TIER2_R5_SET = frozenset(HEADLINE2[:28])
 
 
 # Pipeline-bench fixture size: big enough that fit/transform dominates
@@ -274,6 +280,16 @@ def main() -> None:
     headline_normalized = (
         round(total * REF_CPU_SINGLE / cpu_single, 3) if cpu_single else None
     )
+    # tier-2 twin (VERDICT r5 ask #7): same r4 anchor, frozen r5 query set
+    # so cross-round tier-2 regressions (like r5's q69) are one subtraction.
+    tier2_anchor_total = sum(
+        v for n, v in timings2.items() if n in TIER2_R5_SET
+    )
+    tier2_normalized = (
+        round(tier2_anchor_total * REF_CPU_SINGLE / cpu_single, 3)
+        if cpu_single
+        else None
+    )
     print(
         json.dumps(
             {
@@ -293,6 +309,8 @@ def main() -> None:
                 ),
                 "calibration": calibration,
                 "headline_normalized": headline_normalized,
+                "tier2_normalized": tier2_normalized,
+                "tier2_normalized_set_size": len(TIER2_R5_SET),
                 "normalization_anchor": {"ref_cpu_single": REF_CPU_SINGLE, "round": 4},
                 "errors": errors,
             }
