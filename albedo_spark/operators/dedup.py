@@ -515,3 +515,82 @@ def connected_components(
         prev_sum = label_sum
     edges.unpersist()
     return labels
+
+
+def line_boilerplate_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal: delete every
+    line whose normalized form (trim + lowercase) appears in at least
+    ``min_df`` DISTINCT documents — nav menus, cookie banners, copyright
+    footers — and reassemble each document from its surviving lines in
+    original order. The corpus-hygiene step between doc-level repetition
+    (`textstats.repetition_signals`) and doc-level near-dup (`minhash_*`):
+    duplication ACROSS documents at line granularity.
+
+    Semantics: distinct-document frequency (not occurrence count), so a
+    document repeating its own line never self-flags — intra-doc
+    repetition is q67's domain. Blank/NULL lines are structure, not
+    content: never counted, never removed. NULL-text documents survive
+    with empty output text (posexplode_outer), because dropping rows is
+    data loss, not dedup (the `exact_dedup` NULL precedent).
+
+    Plan shape at 100 TB: posexplode lines ONCE into a persisted stream
+    (MEMORY_AND_DISK — the jaccard_verify precedent; both consumers below
+    read it without re-scanning the corpus); line identity is a fixed
+    32-hex md5 so every shuffle row is narrow. One distinct+groupBy on
+    the key builds the document-frequency table; the boilerplate keys
+    (only lines ABOVE threshold — usually tiny) come back via an equi-join
+    that AQE converts to broadcast when runtime stats allow; one final
+    groupBy on the doc id reassembles (collect_list of (pos, line)
+    structs, bounded by lines-per-doc). Exact df needs a full pass before
+    any removal decision — inherent to the semantics, and linear.
+
+    Output: (id, text, n_lines, n_removed); applying the operator twice
+    is a no-op (survivor lines have df < min_df by construction —
+    property-tested).
+    """
+    keyed = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.split(F.col(text_col), line_sep)
+        ).alias("_pos", "_line"),
+    ).withColumn(
+        "_k",
+        F.when(
+            F.trim(F.lower(F.col("_line"))) != "",
+            F.md5(F.trim(F.lower(F.col("_line")))),
+        ),
+    ).persist()
+    boiler = (
+        keyed.where(F.col("_k").isNotNull())
+        .select("_k", id_col)
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_k", F.lit(1).alias("_b"))
+    )
+    marked = keyed.join(boiler, "_k", "left")
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            line_sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_b").isNull(),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col),
+        F.count("_pos").alias("n_lines"),
+        F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_removed"),
+    )

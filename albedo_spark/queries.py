@@ -3865,6 +3865,65 @@ def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q91_line_boilerplate",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    lines AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[i * 3 + 1 : i * 3 + 3], ' ') AS line
+        FROM w, unnest(range((len(w) - 1) // 3 + 1)) r(i)
+    ),
+    boiler AS (
+        SELECT md5(trim(lower(line))) AS k
+        FROM lines WHERE trim(lower(line)) != ''
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+        SELECT l.doc_id, l.pos, l.line,
+               CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END AS rm
+        FROM lines l
+        LEFT JOIN boiler b ON md5(trim(lower(l.line))) = b.k
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rm = 0 THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           count(*) AS n_lines,
+           CAST(sum(rm) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q91_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate dedup (operators/dedup.py
+    line_boilerplate_dedup — VERDICT r5 missing #2): lines duplicated
+    across >= 2 distinct documents (nav menus, cookie banners at crawl
+    scale) are removed everywhere and documents reassembled in original
+    line order. The corpus has no newlines, so the query first derives a
+    deterministic multi-line view (3-word lines via HOF array slicing —
+    integer arithmetic any engine replays), then runs the REAL operator:
+    explode-once persisted line stream, narrow md5 keys, df aggregate,
+    AQE-broadcastable mark join, one reassembly groupBy. Blank lines are
+    kept, never counted; idempotence is property-tested."""
+    from albedo_spark.operators.dedup import line_boilerplate_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.expr("(size(split(text, ' ')) - 1) div 3")
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), i * 3 + 1, 3)
+                ),
+            ),
+        ).alias("text"),
+    )
+    return line_boilerplate_dedup(multi, min_df=2)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -3935,6 +3994,7 @@ _DEMOTED = [
 # shape q50 exercised).
 _POST_WINDOW = [
     "q90_incremental_dedup",
+    "q91_line_boilerplate",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

@@ -78,6 +78,7 @@ HEADLINE2 = [
     "q88_resample_ffill",
     "q89_sliding_active_users",
     "q90_incremental_dedup",
+    "q91_line_boilerplate",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -361,3 +361,64 @@ def test_incremental_combined_bucket_cap(spark):
         assert capped == 0  # combined size 4 > 3 though each side is <= 2
     finally:
         spark.sql("DROP TABLE IF EXISTS sigstore_cap")
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (C4 family)
+# ---------------------------------------------------------------------------
+
+
+def test_line_boilerplate_dedup_planted(spark):
+    from albedo_spark.operators.dedup import line_boilerplate_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Home | About\nreal content one\nCopyright 2024"),
+            (2, "HOME | ABOUT  \nunique stuff here\nCopyright 2024"),
+            (3, "totally original\n\nalso original"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_removed)
+        for r in line_boilerplate_dedup(docs, min_df=2).collect()
+    }
+    # normalization: case/trim-insensitive matching removes both variants
+    assert got[1] == ("real content one", 3, 2)
+    assert got[2] == ("unique stuff here", 3, 2)
+    # blank lines are structure: kept, never counted toward df
+    assert got[3] == ("totally original\n\nalso original", 3, 0)
+    # NULL text survives as an empty doc, not a dropped row
+    assert got[4] == ("", 0, 0)
+
+
+def test_line_boilerplate_dedup_idempotent(spark):
+    """Survivor lines have df < min_df by construction, so a second
+    application removes nothing (the property the docstring promises)."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.dedup import line_boilerplate_dedup
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.expr("(size(split(text, ' ')) - 1) div 3")
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), i * 3 + 1, 3)
+                ),
+            ),
+        ).alias("text"),
+    )
+    once = line_boilerplate_dedup(d, min_df=2)
+    assert once.agg(F.sum("n_removed")).collect()[0][0] > 0  # non-vacuous
+    twice = line_boilerplate_dedup(
+        once.select("doc_id", "text"), min_df=2
+    )
+    assert twice.agg(F.sum("n_removed")).collect()[0][0] == 0
+    # reconstruction: docs untouched by pass 1 keep their exact text
+    j = d.alias("a").join(once.alias("b"), "doc_id").where("b.n_removed = 0")
+    assert j.where("a.text != b.text").count() == 0
