@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> dict:
                    help="target language weights, e.g. en=5,de=2,fr=2,es=2,zh=1")
     p.add_argument("--pack-capacity", type=int, default=None,
                    help="emit a chunk layout at this token capacity")
+    p.add_argument("--quality-model-dim", type=int, default=None,
+                   help="train a fasttext-style quality classifier at this "
+                        "hashed-TF dimension (weak labels bootstrapped from "
+                        "the heuristic score) and score every document")
     args = p.parse_args(argv)
 
     from albedo_spark.functions.text import pii_counts, redact_pii
@@ -146,6 +150,31 @@ def main(argv: list[str] | None = None) -> dict:
         if args.out:
             layout.write.mode("overwrite").parquet(
                 os.path.join(args.out, "pack_layout")
+            )
+
+    if args.quality_model_dim:
+        # CCNet-style model-based quality stage: weak labels from the
+        # heuristic's tails, linear model generalizes to the middle mass.
+        from albedo_spark.pipelines.quality_model import (
+            score_quality,
+            train_quality_model,
+            weak_quality_labels,
+        )
+
+        labeled = weak_quality_labels(docs)
+        model = train_quality_model(labeled, dim=args.quality_model_dim)
+        doc_scores = score_quality(
+            model, docs, dim=args.quality_model_dim
+        ).persist()
+        hi = doc_scores.where(F.col("quality_prob") >= 0.5).count()
+        summary["quality_model"] = {
+            "dim": args.quality_model_dim,
+            "n_labeled": labeled.count(),
+            "n_docs_prob_ge_half": hi,
+        }
+        if args.out:
+            doc_scores.write.mode("overwrite").parquet(
+                os.path.join(args.out, "quality_scores")
             )
 
     if args.out:

@@ -75,3 +75,19 @@ def test_corpus_job_mixture_and_packing(tmp_path):
     assert pack["n_chunks"] > 0
     import os
     assert os.path.isdir(tmp_path / "pack_layout")
+
+
+def test_corpus_job_quality_model(tmp_path):
+    from albedo_spark.jobs.corpus import main
+
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path),
+        "--quality-model-dim", "64",
+    ])
+    qm = summary["quality_model"]
+    assert qm["dim"] == 64
+    # weak labels = both heuristic tails, so roughly half the corpus
+    assert 100 <= qm["n_labeled"] <= 400
+    assert 0 < qm["n_docs_prob_ge_half"] <= summary["n_docs"]
+    import os
+    assert os.path.isdir(tmp_path / "quality_scores")
