@@ -191,3 +191,96 @@ def dedup_incremental(
         & (F.col("a._bid") < F.col("b._bid")),
     ).select(F.col("a._bid").alias("id_a"), F.col("b._bid").alias("id_b"))
     return cross.unionByName(internal).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Exact-digest store: the cheap first-pass twin of the MinHash store
+# ---------------------------------------------------------------------------
+
+
+def build_digest_store(
+    corpus: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> None:
+    """Persist one ``(digest, keeper_id)`` row per distinct normalized
+    text, bucketed on the digest — the exact-dedup twin of the MinHash
+    signature store. Run exact incremental dedup FIRST (it kills the bulk
+    of duplication for one narrow join), MinHash incremental second."""
+    from albedo_spark.io import write_bucketed
+    from albedo_spark.operators.dedup import normalize_text
+
+    d = (
+        corpus.where(F.col(text_col).isNotNull())
+        .select(
+            F.md5(normalize_text(F.col(text_col))).alias("digest"),
+            F.col(id_col),
+        )
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper_id"))
+    )
+    write_bucketed(d, table, "digest", num_buckets=num_buckets)
+
+
+def exact_dedup_incremental(
+    batch: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve a new batch against the digest store WITHOUT rescanning the
+    corpus: ``(id, digest, is_dup, keeper_id)``. A digest already in the
+    store marks every batch row carrying it as a dup of the HISTORICAL
+    keeper; otherwise the minimum batch id per digest is the novel keeper
+    and its siblings dup against it. NULL-text rows pass through
+    un-deduplicated (digest NULL, is_dup false — the ``exact_dedup``
+    NULL precedent). The store side joins on its bucket column with no
+    Exchange; only the batch shuffles.
+
+    Feed the ``is_dup = false`` rows to ``append_digests`` after
+    consuming the result, and the next batch dedups against history
+    including this one.
+    """
+    from albedo_spark.operators.dedup import normalize_text
+
+    spark = batch.sparkSession
+    store = spark.table(table)
+    hashed = batch.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("digest"),
+    )
+    batch_min = (
+        hashed.where(F.col("digest").isNotNull())
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("_bmin"))
+    )
+    j = hashed.join(store, "digest", "left").join(batch_min, "digest", "left")
+    keeper = F.coalesce(F.col("keeper_id"), F.col("_bmin"))
+    is_dup = F.col("digest").isNotNull() & (keeper != F.col(id_col))
+    return j.select(
+        F.col(id_col),
+        "digest",
+        is_dup.alias("is_dup"),
+        F.when(is_dup, keeper).alias("keeper_id"),
+    )
+
+
+def append_digests(
+    resolution: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> None:
+    """Append the NOVEL digests of a resolved batch (``is_dup = false``,
+    non-NULL digest — i.e. each new digest's keeper) into the store."""
+    (
+        resolution.where(~F.col("is_dup") & F.col("digest").isNotNull())
+        .select("digest", F.col(id_col).alias("keeper_id"))
+        .write.mode("append")
+        .bucketBy(num_buckets, "digest")
+        .sortBy("digest")
+        .format("parquet")
+        .saveAsTable(table)
+    )

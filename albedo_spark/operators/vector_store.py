@@ -1,0 +1,154 @@
+"""Persisted ANN vector store — incremental similarity search.
+
+The batch ANN operators in ``similarity.py`` hash the corpus per query
+job. A retrieval/near-dup pipeline instead keeps the corpus embeddings
+in a PERSISTED index and probes it with each new batch — the vector-DB
+pattern, re-expressed as a bucketed Spark table (the ``dedup_store``
+design applied to the embedding family; §7.5 extension surface, no
+reference twin):
+
+- ``build_vector_store``: hash every corpus vector once with the seeded
+  hyperplane signature (``similarity.hyperplane_signature`` — a pure
+  function of (vector, seed), so any session reproduces the exact
+  buckets) and persist ``(id, embedding, norm, bucket)`` bucketed on the
+  signature via ``io.write_bucketed``.
+- ``ann_store_knn``: top-k cosine neighbors of a query batch among the
+  STORED vectors — queries explode to 1+num_planes multi-probe buckets
+  and equi-join the store on its bucket column: the store is scanned
+  bucket-aware with ZERO Exchange (only the query batch shuffles, into
+  the store's layout), and norms are read back, never recomputed.
+- ``append_vectors``: new vectors join the index for the next batch.
+
+Store growth is O(corpus) rows (one row per vector, unlike the banded
+MinHash store's rows-per-band) because the signature is a single
+``num_planes``-bit key; recall is tuned by ``num_planes``/multi-probe
+exactly as in ``random_hyperplane_lsh_knn`` — same S-curve, same seed
+discipline, same oracle replayability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from albedo_spark.functions.vectors import dot
+from albedo_spark.operators.similarity import _with_norm, hyperplane_signature
+from albedo_spark.operators.topk import top_k_per_group
+
+
+def _hashed(
+    df: DataFrame, dim: int, vec_col: str, id_col: str, num_planes: int, seed: int
+) -> DataFrame:
+    return _with_norm(df, vec_col, "_n").select(
+        F.col(id_col),
+        F.col(vec_col),
+        "_n",
+        hyperplane_signature(F.col(vec_col), dim, num_planes, seed).alias(
+            "bucket"
+        ),
+    )
+
+
+def build_vector_store(
+    corpus: DataFrame,
+    table: str,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 42,
+    num_buckets: int = 16,
+) -> None:
+    """Hash + persist the corpus as the bucketed ANN index (one-time cost;
+    size ``num_buckets`` for the cluster — hundreds at 100 TB)."""
+    from albedo_spark.io import write_bucketed
+
+    write_bucketed(
+        _hashed(corpus, dim, vec_col, id_col, num_planes, seed),
+        table,
+        "bucket",
+        num_buckets=num_buckets,
+    )
+
+
+def append_vectors(
+    batch: DataFrame,
+    table: str,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 42,
+    num_buckets: int = 16,
+) -> None:
+    """Add a new batch's vectors to the index (same bucket spec — the
+    layout property survives the append)."""
+    (
+        _hashed(batch, dim, vec_col, id_col, num_planes, seed)
+        .write.mode("append")
+        .bucketBy(num_buckets, "bucket")
+        .sortBy("bucket")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def ann_store_knn(
+    queries: DataFrame,
+    table: str,
+    k: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    num_planes: int = 8,
+    seed: int = 42,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Top-k cosine neighbors of each query among the STORED vectors:
+    (query_id, neighbor_id, cosine, rank). Same probe scheme and
+    tie-breaks as ``random_hyperplane_lsh_knn`` (rank by cosine desc,
+    neighbor_id asc), so oracles replay it with the identical plane
+    literals."""
+    spark = queries.sparkSession
+    store = spark.table(table).select(
+        F.col("bucket"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_n").alias("_cn"),
+    )
+    q = _with_norm(queries, vec_col, "_qn").withColumn(
+        "_sig", hyperplane_signature(F.col(vec_col), dim, num_planes, seed)
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("_sig"),
+            *[F.col("_sig").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+        )
+    else:
+        probes = F.array(F.col("_sig"))
+    q = q.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        "_qn",
+        F.explode(probes).alias("bucket"),
+    )
+    scored = (
+        q.join(store, "bucket")
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_qn") > 0),
+                dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(query_id_col, "neighbor_id", "cosine")
+        .distinct()
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        keep_rank=True,
+    )

@@ -14,6 +14,7 @@ broadcast joins, TakeOrderedAndProject, partial aggregation).
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1156,6 +1157,52 @@ def _ann_oracle_sql(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
                list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(h.embedding AS DOUBLE[])) AS cos_raw
         FROM probes p JOIN hashed h ON p.bucket = h.sig
         WHERE p.query_id <> h.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+               ) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+def _ann_store_oracle_sql(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
+    """q93's oracle: identical plane literals/probes as q33's, with the
+    corpus restricted to the STORED side (vec_id % 10 != 0) and queries
+    drawn from the incremental batch (vec_id % 10 = 0) — disjoint sets,
+    so no self-exclusion clause."""
+    from albedo_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, num_planes, seed)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << i}::BIGINT)" for i in range(num_planes)]
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT vec_id, embedding, ({sig_terms})::BIGINT AS sig
+        FROM embeddings
+    ),
+    stored AS (SELECT * FROM hashed WHERE vec_id % 10 != 0),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS qv, sig
+        FROM hashed WHERE vec_id % 10 = 0
+    ),
+    probes AS (
+        SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM queries
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, h.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(h.embedding AS DOUBLE[])) AS cos_raw
+        FROM probes p JOIN stored h ON p.bucket = h.sig
     ),
     ranked AS (
         SELECT query_id, neighbor_id, cos_raw,
@@ -3846,8 +3893,6 @@ def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined (store+batch) bucket cap equals a whole-corpus cap, which is
     exactly what the oracle replays. Same md5 band scheme as q21 with the
     band index folded into the key (single bucket/join column)."""
-    import re as _re
-
     from albedo_spark.operators.dedup_store import (
         build_signature_store,
         dedup_incremental,
@@ -3924,6 +3969,105 @@ def q91_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_boilerplate_dedup(multi, min_df=2)
 
 
+@query(
+    "q92_exact_dedup_incremental",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+        FROM documents
+    ),
+    store AS (SELECT digest, min(doc_id) AS keeper FROM norm GROUP BY digest),
+    batch AS (
+        SELECT doc_id + 10000 AS doc_id, digest
+        FROM norm WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               md5(trim(regexp_replace(lower(text || ' zzz novel suffix'),
+                                       '\\s+', ' ', 'g'))) AS digest
+        FROM documents WHERE doc_id % 7 = 3
+    ),
+    bmin AS (SELECT digest, min(doc_id) AS bmin FROM batch GROUP BY digest),
+    resolved AS (
+        SELECT b.doc_id, b.digest, coalesce(s.keeper, m.bmin) AS k
+        FROM batch b
+        LEFT JOIN store s USING (digest)
+        LEFT JOIN bmin m USING (digest)
+    )
+    SELECT doc_id, digest, (k != doc_id) AS is_dup,
+           CASE WHEN k != doc_id THEN k END AS keeper_id
+    FROM resolved
+    """,
+)
+def q92_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup against a persisted digest store (dedup_store.py —
+    the cheap first pass of the incremental loop, run before q90's
+    MinHash pass): historical digests persisted once, bucketed on the
+    digest; a new batch resolves dup-vs-novel with one store-layout join,
+    no corpus rescan, no store shuffle. The batch here plants both cases
+    deterministically: uppercased copies of every 5th document (dups of
+    their historical keepers after normalization) and suffixed copies of
+    every 7th-congruent-3 document (novel; keeper = min batch id per
+    digest). The oracle replays digesting + keeper resolution exactly."""
+    from albedo_spark.operators.dedup_store import (
+        build_digest_store,
+        exact_dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    table = "digstore_q92_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    build_digest_store(d, table, num_buckets=16)
+    batch = (
+        d.where("doc_id % 5 = 0")
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+        .unionByName(
+            d.where("doc_id % 7 = 3").select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz novel suffix")).alias("text"),
+            )
+        )
+    )
+    return exact_dedup_incremental(batch, table)
+
+
+@query(
+    "q93_ann_vector_store",
+    _ann_store_oracle_sql(64, 6, 42),
+)
+def q93_ann_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN against a persisted vector store (vector_store.py —
+    the vector-DB pattern as a bucketed Spark table): corpus embeddings
+    hashed ONCE with the seeded hyperplane signature and persisted
+    bucketed on it; each query batch explodes to multi-probe buckets and
+    joins the store on its bucket column (zero Exchange on the store —
+    plan-pinned in tests/test_similarity_ops.py), reading back persisted
+    norms. Same planes/probes/tie-breaks as q33, so the oracle embeds the
+    identical literals with the corpus restricted to the stored side."""
+    from albedo_spark.operators.vector_store import (
+        ann_store_knn,
+        build_vector_store,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    table = "vecstore_q93_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    build_vector_store(
+        emb.where("vec_id % 10 != 0"), table, dim=64, num_planes=6,
+        seed=42, num_buckets=16,
+    )
+    queries = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_store_knn(
+        queries, table, k=5, dim=64, num_planes=6, seed=42, multi_probe=True
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -3995,6 +4139,8 @@ _DEMOTED = [
 _POST_WINDOW = [
     "q90_incremental_dedup",
     "q91_line_boilerplate",
+    "q92_exact_dedup_incremental",
+    "q93_ann_vector_store",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

@@ -79,6 +79,8 @@ HEADLINE2 = [
     "q89_sliding_active_users",
     "q90_incremental_dedup",
     "q91_line_boilerplate",
+    "q92_exact_dedup_incremental",
+    "q93_ann_vector_store",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -422,3 +422,78 @@ def test_line_boilerplate_dedup_idempotent(spark):
     # reconstruction: docs untouched by pass 1 keep their exact text
     j = d.alias("a").join(once.alias("b"), "doc_id").where("b.n_removed = 0")
     assert j.where("a.text != b.text").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact-digest incremental store
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_incremental(spark):
+    from albedo_spark.operators.dedup_store import (
+        append_digests,
+        build_digest_store,
+        exact_dedup_incremental,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA   beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    build_digest_store(hist, "digstore_t", num_buckets=4)
+    try:
+        batch = spark.createDataFrame(
+            [
+                (10, "alpha beta"),     # dup of historical keeper 1
+                (11, "epsilon zeta"),   # novel keeper
+                (12, "EPSILON zeta "),  # batch-internal dup of 11
+                (13, None),             # NULL text: passes through
+            ],
+            "doc_id long, text string",
+        )
+        res = exact_dedup_incremental(batch, "digstore_t")
+        got = {r.doc_id: (r.is_dup, r.keeper_id) for r in res.collect()}
+        assert got[10] == (True, 1)
+        assert got[11] == (False, None)
+        assert got[12] == (True, 11)
+        assert got[13] == (False, None)
+        # append novel digests; a later batch dups against them
+        append_digests(res, "digstore_t", num_buckets=4)
+        batch2 = spark.createDataFrame(
+            [(20, "epsilon ZETA")], "doc_id long, text string"
+        )
+        got2 = {
+            r.doc_id: (r.is_dup, r.keeper_id)
+            for r in exact_dedup_incremental(batch2, "digstore_t").collect()
+        }
+        assert got2[20] == (True, 11)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS digstore_t")
+
+
+def test_exact_dedup_incremental_store_no_shuffle(spark):
+    from albedo_spark.operators.dedup_store import (
+        build_digest_store,
+        exact_dedup_incremental,
+    )
+
+    docs = _real_docs(spark)
+    build_digest_store(docs.where("doc_id % 5 != 0"), "digstore_plan",
+                       num_buckets=8)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = exact_dedup_incremental(
+            docs.where("doc_id % 5 = 0"), "digstore_plan"
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("spark_catalog.default.digstore_plan")
+        assert n_scans >= 1
+        assert plan.count("Bucketed: true") == n_scans, plan
+        assert res.count() == 100  # every batch row resolved
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS digstore_plan")

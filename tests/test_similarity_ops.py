@@ -166,3 +166,90 @@ def test_blas_knn_matches_hof_knn(spark):
         nid_b, cos_b = b[key]
         assert nid == nid_b, (key, a[key], b[key])
         assert abs(cos - cos_b) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN vector store (operators/vector_store.py)
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark):
+    from albedo_spark.io import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_ann_store_matches_batch_lsh(spark):
+    """Probing the persisted store must reproduce random_hyperplane_lsh_knn
+    exactly (same planes/seed, same tie-breaks) for the same corpus/query
+    split."""
+    from albedo_spark.operators.similarity import random_hyperplane_lsh_knn
+    from albedo_spark.operators.vector_store import (
+        ann_store_knn,
+        build_vector_store,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.where("vec_id % 10 != 0")
+    queries = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    build_vector_store(corpus, "vecstore_eq", dim=64, num_planes=6,
+                       num_buckets=8)
+    try:
+        batch = {
+            (r.query_id, r.neighbor_id, round(r.cosine, 9), r.rank)
+            for r in random_hyperplane_lsh_knn(
+                corpus, queries, k=5, dim=64, num_planes=6, seed=42,
+                multi_probe=True, exclude_self=False,
+            ).collect()
+        }
+        stored = {
+            (r.query_id, r.neighbor_id, round(r.cosine, 9), r.rank)
+            for r in ann_store_knn(
+                queries, "vecstore_eq", k=5, dim=64, num_planes=6, seed=42,
+            ).collect()
+        }
+        assert batch == stored
+        assert stored  # non-vacuous
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vecstore_eq")
+
+
+def test_ann_store_append_and_plan(spark):
+    from albedo_spark.operators.vector_store import (
+        ann_store_knn,
+        append_vectors,
+        build_vector_store,
+    )
+
+    emb = _emb(spark)
+    build_vector_store(emb.where("vec_id % 10 = 1"), "vecstore_app",
+                       dim=64, num_planes=6, num_buckets=8)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        queries = emb.where("vec_id % 10 = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out1 = ann_store_knn(queries, "vecstore_app", k=3, dim=64,
+                             num_planes=6)
+        plan = out1._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("spark_catalog.default.vecstore_app")
+        assert n_scans >= 1
+        assert plan.count("Bucketed: true") == n_scans, plan
+        n1 = out1.count()
+        # appending more vectors can only add/improve neighbors
+        append_vectors(emb.where("vec_id % 10 = 2"), "vecstore_app",
+                       dim=64, num_planes=6, num_buckets=8)
+        n2 = ann_store_knn(queries, "vecstore_app", k=3, dim=64,
+                           num_planes=6).count()
+        assert n2 >= n1
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS vecstore_app")
