@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> dict:
                    help="train a fasttext-style quality classifier at this "
                         "hashed-TF dimension (weak labels bootstrapped from "
                         "the heuristic score) and score every document")
+    p.add_argument("--incremental-filter", default=None,
+                   help="SQL predicate selecting the NEW batch (e.g. "
+                        "'doc_id %% 5 = 0'); the rest of the corpus becomes "
+                        "the persisted history and the batch dedups against "
+                        "it via the store loop (exact digests first, MinHash "
+                        "second), then its signatures join the stores")
+    p.add_argument("--store-prefix", default="corpus_store",
+                   help="table-name prefix for the persisted stores")
     args = p.parse_args(argv)
 
     from albedo_spark.functions.text import pii_counts, redact_pii
@@ -150,6 +158,49 @@ def main(argv: list[str] | None = None) -> dict:
         if args.out:
             layout.write.mode("overwrite").parquet(
                 os.path.join(args.out, "pack_layout")
+            )
+
+    if args.incremental_filter:
+        # The production pipeline LOOP: history is shingled/hashed once
+        # into persisted bucketed stores; each batch pays only its own
+        # hashing plus store-layout joins (no corpus rescan, no store
+        # shuffle). Exact digests run first (cheapest — kills bulk dups),
+        # MinHash incremental runs on the exact-novel survivors only.
+        from albedo_spark.operators.dedup_store import (
+            append_digests,
+            append_signatures,
+            build_digest_store,
+            build_signature_store,
+            dedup_incremental,
+            exact_dedup_incremental,
+        )
+
+        hist = docs.where(f"NOT ({args.incremental_filter})")
+        batch = docs.where(args.incremental_filter)
+        dig_tbl = f"{args.store_prefix}_digests"
+        sig_tbl = f"{args.store_prefix}_minhash"
+        # Build-if-missing: an existing store IS the history (including
+        # every previously appended batch) — rebuilding would forget it.
+        stores_built = not spark.catalog.tableExists(dig_tbl)
+        if stores_built:
+            build_digest_store(hist, dig_tbl)
+            build_signature_store(hist, sig_tbl)
+
+        resolved = exact_dedup_incremental(batch, dig_tbl).persist()
+        novel_ids = resolved.where("NOT is_dup").select("doc_id")
+        novel = batch.join(novel_ids, "doc_id", "left_semi")
+        near_pairs = dedup_incremental(novel, sig_tbl).persist()
+        summary["incremental"] = {
+            "n_batch": batch.count(),
+            "n_exact_dups": resolved.where("is_dup").count(),
+            "n_near_dup_pairs": near_pairs.count(),
+            "stores_built": stores_built,
+        }
+        append_digests(resolved, dig_tbl)
+        append_signatures(novel, sig_tbl)
+        if args.out:
+            near_pairs.write.mode("overwrite").parquet(
+                os.path.join(args.out, "incremental_near_dup_pairs")
             )
 
     if args.quality_model_dim:

@@ -91,3 +91,33 @@ def test_corpus_job_quality_model(tmp_path):
     assert 0 < qm["n_docs_prob_ge_half"] <= summary["n_docs"]
     import os
     assert os.path.isdir(tmp_path / "quality_scores")
+
+
+def test_corpus_job_incremental_store_loop(tmp_path):
+    """End-to-end pipeline loop: exact store resolves batch dups first,
+    MinHash incremental runs on the exact-novel survivors, both stores
+    advance afterward."""
+    from albedo_spark.jobs.corpus import main
+
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path),
+        "--incremental-filter", "doc_id % 5 = 0",
+        "--store-prefix", "t_corpus_store",
+    ])
+    inc = summary["incremental"]
+    assert inc["n_batch"] == 100
+    assert inc["n_exact_dups"] == 0  # corpus has no exact dups
+    assert inc["n_near_dup_pairs"] >= 1  # planted near-dups cross the split
+    import os
+    assert os.path.isdir(tmp_path / "incremental_near_dup_pairs")
+    assert inc["stores_built"] is True
+    # second batch against the SAME prefix reuses (does not rebuild) the
+    # stores, which now include batch 1's appended signatures — the loop
+    summary2 = main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--incremental-filter", "doc_id % 5 = 1",
+        "--store-prefix", "t_corpus_store",
+    ])
+    inc2 = summary2["incremental"]
+    assert inc2["stores_built"] is False
+    assert inc2["n_batch"] == 100
