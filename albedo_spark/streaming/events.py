@@ -291,3 +291,84 @@ def run_to_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def run_to_dedup_store(
+    stream_df: DataFrame,
+    table: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+):
+    """Streaming ingest dedup against the PERSISTED digest store
+    (operators/dedup_store.py): each micro-batch keeps only never-seen
+    texts — first occurrence within the batch (min id per digest) AND no
+    digest in the store — then advances the store. The streaming twin of
+    ``exact_dedup_incremental``: ``dedup_stream`` guards a watermark
+    horizon; this guards ALL of history.
+
+    Exactly-once novel-doc effects across restarts, without a table
+    format, by making both writes idempotent in opposite ways:
+
+    - novel rows land under ``out_path/ingest_batch=<id>`` with OVERWRITE
+      — a replayed batch rewrites the same directory with the same rows
+      (or, when its digests already reached the store, computes an empty
+      keep-set and SKIPS the write rather than truncating it);
+    - the digest append is an anti-join against the live store, so a
+      replay appends nothing.
+
+    Rows write before digests: a crash between the two replays into the
+    same-directory overwrite, never duplicate rows. NULL-text rows carry
+    no content and are not ingested (the ``exact_duplicates`` reporter
+    precedent, not the ``exact_dedup`` pass-through — an ingest sink's
+    output is novel CONTENT). Reading ``out_path`` back discovers
+    ``ingest_batch`` as a partition column.
+    """
+    from albedo_spark.operators.dedup import normalize_text
+    from albedo_spark.operators.dedup_store import build_digest_store
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(table):
+            build_digest_store(
+                batch_df.limit(0), table, text_col, id_col, num_buckets
+            )
+        store = spark.table(table).select(F.col("digest").alias("_digest"))
+        hashed = batch_df.where(F.col(text_col).isNotNull()).withColumn(
+            "_digest", F.md5(normalize_text(F.col(text_col)))
+        )
+        unseen = hashed.join(store, "_digest", "left_anti")
+        first = unseen.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+        keep = unseen.join(first, ["_digest", id_col]).persist()
+        try:
+            if keep.isEmpty():
+                return
+            keep.drop("_digest").write.mode("overwrite").parquet(
+                f"{out_path}/ingest_batch={batch_id}"
+            )
+            (
+                keep.select(
+                    F.col("_digest").alias("digest"),
+                    F.col(id_col).alias("keeper_id"),
+                )
+                .write.mode("append")
+                .bucketBy(num_buckets, "digest")
+                .sortBy("digest")
+                .format("parquet")
+                .saveAsTable(table)
+            )
+        finally:
+            keep.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

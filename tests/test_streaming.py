@@ -341,3 +341,49 @@ def test_compact_partitions_skewed(spark, tmp_path):
     assert res2["files_before"] == 1 and res2["files_after"] == 1
     # untouched partitions still intact
     assert spark.read.parquet(path).count() == 60150
+
+
+def test_run_to_dedup_store(spark, tmp_path):
+    """Streaming ingest dedup vs the persisted digest store: only
+    never-seen texts reach the sink; the store advances per batch;
+    replaying input after a checkpoint reset emits nothing new."""
+    from albedo_spark.streaming.events import run_to_dedup_store
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck1, ck2, ck3 = (str(tmp_path / c) for c in ("ck1", "ck2", "ck3"))
+    tbl = "t_stream_digstore"
+    try:
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "ALPHA beta"), (3, "gamma delta")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        run_to_dedup_store(stream(), tbl, out, ck1)
+        got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got1 == {1, 3}  # 2 is an in-batch dup of 1
+
+        # second file: one replayed text, one novel
+        spark.createDataFrame(
+            [(10, "alpha   BETA"), (11, "epsilon zeta")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_to_dedup_store(stream(), tbl, out, ck2)  # fresh ck replays all
+        rows = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows} == {1, 3, 11}
+
+        # full replay with another fresh checkpoint: store blocks everything
+        run_to_dedup_store(stream(), tbl, out, ck3)
+        rows2 = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows2} == {1, 3, 11}
+        # one row per distinct text overall
+        assert len(rows2) == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
