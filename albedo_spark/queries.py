@@ -1170,6 +1170,32 @@ def _ann_oracle_sql(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
     """
 
 
+def _memo_store(spark: SparkSession, sf_dir: str, src: str, tag: str, build) -> str:
+    """Reuse-if-unchanged memoizer for the persisted-store queries
+    (q90/q92/q93): the store identity — source file (size, mtime) plus a
+    builder tag (bump it when the build recipe changes) — is hashed INTO
+    THE TABLE NAME, and the build runs only when that exact table is
+    absent (the q56 stream-stage pattern applied to managed tables; the
+    store build is one-time BY DESIGN, so a rerun against unchanged data
+    must not pay it twice). Superseded same-tag tables from earlier
+    identities are dropped best-effort."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, f"{src}.parquet"))
+    ident = _hashlib.md5(
+        _json.dumps([sf_dir, src, tag, st.st_size, st.st_mtime_ns]).encode()
+    ).hexdigest()[:10]
+    table = f"{tag}_{ident}"
+    if not spark.catalog.tableExists(table):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(f"{tag}_") and t.name != table:
+                spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+        build(table)
+    return table
+
+
 def _ann_store_oracle_sql(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
     """q93's oracle: identical plane literals/probes as q33's, with the
     corpus restricted to the STORED side (vec_id % 10 != 0) and queries
@@ -3901,8 +3927,11 @@ def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     hist = d.where("doc_id % 5 != 0")
     batch = d.where("doc_id % 5 = 0")
-    table = "sigstore_q90_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
-    build_signature_store(hist, table, num_buckets=16)
+    tag = "sigstore_q90_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = _memo_store(
+        spark, sf_dir, "documents", tag,
+        lambda t: build_signature_store(hist, t, num_buckets=16),
+    )
     pairs = dedup_incremental(batch, table, max_bucket=200)
     verified = jaccard_verify(pairs, d, shingle_n=3, threshold=0.8)
     return verified.select(
@@ -4015,8 +4044,11 @@ def q92_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    table = "digstore_q92_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
-    build_digest_store(d, table, num_buckets=16)
+    tag = "digstore_q92_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = _memo_store(
+        spark, sf_dir, "documents", tag,
+        lambda t: build_digest_store(d, t, num_buckets=16),
+    )
     batch = (
         d.where("doc_id % 5 = 0")
         .select(
@@ -4052,10 +4084,13 @@ def q93_ann_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    table = "vecstore_q93_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
-    build_vector_store(
-        emb.where("vec_id % 10 != 0"), table, dim=64, num_planes=6,
-        seed=42, num_buckets=16,
+    tag = "vecstore_q93_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = _memo_store(
+        spark, sf_dir, "embeddings", tag,
+        lambda t: build_vector_store(
+            emb.where("vec_id % 10 != 0"), t, dim=64, num_planes=6,
+            seed=42, num_buckets=16,
+        ),
     )
     queries = emb.where("vec_id % 10 = 0").select(
         F.col("vec_id").alias("query_id"), "embedding"
