@@ -182,3 +182,33 @@ def deterministic_sample(df: DataFrame, key_col: str, mod: int, keep: int = 0) -
     external oracle must replay the same rows.
     """
     return df.where(F.pmod(F.xxhash64(F.col(key_col)), F.lit(mod)) == F.lit(keep))
+
+
+def group_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic sample of ``k`` rows per group — the
+    inspect-a-few-rows-per-stratum tool (debugging skewed keys, eyeballing
+    per-language corpus slices) that ``LIMIT`` can't express and
+    ``TABLESAMPLE`` can't stratify.
+
+    The draw is ``md5(salt || id)`` ranked within the group: uniform-ish,
+    engine-portable (any oracle replays the exact sample), and stable
+    across runs/partitionings — change ``salt`` to redraw. One window
+    shuffle on the group key; rank short-circuits at ``k`` per group
+    (WindowGroupLimit pushes the filter into the sort at execution).
+    Output = input columns + ``sample_rank`` (1-based). The weighted
+    no-replacement twin is ``weighted_sample_without_replacement``.
+    """
+    from pyspark.sql import Window
+
+    draw = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(draw.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

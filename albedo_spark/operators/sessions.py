@@ -265,3 +265,47 @@ def resample_ffill(
         F.col("_us").alias("grid_us"),
         F.col("_fv").alias(value_col),
     )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Union of overlapping-or-touching intervals per key (gaps-and-
+    islands): coverage windows from per-event spans — the step between
+    raw event durations and utilization/billing/on-call math.
+
+    Classic single-window form: sort each key's intervals by (start, end),
+    a new island begins where ``start`` exceeds the running max of all
+    earlier ends (strictly — touching intervals merge), the island id is
+    the running count of such breaks, and one groupBy collapses each
+    island to (min start, max end, n_intervals). One shuffle + one sort
+    per key, no self-join, no explode — the same shape at any interval
+    count per key. Tie orders can't change the result: equal (start, end)
+    rows merge into the same island either way, and the island id depends
+    only on the sorted prefix's max end.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (prev_max_end.isNull() | (F.col(start_col) > prev_max_end)).cast(
+        "int"
+    )
+    islanded = intervals.withColumn(
+        "_island",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islanded.groupBy(key_col, "_island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count("*").alias("n_intervals"),
+        )
+        .drop("_island")
+    )

@@ -4103,6 +4103,93 @@ def q93_ann_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q94_group_sample",
+    """
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
+                            o_orderkey ASC
+               ) AS sample_rank
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 4
+    """,
+)
+def q94_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling (operators/sampling.py
+    group_sample): 4 orders per priority stratum drawn by md5 rank — the
+    inspect-a-few-rows-per-stratum tool. One window shuffle; the rank
+    filter short-circuits per group at execution (WindowGroupLimit), so
+    the sort never materializes whole strata. The md5 draw is
+    engine-portable: the oracle replays the exact sample."""
+    from albedo_spark.operators.sampling import group_sample
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return group_sample(o, ["o_orderpriority"], 4, "o_orderkey").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+@query(
+    "q95_merge_intervals",
+    """
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(floor(abs(value) * 60000000) AS BIGINT) AS e
+        FROM events WHERE value IS NOT NULL
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) THEN 1 ELSE 0 END AS brk
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island
+        FROM marked
+    )
+    SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+           count(*) AS n_intervals
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def q95_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user (operators/sessions.py merge_intervals —
+    gaps-and-islands): per-event spans of |value| minutes collapse into
+    coverage windows, the step between raw durations and
+    utilization/billing math. One window sort per key, no self-join;
+    island = running count of starts beyond the running max end. Integer
+    microsecond arithmetic + IEEE multiply order shared with the oracle,
+    so both engines produce identical islands."""
+    from albedo_spark.operators.sessions import merge_intervals
+
+    e = _t(spark, sf_dir, "events").where("value IS NOT NULL")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.abs("value") * F.lit(60_000_000.0)).cast("long")
+        ).alias("end_us"),
+    )
+    return merge_intervals(iv)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4176,6 +4263,8 @@ _POST_WINDOW = [
     "q91_line_boilerplate",
     "q92_exact_dedup_incremental",
     "q93_ann_vector_store",
+    "q94_group_sample",
+    "q95_merge_intervals",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

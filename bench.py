@@ -81,6 +81,8 @@ HEADLINE2 = [
     "q91_line_boilerplate",
     "q92_exact_dedup_incremental",
     "q93_ann_vector_store",
+    "q94_group_sample",
+    "q95_merge_intervals",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -312,3 +312,45 @@ def test_resample_ffill_tied_instant_deterministic(spark):
             (1, base): 9.0,
             (1, base + 1200 * 1_000_000): 1.0,
         }, order
+
+
+def test_group_sample_deterministic(spark):
+    from albedo_spark.operators.sampling import group_sample
+
+    df = spark.range(200).select((F.col("id") % 5).alias("g"), "id")
+    a = {(r.g, r.id, r.sample_rank)
+         for r in group_sample(df, ["g"], 3, "id").collect()}
+    b = {(r.g, r.id, r.sample_rank)
+         for r in group_sample(df.repartition(13), ["g"], 3, "id").collect()}
+    assert a == b  # partition-invariant
+    per_g = {}
+    for g, _, _ in a:
+        per_g[g] = per_g.get(g, 0) + 1
+    assert per_g == {g: 3 for g in range(5)}
+    # small group yields the whole group
+    tiny = spark.createDataFrame([(1, 10), (1, 11)], "g int, id long")
+    assert group_sample(tiny, ["g"], 5, "id").count() == 2
+    # salt redraws
+    c = {(r.g, r.id) for r in group_sample(df, ["g"], 3, "id", salt="x").collect()}
+    assert c != {(g, i) for g, i, _ in a}
+
+
+def test_merge_intervals_semantics(spark):
+    from albedo_spark.operators.sessions import merge_intervals
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 10),
+            (1, 5, 12),    # overlaps
+            (1, 12, 20),   # touches (merges: strict > starts a new island)
+            (1, 25, 30),   # gap -> new island
+            (1, 26, 27),   # fully contained
+            (2, 0, 1),
+        ],
+        "user_id long, start_us long, end_us long",
+    )
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_intervals)
+        for r in merge_intervals(iv).collect()
+    )
+    assert got == [(1, 0, 20, 3), (1, 25, 30, 2), (2, 0, 1, 1)]
