@@ -152,3 +152,60 @@ def ann_store_knn(
         k,
         keep_rank=True,
     )
+
+
+def near_dup_vs_store(
+    queries: DataFrame,
+    table: str,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    num_planes: int = 8,
+    seed: int = 42,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """SemDeDup-style incremental embedding near-dup: every (query,
+    stored) pair with cosine >= ``threshold`` — the embedding-granularity
+    member of the incremental-store family (exact digests q92, MinHash
+    q90, and this). Identical probe mechanics to ``ann_store_knn`` minus
+    the top-k: candidate pairs are bounded by bucket collisions, so the
+    output is threshold-gated, never all-pairs."""
+    spark = queries.sparkSession
+    store = spark.table(table).select(
+        F.col("bucket"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_n").alias("_cn"),
+    )
+    q = _with_norm(queries, vec_col, "_qn").withColumn(
+        "_sig", hyperplane_signature(F.col(vec_col), dim, num_planes, seed)
+    )
+    probes = (
+        F.array(
+            F.col("_sig"),
+            *[F.col("_sig").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+        )
+        if multi_probe
+        else F.array(F.col("_sig"))
+    )
+    q = q.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        "_qn",
+        F.explode(probes).alias("bucket"),
+    )
+    return (
+        q.join(store, "bucket")
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_qn") > 0),
+                dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(query_id_col, "neighbor_id", "cosine")
+        .distinct()
+    )

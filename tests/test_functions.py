@@ -255,3 +255,23 @@ def test_sliding_active_hll_within_tolerance(spark):
     assert rows
     for r in rows:
         assert abs(r.a - r.n) <= max(3, 0.15 * r.n), (r.n, r.a)
+
+
+def test_percentile_sketch_within_tolerance(spark):
+    """The 100 TB swap for the exact-percentile queries (q42 price
+    percentiles, q81 IQR fences, q87 profile): approx_percentile (the
+    mergeable KLL-style sketch) must land within tolerance of the exact
+    percentile on real data, so the swap is a config change — the
+    q70/q89 HLL precedent applied to quantiles."""
+    from albedo_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    for q in (0.25, 0.5, 0.75, 0.95):
+        exact, approx = e.agg(
+            F.expr(f"percentile(value, {q})"),
+            F.expr(f"approx_percentile(value, {q}, 1000)"),
+        ).collect()[0]
+        spread = e.agg(
+            F.expr("percentile(value, 0.99) - percentile(value, 0.01)")
+        ).collect()[0][0]
+        assert abs(approx - exact) <= max(0.05 * abs(spread), 1e-9), (q, exact, approx)

@@ -196,3 +196,10 @@ def test_q75_bpe_vocab_collapse_before_pair_explode(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q94_window_group_limit(spark):
+    # the md5-ranked per-group sample must short-circuit at k inside the
+    # sort (Partial+Final WindowGroupLimit), never rank whole strata
+    plan = _plan(spark, "q94_group_sample")
+    assert plan.count("WindowGroupLimit") >= 2, plan

@@ -253,3 +253,34 @@ def test_ann_store_append_and_plan(spark):
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS vecstore_app")
+
+
+def test_near_dup_vs_store(spark):
+    """Planted near-identical vector in the batch must pair with its
+    stored twin; threshold gates unrelated vectors out."""
+    from albedo_spark.operators.vector_store import (
+        build_vector_store,
+        near_dup_vs_store,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.where("vec_id % 10 != 0")
+    build_vector_store(corpus, "vecstore_nd", dim=64, num_planes=6,
+                       num_buckets=8)
+    try:
+        # batch: copies of three stored vectors (ids offset) -> cosine 1.0
+        batch = corpus.where("vec_id IN (1, 11, 21)").select(
+            (F.col("vec_id") + 100000).alias("query_id"), "embedding"
+        )
+        got = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in near_dup_vs_store(
+                batch, "vecstore_nd", threshold=0.95, dim=64, num_planes=6
+            ).collect()
+        }
+        for src in (1, 11, 21):
+            assert got[(src + 100000, src)] > 0.999
+        # nothing unrelated sneaks past the threshold at 0.95 unless truly close
+        assert all(c >= 0.95 for c in got.values())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vecstore_nd")
