@@ -309,3 +309,38 @@ def merge_intervals(
         )
         .drop("_island")
     )
+
+
+def session_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Markov transition counts over consecutive events WITHIN a session:
+    ``(from_type, to_type, n_transitions)`` — the path-analysis /
+    next-event-model input (funnels ask "did they finish?", this asks
+    "where do they go next?"). Session boundaries share ``sessionize``'s
+    exact semantics, so transitions never leap a 30-minute gap.
+
+    One shuffle on the user (the sessionize window), one more ordered
+    window per (user, session) for the lag — Catalyst shares the sort —
+    then a plain map-side-combinable count. The lag orders by
+    ``(ts, id)``: tied timestamps resolve by the id, the q58 lesson, so
+    every engine replays identical pairs.
+    """
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    w = Window.partitionBy(user_col, "session_seq").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        s.withColumn("_from", F.lag(type_col).over(w))
+        .where(F.col("_from").isNotNull())
+        .groupBy(
+            F.col("_from").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )

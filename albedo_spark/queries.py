@@ -4190,6 +4190,93 @@ def q95_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_intervals(iv)
 
 
+@query(
+    "q96_copurchase_topk",
+    """
+    WITH pb AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    pop AS (SELECT i, count(*) AS n FROM pb GROUP BY i),
+    co AS (
+        SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_both
+        FROM pb a JOIN pb b ON a.b = b.b AND a.i != b.i
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT item_a, item_b, n_both,
+               CAST(floor(n_both / sqrt(pa.n * pb2.n) * 10000 + 0.5) AS BIGINT)
+                   AS cosine_x10k
+        FROM co
+        JOIN pop pa ON co.item_a = pa.i
+        JOIN pop pb2 ON co.item_b = pb2.i
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY item_a
+            ORDER BY cosine_x10k DESC, n_both DESC, item_b ASC
+        ) AS rank FROM scored
+    )
+    SELECT item_a, item_b, n_both, cosine_x10k, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q96_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence top-k (operators/cooccur.py — the
+    memory-based collaborative-filtering primitive behind 'users who took
+    X also took Y'; the reference reaches the same goal via ALS/content
+    models): parts co-purchased within an order, cosine-normalized over
+    basket incidence, top-5 per part. Inverted-index self-join — cost is
+    sum(basket_size^2), never items^2; the max_basket guard (exercised in
+    pytest) drops quadratic mega-baskets at crawl scale."""
+    from albedo_spark.operators.cooccur import cooccurrence_topk
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = cooccurrence_topk(li, "l_orderkey", "l_partkey", k=5)
+    return out.select(
+        "item_a", "item_b", "n_both", "cosine_x10k",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "q97_session_transitions",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS session_seq
+        FROM flagged
+    ),
+    trans AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id, session_seq ORDER BY ts, event_id
+               ) AS from_type,
+               event_type AS to_type
+        FROM sessions
+    )
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM trans WHERE from_type IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def q97_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session Markov transition counts (operators/sessions.py
+    session_transitions): where users go next, the path-analysis
+    companion to q83's funnel. Session boundaries replay q17's exact
+    semantics; the transition lag orders by (ts, event_id) so tied
+    timestamps are deterministic (the q58 pin). One user shuffle + one
+    shared sort + a map-side-combinable count."""
+    from albedo_spark.operators.sessions import session_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return session_transitions(e, gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4265,6 +4352,8 @@ _POST_WINDOW = [
     "q93_ann_vector_store",
     "q94_group_sample",
     "q95_merge_intervals",
+    "q96_copurchase_topk",
+    "q97_session_transitions",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

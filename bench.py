@@ -83,6 +83,8 @@ HEADLINE2 = [
     "q93_ann_vector_store",
     "q94_group_sample",
     "q95_merge_intervals",
+    "q96_copurchase_topk",
+    "q97_session_transitions",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -354,3 +354,51 @@ def test_merge_intervals_semantics(spark):
         for r in merge_intervals(iv).collect()
     )
     assert got == [(1, 0, 20, 3), (1, 25, 30, 2), (2, 0, 1, 1)]
+
+
+def test_session_transitions(spark):
+    import datetime as dt
+    from albedo_spark.operators.sessions import session_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        # user 1, session 1: a -> b -> a
+        (1, 1, m(0), "a"), (2, 1, m(1), "b"), (3, 1, m(2), "a"),
+        # 40-min gap -> session 2: c alone (no transition)
+        (4, 1, m(42), "c"),
+        # user 2: tied timestamps resolve by event_id: a(5) -> b(6)
+        (6, 2, m(0), "b"), (5, 2, m(0), "a"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in session_transitions(e).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_cooccurrence_topk(spark):
+    from albedo_spark.operators.cooccur import cooccurrence_topk
+
+    rows = [  # baskets: {x,y,z}, {x,y}, {x,q}, mega{m1..m4}
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "q"),
+        (4, "m1"), (4, "m2"), (4, "m3"), (4, "m4"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r.item_a, r.rank): (r.item_b, r.n_both, r.cosine_x10k)
+        for r in cooccurrence_topk(df, "b", "i", k=2).collect()
+    }
+    # x co-occurs with y twice (cos 2/sqrt(3*2)=0.8165) ahead of z/q
+    assert got[("x", 1)] == ("y", 2, 8165)
+    assert got[("x", 2)][0] in {"q", "z"}  # tied cosine, id asc -> q
+    assert got[("x", 2)] == ("q", 1, 5774)
+    # max_basket drops the mega-basket entirely
+    capped = cooccurrence_topk(df, "b", "i", k=2, max_basket=3)
+    items = {r.item_a for r in capped.collect()}
+    assert items == {"x", "y", "z", "q"}
