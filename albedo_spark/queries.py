@@ -4277,6 +4277,83 @@ def q97_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_transitions(e, gap_minutes=30)
 
 
+@query(
+    "q98_trailing_window",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(floor(sum(value) OVER w * 10000 + 0.5) AS BIGINT)
+               AS sum_value_x10k
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q98_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE window per user (the moving-average family —
+    'events and value in the last hour, as of each event'): a RangeFrame
+    over integer epoch-micros, the plan shape q40's cumulative ROWS frame
+    does not exercise. The frame bound is value-based, so tied timestamps
+    all see the same trailing set — no tie-break needed, unlike lag/
+    row_number. One user shuffle + one sort; the sum is integerized
+    (floor x10k) since a trailing double sum folds in engine-specific
+    order only within the frame the engines agree on."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.floor(F.sum("value").over(w) * F.lit(10_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("sum_value_x10k"),
+    )
+
+
+@query(
+    "q99_rank_family",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(floor(percent_rank() OVER w * 10000 + 0.5) AS BIGINT)
+               AS pct_rank_x10k,
+           CAST(floor(cume_dist() OVER w * 10000 + 0.5) AS BIGINT)
+               AS cume_x10k
+    FROM customer
+    WINDOW w AS (
+        PARTITION BY c_mktsegment
+        ORDER BY c_acctbal DESC, c_custkey ASC
+    )
+    """,
+)
+def q99_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family built-ins in one pass — ntile quartiles,
+    percent_rank, cume_dist per market segment by account balance (the
+    customer-scoring idiom). One window sort serves all three (Catalyst
+    collapses same-spec window functions into a single Window node);
+    deterministic via the (balance, custkey) total order; ratios
+    integerized for portable hashing."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    x10k = lambda col: F.floor(col * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        x10k(F.percent_rank().over(w)).alias("pct_rank_x10k"),
+        x10k(F.cume_dist().over(w)).alias("cume_x10k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4354,6 +4431,8 @@ _POST_WINDOW = [
     "q95_merge_intervals",
     "q96_copurchase_topk",
     "q97_session_transitions",
+    "q98_trailing_window",
+    "q99_rank_family",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

@@ -85,6 +85,8 @@ HEADLINE2 = [
     "q95_merge_intervals",
     "q96_copurchase_topk",
     "q97_session_transitions",
+    "q98_trailing_window",
+    "q99_rank_family",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
