@@ -4354,6 +4354,98 @@ def q99_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q100_hygiene_pipeline",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS t,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    rep AS (
+        SELECT doc_id, lang, t, norm,
+               CAST(floor((CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(t)) / len(t) END)
+                    * 10000.0 + 0.5) AS BIGINT) AS dup_word
+        FROM tok
+    ),
+    s1 AS (SELECT * FROM rep WHERE dup_word < 3000),
+    g AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END)
+                   AS grams
+        FROM s1
+    ),
+    probe AS (
+        SELECT DISTINCT unnest(
+            list_distinct(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END)
+        ) AS gram
+        FROM tok WHERE doc_id < 5
+    ),
+    hits AS (
+        SELECT dg.doc_id, count(*) AS n_hits
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
+        JOIN probe USING (gram)
+        GROUP BY dg.doc_id
+    ),
+    s2 AS (
+        SELECT s1.* FROM s1
+        JOIN g ON s1.doc_id = g.doc_id
+        LEFT JOIN hits h ON s1.doc_id = h.doc_id
+        WHERE CAST(floor((CASE WHEN len(g.grams) > 0
+                               THEN coalesce(h.n_hits, 0) / len(g.grams)
+                               ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT) < 5000
+    ),
+    s3 AS (
+        SELECT * FROM (
+            SELECT s2.*, min(doc_id) OVER (PARTITION BY md5(norm)) AS keeper
+            FROM s2
+        ) WHERE doc_id = keeper
+    )
+    SELECT lang, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+    FROM s3 GROUP BY lang
+    """,
+)
+def q100_hygiene_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training hygiene pipeline COMPOSED as one declarative plan
+    (every stage is an already-gated operator — this query pins that they
+    compose): repetition filter (q67's dup-word signal, threshold 3000)
+    → benchmark decontamination on the survivors (q69's trigram overlap
+    vs the doc_id < 5 probe set, quarantine >= 5000) → exact dedup (q18
+    keeper semantics) → per-language doc/token totals (q70's rollup
+    shape). Catalyst fuses the whole chain into one job — the filters and
+    the dedup keeper-join all stay JVM-side, and the corpus CLI runs this
+    exact sequence imperatively (tests/test_jobs)."""
+    from albedo_spark.operators.dedup import exact_dedup
+    from albedo_spark.operators.textstats import (
+        ngram_contamination,
+        repetition_signals,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rep = d.select("doc_id", "lang", "text", *repetition_signals(F.col("text")))
+    s1 = rep.where(F.col("dup_word_x10k") < 3000).select(
+        "doc_id", "lang", "text"
+    )
+    contam = ngram_contamination(
+        s1.select("doc_id", "text"), d.where("doc_id < 5"), n=3
+    )
+    clean_ids = contam.where(F.col("contaminated_x10k") < 5000).select("doc_id")
+    s2 = s1.join(clean_ids, "doc_id")
+    s3 = exact_dedup(s2)
+    return s3.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4433,6 +4525,7 @@ _POST_WINDOW = [
     "q97_session_transitions",
     "q98_trailing_window",
     "q99_rank_family",
+    "q100_hygiene_pipeline",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

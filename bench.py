@@ -87,6 +87,7 @@ HEADLINE2 = [
     "q97_session_transitions",
     "q98_trailing_window",
     "q99_rank_family",
+    "q100_hygiene_pipeline",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
