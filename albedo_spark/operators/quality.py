@@ -237,3 +237,65 @@ def profile_columns(
         )
     )
     return stacked
+
+
+def rolling_zscore(
+    events: DataFrame,
+    window_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Trailing-window z-score per key — the streaming-ish anomaly signal
+    ("is this reading unusual vs this key's last hour?") computed in
+    batch: for each event, mean/std over the key's values in the trailing
+    ``window_seconds`` RANGE frame (inclusive of the current row), and
+    the integerized z-score.
+
+    Exactness discipline: the window moments are INTEGER sums of
+    ``floor(value·10⁴ + 0.5)`` — a trailing double sum folds in
+    engine-specific order (Spark incremental vs DuckDB segment-tree) and
+    would split hashes, while integer sums are order-independent; both
+    engines then derive mean/σ/z in double from bit-identical operands
+    (the q87 integer-cents lesson applied to window frames). σ = 0 (or a
+    single-row frame) yields z = 0 by definition. One shuffle + one sort
+    per key; the frame bound is value-based so tied timestamps share the
+    identical frame.
+    """
+    from pyspark.sql import Window
+
+    v = F.floor(F.col(value_col) * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    base = events.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        v.alias("_v"),
+    ).select(
+        id_col,
+        key_col,
+        ts_col,
+        value_col,
+        "_v",
+        F.count("*").over(w).alias("_n"),
+        F.sum("_v").over(w).alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).over(w).alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = F.col("_s2") / F.col("_n") - mean * mean
+    z = F.when(
+        (F.col("_n") > 1) & (var > 0),
+        (F.col("_v") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        id_col,
+        key_col,
+        F.col("_n").cast("long").alias("n_window"),
+        F.floor(z * F.lit(100.0) + F.lit(0.5)).cast("long").alias("z_x100"),
+    )

@@ -4446,6 +4446,52 @@ def q100_hygiene_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q101_rolling_zscore",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_id, user_id, v,
+               count(*) OVER w AS n,
+               sum(v) OVER w AS s1,
+               sum(v * v) OVER w AS s2
+        FROM base
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS n_window,
+           CAST(floor(
+               (CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE) / n
+                                     - (CAST(s1 AS DOUBLE) / n)
+                                       * (CAST(s1 AS DOUBLE) / n)) > 0
+                     THEN (v - CAST(s1 AS DOUBLE) / n)
+                          / sqrt(CAST(s2 AS DOUBLE) / n
+                                 - (CAST(s1 AS DOUBLE) / n)
+                                   * (CAST(s1 AS DOUBLE) / n))
+                     ELSE 0.0 END) * 100 + 0.5) AS BIGINT) AS z_x100
+    FROM m
+    """,
+)
+def q101_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly z-score (operators/quality.py
+    rolling_zscore): each event scored against its user's last hour.
+    The window moments are INTEGER sums of floor(value*10^4 + 0.5) —
+    order-independent, unlike a trailing double fold that differs between
+    Spark's incremental and DuckDB's segment-tree evaluation — and both
+    engines derive mean/sigma/z in double from bit-identical operands
+    (the q87 integer-cents discipline applied to RANGE frames)."""
+    from albedo_spark.operators.quality import rolling_zscore
+
+    e = _t(spark, sf_dir, "events")
+    return rolling_zscore(e, window_seconds=3600)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4526,6 +4572,7 @@ _POST_WINDOW = [
     "q98_trailing_window",
     "q99_rank_family",
     "q100_hygiene_pipeline",
+    "q101_rolling_zscore",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

@@ -88,6 +88,7 @@ HEADLINE2 = [
     "q98_trailing_window",
     "q99_rank_family",
     "q100_hygiene_pipeline",
+    "q101_rolling_zscore",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

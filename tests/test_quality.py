@@ -115,3 +115,25 @@ def test_profile_columns_one_pass(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_zscore_flags_spike(spark):
+    import datetime as dt
+
+    from albedo_spark.operators.quality import rolling_zscore
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [(i, 1, m(i), 10.0) for i in range(10)]          # flat baseline
+    rows.append((10, 1, m(10), 100.0))                      # spike
+    rows.append((20, 2, m(0), 5.0))                         # single event
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {r.event_id: (r.n_window, r.z_x100)
+           for r in rolling_zscore(e, window_seconds=3600).collect()}
+    assert got[0] == (1, 0)          # first event: frame of one -> z = 0
+    assert got[5] == (6, 0)          # flat history -> sigma 0 -> z = 0
+    assert got[10][0] == 11
+    assert got[10][1] > 300          # spike >> 3 sigma
+    assert got[20] == (1, 0)
