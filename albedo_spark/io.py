@@ -474,3 +474,59 @@ def compact_partitions(
         "bytes": total_bytes,
         "target_files": total_out,
     }
+
+
+def align_to_schema(
+    df: DataFrame,
+    target,
+    on_extra: str = "drop",
+    on_missing: str = "null",
+    on_type: str = "cast",
+) -> tuple[DataFrame, dict]:
+    """Schema-drift guard for evolving upstream feeds: align ``df`` to a
+    target schema (``StructType``) and report what drifted — the
+    ingestion step between "the crawler changed its output again" and a
+    stable warehouse table.
+
+    Policies (each ``"error"`` to fail fast instead):
+    - extra columns: ``drop`` (projection — pruned at the scan, free)
+    - missing columns: ``null`` (typed NULL literal)
+    - type mismatches: ``cast`` (Spark cast semantics; ANSI mode makes a
+      corrupting cast raise at execution rather than silently null)
+
+    Pure projection — no shuffle, no data pass beyond what the consumer
+    already does. Returns ``(aligned_df, report)`` with the report
+    listing extra/missing/retyped columns, so callers can alert on drift
+    instead of discovering it in a downstream join. Column match is
+    case-insensitive (Spark's resolution default); output uses the
+    TARGET's names and order.
+    """
+    from pyspark.sql import functions as F
+
+    have = {f.name.lower(): f for f in df.schema.fields}
+    want = list(target.fields)
+    extra = [f.name for f in df.schema.fields
+             if f.name.lower() not in {w.name.lower() for w in want}]
+    missing = [w.name for w in want if w.name.lower() not in have]
+    retyped = [
+        w.name
+        for w in want
+        if w.name.lower() in have and have[w.name.lower()].dataType != w.dataType
+    ]
+    if extra and on_extra == "error":
+        raise ValueError(f"unexpected columns: {extra}")
+    if missing and on_missing == "error":
+        raise ValueError(f"missing columns: {missing}")
+    if retyped and on_type == "error":
+        raise ValueError(f"type drift: {retyped}")
+    cols = []
+    for w in want:
+        if w.name.lower() in have:
+            src = F.col(have[w.name.lower()].name)
+            if have[w.name.lower()].dataType != w.dataType:
+                src = src.cast(w.dataType)
+            cols.append(src.alias(w.name))
+        else:
+            cols.append(F.lit(None).cast(w.dataType).alias(w.name))
+    report = {"extra": extra, "missing": missing, "retyped": retyped}
+    return df.select(*cols), report

@@ -127,3 +127,34 @@ def test_contract_raises_on_unconvertible(spark, tmp_path):
     pq.write_table(table, str(d / "events.parquet"))
     with pytest.raises(TypeError, match="schema contract"):
         load_table(spark, str(d), "events")
+
+
+def test_align_to_schema(spark):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from albedo_spark.io import align_to_schema
+
+    target = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ])
+    drifted = spark.createDataFrame(
+        [(1, "a", "web")], "ID int, name string, source string"
+    )  # case drift + int->long + missing score + extra source
+    aligned, report = align_to_schema(drifted, target)
+    assert report == {"extra": ["source"], "missing": ["score"],
+                      "retyped": ["id"]}  # reported under TARGET names
+    assert aligned.schema == target
+    row = aligned.collect()[0]
+    assert (row.id, row.name, row.score) == (1, "a", None)
+
+    import pytest
+    with pytest.raises(ValueError, match="unexpected"):
+        align_to_schema(drifted, target, on_extra="error")
+    with pytest.raises(ValueError, match="missing"):
+        align_to_schema(drifted, target, on_missing="error")
+    with pytest.raises(ValueError, match="type drift"):
+        align_to_schema(drifted, target, on_type="error")
