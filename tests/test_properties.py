@@ -204,3 +204,52 @@ def test_snapshot_diff_identity_and_symmetry_property(spark, rows):
     rev = {(r.id, r.change_type) for r in snapshot_diff(y, x, ["id"]).collect()}
     swap = {"added": "removed", "removed": "added", "changed": "changed"}
     assert rev == {(i, swap[c]) for i, c in fwd}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),                 # key
+            st.integers(0, 50),                # start
+            st.integers(0, 20),                # length
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_merge_intervals_equals_naive(spark, rows):
+    """Random interval sets: the windowed gaps-and-islands result must
+    equal a naive per-key union, outputs must be disjoint per key, and
+    n_intervals must conserve the input count."""
+    from albedo_spark.operators.sessions import merge_intervals
+
+    iv = [(k, s, s + ln) for k, s, ln in rows]
+    df = spark.createDataFrame(iv, "user_id long, start_us long, end_us long")
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_intervals)
+        for r in merge_intervals(df).collect()
+    )
+
+    # naive union per key (touching intervals merge)
+    expected = []
+    for k in {k for k, _, _ in iv}:
+        mine = sorted((s, e) for kk, s, e in iv if kk == k)
+        merged = []
+        for s, e in mine:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e), merged[-1][2] + 1)
+            else:
+                merged.append((s, e, 1))
+            merged[-1] = (merged[-1][0], merged[-1][1], merged[-1][2])
+        expected.extend((k, s, e, n) for s, e, n in merged)
+    assert got == sorted(expected)
+    # disjoint + count conservation
+    assert sum(n for _, _, _, n in got) == len(iv)
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, s, e, _ in got:
+        by_key.setdefault(k, []).append((s, e))
+    for spans in by_key.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1  # strictly disjoint (touching would have merged)
