@@ -321,6 +321,18 @@ def write_partitioned_overwrite(
         spark.conf.set(key, old)
 
 
+def drop_orphan_table_location(spark: SparkSession, table: str) -> None:
+    """Remove a managed table's warehouse directory when the catalog has
+    forgotten it (in-memory catalog + dead process): the dir would block
+    any future ``saveAsTable``/``RENAME TO`` with LOCATION_ALREADY_EXISTS.
+    Hadoop FS API, never os.path — works on any hadoop-compatible FS."""
+    jvm = spark.sparkContext._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, num_buckets: int = 256,
 ) -> None:
@@ -339,11 +351,7 @@ def write_bucketed(
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    jvm = spark.sparkContext._jvm
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
-    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(p, True)
+    drop_orphan_table_location(spark, table)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)

@@ -1178,7 +1178,16 @@ def _memo_store(spark: SparkSession, sf_dir: str, src: str, tag: str, build) -> 
     absent (the q56 stream-stage pattern applied to managed tables; the
     store build is one-time BY DESIGN, so a rerun against unchanged data
     must not pay it twice). Superseded same-tag tables from earlier
-    identities are dropped best-effort."""
+    identities are dropped best-effort.
+
+    Race-safe like the stream stage: concurrent builders each build into
+    a PRIVATE pid-suffixed table and publish via catalog RENAME — the
+    loser of the rename drops its private copy and adopts the winner's
+    table, so no reader ever sees a half-built store. (With a real
+    metastore the RENAME race is fully atomic; under local in-memory
+    catalogs each process has its own catalog, so cross-process reuse
+    doesn't arise — each rebuilds privately and only the shared
+    warehouse directory needs the orphan cleanup.)"""
     import hashlib as _hashlib
     import json as _json
     import os as _os
@@ -1189,10 +1198,18 @@ def _memo_store(spark: SparkSession, sf_dir: str, src: str, tag: str, build) -> 
     ).hexdigest()[:10]
     table = f"{tag}_{ident}"
     if not spark.catalog.tableExists(table):
+        from albedo_spark.io import drop_orphan_table_location
+
         for t in spark.catalog.listTables():
             if t.name.startswith(f"{tag}_") and t.name != table:
                 spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
-        build(table)
+        tmp = f"{table}__b{_os.getpid()}"
+        build(tmp)
+        drop_orphan_table_location(spark, table)
+        try:
+            spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}`")
+        except Exception:  # lost the publish race — adopt the winner's table
+            spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
     return table
 
 
