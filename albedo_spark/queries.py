@@ -4509,6 +4509,76 @@ def q101_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(e, window_seconds=3600)
 
 
+def _near_dup_store_oracle_sql(dim: int = 64, num_planes: int = 6, seed: int = 42,
+                               threshold: float = 0.3) -> str:
+    from albedo_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, num_planes, seed)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << i}::BIGINT)" for i in range(num_planes)]
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT vec_id, embedding, ({sig_terms})::BIGINT AS sig
+        FROM embeddings
+    ),
+    stored AS (SELECT * FROM hashed WHERE vec_id % 10 != 0),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS qv, sig
+        FROM hashed WHERE vec_id % 10 = 0
+    ),
+    probes AS (
+        SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM queries
+    )
+    SELECT DISTINCT p.query_id, h.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                        CAST(h.embedding AS DOUBLE[])), 4)
+               AS cosine
+    FROM probes p JOIN stored h ON p.bucket = h.sig
+    WHERE list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                 CAST(h.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+@query("q102_near_dup_vs_store", _near_dup_store_oracle_sql(64, 6, 42, 0.3))
+def q102_near_dup_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding near-dup of a batch against the SAME
+    persisted vector index q93 probes (the memoizer returns the shared
+    table — zero extra build): every (batch, stored) pair with cosine >=
+    0.3 (the 'near' tail of these near-orthogonal synthetic embeddings;
+    real dedup runs 0.9+). Threshold-gated, never all-pairs — candidates
+    are bounded by bucket collisions; the oracle embeds the identical
+    plane literals."""
+    from albedo_spark.operators.vector_store import (
+        build_vector_store,
+        near_dup_vs_store,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = "vecstore_q93_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = _memo_store(
+        spark, sf_dir, "embeddings", tag,
+        lambda t: build_vector_store(
+            emb.where("vec_id % 10 != 0"), t, dim=64, num_planes=6,
+            seed=42, num_buckets=16,
+        ),
+    )
+    queries = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = near_dup_vs_store(
+        queries, table, threshold=0.3, dim=64, num_planes=6, seed=42
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4590,6 +4660,7 @@ _POST_WINDOW = [
     "q99_rank_family",
     "q100_hygiene_pipeline",
     "q101_rolling_zscore",
+    "q102_near_dup_vs_store",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

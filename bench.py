@@ -89,6 +89,7 @@ HEADLINE2 = [
     "q99_rank_family",
     "q100_hygiene_pipeline",
     "q101_rolling_zscore",
+    "q102_near_dup_vs_store",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
