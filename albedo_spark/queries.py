@@ -4608,9 +4608,14 @@ def q102_near_dup_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q47 (edit-distance pairs: dedup family keeps q18/q20/q21/q32/q63)
 #   q50 (full-outer reconcile: q82 snapshot-diff IS the full-outer shape,
 #        plus the merge family's first oracle-gated entry)
+#   q60 (multimodal embed: q59 decode keeps the mapInPandas/binary-column
+#        path in-window; round 6 promotes the NEW incremental-store
+#        family's representative q90 in its place — the same new-family
+#        promotion rule that brought q79/q82 in during round 5)
 # Demoted entries still run in pytest, tools/check_correctness.py (which
 # has no cap), and bench.py.
 _DEMOTED = [
+    "q60_multimodal_embed",
     "q9_union_distinct_keys",
     "q12_date_arithmetic",
     "q24_label_centroid_sim",
@@ -4648,7 +4653,6 @@ _DEMOTED = [
 # demoted above to make room (dedup keeps 5 reps; q82 IS the full-outer
 # shape q50 exercised).
 _POST_WINDOW = [
-    "q90_incremental_dedup",
     "q91_line_boilerplate",
     "q92_exact_dedup_incremental",
     "q93_ann_vector_store",
