@@ -4579,6 +4579,29 @@ def q102_near_dup_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q103_bpe_learn")  # rows-only: iterative trainer (q35 precedent) —
+# the exact merges are pinned instead by tests/test_packing.py's
+# hand-computable Sennrich example and greedy-overlap case
+def q103_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE training (operators/bpe.py learn_bpe): five
+    merge rounds over the documents corpus, returning the learned merge
+    table (rank, left, right, n) — the tokenizer-training artifact. The
+    corpus collapses to |vocab| once; each round is one pair-count
+    aggregate + one argmax row to the driver + a greedy HOF re-segment,
+    localCheckpoint-truncated. Deterministic (lexicographic tiebreak) but
+    not SQL-expressible (a data-dependent number of re-segmentation
+    rounds), so the driver records rows-only; pytest pins exact merges on
+    hand-checkable corpora."""
+    from albedo_spark.operators.bpe import learn_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(d, n_merges=5)
+    return spark.createDataFrame(
+        [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left string, right string, n long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4665,6 +4688,7 @@ _POST_WINDOW = [
     "q100_hygiene_pipeline",
     "q101_rolling_zscore",
     "q102_near_dup_vs_store",
+    "q103_bpe_learn",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

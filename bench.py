@@ -90,6 +90,7 @@ HEADLINE2 = [
     "q100_hygiene_pipeline",
     "q101_rolling_zscore",
     "q102_near_dup_vs_store",
+    "q103_bpe_learn",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -257,3 +257,30 @@ def test_global_cumsum_negative_values(spark):
     for i, v in rows:
         assert got[i] == run, f"id {i}: {got[i]} != {run}"
         run += v
+
+
+def test_learn_bpe_sennrich_example(spark):
+    """The classic BPE walkthrough corpus: merges and counts are
+    hand-checkable, including the count-9 tie resolved lexicographically
+    and greedy non-overlapping replacement."""
+    from albedo_spark.operators.bpe import learn_bpe
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = learn_bpe(docs, n_merges=3)
+    # e-s and s-t both count 9 -> ('e','s') wins the lex tiebreak; after
+    # es, (es,t) is 9; then l-o / o-w tie at 7 -> ('l','o')
+    assert merges == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7)]
+
+
+def test_learn_bpe_greedy_nonoverlap(spark):
+    from albedo_spark.operators.bpe import learn_bpe
+
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    # 'aaa': pairs (a,a) x2 per word occurrence -> weight 2*2=4; merge
+    # gives [aa, a] (greedy, non-overlapping), so round 2's best is
+    # (aa, a) with weight 2
+    merges = learn_bpe(docs, n_merges=2)
+    assert merges == [("a", "a", 4), ("aa", "a", 2)]
