@@ -261,7 +261,10 @@ def rolling_zscore(
     (the q87 integer-cents lesson applied to window frames). σ = 0 (or a
     single-row frame) yields z = 0 by definition. One shuffle + one sort
     per key; the frame bound is value-based so tied timestamps share the
-    identical frame.
+    identical frame. The integer squares bound the usable value range to
+    |value| < ~3e5 per 9.2e18/long (beyond that ANSI mode raises rather
+    than silently wrapping — rescale the fixed-point factor for such
+    series).
     """
     from pyspark.sql import Window
 

@@ -285,7 +285,10 @@ def merge_intervals(
     per key, no self-join, no explode — the same shape at any interval
     count per key. Tie orders can't change the result: equal (start, end)
     rows merge into the same island either way, and the island id depends
-    only on the sorted prefix's max end.
+    only on the sorted prefix's max end. Precondition: ``start <= end``
+    per row (degenerate point intervals are fine; a negative-length
+    interval would corrupt the running max — normalize with
+    least/greatest first if the source can produce them).
     """
     w = Window.partitionBy(key_col).orderBy(
         F.col(start_col).asc(), F.col(end_col).asc()
