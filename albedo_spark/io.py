@@ -538,3 +538,64 @@ def align_to_schema(
             cols.append(F.lit(None).cast(w.dataType).alias(w.name))
     report = {"extra": extra, "missing": missing, "retyped": retyped}
     return df.select(*cols), report
+
+
+def compact_table(
+    spark: SparkSession, table: str, bucket_col: str, num_buckets: int
+) -> dict:
+    """Compact a bucketed managed table in place — the maintenance step
+    for the persisted stores (``dedup_store``/``vector_store``): every
+    ``append_*`` adds ``num_buckets`` new files, so a store ingesting N
+    batches accumulates N×buckets small files and scan planning degrades
+    exactly like the streaming sinks ``compact_partitions`` serves.
+
+    Full rewrite through ``write_bucketed`` into a PRIVATE pid-suffixed
+    table (reading the old table while writing the new one is safe — they
+    are distinct locations), then publish by catalog swap (DROP + RENAME).
+    The swap is two catalog ops, not one transaction: a crash in between
+    loses the NAME but not the DATA (the compacted private table
+    survives for manual adoption) — the inherent limit without a table
+    format; at 100 TB with Iceberg/Delta this is their compaction call.
+    Returns {files_before, files_after, rows}.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    before = (
+        spark.table(table)
+        .select(F.col("_metadata.file_path"))
+        .distinct()
+        .count()
+    )
+    rows = spark.table(table).count()
+    tmp = f"{table}__c{_os.getpid()}"
+    # SHUFFLE-FREE compaction: force the bucket-aware scan (the planner's
+    # auto-bucketed-scan pass would otherwise fall back to plain splits
+    # here, because nothing downstream "needs" the distribution — and it
+    # also elides an explicit repartition(B, bucket_col) as redundant
+    # against the table's metadata, silently re-fragmenting the output).
+    # With the bucketed scan forced, the source is exactly one partition
+    # per bucket, the write's required clustering is already satisfied,
+    # and each task folds its bucket's N small files into ONE — a pure
+    # read-merge-write per bucket, no Exchange anywhere.
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        write_bucketed(spark.table(table), tmp, bucket_col, num_buckets)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    spark.sql(f"DROP TABLE `{table}`")
+    spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}`")
+    spark.catalog.refreshTable(table)  # invalidate cached file listing
+    after = (
+        spark.table(table)
+        .select(F.col("_metadata.file_path"))
+        .distinct()
+        .count()
+    )
+    return {"files_before": before, "files_after": after, "rows": rows}

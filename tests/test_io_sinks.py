@@ -65,3 +65,60 @@ def test_jsonl_ingest_with_corrupt_accounting(spark, tmp_path):
     assert len(raws) == 2
     assert any("not json" in r for r in raws)
     assert any("not_a_number" in r for r in raws)
+
+
+def test_compact_table_store_lifecycle(spark):
+    """build -> append x3 -> compact: files collapse back to ~one per
+    bucket, data survives exactly, and the bucketed-join layout property
+    still holds post-compaction."""
+    from albedo_spark.io import compact_table
+    from albedo_spark.operators.dedup_store import (
+        append_digests,
+        build_digest_store,
+        exact_dedup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    tbl = "t_compact_store"
+    try:
+        base = spark.createDataFrame(
+            [(i, f"text number {i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        build_digest_store(base, tbl, num_buckets=4)
+        for k in range(3):
+            batch = spark.createDataFrame(
+                [(100 + 20 * k + i, f"novel {k} {i}") for i in range(10)],
+                "doc_id long, text string",
+            )
+            res = exact_dedup_incremental(batch, tbl)
+            append_digests(res, tbl, num_buckets=4)
+        before_rows = {
+            (r.digest, r.keeper_id) for r in spark.table(tbl).collect()
+        }
+        stats = compact_table(spark, tbl, "digest", num_buckets=4)
+        assert stats["files_before"] > 4  # appends fragmented the store
+        assert stats["files_after"] <= 4
+        assert stats["rows"] == len(before_rows) == 50
+        after_rows = {
+            (r.digest, r.keeper_id) for r in spark.table(tbl).collect()
+        }
+        assert after_rows == before_rows
+        # layout property survives: with broadcast off (a tiny probe
+        # would otherwise broadcast and skip bucketing trivially), the
+        # join still reads the bucket layout
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.createDataFrame(
+                [("x",)], "digest string"
+            ).join(spark.table(tbl), "digest")
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan, plan
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
