@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> dict:
                         "second), then its signatures join the stores")
     p.add_argument("--store-prefix", default="corpus_store",
                    help="table-name prefix for the persisted stores")
+    p.add_argument("--compact-stores", action="store_true",
+                   help="after appending, compact the stores back to one "
+                        "file per bucket (run periodically — every append "
+                        "adds num_buckets files)")
     args = p.parse_args(argv)
 
     from albedo_spark.functions.text import pii_counts, redact_pii
@@ -198,6 +202,13 @@ def main(argv: list[str] | None = None) -> dict:
         }
         append_digests(resolved, dig_tbl)
         append_signatures(novel, sig_tbl)
+        if args.compact_stores:
+            from albedo_spark.io import compact_table
+
+            summary["incremental"]["compaction"] = {
+                "digests": compact_table(spark, dig_tbl, "digest", 16),
+                "minhash": compact_table(spark, sig_tbl, "bkey", 16),
+            }
         if args.out:
             near_pairs.write.mode("overwrite").parquet(
                 os.path.join(args.out, "incremental_near_dup_pairs")

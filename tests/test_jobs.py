@@ -121,3 +121,16 @@ def test_corpus_job_incremental_store_loop(tmp_path):
     inc2 = summary2["incremental"]
     assert inc2["stores_built"] is False
     assert inc2["n_batch"] == 100
+
+    # third batch with compaction: stores collapse back to ~1 file/bucket
+    summary3 = main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--incremental-filter", "doc_id % 5 = 2",
+        "--store-prefix", "t_corpus_store",
+        "--compact-stores",
+    ])
+    comp = summary3["incremental"]["compaction"]
+    for store in ("digests", "minhash"):
+        assert comp[store]["files_after"] <= 16
+        assert comp[store]["files_after"] <= comp[store]["files_before"]
+        assert comp[store]["rows"] > 0
