@@ -190,8 +190,7 @@ def test_driver_record_window_contains_flagships():
         "q56_stream_tumbling_gate",
         "q57_stream_session_gate",
         "q58_stream_ewma_stateful",
-        "q59_multimodal_decode",
-        "q60_multimodal_embed",
+        "q59_multimodal_decode",  # q60 demoted r6: q59 keeps mapInPandas
         "q63_dedup_components",
         "q64_doc_keywords",
         "q65_stream_interval_join",
@@ -208,6 +207,8 @@ def test_driver_record_window_contains_flagships():
         # round-5 new families
         "q79_quality_checks",
         "q82_snapshot_diff",
+        # round-6 new family: the persisted incremental-store loop
+        "q90_incremental_dedup",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
