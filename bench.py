@@ -303,6 +303,19 @@ def main() -> None:
         if cpu_single
         else None
     )
+    # Second normalization axis (added r6): the same-host cpu_single can
+    # stay flat while the PARALLEL JVM probe swings (observed 0.088-0.115
+    # within one r6 session — shared-host contention hits multi-core
+    # throughput first). Normalizing by spark_parallel (r4 anchor 0.111)
+    # brackets the host effect from the other side; read the pair
+    # together — the truth lies between when they disagree.
+    REF_SPARK_PARALLEL = 0.111
+    spark_parallel = calibration.get("spark_parallel")
+    headline_normalized_parallel = (
+        round(total * REF_SPARK_PARALLEL / spark_parallel, 3)
+        if spark_parallel
+        else None
+    )
     print(
         json.dumps(
             {
@@ -322,9 +335,14 @@ def main() -> None:
                 ),
                 "calibration": calibration,
                 "headline_normalized": headline_normalized,
+                "headline_normalized_parallel": headline_normalized_parallel,
                 "tier2_normalized": tier2_normalized,
                 "tier2_normalized_set_size": len(TIER2_R5_SET),
-                "normalization_anchor": {"ref_cpu_single": REF_CPU_SINGLE, "round": 4},
+                "normalization_anchor": {
+                    "ref_cpu_single": REF_CPU_SINGLE,
+                    "ref_spark_parallel": REF_SPARK_PARALLEL,
+                    "round": 4,
+                },
                 "errors": errors,
             }
         )
