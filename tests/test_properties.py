@@ -253,3 +253,68 @@ def test_merge_intervals_equals_naive(spark, rows):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1  # strictly disjoint (touching would have merged)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3600),
+                  st.integers(-500, 500)),
+        min_size=2, max_size=30, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_rolling_zscore_matches_naive(spark, rows):
+    """Random (key, second-offset, value) series: the windowed
+    integer-moment z-score must match a pure-Python replay of the same
+    fixed-point arithmetic."""
+    import datetime as dt
+    import math
+
+    from albedo_spark.operators.quality import rolling_zscore
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, k, t0 + dt.timedelta(seconds=s), v / 10.0)
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    e = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {r.event_id: (r.n_window, r.z_x100)
+           for r in rolling_zscore(e, window_seconds=600).collect()}
+
+    for i, (k, s, v) in enumerate(rows):
+        frame = [
+            math.floor((v2 / 10.0) * 10_000 + 0.5)
+            for (k2, s2, v2) in rows
+            if k2 == k and s - 600 <= s2 <= s
+        ]
+        n = len(frame)
+        s1, s2_ = sum(frame), sum(x * x for x in frame)
+        mean = s1 / n
+        var = s2_ / n - mean * mean
+        vv = math.floor((v / 10.0) * 10_000 + 0.5)
+        z = (vv - mean) / math.sqrt(var) if (n > 1 and var > 0) else 0.0
+        assert got[i] == (n, math.floor(z * 100 + 0.5)), (i, rows)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 6)),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_cooccurrence_symmetry_and_bounds(spark, rows):
+    """Both directions of every pair appear with identical n_both/cosine,
+    and cosine never exceeds 1 (10000 integerized)."""
+    from albedo_spark.operators.cooccur import cooccurrence_topk
+
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {
+        (r.item_a, r.item_b): (r.n_both, r.cosine_x10k)
+        for r in cooccurrence_topk(df, "b", "i", k=100).collect()
+    }
+    for (a, b), (n, c) in got.items():
+        assert got[(b, a)] == (n, c)
+        assert 0 < c <= 10_000
