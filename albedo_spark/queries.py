@@ -2309,6 +2309,32 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ).hexdigest()[:12]
     root = f"/root/repo/.stream_stage/{tag}"
     stage = _os.path.join(root, f"events-{ident_hash}")
+
+    # Best-effort GC of stages built from superseded identities — run on
+    # EVERY call (the memoized fast path is the common one, and crashed
+    # builders' debris must not wait for the next rebuild to be reaped).
+    # Concurrency contract (ADVICE r4/r5): each process cleans its own
+    # tmp after a failed publish; a FOREIGN '*.tmp-*' dir is reaped only
+    # after a much longer grace (a live builder writes continuously, so
+    # an hours-old tmp can only be a crashed builder whose rename never
+    # ran — without this they accumulate forever). Superseded published
+    # stages get the short grace, so a concurrent reader still streaming
+    # from a just-superseded stage isn't yanked mid-drain.
+    now = _time.time()
+    grace_sec = 600
+    tmp_grace_sec = 6 * 3600
+    if _os.path.isdir(root):
+        for d in _os.listdir(root):
+            p = _os.path.join(root, d)
+            if not d.startswith("events") or p == stage:
+                continue
+            grace = tmp_grace_sec if ".tmp-" in d else grace_sec
+            try:
+                if now - _os.stat(p).st_mtime > grace:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
     if _os.path.exists(_os.path.join(stage, "_SUCCESS")):
         return stage, tag
     tmp = f"{stage}.tmp-{_os.getpid()}"
@@ -2323,27 +2349,6 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         _os.rename(tmp, stage)  # atomic publish; loses only to an equal stage
     except OSError:
         _shutil.rmtree(tmp, ignore_errors=True)
-    # Best-effort GC of stages built from superseded identities.
-    # Concurrency contract (ADVICE r4/r5): each process cleans its own
-    # tmp above; a FOREIGN '*.tmp-*' dir is reaped only after a much
-    # longer grace (a live builder writes continuously, so an hours-old
-    # tmp can only be the debris of a crashed builder whose rename never
-    # ran — without this they accumulate forever). Superseded published
-    # stages get the short grace, so a concurrent reader still streaming
-    # from a just-superseded stage isn't yanked mid-drain.
-    now = _time.time()
-    grace_sec = 600
-    tmp_grace_sec = 6 * 3600
-    for d in _os.listdir(root):
-        p = _os.path.join(root, d)
-        if not d.startswith("events") or p == stage:
-            continue
-        grace = tmp_grace_sec if ".tmp-" in d else grace_sec
-        try:
-            if now - _os.stat(p).st_mtime > grace:
-                _shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
     return stage, tag
 
 

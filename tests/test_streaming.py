@@ -387,3 +387,32 @@ def test_run_to_dedup_store(spark, tmp_path):
         assert len(rows2) == 3
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_stage_gc_reaps_crashed_builder_tmp(spark):
+    """r5 ADVICE: a foreign .tmp-* dir older than the long grace is a
+    crashed builder's debris and must be reaped; a FRESH foreign tmp (a
+    live builder) must be left alone."""
+    import os
+    import time
+
+    from albedo_spark.queries import _stage_event_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    stage, tag = _stage_event_stream(spark, sf_dir)
+    root = os.path.dirname(stage)
+    old_tmp = os.path.join(root, "events-deadbee.tmp-99999")
+    fresh_tmp = os.path.join(root, "events-cafebab.tmp-99998")
+    os.makedirs(old_tmp, exist_ok=True)
+    os.makedirs(fresh_tmp, exist_ok=True)
+    ancient = time.time() - 7 * 3600  # past the 6 h tmp grace
+    os.utime(old_tmp, (ancient, ancient))
+    try:
+        _stage_event_stream(spark, sf_dir)
+        assert not os.path.exists(old_tmp)   # crashed-builder debris reaped
+        assert os.path.exists(fresh_tmp)     # live builder untouched
+        assert os.path.exists(stage)         # published stage untouched
+    finally:
+        import shutil
+        shutil.rmtree(fresh_tmp, ignore_errors=True)
+        shutil.rmtree(old_tmp, ignore_errors=True)
