@@ -321,16 +321,34 @@ def write_partitioned_overwrite(
         spark.conf.set(key, old)
 
 
-def drop_orphan_table_location(spark: SparkSession, table: str) -> None:
+def drop_orphan_table_location(
+    spark: SparkSession, table: str, older_than_ms: int | None = None
+) -> bool:
     """Remove a managed table's warehouse directory when the catalog has
     forgotten it (in-memory catalog + dead process): the dir would block
     any future ``saveAsTable``/``RENAME TO`` with LOCATION_ALREADY_EXISTS.
-    Hadoop FS API, never os.path — works on any hadoop-compatible FS."""
+    Hadoop FS API, never os.path — works on any hadoop-compatible FS.
+
+    ``older_than_ms`` is the live-concurrent-publisher guard: with
+    per-process in-memory catalogs sharing one warehouse, ``tableExists``
+    cannot see a table another session just published, so an unconditional
+    delete could yank files a live reader is scanning. When set, the
+    directory is only removed if its modification time predates the given
+    epoch-ms (i.e. it's a leftover from BEFORE this process started —
+    a genuine orphan); a directory written during our lifetime is left
+    alone and the caller's publish RENAME fails over to adoption instead.
+    Returns True if the location is gone (deleted or never existed)."""
     jvm = spark.sparkContext._jvm
     wh = spark.conf.get("spark.sql.warehouse.dir")
     p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
     fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return True
+    if older_than_ms is not None:
+        if fs.getFileStatus(p).getModificationTime() >= older_than_ms:
+            return False
     fs.delete(p, True)
+    return True
 
 
 def write_bucketed(
@@ -407,13 +425,13 @@ def compact_partitions(
     Returns {files_before, files_after, bytes, target_files}, with both
     file counts measured over the SAME pruned scan.
     """
+    import functools as _ft
+    import operator as _op
+
     from pyspark.sql import functions as F
 
     pred = None
     if partitions:
-        import functools as _ft
-        import operator as _op
-
         pred = _ft.reduce(
             _op.or_,
             [
@@ -461,13 +479,26 @@ def compact_partitions(
     # rewriting the same path the frame reads from is safe (the same
     # contract upsert_partitioned relies on); with no partition filter
     # every partition present in the frame — i.e. all of them — rewrites.
+    # Null-safe equality per partition column: a plain equi-join would
+    # drop rows whose partition value is NULL (__HIVE_DEFAULT_PARTITION__
+    # — NULL != NULL), silently leaving the NULL partition fragmented
+    # forever while files_after still counts its fragments.
+    inv_routed = F.broadcast(
+        inv.select(
+            *[F.col(c).alias(f"_inv_{c}") for c in partition_cols], "_n_out"
+        )
+    )
+    on = _ft.reduce(
+        _op.and_,
+        [df[c].eqNullSafe(F.col(f"_inv_{c}")) for c in partition_cols],
+    )
     routed = (
-        df.join(F.broadcast(inv.select(*partition_cols, "_n_out")), partition_cols)
+        df.join(inv_routed, on)
         .withColumn(
             "_bucket", F.floor(F.rand(seed=42) * F.col("_n_out")).cast("int")
         )
         .repartition(max(2 * total_out, 1), *partition_cols, "_bucket")
-        .drop("_n_out", "_bucket")
+        .drop(*[f"_inv_{c}" for c in partition_cols], "_n_out", "_bucket")
     )
     write_partitioned_overwrite(routed, path, partition_cols)
     after_df = spark.read.parquet(path)

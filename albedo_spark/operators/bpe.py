@@ -71,69 +71,179 @@ def top_pairs(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame
     )
 
 
+def _adjacent(s) -> "F.Column":
+    """Adjacent symbol pairs of an array column as (l, r) structs —
+    ``slice``-based so a 1-symbol word yields an EMPTY pair array (a
+    ``sequence(0, size-2)`` formulation would produce a descending
+    sequence and out-of-range ``element_at`` for size 1). Pair identity
+    is the struct, never a string concat — 'ab'+'c' and 'a'+'bc' must
+    not collide."""
+    s = F.col(s) if isinstance(s, str) else s
+    return F.zip_with(
+        F.slice(s, 1, F.size(s) - 1),
+        F.slice(s, 2, F.size(s) - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def _greedy_merge(s, left: str, right: str) -> "F.Column":
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    pair (left, right) in a symbol array ('aaa' + (a,a) → [aa, a]) — the
+    standard BPE fold, as a JVM-side HOF aggregate."""
+    tok = left + right
+    return F.aggregate(
+        s if not isinstance(s, str) else F.col(s),
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (t == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(tok))),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
 def learn_bpe(
-    docs: DataFrame, n_merges: int, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 24,
+    round_stats: list | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges over the corpus (Sennrich et al.
     2016): the full iterative trainer on top of the one-step statistics
     above. Returns the merge list ``[(left, right, weighted_count), …]``
     in learned order — the artifact a tokenizer ships.
 
-    Iteration discipline (the connected-components/ALS precedent for
-    driver loops): the corpus collapses to the |vocab|-sized
-    ``(symbols array, freq)`` frame ONCE; each round explodes adjacent
-    symbol pairs, one weighted count aggregate finds the argmax — count
-    desc, then (left, right) lexicographic, so ties are deterministic —
-    and exactly ONE small row reaches the driver; the winning pair folds
-    into every word's symbol array with a greedy left-to-right HOF
-    aggregate (standard BPE non-overlapping replacement: 'aaa' + (a,a)
-    → [aa, a]); ``localCheckpoint`` truncates the growing lineage every
-    round. Pair identity is the (left, right) STRUCT, never a string
-    concat — 'ab'+'c' and 'a'+'bc' must not collide.
+    This is the PAIR-DELTA trainer (the optimization Sennrich's own
+    ``learn_bpe.py`` applies): after a merge, only words CONTAINING the
+    merged pair re-segment, and the global pair statistics update by the
+    delta those words contribute — per-round cost is proportional to the
+    affected words, not the whole vocabulary (a naive trainer re-folds
+    every word every round: 32k merges × |vocab| work, mostly no-ops).
+
+    Shape per round, in Spark terms:
+
+    1. argmax over the driver-held pair-stats dict — count desc, then
+       (left, right) lexicographic, so ties are deterministic. No Spark
+       job at all (the naive trainer paid a full explode+aggregate here).
+    2. ONE job: filter the vocab frame to words whose symbol array
+       contains the pair adjacently (cheap JVM predicate scan), and for
+       just those words evaluate the greedy merge fold; the (old symbols,
+       new symbols, freq) result is local-checkpointed — cost ∝ affected.
+       The fold runs wide (in the shuffle-map stage), but the checkpoint
+       lands in a HANDFUL of partitions: without that repartition each
+       round's checkpoint would inherit the whole chain's partition
+       count and the union below would DOUBLE partitions every round
+       (32 → 512 in 9 rounds, measured) — task-launch overhead, not
+       data, would dominate.
+    3. ONE job over that small checkpointed frame: explode old pairs with
+       weight −freq and new pairs with +freq, aggregate, and collect the
+       deltas (rows ∝ distinct pairs in affected words) to update the
+       dict. The merged pair's own count provably reaches 0 (every
+       occurrence lives in an affected word), entries ≤ 0 are pruned.
+    4. the vocab frame becomes ``unaffected ∪ re-segmented``, lazily;
+       every ``checkpoint_every`` rounds a full ``repartition +
+       localCheckpoint`` collapses the filter/union chain, so both scan
+       depth and partition count stay bounded (amortized
+       O(|vocab| / checkpoint_every) per round — the vocab frame is
+       microscopic next to the corpus, so this shuffle is pennies).
+
+    Driver-held state is the pair-statistics dict — the bounded,
+    documented A7 exception: at iteration 0 its keys are the corpus's
+    distinct CHARACTER bigrams (≤ |alphabet|², thousands for real text,
+    nowhere near corpus-sized), and later rounds only add the delta
+    pairs of affected words. This is exactly the stats structure every
+    reference BPE trainer keeps in memory; the corpus itself never
+    leaves the cluster — it collapsed to the |vocab|-sized frame once,
+    and each round moves only the per-round deltas.
+
+    ``round_stats``: pass a list to receive one dict per round —
+    {round, pair, count, n_affected, wall_sec} — the instrumentation
+    ``tools/scale_bpe.py`` uses to verify per-round cost tracks the
+    affected-word count (adds one cheap count job per round; leave None
+    in production).
     """
+    import time as _time
+    spark = docs.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    aff_width = max(2, width // 8)
     freqs = word_frequencies(docs, text_col)
     syms = freqs.select(
         F.split("word", "").alias("_s"), "freq"
     ).localCheckpoint()
+
+    # Iteration-0 statistics: one full explode+aggregate, collected once.
+    stats: dict[tuple[str, str], int] = {}
+    for row in (
+        syms.select(F.explode(_adjacent("_s")).alias("p"), "freq")
+        .groupBy("p")
+        .agg(F.sum("freq").alias("n"))
+        .collect()
+    ):
+        stats[(row["p"]["l"], row["p"]["r"])] = int(row["n"])
+
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        pairs = syms.where(F.size("_s") >= 2).select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_s") - 2),
-                    lambda i: F.struct(
-                        F.element_at("_s", i + 1).alias("l"),
-                        F.element_at("_s", i + 2).alias("r"),
-                    ),
-                )
-            ).alias("p"),
-            "freq",
+    since_checkpoint = 0
+    for round_i in range(n_merges):
+        if not stats:
+            break
+        t0 = _time.perf_counter()
+        (left, right), n = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0])
         )
-        best = (
-            pairs.groupBy("p")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(
-                F.col("n").desc(), F.col("p.l").asc(), F.col("p.r").asc()
+        merges.append((left, right, n))
+
+        contains = F.exists(
+            _adjacent("_s"),
+            lambda p: (p["l"] == F.lit(left)) & (p["r"] == F.lit(right)),
+        )
+        aff = (
+            syms.where(contains)
+            .select(
+                F.col("_s").alias("_old"),
+                _greedy_merge("_s", left, right).alias("_s"),
+                "freq",
             )
-            .limit(1)
+            .repartition(aff_width)
+            .localCheckpoint()
+        )
+        deltas = (
+            aff.select(
+                F.explode(_adjacent("_old")).alias("p"),
+                (-F.col("freq")).alias("d"),
+            )
+            .unionByName(
+                aff.select(
+                    F.explode(_adjacent("_s")).alias("p"),
+                    F.col("freq").alias("d"),
+                )
+            )
+            .groupBy("p")
+            .agg(F.sum("d").alias("d"))
             .collect()
         )
-        if not best:
-            break
-        left, right, n = best[0]["p"]["l"], best[0]["p"]["r"], int(best[0]["n"])
-        merges.append((left, right, n))
-        tok = left + right
-        merged = F.aggregate(
-            F.col("_s"),
-            F.array().cast("array<string>"),
-            lambda acc, t: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (t == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(tok))
-                ),
-            ).otherwise(F.concat(acc, F.array(t))),
-        )
-        syms = syms.select(merged.alias("_s"), "freq").localCheckpoint()
+        for row in deltas:
+            key = (row["p"]["l"], row["p"]["r"])
+            nv = stats.get(key, 0) + int(row["d"])
+            if nv > 0:
+                stats[key] = nv
+            else:
+                stats.pop(key, None)
+
+        syms = syms.where(~contains).unionByName(aff.select("_s", "freq"))
+        since_checkpoint += 1
+        if since_checkpoint >= checkpoint_every:
+            syms = syms.repartition(width).localCheckpoint()
+            since_checkpoint = 0
+        if round_stats is not None:
+            round_stats.append(
+                {
+                    "round": round_i,
+                    "pair": (left, right),
+                    "count": n,
+                    "n_affected": aff.count(),
+                    "wall_sec": round(_time.perf_counter() - t0, 4),
+                }
+            )
     return merges

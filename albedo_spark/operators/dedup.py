@@ -539,9 +539,14 @@ def line_boilerplate_dedup(
     with empty output text (posexplode_outer), because dropping rows is
     data loss, not dedup (the `exact_dedup` NULL precedent).
 
-    Plan shape at 100 TB: posexplode lines ONCE into a persisted stream
-    (MEMORY_AND_DISK — the jaccard_verify precedent; both consumers below
-    read it without re-scanning the corpus); line identity is a fixed
+    Plan shape at 100 TB: posexplode lines ONCE into a lazily
+    local-checkpointed stream (materialized at first action; both
+    consumers below read it without re-scanning the corpus). A plain
+    ``persist()`` here would leak: this function returns a lazy frame so
+    it can never unpersist its own cache, and a CacheManager entry lives
+    until explicitly dropped — whereas local-checkpoint blocks are
+    released by the ContextCleaner once the caller drops the result
+    (repeated corpus-loop invocations stay flat). Line identity is a fixed
     32-hex md5 so every shuffle row is narrow. One distinct+groupBy on
     the key builds the document-frequency table; the boilerplate keys
     (only lines ABOVE threshold — usually tiny) come back via an equi-join
@@ -565,7 +570,7 @@ def line_boilerplate_dedup(
             F.trim(F.lower(F.col("_line"))) != "",
             F.md5(F.trim(F.lower(F.col("_line")))),
         ),
-    ).persist()
+    ).localCheckpoint(eager=False)
     boiler = (
         keyed.where(F.col("_k").isNotNull())
         .select("_k", id_col)

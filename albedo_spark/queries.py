@@ -15,6 +15,7 @@ broadcast joins, TakeOrderedAndProject, partial aggregation).
 from __future__ import annotations
 
 import re as _re
+import time as _time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1170,6 +1171,11 @@ def _ann_oracle_sql(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
     """
 
 
+# Orphan-cleanup watermark: warehouse directories modified at/after this
+# instant may belong to a live concurrent session and are never deleted.
+_PROC_START_MS = int(_time.time() * 1000)
+
+
 def _memo_store(spark: SparkSession, sf_dir: str, src: str, tag: str, build) -> str:
     """Reuse-if-unchanged memoizer for the persisted-store queries
     (q90/q92/q93): the store identity — source file (size, mtime) plus a
@@ -1185,9 +1191,11 @@ def _memo_store(spark: SparkSession, sf_dir: str, src: str, tag: str, build) -> 
     loser of the rename drops its private copy and adopts the winner's
     table, so no reader ever sees a half-built store. (With a real
     metastore the RENAME race is fully atomic; under local in-memory
-    catalogs each process has its own catalog, so cross-process reuse
-    doesn't arise — each rebuilds privately and only the shared
-    warehouse directory needs the orphan cleanup.)"""
+    catalogs each process has its own catalog, so the orphan cleanup
+    only removes warehouse directories whose mtime PREDATES this
+    process's start — a directory published during our lifetime may be a
+    live concurrent session's table mid-scan, so it is left alone and we
+    keep serving from our private copy instead.)"""
     import hashlib as _hashlib
     import json as _json
     import os as _os
@@ -1205,11 +1213,25 @@ def _memo_store(spark: SparkSession, sf_dir: str, src: str, tag: str, build) -> 
                 spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
         tmp = f"{table}__b{_os.getpid()}"
         build(tmp)
-        drop_orphan_table_location(spark, table)
+        cleared = drop_orphan_table_location(
+            spark, table, older_than_ms=_PROC_START_MS
+        )
+        if not cleared:
+            # Location written during our lifetime: a live session's
+            # publish. Their table is invisible to our catalog, so serve
+            # from the private copy (fully built, same recipe).
+            return tmp
         try:
             spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}`")
-        except Exception:  # lost the publish race — adopt the winner's table
-            spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+        except Exception:
+            # Lost the publish race. Adopt the winner if our catalog can
+            # see it (same-process builders); otherwise keep the private
+            # copy — dropping it with no visible winner would serve
+            # nothing.
+            if spark.catalog.tableExists(table):
+                spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+            else:
+                return tmp
     return table
 
 
@@ -4304,7 +4326,7 @@ def q97_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           CAST(floor(sum(value) OVER w * 10000 + 0.5) AS BIGINT)
+           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w
                AS sum_value_x10k
     FROM events
     WINDOW w AS (
@@ -4319,9 +4341,11 @@ def q98_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     over integer epoch-micros, the plan shape q40's cumulative ROWS frame
     does not exercise. The frame bound is value-based, so tied timestamps
     all see the same trailing set — no tie-break needed, unlike lag/
-    row_number. One user shuffle + one sort; the sum is integerized
-    (floor x10k) since a trailing double sum folds in engine-specific
-    order only within the frame the engines agree on."""
+    row_number. One user shuffle + one sort; each value is integerized
+    PER ROW (floor x10k, the q101 discipline) before the window sum, so
+    the frame fold is an order-independent integer sum — a trailing
+    double sum would fold in engine-specific order and could flip the
+    final floor by 1 near a .5 boundary."""
     e = _t(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     w = (
@@ -4329,13 +4353,14 @@ def q98_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(us)
         .rangeBetween(-3_600_000_000, 0)
     )
+    v_fixed = F.floor(F.col("value") * F.lit(10_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
     return e.select(
         "event_id",
         "user_id",
         F.count("*").over(w).alias("n_1h"),
-        F.floor(F.sum("value").over(w) * F.lit(10_000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("sum_value_x10k"),
+        F.sum(v_fixed).over(w).alias("sum_value_x10k"),
     )
 
 
