@@ -584,14 +584,35 @@ def compact_table(
     table (reading the old table while writing the new one is safe — they
     are distinct locations), then publish by catalog swap (DROP + RENAME).
     The swap is two catalog ops, not one transaction: a crash in between
-    loses the NAME but not the DATA (the compacted private table
-    survives for manual adoption) — the inherent limit without a table
-    format; at 100 TB with Iceberg/Delta this is their compaction call.
-    Returns {files_before, files_after, rows}.
+    loses the NAME but not the DATA — so entry runs AUTOMATED recovery
+    for leftover ``{table}__c*`` private tables from a crashed run: if
+    the published name is GONE (crash landed between DROP and RENAME)
+    the newest private copy is ADOPTED back into place (it is the
+    completed compaction output, and nothing could have appended since —
+    appends need the published name); any remaining private copies are
+    stale pre-DROP leftovers and are dropped. Concurrent compaction of
+    the SAME table within one process is not supported (the recovery
+    would treat the other run's private table as debris) — at 100 TB
+    with Iceberg/Delta this whole dance is their transactional
+    compaction call. Returns {files_before, files_after, rows, adopted}.
     """
     import os as _os
 
     from pyspark.sql import functions as F
+
+    # Crash recovery BEFORE anything else (see docstring).
+    pref = f"{table.lower()}__c"
+    orphans = sorted(
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith(pref)
+    )
+    adopted = None
+    if orphans and not spark.catalog.tableExists(table):
+        adopted = orphans.pop()
+        spark.sql(f"ALTER TABLE `{adopted}` RENAME TO `{table}`")
+        spark.catalog.refreshTable(table)
+    for t in orphans:
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
 
     before = (
         spark.table(table)
@@ -629,4 +650,9 @@ def compact_table(
         .distinct()
         .count()
     )
-    return {"files_before": before, "files_after": after, "rows": rows}
+    return {
+        "files_before": before,
+        "files_after": after,
+        "rows": rows,
+        "adopted": adopted,
+    }

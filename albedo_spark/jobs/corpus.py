@@ -202,6 +202,15 @@ def main(argv: list[str] | None = None) -> dict:
         }
         append_digests(resolved, dig_tbl)
         append_signatures(novel, sig_tbl)
+        if args.out:
+            near_pairs.write.mode("overwrite").parquet(
+                os.path.join(args.out, "incremental_near_dup_pairs")
+            )
+        # Batch consumed (counts, appends, optional write): release both
+        # cached frames so a scheduler running batch-per-invocation in one
+        # long-lived session stays flat in executor storage.
+        resolved.unpersist()
+        near_pairs.unpersist()
         if args.compact_stores:
             from albedo_spark.io import compact_table
 
@@ -209,10 +218,6 @@ def main(argv: list[str] | None = None) -> dict:
                 "digests": compact_table(spark, dig_tbl, "digest", 16),
                 "minhash": compact_table(spark, sig_tbl, "bkey", 16),
             }
-        if args.out:
-            near_pairs.write.mode("overwrite").parquet(
-                os.path.join(args.out, "incremental_near_dup_pairs")
-            )
 
     if args.quality_model_dim:
         # CCNet-style model-based quality stage: weak labels from the

@@ -156,9 +156,16 @@ def dedup_incremental(
     new_bands = minhash_band_rows(
         batch, text_col, id_col, num_hashes, rows_per_band, shingle_n
     ).select(F.col(id_col).alias("_bid"), "bkey")
-    # Referenced three times below (sizes, cross, internal): persist so
-    # the shingle/minhash stage runs once — the jaccard_verify precedent.
-    new_bands = new_bands.persist()
+    # Referenced three times below (sizes, cross, internal): materialize
+    # the shingle/minhash stage once. Lazy localCheckpoint, NOT persist —
+    # this function returns a lazy frame so it could never unpersist its
+    # own cache, and a CacheManager entry would then accumulate per batch
+    # in the production loop this operator exists for
+    # (jobs/corpus.py --incremental-filter). Checkpoint blocks are
+    # released by the ContextCleaner once the caller drops the batch's
+    # result, so repeated batches stay flat (the line_boilerplate_dedup
+    # discipline).
+    new_bands = new_bands.localCheckpoint(eager=False)
 
     # Combined per-key size: the store-side count aggregates ON the
     # bucketed layout (partial+final hash agg, no Exchange — the

@@ -372,3 +372,123 @@ def run_to_dedup_store(
     )
     q.awaitTermination()
     return q
+
+
+def run_to_minhash_store(
+    stream_df: DataFrame,
+    table: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    num_buckets: int = 16,
+    max_bucket: int = 200,
+):
+    """Streaming ingest dedup against the PERSISTED MinHash signature
+    store — ``run_to_dedup_store``'s near-duplicate sibling and the
+    streaming twin of ``dedup_incremental``: each micro-batch admits only
+    docs that are NOT LSH-candidates of history or of an admitted
+    same-batch doc, then advances the store with the admitted docs'
+    signatures. The streaming loop gets near-dup power, not just exact.
+
+    Keeper rule (deterministic, the min-id convention every dedup
+    operator here uses): a batch doc is DROPPED iff some candidate pair
+    links it to a store doc, or to a batch doc with a SMALLER id. A
+    candidate component's minimum id is always admitted; every dropped
+    doc is similar to an admitted (or previously stored) doc, so store
+    coverage survives dropping. Candidate granularity, not verified
+    Jaccard — the store keeps signatures, not text, so exact
+    verification would need historical text the ingest path deliberately
+    never re-reads (batch jobs run ``jaccard_verify`` downstream where
+    text is at hand).
+
+    Exactly-once admitted-doc effects across restarts, same two-sided
+    idempotence as the digest sink:
+
+    - admitted rows land under ``out_path/ingest_batch=<id>`` with
+      OVERWRITE — a replay recomputes the SAME admit set (an admitted
+      doc's own stored signatures are excluded by id inequality, and any
+      pair between two admitted docs would have dropped one originally)
+      and rewrites the same directory;
+    - the signature append is guarded by an id anti-join against the
+      live store, so a replay appends nothing.
+
+    Rows write before signatures: a crash between the two replays into
+    the same-directory overwrite, never duplicate rows or signatures.
+    NULL-text rows are not ingested (the digest-sink precedent).
+    Requires globally unique ``id_col`` across batches — the same
+    contract the pair outputs of the batch operators assume.
+    """
+    from albedo_spark.operators.dedup_store import (
+        append_signatures,
+        build_signature_store,
+        dedup_incremental,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(table):
+            build_signature_store(
+                batch_df.limit(0), table, text_col, id_col,
+                num_hashes, rows_per_band, shingle_n, num_buckets,
+            )
+        batch = batch_df.where(F.col(text_col).isNotNull())
+        pairs = dedup_incremental(
+            batch, table, text_col, id_col,
+            num_hashes, rows_per_band, shingle_n, max_bucket,
+        )
+        # Pair members are unlabeled (store ids and batch ids mixed, each
+        # pair sorted id_a < id_b): re-derive the side per member by a
+        # semi/left join against the batch's own ids. Drop a batch member
+        # when its counterpart is store-side (no batch match) or a
+        # smaller batch id.
+        bids = batch.select(F.col(id_col).alias("_id"))
+        members = (
+            pairs.select(
+                F.col("id_a").alias("_id"), F.col("id_b").alias("_other")
+            )
+            .unionByName(
+                pairs.select(
+                    F.col("id_b").alias("_id"), F.col("id_a").alias("_other")
+                )
+            )
+            .join(bids, "_id", "left_semi")
+        )
+        other_is_batch = bids.select(
+            F.col("_id").alias("_other"), F.lit(1).alias("_ob")
+        )
+        dropped = (
+            members.join(other_is_batch, "_other", "left")
+            .where(F.col("_ob").isNull() | (F.col("_other") < F.col("_id")))
+            .select(F.col("_id").alias(id_col))
+            .distinct()
+        )
+        keep = batch.join(dropped, id_col, "left_anti").persist()
+        try:
+            if keep.isEmpty():
+                return
+            keep.write.mode("overwrite").parquet(
+                f"{out_path}/ingest_batch={batch_id}"
+            )
+            store_ids = spark.table(table).select(id_col).distinct()
+            novel_for_store = keep.join(store_ids, id_col, "left_anti")
+            append_signatures(
+                novel_for_store, table, text_col, id_col,
+                num_hashes, rows_per_band, shingle_n, num_buckets,
+            )
+        finally:
+            keep.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

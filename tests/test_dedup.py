@@ -336,6 +336,36 @@ def test_incremental_append_advances_history(spark):
         spark.sql("DROP TABLE IF EXISTS sigstore_app")
 
 
+def test_incremental_batches_leave_no_cache_entries(spark):
+    """The production loop (batch after batch in one session) must not
+    accumulate executor storage: dedup_incremental materializes its band
+    rows via lazy localCheckpoint (ContextCleaner-reaped), never via a
+    CacheManager persist this lazy function could not unpersist. Three
+    consecutive batches → the session CacheManager stays empty."""
+    from albedo_spark.operators.dedup_store import (
+        append_signatures,
+        build_signature_store,
+        dedup_incremental,
+    )
+
+    docs = _real_docs(spark)
+    hist = docs.where("doc_id % 4 = 0")
+    build_signature_store(hist, "sigstore_leak", num_buckets=8)
+    # Earlier tests in the shared session may have live caches; start
+    # from a clean slate so emptiness-after-batch is deterministic.
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "precondition: no cached frames"
+    try:
+        for k in (1, 2, 3):
+            batch = docs.where(f"doc_id % 4 = {k}")
+            dedup_incremental(batch, "sigstore_leak").collect()
+            append_signatures(batch, "sigstore_leak", num_buckets=8)
+            assert cache_mgr.isEmpty(), f"batch {k} left a cached frame"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sigstore_leak")
+
+
 def test_incremental_combined_bucket_cap(spark):
     """max_bucket suppresses a key whose COMBINED (store + batch) size
     exceeds the cap, even when each side alone is under it."""

@@ -122,3 +122,46 @@ def test_compact_table_store_lifecycle(spark):
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compact_table_adopts_orphan_after_crashed_swap(spark):
+    """A crash between compact_table's DROP and RENAME strands the
+    compacted data in the pid-suffixed private table with the published
+    name gone. The next compact_table call must ADOPT it back into place
+    (no data loss), and a stale private copy alongside a LIVE published
+    table must be dropped as debris."""
+    from albedo_spark.io import compact_table, write_bucketed
+    from albedo_spark.operators.dedup_store import build_digest_store
+
+    tbl = "t_crash_store"
+    try:
+        base = spark.createDataFrame(
+            [(i, f"text number {i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        build_digest_store(base, tbl, num_buckets=4)
+        rows = {(r.digest, r.keeper_id) for r in spark.table(tbl).collect()}
+
+        # Simulate the crash window: the private compacted copy exists,
+        # the published name was DROPped, the RENAME never ran.
+        write_bucketed(spark.table(tbl), f"{tbl}__c999", "digest", 4)
+        spark.sql(f"DROP TABLE `{tbl}`")
+        assert not spark.catalog.tableExists(tbl)
+
+        stats = compact_table(spark, tbl, "digest", num_buckets=4)
+        assert stats["adopted"] == f"{tbl}__c999"
+        after = {(r.digest, r.keeper_id) for r in spark.table(tbl).collect()}
+        assert after == rows
+        assert not spark.catalog.tableExists(f"{tbl}__c999")
+
+        # Stale private copy while the published table is alive: debris.
+        write_bucketed(spark.table(tbl), f"{tbl}__c123", "digest", 4)
+        stats2 = compact_table(spark, tbl, "digest", num_buckets=4)
+        assert stats2["adopted"] is None
+        assert not spark.catalog.tableExists(f"{tbl}__c123")
+        assert {
+            (r.digest, r.keeper_id) for r in spark.table(tbl).collect()
+        } == rows
+    finally:
+        for t in (tbl, f"{tbl}__c999", f"{tbl}__c123"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

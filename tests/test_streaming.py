@@ -389,6 +389,76 @@ def test_run_to_dedup_store(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_run_to_minhash_store(spark, tmp_path):
+    """Streaming near-dup ingest vs the persisted MinHash store: only
+    docs without an LSH candidate in history (or a smaller admitted
+    batch doc) reach the sink; the store advances per batch; replaying
+    everything after a checkpoint reset changes nothing (exactly-once
+    admitted-doc effects); admit decisions match the batch
+    dedup_incremental on the same prefix."""
+    from albedo_spark.operators.dedup_store import (
+        build_signature_store,
+        dedup_incremental,
+    )
+    from albedo_spark.streaming.events import run_to_minhash_store
+
+    t_a = "alpha beta gamma delta epsilon alpha beta gamma"
+    t_b = "zeta eta theta iota kappa zeta eta theta"
+    t_c = "lambda mu nu xi omicron lambda mu nu"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck1, ck2, ck3 = (str(tmp_path / c) for c in ("ck1", "ck2", "ck3"))
+    tbl = "t_stream_sigstore"
+    try:
+        spark.createDataFrame(
+            [(1, t_a), (2, t_a), (3, t_b)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        run_to_minhash_store(stream(), tbl, out, ck1)
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+        # second file: one near-dup of stored content, one novel
+        spark.createDataFrame(
+            [(10, t_a), (11, t_c)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_to_minhash_store(stream(), tbl, out, ck2)  # fresh ck replays all
+        rows = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows} == {1, 3, 11}
+
+        # full replay with another fresh checkpoint: store blocks
+        # everything, directories rewrite in place — no growth
+        run_to_minhash_store(stream(), tbl, out, ck3)
+        rows2 = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows2} == {1, 3, 11}
+        assert len(rows2) == 3
+
+        # equivalence with the batch operator on the same prefix: a store
+        # built from batch-1's admitted docs gives batch 2 exactly the
+        # pairs that dropped doc 10 and admitted doc 11
+        hist = spark.createDataFrame(
+            [(1, t_a), (3, t_b)], "doc_id long, text string"
+        )
+        b2 = spark.createDataFrame(
+            [(10, t_a), (11, t_c)], "doc_id long, text string"
+        )
+        build_signature_store(hist, "t_batch_prefix", num_buckets=8)
+        batch_pairs = {
+            (r.id_a, r.id_b)
+            for r in dedup_incremental(b2, "t_batch_prefix").collect()
+        }
+        assert batch_pairs == {(1, 10)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql("DROP TABLE IF EXISTS t_batch_prefix")
+
+
 def test_stage_gc_reaps_crashed_builder_tmp(spark):
     """r5 ADVICE: a foreign .tmp-* dir older than the long grace is a
     crashed builder's debris and must be reaped; a FRESH foreign tmp (a
