@@ -21,6 +21,7 @@ corpus; iterating merges re-processes just the |vocab|-sized frame.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -247,3 +248,108 @@ def learn_bpe(
                 }
             )
     return merges
+
+
+def segment_vocab(
+    words: DataFrame,
+    merges: list[tuple],
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply a learned merge list to a word vocabulary: one row per input
+    word plus its BPE symbol sequence (``word, symbols array<string>``).
+    The APPLY side of ``learn_bpe`` — what a tokenizer does at inference.
+
+    Standard rank-order application (the algorithm every BPE tokenizer
+    ships): repeatedly find the LOWEST-RANK adjacent pair present in the
+    word and merge all its occurrences greedily left-to-right, until no
+    adjacent pair is in the merge table. This replays training exactly:
+    training merged pairs in that same global order, so a word segments
+    identically whether it was in the training corpus or arrives later.
+
+    This is the package's justified-pandas-UDF case (the jieba/Porter
+    precedent): 32k merges cannot unroll into JVM expressions, and the
+    per-word loop is inherently imperative. The cost is contained the
+    same way the trainer contains it — callers run this over the
+    DISTINCT WORD VOCABULARY (|vocab| rows), never the corpus;
+    ``encode_corpus`` re-attaches by equi-join. Arrow-batched, rank dict
+    broadcast once in the closure.
+    """
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _seg(col: pd.Series) -> pd.Series:
+        def enc(w: str) -> list[str]:
+            syms = list(w)
+            while len(syms) > 1:
+                best = None
+                for a, b in zip(syms, syms[1:]):
+                    r = ranks.get((a, b))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, a, b)
+                if best is None:
+                    break
+                _, left, right = best
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return col.map(enc)
+
+    return words.select(
+        F.col(word_col).alias("word"), _seg(F.col(word_col)).alias("symbols")
+    )
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge list: ``(id, tokens
+    array<string>, n_tokens)`` per document, tokens in original word
+    order with each word segmented by ``segment_vocab``.
+
+    Plan shape at 100 TB: the Python BPE loop touches only the DISTINCT
+    word vocabulary (one groupBy-distinct over the exploded corpus —
+    data volume |vocab| after that); the corpus side is pure JVM —
+    posexplode, an equi-join on the word (broadcast by AQE when the
+    segmented vocab is small, the common case), and one per-doc
+    reassembly aggregate ordered by word position. Token order is exact:
+    (pos, symbols) structs sort by position before flattening.
+    """
+    from albedo_spark.operators.textstats import tokens
+
+    exploded = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "word"),
+    ).where(F.col("word") != "")
+    vocab = segment_vocab(exploded.select("word").distinct(), merges)
+    return (
+        exploded.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("_pos"), F.col("symbols"))
+                        )
+                    ),
+                    lambda s: s["symbols"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )

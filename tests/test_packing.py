@@ -284,3 +284,62 @@ def test_learn_bpe_greedy_nonoverlap(spark):
     # (aa, a) with weight 2
     merges = learn_bpe(docs, n_merges=2)
     assert merges == [("a", "a", 4), ("aa", "a", 2)]
+
+
+def test_segment_vocab_rank_order_apply(spark):
+    """Applying the Sennrich merges reproduces the hand-checkable
+    segmentation, including for a word NOT in the training corpus
+    ('lowest') — the apply side replays training's global rank order."""
+    from albedo_spark.operators.bpe import learn_bpe, segment_vocab
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = learn_bpe(docs, n_merges=3)  # (e,s), (es,t), (l,o)
+    vocab = spark.createDataFrame(
+        [("lowest",), ("low",), ("newest",)], "word string"
+    )
+    got = {r.word: list(r.symbols) for r in segment_vocab(vocab, merges).collect()}
+    assert got == {
+        "lowest": ["lo", "w", "est"],
+        "low": ["lo", "w"],
+        "newest": ["n", "e", "w", "est"],
+    }
+
+
+def test_segment_vocab_matches_trainer_state(spark):
+    """Apply == train on the training corpus itself: the rank-order apply
+    loop must land on the same symbols the trainer's greedy folds reached
+    (the run-of-a's case where naive left-to-right application of rules
+    in sequence order would also work, plus the chained-merge case)."""
+    from albedo_spark.operators.bpe import learn_bpe, segment_vocab
+
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    merges = learn_bpe(docs, n_merges=2)
+    vocab = spark.createDataFrame([("aaa",), ("aaaa",)], "word string")
+    got = {r.word: list(r.symbols) for r in segment_vocab(vocab, merges).collect()}
+    # 'aaa': (a,a) greedy -> [aa, a]; then (aa,a) -> [aaa]
+    # 'aaaa' (unseen): (a,a) greedy -> [aa, aa]; (aa,aa) unlearned
+    assert got == {"aaa": ["aaa"], "aaaa": ["aa", "aa"]}
+
+
+def test_encode_corpus_order_and_counts(spark):
+    from albedo_spark.operators.bpe import encode_corpus, learn_bpe
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    train = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = learn_bpe(train, n_merges=3)
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: (list(r.tokens), r.n_tokens)
+           for r in encode_corpus(docs, merges).collect()}
+    assert out == {
+        1: (
+            ["lo", "w", "lo", "w", "e", "r", "n", "e", "w", "est"],
+            10,
+        )
+    }  # NULL-text doc carries no tokens and is not emitted
