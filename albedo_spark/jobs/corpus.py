@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> dict:
                    help="target language weights, e.g. en=5,de=2,fr=2,es=2,zh=1")
     p.add_argument("--pack-capacity", type=int, default=None,
                    help="emit a chunk layout at this token capacity")
+    p.add_argument("--bpe-merges", type=int, default=None,
+                   help="learn this many BPE merges on the post-hygiene "
+                        "survivors (pair-delta trainer) and tokenize the "
+                        "survivor corpus with them; with --out, the merge "
+                        "table and per-doc token counts land as parquet")
     p.add_argument("--quality-model-dim", type=int, default=None,
                    help="train a fasttext-style quality classifier at this "
                         "hashed-TF dimension (weak labels bootstrapped from "
@@ -163,6 +168,35 @@ def main(argv: list[str] | None = None) -> dict:
             layout.write.mode("overwrite").parquet(
                 os.path.join(args.out, "pack_layout")
             )
+
+    if args.bpe_merges:
+        # Tokenizer stage: learn on the post-hygiene survivors (training a
+        # vocabulary on boilerplate/contaminated text bakes junk into it),
+        # then tokenize those same survivors — the artifact pair a
+        # pre-training pipeline ships (merge table + token budget).
+        from albedo_spark.operators.bpe import encode_corpus, learn_bpe
+
+        merges = learn_bpe(survivors, n_merges=args.bpe_merges)
+        encoded = encode_corpus(survivors, merges).persist()
+        summary["bpe"] = {
+            "n_merges": len(merges),
+            "top_merges": [f"{l}+{r}" for l, r, _ in merges[:5]],
+            "n_docs_encoded": encoded.count(),
+            "total_tokens": int(
+                encoded.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            ),
+        }
+        if args.out:
+            spark.createDataFrame(
+                [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+                "rank int, left string, right string, weighted_count long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(args.out, "bpe_merges")
+            )
+            encoded.select("doc_id", "n_tokens").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(args.out, "bpe_token_counts"))
+        encoded.unpersist()
 
     if args.incremental_filter:
         # The production pipeline LOOP: history is shingled/hashed once

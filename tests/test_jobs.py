@@ -93,6 +93,38 @@ def test_corpus_job_quality_model(tmp_path):
     assert os.path.isdir(tmp_path / "quality_scores")
 
 
+def test_corpus_job_bpe_stage(tmp_path):
+    """--bpe-merges learns on the survivors and tokenizes them: merge
+    table + per-doc token counts land under --out, the summary carries
+    the token budget, and the merge list round-trips through parquet in
+    rank order."""
+    from albedo_spark.jobs.corpus import main
+
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path),
+        "--bpe-merges", "8",
+    ])
+    bpe = summary["bpe"]
+    assert bpe["n_merges"] == 8
+    assert len(bpe["top_merges"]) == 5
+    assert bpe["n_docs_encoded"] > 0
+    # BPE merging only ever shrinks the whitespace-token expansion: total
+    # BPE tokens per doc <= total characters, >= word count
+    assert bpe["total_tokens"] > 0
+    import os
+
+    from albedo_spark.session import get_spark
+    spark = get_spark("t-bpe-stage")
+    assert os.path.isdir(tmp_path / "bpe_merges")
+    m = spark.read.parquet(str(tmp_path / "bpe_merges"))
+    rows = sorted(m.collect(), key=lambda r: r.rank)
+    assert len(rows) == 8
+    assert [f"{r.left}+{r.right}" for r in rows[:5]] == bpe["top_merges"]
+    assert all(r.weighted_count > 0 for r in rows)
+    tc = spark.read.parquet(str(tmp_path / "bpe_token_counts"))
+    assert tc.count() == bpe["n_docs_encoded"]
+
+
 def test_corpus_job_incremental_store_loop(tmp_path):
     """End-to-end pipeline loop: exact store resolves batch dups first,
     MinHash incremental runs on the exact-novel survivors, both stores
