@@ -124,6 +124,46 @@ def test_compact_table_store_lifecycle(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_drop_orphan_location_mtime_guard(spark):
+    """The live-concurrent-publisher guard: a warehouse directory written
+    at/after the watermark is refused (it may be another session's
+    just-published table), an older one is a genuine orphan and goes;
+    an absent location reports cleared either way."""
+    import os
+    import time
+
+    from albedo_spark.io import drop_orphan_table_location
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = wh.removeprefix("file:")
+    d = os.path.join(wh, "t_orphan_guard")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-0.parquet"), "w") as f:
+        f.write("x")
+    now_ms = int(time.time() * 1000)
+    try:
+        # dir mtime is "now": younger than a watermark 60 s in the past
+        assert drop_orphan_table_location(
+            spark, "t_orphan_guard", older_than_ms=now_ms - 60_000
+        ) is False
+        assert os.path.isdir(d)
+        # age the directory past the watermark -> genuine orphan, deleted
+        old = time.time() - 3600
+        os.utime(d, (old, old))
+        assert drop_orphan_table_location(
+            spark, "t_orphan_guard", older_than_ms=now_ms
+        ) is True
+        assert not os.path.exists(d)
+        # absent location: cleared, nothing to do
+        assert drop_orphan_table_location(
+            spark, "t_orphan_guard", older_than_ms=now_ms
+        ) is True
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compact_table_adopts_orphan_after_crashed_swap(spark):
     """A crash between compact_table's DROP and RENAME strands the
     compacted data in the pid-suffixed private table with the published
