@@ -318,3 +318,76 @@ def test_cooccurrence_symmetry_and_bounds(spark, rows):
     for (a, b), (n, c) in got.items():
         assert got[(b, a)] == (n, c)
         assert 0 < c <= 10_000
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1, max_size=12,
+    ),
+    st.integers(1, 6),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_trainer_and_apply_match_pure_python(spark, corpus_words, n_merges):
+    """End-to-end BPE invariant on random corpora: (1) the Spark
+    pair-delta trainer produces exactly the merges a pure-Python replay
+    of the algorithm produces (count desc, (l, r) lex tiebreak, greedy
+    non-overlapping re-segment), and (2) rank-order APPLICATION
+    (segment_vocab) of those merges to every training word lands on the
+    trainer's own final segmentation — apply == train, the property every
+    shipped tokenizer depends on."""
+    from collections import Counter
+
+    from albedo_spark.operators.bpe import learn_bpe, segment_vocab
+
+    # ---- pure-Python replay of the trainer ----
+    vocab = Counter(corpus_words)
+    syms = {w: list(w) for w in vocab}
+
+    def pair_stats():
+        c = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                c[(a, b)] += f
+        return c
+
+    def fold(s, left, right):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    expected_merges = []
+    for _ in range(n_merges):
+        stats = pair_stats()
+        if not stats:
+            break
+        (left, right), n = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        expected_merges.append((left, right, n))
+        for w in syms:
+            syms[w] = fold(syms[w], left, right)
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(corpus_words)],
+        "doc_id long, text string",
+    )
+    got_merges = learn_bpe(docs, n_merges=n_merges)
+    assert got_merges == expected_merges
+
+    # ---- apply == train ----
+    words_df = spark.createDataFrame(
+        [(w,) for w in vocab], "word string"
+    )
+    applied = {
+        r.word: list(r.symbols)
+        for r in segment_vocab(words_df, got_merges).collect()
+    }
+    assert applied == syms
