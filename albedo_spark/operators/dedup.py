@@ -599,3 +599,103 @@ def line_boilerplate_dedup(
         F.count("_pos").alias("n_lines"),
         F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_removed"),
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    span_tokens: int = 4,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style cross-document repeated-span removal (the
+    substring-granular dedup of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — public paper; their suffix-array
+    machinery re-expressed as rolling token-window hashing): delete every
+    token covered by some window of ``span_tokens`` consecutive
+    normalized tokens that occurs in at least ``min_df`` DISTINCT
+    documents, then reassemble each document from its surviving tokens in
+    order. The granularity between ``line_boilerplate_dedup`` (structural
+    lines) and doc-level MinHash (whole documents): license boilerplate,
+    quoted passages, templated sentences.
+
+    Semantics mirror the line operator: distinct-DOCUMENT frequency (a
+    doc repeating its own phrase never self-flags), marked spans removed
+    EVERYWHERE they occur (symmetric — no keeper choice, so the output is
+    deterministic and engine-replayable), overlapping marked spans union
+    their cover, docs shorter than one span are untouched, NULL-text docs
+    survive with empty text. Output ``(id, text, n_tokens, n_removed)``.
+
+    Plan shape at 100 TB: the tokenized array materializes once per doc
+    into a lazily local-checkpointed frame (two consumers below — span
+    hashing and the token stream — must not re-scan the corpus); rolling
+    windows are an array-slice ``transform`` (JVM HOF, one md5 per
+    window, narrow 32-hex shuffle rows); one distinct+groupBy builds the
+    document-frequency table; marked spans come back via an
+    AQE-broadcastable join (repeated spans are the tail, usually tiny);
+    covered positions explode ≤ span_tokens rows per marked span; one
+    per-doc groupBy reassembles. Everything is linear in corpus tokens.
+    """
+    nt = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.when(
+        nt == "", F.array().cast("array<string>")
+    ).otherwise(F.split(nt, " "))
+    base = docs.select(F.col(id_col), toks.alias("_t")).localCheckpoint(
+        eager=False
+    )
+    spans = base.where(F.size("_t") >= span_tokens).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - span_tokens),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("_t"), i + 1, span_tokens)
+                    )
+                ),
+            )
+        ).alias("_sp", "_h"),
+    )
+    boiler = (
+        spans.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_h")
+    )
+    covered = (
+        spans.join(boiler, "_h")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("_sp"), F.col("_sp") + F.lit(span_tokens - 1)
+                )
+            ).alias("_tp"),
+        )
+        .distinct()
+        .withColumn("_b", F.lit(1))
+    )
+    stream = base.select(
+        id_col, F.posexplode_outer("_t").alias("_tp", "_w")
+    )
+    marked = stream.join(covered, [id_col, "_tp"], "left")
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_b").isNull() & F.col("_w").isNotNull(),
+                            F.struct(F.col("_tp"), F.col("_w")),
+                        )
+                    )
+                ),
+                lambda s: s["_w"],
+            ),
+        ).alias(text_col),
+        F.count("_tp").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_removed"),
+    )

@@ -4632,6 +4632,76 @@ def q103_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q104_repeated_spans",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, string_split(nt, ' ') AS w
+        FROM norm WHERE nt != ''
+    ),
+    spans AS (
+        SELECT doc_id, i AS sp,
+               md5(array_to_string(w[i + 1 : i + 4], ' ')) AS h
+        FROM t, unnest(range(len(w) - 3)) r(i)
+    ),
+    boiler AS (
+        SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT s.doc_id, s.sp + j.j AS tp
+        FROM spans s JOIN boiler USING (h), unnest(range(4)) j(j)
+    ),
+    toks AS (
+        SELECT doc_id, i AS tp, w[i + 1] AS tok
+        FROM t, unnest(range(len(w))) r(i)
+    ),
+    marked AS (
+        SELECT k.doc_id, k.tp, k.tok,
+               CASE WHEN c.tp IS NOT NULL THEN 1 ELSE 0 END AS rm
+        FROM toks k
+        LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.tp = c.tp
+    ),
+    agg AS (
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN rm = 0 THEN tok END,
+                                   ' ' ORDER BY tp), '') AS text,
+               count(*) AS n_tokens,
+               CAST(sum(rm) AS BIGINT) AS n_removed
+        FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.text, '') AS text,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q104_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style cross-document repeated-span removal
+    (operators/dedup.py remove_repeated_spans — the Lee et al. 2022
+    substring-dedup granularity between q91's line dedup and q21's
+    doc-level MinHash): every token covered by a 4-token normalized
+    window occurring in >= 2 distinct documents is deleted everywhere,
+    and documents reassemble from their surviving tokens in order. One
+    tokenization per doc feeds both the rolling-window hash stream and
+    the token stream (lazily checkpointed); narrow md5 shuffle keys; the
+    marked-span join is AQE-broadcastable; linear in corpus tokens."""
+    from albedo_spark.operators.dedup import remove_repeated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_repeated_spans(d, span_tokens=4, min_df=2)
+    return out.select(
+        "doc_id", "text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4707,6 +4777,7 @@ _DEMOTED = [
 # shape q50 exercised).
 _POST_WINDOW = [
     "q91_line_boilerplate",
+    "q104_repeated_spans",
     "q92_exact_dedup_incremental",
     "q93_ann_vector_store",
     "q94_group_sample",

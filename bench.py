@@ -91,6 +91,7 @@ HEADLINE2 = [
     "q101_rolling_zscore",
     "q102_near_dup_vs_store",
     "q103_bpe_learn",
+    "q104_repeated_spans",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -423,6 +423,72 @@ def test_line_boilerplate_dedup_planted(spark):
     assert got[4] == ("", 0, 0)
 
 
+def test_remove_repeated_spans_planted(spark):
+    """A 4-token span shared by two docs is removed from BOTH (symmetric,
+    covering every token either marked window touches); unrelated docs,
+    sub-span-length docs, and NULL text pass through."""
+    from albedo_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one"),
+            (2, "start words ALPHA beta  gamma delta more"),
+            (3, "totally different content here now"),
+            (4, "tiny doc"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in remove_repeated_spans(docs, span_tokens=4, min_df=2).collect()
+    }
+    # normalization (lowercase, whitespace collapse) makes the doc-2
+    # variant match; the marked window covers tokens 0-3 / 2-5
+    assert got[1] == ("unique one", 6, 4)
+    assert got[2] == ("start words more", 7, 4)
+    assert got[3] == ("totally different content here now", 5, 0)
+    assert got[4] == ("tiny doc", 2, 0)
+    assert got[5] == ("", 0, 0)
+
+
+def test_remove_repeated_spans_self_repeat_not_flagged(spark):
+    """Distinct-document frequency: a doc repeating its OWN phrase never
+    self-flags (intra-doc repetition is q67's domain)."""
+    from albedo_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four one two three four"),
+         (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed)
+        for r in remove_repeated_spans(docs, span_tokens=4, min_df=2).collect()
+    }
+    assert got[1] == (8, 0)
+    assert got[2] == (5, 0)
+
+
+def test_remove_repeated_spans_overlap_union(spark):
+    """Two overlapping marked windows union their cover — tokens are
+    removed once, and the uncovered tail survives."""
+    from albedo_spark.operators.dedup import remove_repeated_spans
+
+    # 'a b c d e' shared as a 5-token run -> 4-token windows at 0 and 1
+    # both mark; cover = tokens 0..4 in both docs
+    docs = spark.createDataFrame(
+        [(1, "a b c d e tail1"), (2, "a b c d e tail2")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in remove_repeated_spans(docs, span_tokens=4, min_df=2).collect()
+    }
+    assert got[1] == ("tail1", 5)
+    assert got[2] == ("tail2", 5)
+
+
 def test_line_boilerplate_dedup_idempotent(spark):
     """Survivor lines have df < min_df by construction, so a second
     application removes nothing (the property the docstring promises)."""
