@@ -313,3 +313,86 @@ def hashed_tf_features(
         .cast("long")
         .alias("weight_x1m"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Statistical-LM quality score per document — the perplexity-filter
+    stage of CCNet-style pipelines (Wenzek et al. 2020 score with a KenLM
+    n-gram model; public method) reduced to a corpus-self-trained bigram
+    model with add-one smoothing: a document whose adjacent-token
+    transitions are common across the corpus scores high, gibberish and
+    shuffled text score low. Output ``(id, n_bigrams, score_x10k)`` with
+    ``score_x10k = floor(avg_bigram_probability × 10^4)``; docs with
+    fewer than two tokens carry NULL score (no transitions to judge).
+
+    Every arithmetic step is INTEGER-exact so the DuckDB oracle replays
+    bit-for-bit (the q101 discipline, avoiding the cross-engine 1-ulp
+    hazard a transcendental log would introduce): per-bigram smoothed
+    probability ``(C(w1,w2)+1) / (C(w1)+V)`` is integerized as a single
+    BIGINT floor-division at ×10^9, summed exactly, then one more
+    floor-division produces the ×10^4 average. Production callers wanting
+    true log-perplexity can apply ``ln`` to the same joined counts — the
+    plan is identical, only the final projection changes.
+
+    Plan shape at 100 TB: one tokenization per doc (array column), bigram
+    explode via the zip-of-slices HOF; unigram and bigram count tables
+    are classic map-side-combinable aggregates; the per-doc score is two
+    equi-joins (bigram stats on (w1,w2), unigram stats on w1 — both
+    AQE-broadcastable when vocabulary is small relative to corpus) and
+    one per-doc aggregate. The vocabulary size V is the one driver-side
+    scalar (a single count job — the bounded A7 exception), folded into
+    the plan as a literal.
+    """
+    nt = normalize_text(F.col(text_col))
+    toks = F.when(
+        nt == "", F.array().cast("array<string>")
+    ).otherwise(F.split(nt, " "))
+    base = docs.select(F.col(id_col), toks.alias("_t")).localCheckpoint(
+        eager=False
+    )
+    uni = (
+        base.select(F.explode("_t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("_cu"))
+    )
+    v = uni.count()
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            id_col,
+            F.expr(
+                f"(_cb + 1) * 1000000000L DIV (_cu + {v}L)"
+            ).alias("_p9"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.sum("_p9").alias("_sp")
+    )
+    out = agg.select(
+        id_col,
+        "n_bigrams",
+        F.expr("_sp DIV (n_bigrams * 100000L)").alias("score_x10k"),
+    )
+    return (
+        docs.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "score_x10k",
+        )
+    )

@@ -4702,6 +4702,61 @@ def q104_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q105_bigram_lm",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, string_split(nt, ' ') AS w
+        FROM norm WHERE nt != ''
+    ),
+    uni AS (
+        SELECT tok AS w1, count(*) AS cu
+        FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1
+    ),
+    v AS (SELECT count(*) AS nv FROM uni),
+    bg AS (
+        SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
+        FROM t, unnest(range(len(w) - 1)) r(i)
+    ),
+    cb AS (SELECT w1, w2, count(*) AS ncb FROM bg GROUP BY 1, 2),
+    sc AS (
+        SELECT g.doc_id,
+               ((c.ncb + 1) * 1000000000) // (u.cu + v.nv) AS p
+        FROM bg g JOIN cb c USING (w1, w2) JOIN uni u USING (w1)
+        CROSS JOIN v
+    ),
+    agg AS (SELECT doc_id, count(*) AS nb, sum(p) AS sp FROM sc GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(a.sp // (a.nb * 100000) AS BIGINT) AS score_x10k
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (operators/textstats.py
+    bigram_lm_scores — the CCNet perplexity-filter stage as a
+    corpus-self-trained bigram model with add-one smoothing): documents
+    whose token transitions are common across the corpus score high,
+    gibberish low. All arithmetic is BIGINT floor-division (per-bigram
+    probability ×10^9, exact sum, one final ÷ to the ×10^4 average), so
+    both engines derive identical integers — no transcendental log in
+    the gated surface. Two count aggregates + two AQE-broadcastable
+    stat joins + one per-doc aggregate; V folds in as a literal."""
+    from albedo_spark.operators.textstats import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("score_x10k").cast("long").alias("score_x10k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4778,6 +4833,7 @@ _DEMOTED = [
 _POST_WINDOW = [
     "q91_line_boilerplate",
     "q104_repeated_spans",
+    "q105_bigram_lm",
     "q92_exact_dedup_incremental",
     "q93_ann_vector_store",
     "q94_group_sample",

@@ -92,6 +92,7 @@ HEADLINE2 = [
     "q102_near_dup_vs_store",
     "q103_bpe_learn",
     "q104_repeated_spans",
+    "q105_bigram_lm",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -403,3 +403,51 @@ def test_cooccurrence_topk(spark):
     capped = cooccurrence_topk(df, "b", "i", k=2, max_basket=3)
     items = {r.item_a for r in capped.collect()}
     assert items == {"x", "y", "z", "q"}
+
+
+def test_bigram_lm_scores_exact_and_discriminative(spark):
+    """Integer-exact check against a pure-Python replay of the smoothed
+    bigram formula, plus the discrimination property the stage exists
+    for: corpus-common transitions outscore unique gibberish."""
+    from collections import Counter
+
+    from albedo_spark.operators.textstats import bigram_lm_scores
+
+    texts = {
+        1: "the quick brown fox",
+        2: "the quick brown cat",
+        3: "the quick brown dog",
+        4: "zq xv jk wq",          # gibberish: transitions seen nowhere else
+        5: "one",                   # single token: no transitions
+        6: None,
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    # pure-Python replay
+    toks = {i: t.split() for i, t in texts.items() if t}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    v = len(uni)
+    bi = Counter(
+        (a, b) for ws in toks.values() for a, b in zip(ws, ws[1:])
+    )
+    expected = {}
+    for i in texts:
+        ws = toks.get(i, [])
+        ps = [
+            ((bi[(a, b)] + 1) * 1_000_000_000) // (uni[a] + v)
+            for a, b in zip(ws, ws[1:])
+        ]
+        expected[i] = (
+            len(ps),
+            (sum(ps) // (len(ps) * 100_000)) if ps else None,
+        )
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.score_x10k)
+        for r in bigram_lm_scores(docs).collect()
+    }
+    assert got == expected
+    # discrimination: shared transitions beat gibberish
+    assert got[1][1] > got[4][1]
