@@ -396,3 +396,110 @@ def bigram_lm_scores(
             "score_x10k",
         )
     )
+
+
+def dsir_importance_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data-selection importance scores (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public method; their hashed-n-gram distribution ratio re-expressed
+    with explicit bigram tables): each document scores by how much more
+    likely its token transitions are under the TARGET subcorpus than
+    under the whole corpus. Documents resembling the target domain score
+    above 10^4 (ratio > 1), off-domain documents below. The selection
+    stage between hygiene and mixture sampling: rank by score, keep the
+    head, or feed the scores to ``weighted_sample_without_replacement``.
+
+    Per bigram the smoothed frequency ratio is
+    ``((Ct+1)·(Nall+B)) / ((Call+1)·(Nt+B))`` — Ct/Call the bigram's
+    target/corpus counts, Nt/Nall the total bigram masses, B the distinct
+    bigram vocabulary. The ratio is evaluated in ONE double
+    multiply-divide chain (every IEEE multiply/divide is correctly
+    rounded, so both engines derive the identical double — only
+    transcendentals are cross-engine hazards), integerized per row at
+    ×10^4, summed exactly as BIGINTs, and floor-divided to the per-doc
+    average (the q101 order-independence discipline).
+
+    Plan: two count aggregates (corpus and target bigram tables — the
+    target side is usually tiny), scalar masses via a broadcast one-row
+    cross join (no driver round-trip), two AQE-broadcastable stat joins,
+    one per-doc aggregate. Linear in corpus tokens.
+    """
+    nt = normalize_text(F.col(text_col))
+    toks = F.when(
+        nt == "", F.array().cast("array<string>")
+    ).otherwise(F.split(nt, " "))
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col), toks.alias("_t")
+        ).select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("_p"),
+        ).select(
+            id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+        )
+
+    all_pairs = bigrams(docs).localCheckpoint(eager=False)
+    call = all_pairs.groupBy("w1", "w2").agg(F.count("*").alias("_call"))
+    ct = (
+        bigrams(target)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("_ct"))
+    )
+    masses = (
+        call.agg(
+            F.sum("_call").alias("_nall"), F.count("*").alias("_b")
+        )
+        .crossJoin(
+            ct.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
+        )
+    )
+    scored = (
+        all_pairs.join(call, ["w1", "w2"])
+        .join(ct, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(masses))
+        .select(
+            id_col,
+            F.floor(
+                (
+                    (F.coalesce("_ct", F.lit(0)) + F.lit(1)).cast("double")
+                    * (F.col("_nall") + F.col("_b")).cast("double")
+                )
+                / (
+                    (F.col("_call") + F.lit(1)).cast("double")
+                    * (F.col("_nt") + F.col("_b")).cast("double")
+                )
+                * F.lit(10_000.0)
+            )
+            .cast("long")
+            .alias("_imp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.sum("_imp").alias("_si")
+    )
+    out = agg.select(
+        id_col,
+        "n_bigrams",
+        F.expr("_si DIV n_bigrams").alias("importance_x10k"),
+    )
+    return (
+        docs.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "importance_x10k",
+        )
+    )

@@ -4757,6 +4757,71 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q106_dsir_importance",
+    """
+    WITH norm AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, lang, string_split(nt, ' ') AS w
+        FROM norm WHERE nt != ''
+    ),
+    bg AS (
+        SELECT doc_id, lang, w[i + 1] AS w1, w[i + 2] AS w2
+        FROM t, unnest(range(len(w) - 1)) r(i)
+    ),
+    call AS (SELECT w1, w2, count(*) AS ncall FROM bg GROUP BY 1, 2),
+    ct AS (
+        SELECT w1, w2, count(*) AS nct
+        FROM bg WHERE lang = 'en' GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT (SELECT sum(ncall) FROM call) AS nall,
+               (SELECT count(*) FROM call) AS b,
+               (SELECT coalesce(sum(nct), 0) FROM ct) AS ntm
+    ),
+    sc AS (
+        SELECT g.doc_id,
+               CAST(floor(
+                   ((coalesce(c2.nct, 0) + 1.0) * CAST(m.nall + m.b AS DOUBLE))
+                   / ((c1.ncall + 1.0) * CAST(m.ntm + m.b AS DOUBLE))
+                   * 10000.0
+               ) AS BIGINT) AS imp
+        FROM bg g
+        JOIN call c1 USING (w1, w2)
+        LEFT JOIN ct c2 USING (w1, w2)
+        CROSS JOIN m
+    ),
+    agg AS (SELECT doc_id, count(*) AS nb, sum(imp) AS si FROM sc GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(a.si // a.nb AS BIGINT) AS importance_x10k
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q106_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (operators/textstats.py
+    dsir_importance_scores): every document scored by the smoothed
+    bigram-frequency ratio of the English ('lang = en') subcorpus vs the
+    whole corpus — the data-SELECTION stage (rank, keep the head, or
+    feed `weighted_sample_without_replacement`). The ratio is one
+    IEEE-deterministic double multiply-divide chain integerized per row,
+    then exact BIGINT sum + floor-division per doc, so both engines hash
+    identically. Target-side stats are tiny; scalar masses ride a
+    broadcast one-row cross join (no driver round-trip)."""
+    from albedo_spark.operators.textstats import dsir_importance_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance_scores(d, d.where("lang = 'en'")).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("importance_x10k").cast("long").alias("importance_x10k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4834,6 +4899,7 @@ _POST_WINDOW = [
     "q91_line_boilerplate",
     "q104_repeated_spans",
     "q105_bigram_lm",
+    "q106_dsir_importance",
     "q92_exact_dedup_incremental",
     "q93_ann_vector_store",
     "q94_group_sample",

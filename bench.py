@@ -93,6 +93,7 @@ HEADLINE2 = [
     "q103_bpe_learn",
     "q104_repeated_spans",
     "q105_bigram_lm",
+    "q106_dsir_importance",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

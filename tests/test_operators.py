@@ -451,3 +451,60 @@ def test_bigram_lm_scores_exact_and_discriminative(spark):
     assert got == expected
     # discrimination: shared transitions beat gibberish
     assert got[1][1] > got[4][1]
+
+
+def test_dsir_importance_exact_and_discriminative(spark):
+    """Pure-Python replay of the smoothed frequency-ratio formula, plus
+    the selection property: documents sharing the target subcorpus's
+    transitions outscore off-domain documents."""
+    from collections import Counter
+
+    from albedo_spark.operators.textstats import dsir_importance_scores
+
+    rows = [
+        (1, "en", "the cat sat down"),
+        (2, "en", "the cat ran off"),
+        (3, "de", "der hund lief weg"),
+        (4, "xx", "the cat sat down"),   # off-target but target-like text
+        (5, "xx", "zq wv pk lm"),        # off-domain gibberish
+        (6, "xx", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    target = docs.where("lang = 'en'")
+
+    toks = {i: t.split() for i, _, t in rows if t}
+    bi_all = Counter(
+        (a, b) for ws in toks.values() for a, b in zip(ws, ws[1:])
+    )
+    bi_t = Counter(
+        (a, b)
+        for i, lang, t in rows
+        if t and lang == "en"
+        for a, b in zip(toks[i], toks[i][1:])
+    )
+    nall, b, ntm = sum(bi_all.values()), len(bi_all), sum(bi_t.values())
+    expected = {}
+    for i, _, t in rows:
+        ws = toks.get(i, [])
+        imps = [
+            int(
+                (
+                    (bi_t[(x, y)] + 1.0) * float(nall + b)
+                    / ((bi_all[(x, y)] + 1.0) * float(ntm + b))
+                )
+                * 10_000.0
+                // 1
+            )
+            for x, y in zip(ws, ws[1:])
+        ]
+        expected[i] = (
+            len(imps), (sum(imps) // len(imps)) if imps else None
+        )
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.importance_x10k)
+        for r in dsir_importance_scores(docs, target).collect()
+    }
+    assert got == expected
+    # target-like text outscores gibberish regardless of its own label
+    assert got[4][1] > got[5][1]
