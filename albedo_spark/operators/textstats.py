@@ -341,9 +341,9 @@ def bigram_lm_scores(
     are classic map-side-combinable aggregates; the per-doc score is two
     equi-joins (bigram stats on (w1,w2), unigram stats on w1 — both
     AQE-broadcastable when vocabulary is small relative to corpus) and
-    one per-doc aggregate. The vocabulary size V is the one driver-side
-    scalar (a single count job — the bounded A7 exception), folded into
-    the plan as a literal.
+    one per-doc aggregate. The vocabulary size V rides a broadcast
+    one-row cross join (no driver round-trip — the fully-lazy scalar
+    idiom ``dsir_importance_scores`` uses).
     """
     nt = normalize_text(F.col(text_col))
     toks = F.when(
@@ -357,7 +357,7 @@ def bigram_lm_scores(
         .groupBy("w1")
         .agg(F.count("*").alias("_cu"))
     )
-    v = uni.count()
+    vocab_size = uni.agg(F.count("*").alias("_v"))
     pairs = base.select(
         id_col,
         F.explode(
@@ -372,11 +372,10 @@ def bigram_lm_scores(
     scored = (
         pairs.join(bi, ["w1", "w2"])
         .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab_size))
         .select(
             id_col,
-            F.expr(
-                f"(_cb + 1) * 1000000000L DIV (_cu + {v}L)"
-            ).alias("_p9"),
+            F.expr("(_cb + 1) * 1000000000L DIV (_cu + _v)").alias("_p9"),
         )
     )
     agg = scored.groupBy(id_col).agg(
