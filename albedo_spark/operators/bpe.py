@@ -238,13 +238,17 @@ def learn_bpe(
             syms = syms.repartition(width).localCheckpoint()
             since_checkpoint = 0
         if round_stats is not None:
+            # Freeze the wall BEFORE the instrumentation count job so the
+            # probe's falling-cost signal is not diluted by a constant
+            # per-round measurement overhead.
+            wall = round(_time.perf_counter() - t0, 4)
             round_stats.append(
                 {
                     "round": round_i,
                     "pair": (left, right),
                     "count": n,
                     "n_affected": aff.count(),
-                    "wall_sec": round(_time.perf_counter() - t0, 4),
+                    "wall_sec": wall,
                 }
             )
     return merges
@@ -331,10 +335,18 @@ def encode_corpus(
     """
     from albedo_spark.operators.textstats import tokens
 
-    exploded = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("_pos", "word"),
-    ).where(F.col("word") != "")
+    # Lazy checkpoint: the exploded token stream feeds BOTH the
+    # distinct-vocab branch and the equi-join branch — without it one
+    # action tokenizes and explodes the full corpus twice.
+    exploded = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("_pos", "word"),
+        )
+        .where(F.col("word") != "")
+        .localCheckpoint(eager=False)
+    )
     vocab = segment_vocab(exploded.select("word").distinct(), merges)
     return (
         exploded.join(vocab, "word")

@@ -636,25 +636,33 @@ def remove_repeated_spans(
     covered positions explode ≤ span_tokens rows per marked span; one
     per-doc groupBy reassembles. Everything is linear in corpus tokens.
     """
-    nt = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    nt = normalize_text(F.col(text_col))
     toks = F.when(
         nt == "", F.array().cast("array<string>")
     ).otherwise(F.split(nt, " "))
     base = docs.select(F.col(id_col), toks.alias("_t")).localCheckpoint(
         eager=False
     )
-    spans = base.where(F.size("_t") >= span_tokens).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_t") - span_tokens),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ", F.slice(F.col("_t"), i + 1, span_tokens)
-                    )
-                ),
-            )
-        ).alias("_sp", "_h"),
+    # Second lazy checkpoint on the HASHED stream: spans feeds both the
+    # df aggregate and the covered-positions join, and the per-window
+    # md5 transform is the expensive stage — without this, one action
+    # hashes every window twice (base's checkpoint sits below the hash).
+    spans = (
+        base.where(F.size("_t") >= span_tokens)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - span_tokens),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("_t"), i + 1, span_tokens)
+                        )
+                    ),
+                )
+            ).alias("_sp", "_h"),
+        )
+        .localCheckpoint(eager=False)
     )
     boiler = (
         spans.select("_h", id_col)

@@ -140,6 +140,7 @@ def dedup_incremental(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     max_bucket: int = 200,
+    exclude_store_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(id_a < id_b)`` touching the new batch:
     batch-vs-store plus batch-internal, under the combined bucket-size
@@ -148,11 +149,27 @@ def dedup_incremental(
     the store's bucket layout. Verify survivors with
     ``dedup.jaccard_verify`` as usual (it only shingles documents that
     appear in a pair).
+
+    ``exclude_store_ids`` (a one-column id frame, assumed small) drops
+    those ids from the STORE side before the size cap and the joins — a
+    broadcast anti-join, so the store still never shuffles. The
+    streaming ingest sink passes the batch's own ids: on a replay whose
+    previous attempt already appended the batch's signatures, the store
+    then looks exactly as it did on the first attempt, so the admit set
+    (including every combined-bucket-cap decision at the margin) is
+    byte-identical — the exactly-once contract near ``max_bucket``.
     """
     spark = batch.sparkSession
     store = spark.table(table).select(
         F.col(id_col).alias("_sid"), "bkey"
     )
+    if exclude_store_ids is not None:
+        xid = exclude_store_ids.select(
+            F.col(exclude_store_ids.columns[0]).alias("_xid")
+        )
+        store = store.join(
+            F.broadcast(xid), F.col("_sid") == F.col("_xid"), "left_anti"
+        )
     new_bands = minhash_band_rows(
         batch, text_col, id_col, num_hashes, rows_per_band, shingle_n
     ).select(F.col(id_col).alias("_bid"), "bkey")

@@ -345,13 +345,9 @@ def bigram_lm_scores(
     one-row cross join (no driver round-trip — the fully-lazy scalar
     idiom ``dsir_importance_scores`` uses).
     """
-    nt = normalize_text(F.col(text_col))
-    toks = F.when(
-        nt == "", F.array().cast("array<string>")
-    ).otherwise(F.split(nt, " "))
-    base = docs.select(F.col(id_col), toks.alias("_t")).localCheckpoint(
-        eager=False
-    )
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).localCheckpoint(eager=False)
     uni = (
         base.select(F.explode("_t").alias("w1"))
         .groupBy("w1")
@@ -428,14 +424,9 @@ def dsir_importance_scores(
     cross join (no driver round-trip), two AQE-broadcastable stat joins,
     one per-doc aggregate. Linear in corpus tokens.
     """
-    nt = normalize_text(F.col(text_col))
-    toks = F.when(
-        nt == "", F.array().cast("array<string>")
-    ).otherwise(F.split(nt, " "))
-
     def bigrams(frame: DataFrame) -> DataFrame:
         return frame.select(
-            F.col(id_col), toks.alias("_t")
+            F.col(id_col), tokens(F.col(text_col)).alias("_t")
         ).select(
             id_col,
             F.explode(

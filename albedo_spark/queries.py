@@ -1171,9 +1171,16 @@ def _ann_oracle_sql(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
     """
 
 
-# Orphan-cleanup watermark: warehouse directories modified at/after this
+# Orphan-cleanup watermark: warehouse directories modified after this
 # instant may belong to a live concurrent session and are never deleted.
-_PROC_START_MS = int(_time.time() * 1000)
+# The hour of grace BEFORE process start narrows the remaining hazard —
+# a long-lived session that published shortly before we started is
+# protected too; only directories untouched for over an hour before our
+# start are treated as dead processes' debris. (Without a shared
+# metastore there is no liveness signal, so a >1h-old store being
+# actively served by another process remains theoretically exposed —
+# the inherent in-memory-catalog limit, documented at _memo_store.)
+_ORPHAN_WATERMARK_MS = int(_time.time() * 1000) - 3_600_000
 
 
 def _memo_store(spark: SparkSession, sf_dir: str, src: str, tag: str, build) -> str:
@@ -1192,10 +1199,11 @@ def _memo_store(spark: SparkSession, sf_dir: str, src: str, tag: str, build) -> 
     table, so no reader ever sees a half-built store. (With a real
     metastore the RENAME race is fully atomic; under local in-memory
     catalogs each process has its own catalog, so the orphan cleanup
-    only removes warehouse directories whose mtime PREDATES this
-    process's start — a directory published during our lifetime may be a
-    live concurrent session's table mid-scan, so it is left alone and we
-    keep serving from our private copy instead.)"""
+    only removes warehouse directories untouched since well BEFORE this
+    process started (an hour of grace) — a directory published during or
+    shortly before our lifetime may be a live concurrent session's table
+    mid-scan, so it is left alone and we keep serving from our private
+    copy instead.)"""
     import hashlib as _hashlib
     import json as _json
     import os as _os
@@ -1214,7 +1222,7 @@ def _memo_store(spark: SparkSession, sf_dir: str, src: str, tag: str, build) -> 
         tmp = f"{table}__b{_os.getpid()}"
         build(tmp)
         cleared = drop_orphan_table_location(
-            spark, table, older_than_ms=_PROC_START_MS
+            spark, table, older_than_ms=_ORPHAN_WATERMARK_MS
         )
         if not cleared:
             # Location written during our lifetime: a live session's

@@ -438,9 +438,15 @@ def run_to_minhash_store(
                 num_hashes, rows_per_band, shingle_n, num_buckets,
             )
         batch = batch_df.where(F.col(text_col).isNotNull())
+        # exclude_store_ids = the batch's own ids: a replay whose prior
+        # attempt already appended this batch's signatures sees the store
+        # exactly as the first attempt did, so every admit decision —
+        # including combined-bucket-cap calls at the max_bucket margin —
+        # replays byte-identically.
         pairs = dedup_incremental(
             batch, table, text_col, id_col,
             num_hashes, rows_per_band, shingle_n, max_bucket,
+            exclude_store_ids=batch.select(id_col),
         )
         # Pair members are unlabeled (store ids and batch ids mixed, each
         # pair sorted id_a < id_b): re-derive the side per member by a
@@ -475,8 +481,22 @@ def run_to_minhash_store(
             keep.write.mode("overwrite").parquet(
                 f"{out_path}/ingest_batch={batch_id}"
             )
-            store_ids = spark.table(table).select(id_col).distinct()
-            novel_for_store = keep.join(store_ids, id_col, "left_anti")
+            # Replay guard without a history-sized shuffle: probe the
+            # store for ids IN THIS BATCH's keep set (broadcast semi —
+            # the store scan streams, never exchanges), then anti-join
+            # the tiny hit list back. A plain distinct() over all store
+            # ids would hash-aggregate the whole history every batch.
+            present = (
+                spark.table(table)
+                .select(id_col)
+                .join(
+                    F.broadcast(keep.select(id_col)), id_col, "left_semi"
+                )
+                .distinct()
+            )
+            novel_for_store = keep.join(
+                F.broadcast(present), id_col, "left_anti"
+            )
             append_signatures(
                 novel_for_store, table, text_col, id_col,
                 num_hashes, rows_per_band, shingle_n, num_buckets,
