@@ -308,3 +308,169 @@ def append_digests(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash store: Hamming-granular near-dup, the fourth store granularity
+# ---------------------------------------------------------------------------
+
+
+def simhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """(id, sim, bkey) band rows of the SimHash fingerprint: the
+    ``num_bits``-bit hash splits into ``num_bands`` equal bit-slices and
+    each slice becomes one md5 band key (band index folded in, the
+    ``minhash_band_rows`` convention). Pigeonhole guarantee: two
+    fingerprints within Hamming distance ``num_bands - 1`` share at
+    least one unchanged slice, so banded candidate generation has FULL
+    recall for ``max_hamming <= num_bands - 1`` — unlike MinHash, no
+    probabilistic misses and no text re-read to verify (the stored
+    fingerprints themselves decide via ``bit_count(xor)``)."""
+    from albedo_spark.operators.dedup import simhash
+
+    width = num_bits // num_bands
+    mask = (1 << width) - 1
+    base = df.select(
+        F.col(id_col), simhash(F.col(text_col), num_bits).alias("sim")
+    )
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(b),
+                    F.shiftright("sim", b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("string"),
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return base.select(id_col, "sim", F.explode(keys).alias("bkey"))
+
+
+def build_simhash_store(
+    corpus: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 16,
+    num_bands: int = 4,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the corpus's SimHash band rows bucketed on ``bkey`` — the
+    Hamming-granularity member of the store family (digest = exact,
+    MinHash = Jaccard, ANN = cosine, SimHash = Hamming)."""
+    from albedo_spark.io import write_bucketed
+
+    rows = simhash_band_rows(corpus, text_col, id_col, num_bits, num_bands)
+    write_bucketed(rows, table, "bkey", num_buckets=num_buckets)
+
+
+def append_simhash(
+    batch: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 16,
+    num_bands: int = 4,
+    num_buckets: int = 16,
+) -> None:
+    """Append the batch's band rows (same bucket spec; call AFTER the
+    batch's ``simhash_incremental`` pairs are consumed)."""
+    rows = simhash_band_rows(batch, text_col, id_col, num_bits, num_bands)
+    (
+        rows.write.mode("append")
+        .bucketBy(num_buckets, "bkey")
+        .sortBy("bkey")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def simhash_incremental(
+    batch: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 16,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+    exclude_store_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs ``(id_a < id_b, hamming)`` within Hamming distance
+    ``max_hamming`` touching the new batch: batch-vs-store plus
+    batch-internal, under the combined bucket-size cap. Same plan
+    contract as ``dedup_incremental`` (store never shuffles, batch
+    shuffles once into the store layout, bands lazily checkpointed), but
+    the verification is EXACT and in-plan: ``bit_count(sim_a XOR
+    sim_b)`` on the stored fingerprints — no candidate stage, no text
+    re-read. Full recall iff ``max_hamming <= num_bands - 1``
+    (pigeonhole); larger radii lose the guarantee."""
+    spark = batch.sparkSession
+    store = spark.table(table).select(
+        F.col(id_col).alias("_sid"), F.col("sim").alias("_ssim"), "bkey"
+    )
+    if exclude_store_ids is not None:
+        xid = exclude_store_ids.select(
+            F.col(exclude_store_ids.columns[0]).alias("_xid")
+        )
+        store = store.join(
+            F.broadcast(xid), F.col("_sid") == F.col("_xid"), "left_anti"
+        )
+    new_bands = (
+        simhash_band_rows(batch, text_col, id_col, num_bits, num_bands)
+        .select(
+            F.col(id_col).alias("_bid"), F.col("sim").alias("_bsim"), "bkey"
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    store_sizes = store.groupBy("bkey").agg(F.count("*").alias("_ns"))
+    batch_sizes = new_bands.groupBy("bkey").agg(F.count("*").alias("_nb"))
+    eligible = (
+        store_sizes.join(batch_sizes, "bkey", "full_outer")
+        .where(
+            F.coalesce("_ns", F.lit(0)) + F.coalesce("_nb", F.lit(0))
+            <= max_bucket
+        )
+        .select("bkey")
+    )
+
+    ham_cross = F.bit_count(
+        F.col("_bsim").bitwiseXOR(F.col("_ssim"))
+    ).cast("long")
+    cross = (
+        new_bands.join(eligible, "bkey")
+        .join(store, "bkey")
+        .where(
+            (F.col("_bid") != F.col("_sid")) & (ham_cross <= max_hamming)
+        )
+        .select(
+            F.least("_bid", "_sid").alias("id_a"),
+            F.greatest("_bid", "_sid").alias("id_b"),
+            ham_cross.alias("hamming"),
+        )
+    )
+    a = new_bands.join(eligible, "bkey").alias("a")
+    b = new_bands.alias("b")
+    ham_int = F.bit_count(
+        F.col("a._bsim").bitwiseXOR(F.col("b._bsim"))
+    ).cast("long")
+    internal = a.join(
+        b,
+        (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a._bid") < F.col("b._bid")),
+    ).where(ham_int <= max_hamming).select(
+        F.col("a._bid").alias("id_a"),
+        F.col("b._bid").alias("id_b"),
+        ham_int.alias("hamming"),
+    )
+    return cross.unionByName(internal).distinct()

@@ -4830,6 +4830,102 @@ def q106_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_store_oracle_sql(
+    num_bits: int = 16,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> str:
+    """q107's oracle: q32's bit-exact SimHash replay, banded; combined
+    (store+batch) bucket cap equals the whole-corpus cap (hist and batch
+    partition the corpus — the q90 argument)."""
+    width = num_bits // num_bands
+    mask = (1 << width) - 1
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (th & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(num_bits)
+    )
+    recombine = "\n             + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(num_bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS th
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, {recombine} AS sh FROM votes),
+    bands AS (
+        SELECT doc_id, sh, b.b AS band, (sh >> (b.b * {width})) & {mask} AS bv
+        FROM sim, unnest(range({num_bands})) b(b)
+    ),
+    eligible AS (
+        SELECT band, bv FROM bands GROUP BY 1, 2
+        HAVING count(*) <= {max_bucket}
+    ),
+    hb AS (SELECT * FROM bands WHERE doc_id % 4 != 0),
+    bb AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+    all_pairs AS (
+        SELECT least(x.doc_id, y.doc_id) AS id_a,
+               greatest(x.doc_id, y.doc_id) AS id_b,
+               bit_count(xor(x.sh, y.sh)) AS hamming
+        FROM bb x
+        JOIN hb y ON x.band = y.band AND x.bv = y.bv
+        JOIN eligible e ON e.band = x.band AND e.bv = x.bv
+        WHERE bit_count(xor(x.sh, y.sh)) <= {max_hamming}
+        UNION ALL
+        SELECT x.doc_id, y.doc_id, bit_count(xor(x.sh, y.sh))
+        FROM bb x
+        JOIN bb y ON x.band = y.band AND x.bv = y.bv
+                 AND x.doc_id < y.doc_id
+        JOIN eligible e ON e.band = x.band AND e.bv = x.bv
+        WHERE bit_count(xor(x.sh, y.sh)) <= {max_hamming}
+    )
+    SELECT DISTINCT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM all_pairs
+    """
+
+
+@query("q107_simhash_store", _simhash_store_oracle_sql())
+def q107_simhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Hamming-granular near-dup vs a persisted SimHash band
+    store (operators/dedup_store.py simhash_incremental — the FOURTH
+    store granularity: digest = exact, MinHash = Jaccard, ANN = cosine,
+    SimHash = Hamming): history (doc_id % 4 != 0) banded once into a
+    bucketed store; the batch (doc_id % 4 = 0) finds all pairs within
+    Hamming distance 3 of its 16-bit fingerprints without re-hashing or
+    shuffling the store. With max_hamming <= num_bands - 1 the banding
+    has FULL recall (pigeonhole) and verification is exact and in-plan
+    (bit_count of XOR on the stored fingerprints) — no candidate stage,
+    no text re-read. Same memoized-store + combined-bucket-cap contract
+    as q90."""
+    from albedo_spark.operators.dedup_store import (
+        build_simhash_store,
+        simhash_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.where("doc_id % 4 != 0")
+    batch = d.where("doc_id % 4 = 0")
+    tag = "simstore_q107_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = _memo_store(
+        spark, sf_dir, "documents", tag,
+        lambda t: build_simhash_store(hist, t, num_buckets=16),
+    )
+    return simhash_incremental(batch, table, max_bucket=200)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -4908,6 +5004,7 @@ _POST_WINDOW = [
     "q104_repeated_spans",
     "q105_bigram_lm",
     "q106_dsir_importance",
+    "q107_simhash_store",
     "q92_exact_dedup_incremental",
     "q93_ann_vector_store",
     "q94_group_sample",

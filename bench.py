@@ -94,6 +94,7 @@ HEADLINE2 = [
     "q104_repeated_spans",
     "q105_bigram_lm",
     "q106_dsir_importance",
+    "q107_simhash_store",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

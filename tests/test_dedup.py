@@ -336,6 +336,49 @@ def test_incremental_append_advances_history(spark):
         spark.sql("DROP TABLE IF EXISTS sigstore_app")
 
 
+def test_simhash_store_exact_within_pigeonhole_radius(spark):
+    """With max_hamming <= num_bands - 1 the banded store has FULL
+    recall (pigeonhole), so the incremental result must equal a
+    brute-force Hamming scan over the fingerprints — batch-vs-history
+    and batch-internal pairs alike; a normalized-identical twin pairs at
+    hamming 0."""
+    from albedo_spark.operators.dedup import simhash
+    from albedo_spark.operators.dedup_store import (
+        build_simhash_store,
+        simhash_incremental,
+    )
+
+    docs = _real_docs(spark)
+    hist = docs.where("doc_id % 4 != 0")
+    batch = docs.where("doc_id % 4 = 0")
+    build_simhash_store(hist, "simstore_eq", num_buckets=8)
+    try:
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_incremental(
+                batch, "simstore_eq", max_bucket=10**6
+            ).collect()
+        }
+        sims = {
+            r.doc_id: r.sh
+            for r in docs.select(
+                "doc_id", simhash(F.col("text"), 16).alias("sh")
+            ).collect()
+        }
+        bids = {r.doc_id for r in batch.select("doc_id").collect()}
+        expected = set()
+        for a in sims:
+            for b in sims:
+                if a < b and (a in bids or b in bids):
+                    h = bin(sims[a] ^ sims[b]).count("1")
+                    if h <= 3:
+                        expected.add((a, b, h))
+        assert got == expected
+        assert got  # non-vacuous: the corpus has near-identical twins
+    finally:
+        spark.sql("DROP TABLE IF EXISTS simstore_eq")
+
+
 def test_incremental_batches_leave_no_cache_entries(spark):
     """The production loop (batch after batch in one session) must not
     accumulate executor storage: dedup_incremental materializes its band
