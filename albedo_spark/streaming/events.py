@@ -428,26 +428,97 @@ def run_to_minhash_store(
         dedup_incremental,
     )
 
+    return _run_near_dup_ingest(
+        stream_df, table, out_path, checkpoint, text_col, id_col,
+        build_empty=lambda empty, t: build_signature_store(
+            empty, t, text_col, id_col,
+            num_hashes, rows_per_band, shingle_n, num_buckets,
+        ),
+        pairs_for=lambda batch, t: dedup_incremental(
+            batch, t, text_col, id_col,
+            num_hashes, rows_per_band, shingle_n, max_bucket,
+            exclude_store_ids=batch.select(id_col),
+        ),
+        append_novel=lambda novel, t: append_signatures(
+            novel, t, text_col, id_col,
+            num_hashes, rows_per_band, shingle_n, num_buckets,
+        ),
+    )
+
+
+def run_to_simhash_store(
+    stream_df: DataFrame,
+    table: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 16,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+    num_buckets: int = 16,
+    max_bucket: int = 200,
+):
+    """Streaming ingest dedup at HAMMING granularity — the SimHash
+    sibling of ``run_to_minhash_store``, completing the streaming family
+    (exact digests, Jaccard candidates, Hamming distance): each
+    micro-batch admits only docs whose fingerprint is farther than
+    ``max_hamming`` bits from every stored doc and every admitted
+    smaller-id batch doc, then advances the band store with the admitted
+    docs' fingerprints. Unlike the MinHash sink this is EXACT per the
+    Hamming semantics (pigeonhole full recall at ``max_hamming <=
+    num_bands - 1``, in-plan bit_count verification). Same keeper rule,
+    replay idempotence, and crash-window contract as the MinHash sink —
+    see its docstring."""
+    from albedo_spark.operators.dedup_store import (
+        append_simhash,
+        build_simhash_store,
+        simhash_incremental,
+    )
+
+    return _run_near_dup_ingest(
+        stream_df, table, out_path, checkpoint, text_col, id_col,
+        build_empty=lambda empty, t: build_simhash_store(
+            empty, t, text_col, id_col, num_bits, num_bands, num_buckets,
+        ),
+        pairs_for=lambda batch, t: simhash_incremental(
+            batch, t, text_col, id_col, num_bits, num_bands,
+            max_hamming, max_bucket,
+            exclude_store_ids=batch.select(id_col),
+        ),
+        append_novel=lambda novel, t: append_simhash(
+            novel, t, text_col, id_col, num_bits, num_bands, num_buckets,
+        ),
+    )
+
+
+def _run_near_dup_ingest(
+    stream_df: DataFrame,
+    table: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str,
+    id_col: str,
+    build_empty,
+    pairs_for,
+    append_novel,
+):
+    """Shared near-dup ingest core (MinHash and SimHash sinks): admit =
+    batch minus docs paired to the store or to a smaller admitted batch
+    id; rows overwrite per-batch directories; the store append is
+    replay-guarded by an id probe. ``pairs_for`` must pass the batch's
+    own ids as ``exclude_store_ids`` so a replay whose prior attempt
+    already appended sees the store exactly as the first attempt did
+    (byte-identical admit decisions at the bucket-cap margin)."""
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         if not spark.catalog.tableExists(table):
-            build_signature_store(
-                batch_df.limit(0), table, text_col, id_col,
-                num_hashes, rows_per_band, shingle_n, num_buckets,
-            )
+            build_empty(batch_df.limit(0), table)
         batch = batch_df.where(F.col(text_col).isNotNull())
-        # exclude_store_ids = the batch's own ids: a replay whose prior
-        # attempt already appended this batch's signatures sees the store
-        # exactly as the first attempt did, so every admit decision —
-        # including combined-bucket-cap calls at the max_bucket margin —
-        # replays byte-identically.
-        pairs = dedup_incremental(
-            batch, table, text_col, id_col,
-            num_hashes, rows_per_band, shingle_n, max_bucket,
-            exclude_store_ids=batch.select(id_col),
-        )
+        pairs = pairs_for(batch, table).select("id_a", "id_b")
         # Pair members are unlabeled (store ids and batch ids mixed, each
         # pair sorted id_a < id_b): re-derive the side per member by a
         # semi/left join against the batch's own ids. Drop a batch member
@@ -497,10 +568,7 @@ def run_to_minhash_store(
             novel_for_store = keep.join(
                 F.broadcast(present), id_col, "left_anti"
             )
-            append_signatures(
-                novel_for_store, table, text_col, id_col,
-                num_hashes, rows_per_band, shingle_n, num_buckets,
-            )
+            append_novel(novel_for_store, table)
         finally:
             keep.unpersist()
 

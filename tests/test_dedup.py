@@ -379,6 +379,37 @@ def test_simhash_store_exact_within_pigeonhole_radius(spark):
         spark.sql("DROP TABLE IF EXISTS simstore_eq")
 
 
+def test_simhash_store_side_never_shuffles(spark):
+    """The store contract extends to the SimHash granularity: every scan
+    of the banded store inside simhash_incremental is bucket-aware (no
+    Exchange above it)."""
+    from albedo_spark.operators.dedup_store import (
+        build_simhash_store,
+        simhash_incremental,
+    )
+
+    docs = _real_docs(spark)
+    build_simhash_store(
+        docs.where("doc_id % 4 != 0"), "simstore_plan", num_buckets=8
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            simhash_incremental(docs.where("doc_id % 4 = 0"), "simstore_plan")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        n_scans = plan.count("spark_catalog.default.simstore_plan")
+        assert n_scans >= 2, plan  # sizes agg + cross join
+        assert plan.count("Bucketed: true") == n_scans, plan
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS simstore_plan")
+
+
 def test_incremental_batches_leave_no_cache_entries(spark):
     """The production loop (batch after batch in one session) must not
     accumulate executor storage: dedup_incremental materializes its band

@@ -459,6 +459,49 @@ def test_run_to_minhash_store(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_batch_prefix")
 
 
+def test_run_to_simhash_store(spark, tmp_path):
+    """Hamming-granularity streaming ingest: a normalized-identical twin
+    (hamming 0) is blocked by history across batches; full replay after
+    a checkpoint reset changes nothing."""
+    from albedo_spark.streaming.events import run_to_simhash_store
+
+    t_a = "alpha beta gamma delta epsilon alpha beta gamma"
+    t_b = "zeta eta theta iota kappa zeta eta theta"
+    t_c = "lambda mu nu xi omicron lambda mu nu"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck1, ck2, ck3 = (str(tmp_path / c) for c in ("ck1", "ck2", "ck3"))
+    tbl = "t_stream_simstore"
+    try:
+        spark.createDataFrame(
+            [(1, t_a), (2, t_a.upper()), (3, t_b)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        run_to_simhash_store(stream(), tbl, out, ck1)
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+        spark.createDataFrame(
+            [(10, t_a), (11, t_c)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_to_simhash_store(stream(), tbl, out, ck2)  # fresh ck replays all
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 11}
+
+        run_to_simhash_store(stream(), tbl, out, ck3)
+        rows = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows} == {1, 3, 11}
+        assert len(rows) == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_stage_gc_reaps_crashed_builder_tmp(spark):
     """r5 ADVICE: a foreign .tmp-* dir older than the long grace is a
     crashed builder's debris and must be reaped; a FRESH foreign tmp (a
