@@ -212,3 +212,43 @@ def group_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle-and-shard — the LAST stage of a
+    pre-training data pipeline: training wants the corpus in randomized
+    order split into equal-ish shards consumed sequentially, and the
+    randomization must be reproducible (same corpus + same salt → the
+    same shard layout, on any engine). Output = input columns +
+    ``shard`` (0-based) + ``pos`` (1-based position within the shard).
+
+    The draw is ``md5(salt || id)`` (the ``group_sample`` idiom): shard =
+    first 32 bits of the draw mod ``num_shards`` (uniform-ish), position
+    = rank of the draw within the shard — so row order within a shard is
+    itself pseudo-random, not source order. Change ``salt`` to reshuffle
+    between epochs without touching the data.
+
+    Scale shape: ONE shuffle on the shard id, then a per-shard sort for
+    the positions — inherent to materializing a total order per shard,
+    and exactly the sort a sharded training-data writer needs anyway.
+    Size ``num_shards`` so one shard fits a task's spill budget (e.g.
+    10k shards for a 100 TB corpus → 10 GB sorted per task, disk-backed);
+    more shards = more parallelism and smaller sorts.
+    """
+    from pyspark.sql import Window
+
+    draw = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(draw, 1, 8), 16, 10).cast("long")
+        % F.lit(num_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(draw.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

@@ -4926,6 +4926,43 @@ def q107_simhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_incremental(batch, table, max_bucket=200)
 
 
+@query(
+    "q108_shuffle_shards",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               md5(concat('ep0', CAST(doc_id AS VARCHAR))) AS draw
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, draw,
+               CAST(concat('0x', substr(draw, 1, 8)) AS BIGINT) % 8 AS shard
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY draw, doc_id
+           ) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def q108_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-and-shard (operators/sampling.py
+    shuffle_shards — the final pre-training stage: randomized,
+    reproducible corpus order in equal-ish shards): md5(salt || id)
+    draws the shard and the within-shard rank, so any engine replays the
+    exact layout and a salt change reshuffles between epochs. One
+    shuffle on the shard id + the per-shard sort a sharded writer needs
+    anyway."""
+    from albedo_spark.operators.sampling import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return shuffle_shards(d, num_shards=8, id_col="doc_id", salt="ep0").select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5005,6 +5042,7 @@ _POST_WINDOW = [
     "q105_bigram_lm",
     "q106_dsir_importance",
     "q107_simhash_store",
+    "q108_shuffle_shards",
     "q92_exact_dedup_incremental",
     "q93_ann_vector_store",
     "q94_group_sample",

@@ -95,6 +95,7 @@ HEADLINE2 = [
     "q105_bigram_lm",
     "q106_dsir_importance",
     "q107_simhash_store",
+    "q108_shuffle_shards",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

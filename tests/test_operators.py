@@ -508,3 +508,33 @@ def test_dsir_importance_exact_and_discriminative(spark):
     assert got == expected
     # target-like text outscores gibberish regardless of its own label
     assert got[4][1] > got[5][1]
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    """Same corpus + same salt -> identical layout across partitionings;
+    a salt change reshuffles; shards are roughly balanced and positions
+    are dense 1..|shard|."""
+    from collections import Counter
+
+    from albedo_spark.operators.sampling import shuffle_shards
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+
+    def layout(df, salt):
+        return {
+            r.doc_id: (r.shard, r.pos)
+            for r in shuffle_shards(df, 8, "doc_id", salt=salt).collect()
+        }
+
+    a = layout(docs, "s1")
+    b = layout(docs.repartition(13), "s1")
+    assert a == b  # partitioning-invariant
+    c = layout(docs, "s2")
+    assert a != c  # salt redraws
+
+    sizes = Counter(sh for sh, _ in a.values())
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 2.5 * min(sizes.values())  # uniform-ish
+    for sh in sizes:
+        poss = sorted(p for s, p in a.values() if s == sh)
+        assert poss == list(range(1, sizes[sh] + 1))  # dense ranks
