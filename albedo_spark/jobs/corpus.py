@@ -44,6 +44,18 @@ def main(argv: list[str] | None = None) -> dict:
                    help="target language weights, e.g. en=5,de=2,fr=2,es=2,zh=1")
     p.add_argument("--pack-capacity", type=int, default=None,
                    help="emit a chunk layout at this token capacity")
+    p.add_argument("--span-dedup", type=int, default=None, metavar="MIN_DF",
+                   help="remove 4-token spans duplicated across >= MIN_DF "
+                        "distinct docs (ExactSubstr-style) and rewrite the "
+                        "surviving documents before mixing/packing")
+    p.add_argument("--min-lm-score", type=int, default=None, metavar="X10K",
+                   help="drop docs whose corpus-self-trained bigram LM "
+                        "score (x10k) is below this floor (the "
+                        "perplexity-filter stage)")
+    p.add_argument("--shards", type=int, default=None,
+                   help="emit the final deterministic shuffle-and-shard "
+                        "layout of the surviving corpus (with --out, "
+                        "written as parquet partitioned by shard)")
     p.add_argument("--bpe-merges", type=int, default=None,
                    help="learn this many BPE merges on the post-hygiene "
                         "survivors (pair-delta trainer) and tokenize the "
@@ -136,6 +148,43 @@ def main(argv: list[str] | None = None) -> dict:
     ).select("doc_id")
     survivors = docs.join(contaminated_ids, "doc_id", "left_anti")
 
+    if args.span_dedup:
+        # Substring-granular hygiene (q104's operator): cross-doc
+        # repeated spans removed, documents rewritten in place — text
+        # changes, rows survive, downstream stages see the cleaned text.
+        from albedo_spark.operators.dedup import remove_repeated_spans
+
+        cleaned = remove_repeated_spans(
+            survivors, span_tokens=4, min_df=args.span_dedup
+        )
+        summary["span_dedup"] = {
+            "min_df": args.span_dedup,
+            "n_tokens_removed": int(
+                cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
+            ),
+        }
+        survivors = survivors.drop("text").join(
+            cleaned.select("doc_id", "text"), "doc_id"
+        )
+
+    if args.min_lm_score is not None:
+        # Statistical-LM selection (q105's operator): drop documents
+        # whose corpus-self-trained bigram score falls below the floor —
+        # the perplexity-filter stage; NULL-score docs (< 2 tokens) are
+        # dropped too (nothing to judge, nothing to train on).
+        from albedo_spark.operators.textstats import bigram_lm_scores
+
+        scored = bigram_lm_scores(survivors)
+        keep_ids = scored.where(
+            F.col("score_x10k") >= args.min_lm_score
+        ).select("doc_id")
+        n_before = survivors.count()
+        survivors = survivors.join(keep_ids, "doc_id", "left_semi")
+        summary["lm_filter"] = {
+            "min_score_x10k": args.min_lm_score,
+            "n_dropped": n_before - survivors.count(),
+        }
+
     if args.mixture:
         from albedo_spark.operators.sampling import mixture_sample
 
@@ -197,6 +246,32 @@ def main(argv: list[str] | None = None) -> dict:
                 "overwrite"
             ).parquet(os.path.join(args.out, "bpe_token_counts"))
         encoded.unpersist()
+
+    if args.shards:
+        # Final output layout (q108's operator): reproducible randomized
+        # order in equal-ish shards, written partitioned by shard so a
+        # trainer consumes shard directories sequentially.
+        from albedo_spark.operators.sampling import shuffle_shards
+
+        sharded = shuffle_shards(
+            survivors, num_shards=args.shards, id_col="doc_id", salt="ep0"
+        )
+        summary["shards"] = {
+            "num_shards": args.shards,
+            "per_shard": {
+                int(r["shard"]): r["n"]
+                for r in sharded.groupBy("shard")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            },
+        }
+        if args.out:
+            (
+                sharded.orderBy("shard", "pos")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(args.out, "shards"))
+            )
 
     if args.incremental_filter:
         # The production pipeline LOOP: history is shingled/hashed once

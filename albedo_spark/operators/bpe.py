@@ -81,8 +81,8 @@ def _adjacent(s) -> "F.Column":
     not collide."""
     s = F.col(s) if isinstance(s, str) else s
     return F.zip_with(
-        F.slice(s, 1, F.size(s) - 1),
-        F.slice(s, 2, F.size(s) - 1),
+        F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0))),
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("l"), b.alias("r")),
     )
 

@@ -358,8 +358,8 @@ def bigram_lm_scores(
         id_col,
         F.explode(
             F.zip_with(
-                F.slice("_t", 1, F.size("_t") - 1),
-                F.slice("_t", 2, F.size("_t") - 1),
+                F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("_p"),
@@ -431,8 +431,8 @@ def dsir_importance_scores(
             id_col,
             F.explode(
                 F.zip_with(
-                    F.slice("_t", 1, F.size("_t") - 1),
-                    F.slice("_t", 2, F.size("_t") - 1),
+                    F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
                     lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 )
             ).alias("_p"),

@@ -125,6 +125,35 @@ def test_corpus_job_bpe_stage(tmp_path):
     assert tc.count() == bpe["n_docs_encoded"]
 
 
+def test_corpus_job_span_lm_and_shards(tmp_path):
+    """The round-7 stages compose: span dedup rewrites texts in place,
+    the LM floor drops the tail, and the shard layout covers exactly the
+    surviving docs with a parquet tree partitioned by shard."""
+    import os
+
+    from albedo_spark.jobs.corpus import main
+    from albedo_spark.session import get_spark
+
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path),
+        "--span-dedup", "2", "--min-lm-score", "1",
+        "--shards", "4",
+    ])
+    assert summary["span_dedup"]["n_tokens_removed"] > 0
+    assert summary["lm_filter"]["n_dropped"] >= 0
+    shards = summary["shards"]
+    assert shards["num_shards"] == 4
+    n_sharded = sum(shards["per_shard"].values())
+    assert n_sharded == summary["n_docs"] - summary["n_contaminated"] - \
+        summary["lm_filter"]["n_dropped"]
+    assert os.path.isdir(tmp_path / "shards")
+    spark = get_spark("t-shards")
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == n_sharded
+    assert set(r.shard for r in back.select("shard").distinct().collect()) \
+        <= set(range(4))
+
+
 def test_corpus_job_incremental_store_loop(tmp_path):
     """End-to-end pipeline loop: exact store resolves batch dups first,
     MinHash incremental runs on the exact-novel survivors, both stores

@@ -420,6 +420,8 @@ def test_bigram_lm_scores_exact_and_discriminative(spark):
         4: "zq xv jk wq",          # gibberish: transitions seen nowhere else
         5: "one",                   # single token: no transitions
         6: None,
+        7: "",                      # empty text (a span-dedup residue):
+                                    # zero tokens, must not crash slice
     }
     docs = spark.createDataFrame(
         [(i, t) for i, t in texts.items()], "doc_id long, text string"
