@@ -178,11 +178,17 @@ def main(argv: list[str] | None = None) -> dict:
         keep_ids = scored.where(
             F.col("score_x10k") >= args.min_lm_score
         ).select("doc_id")
-        n_before = survivors.count()
+        # Drop count from the scored frame directly (one action) — two
+        # survivors.count() calls would re-run the whole upstream
+        # hygiene/span-dedup chain twice just for the delta.
+        n_dropped = scored.where(
+            F.col("score_x10k").isNull()
+            | (F.col("score_x10k") < args.min_lm_score)
+        ).count()
         survivors = survivors.join(keep_ids, "doc_id", "left_semi")
         summary["lm_filter"] = {
             "min_score_x10k": args.min_lm_score,
-            "n_dropped": n_before - survivors.count(),
+            "n_dropped": n_dropped,
         }
 
     if args.mixture:
@@ -255,23 +261,26 @@ def main(argv: list[str] | None = None) -> dict:
 
         sharded = shuffle_shards(
             survivors, num_shards=args.shards, id_col="doc_id", salt="ep0"
-        )
-        summary["shards"] = {
-            "num_shards": args.shards,
-            "per_shard": {
-                int(r["shard"]): r["n"]
-                for r in sharded.groupBy("shard")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            },
-        }
-        if args.out:
-            (
-                sharded.orderBy("shard", "pos")
-                .write.mode("overwrite")
-                .partitionBy("shard")
-                .parquet(os.path.join(args.out, "shards"))
-            )
+        ).persist()  # two consumers: summary counts + the parquet write
+        try:
+            summary["shards"] = {
+                "num_shards": args.shards,
+                "per_shard": {
+                    int(r["shard"]): r["n"]
+                    for r in sharded.groupBy("shard")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                },
+            }
+            if args.out:
+                (
+                    sharded.orderBy("shard", "pos")
+                    .write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(os.path.join(args.out, "shards"))
+                )
+        finally:
+            sharded.unpersist()
 
     if args.incremental_filter:
         # The production pipeline LOOP: history is shingled/hashed once

@@ -335,9 +335,14 @@ def simhash_band_rows(
 
     width = num_bits // num_bands
     mask = (1 << width) - 1
+    # NULL-text docs carry no fingerprint: drop them here (the digest
+    # store's isNotNull filter / the MinHash store's natural
+    # shingle-explode drop) — otherwise concat_ws would skip the NULL
+    # and every NULL doc would park four dead rows in the fixed
+    # md5('0')..md5('3') buckets, inflating their size-cap counts.
     base = df.select(
         F.col(id_col), simhash(F.col(text_col), num_bits).alias("sim")
-    )
+    ).where(F.col("sim").isNotNull())
     keys = F.array(
         *[
             F.md5(

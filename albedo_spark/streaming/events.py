@@ -467,9 +467,13 @@ def run_to_simhash_store(
     smaller-id batch doc, then advances the band store with the admitted
     docs' fingerprints. Unlike the MinHash sink this is EXACT per the
     Hamming semantics (pigeonhole full recall at ``max_hamming <=
-    num_bands - 1``, in-plan bit_count verification). Same keeper rule,
-    replay idempotence, and crash-window contract as the MinHash sink —
-    see its docstring."""
+    num_bands - 1``, in-plan bit_count verification) — EXCEPT under the
+    ``max_bucket`` cap: a band bucket whose combined size exceeds the
+    cap is skipped (the family-wide quadratic guard), so on skewed
+    corpora a near-dup sharing ONLY over-cap bands is admitted; raise
+    ``max_bucket`` (or set it huge) when exactness matters more than
+    the skew bound. Same keeper rule, replay idempotence, and
+    crash-window contract as the MinHash sink — see its docstring."""
     from albedo_spark.operators.dedup_store import (
         append_simhash,
         build_simhash_store,
