@@ -490,3 +490,52 @@ def cosine_knn_blas(
         k,
         keep_rank=True,
     )
+
+
+def cluster_assign(
+    corpus: DataFrame,
+    pivots: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-pivot cluster assignment per vector — the coarse
+    quantization ``ivf_knn`` applies to its corpus, exposed as a
+    standalone stage: ``(id, cell, cos_x10k)``. SemDeDup-style pipelines
+    cluster the corpus FIRST (then dedup within clusters); domain-mixing
+    pipelines report and rebalance cluster mass. Map-only: the pivot
+    matrix rides the plan as one parsed literal (the ``_cell_scores``
+    machinery), so at 100 TB assignment is a single scan with NO
+    shuffle. ``cos_x10k`` is the cosine to the winning pivot,
+    integerized per row (engine-portable)."""
+    c = _with_norm(corpus, vec_col, "_n")
+    best = F.element_at(
+        _cell_scores(F.col(vec_col), F.col("_n"), pivots), 1
+    )
+    return c.select(
+        F.col(id_col),
+        best["cell"].alias("cell"),
+        F.floor(best["cos"] * F.lit(10_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cos_x10k"),
+    )
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    pivots: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster corpus profile: ``(cell, n_vectors, mean_cos_x10k)``
+    — size and coherence (mean cosine to the pivot) of every cell. The
+    domain-balance report a mixture-sampling stage consumes, and the
+    cluster-size input SemDeDup needs to budget within-cluster dedup.
+    One map-only assignment + one aggregate; the mean is an exact BIGINT
+    sum of per-row integerized cosines floor-divided by the count (the
+    q101 order-independence discipline — a double mean would fold in
+    engine-specific order)."""
+    a = cluster_assign(corpus, pivots, vec_col, id_col)
+    return a.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.expr("sum(cos_x10k) DIV count(*)").alias("mean_cos_x10k"),
+    )

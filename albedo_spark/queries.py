@@ -4963,6 +4963,61 @@ def q108_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q109_cluster_profile",
+    """
+    WITH piv AS (
+        SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS pv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, cell, cos FROM (
+            SELECT e.vec_id, piv.cell,
+                   list_cosine_similarity(e.v, piv.pv) AS cos,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, piv.pv) DESC,
+                                piv.cell DESC
+                   ) AS rn
+            FROM e CROSS JOIN piv
+        ) WHERE rn = 1
+    ),
+    x AS (
+        SELECT cell, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cx
+        FROM assign
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(cx) // count(*) AS BIGINT) AS mean_cos_x10k
+    FROM x GROUP BY cell
+    """,
+)
+def q109_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster corpus profile (operators/similarity.py
+    cluster_assign/cluster_profile — the coarse quantization ivf_knn
+    applies, standalone): every vector assigns to its nearest pivot
+    (map-only, pivot matrix as one plan literal — no shuffle at 100 TB),
+    then one aggregate reports each cell's size and coherence. The
+    domain-balance report mixing stages consume and the cluster budget
+    SemDeDup-style dedup needs. Pivots are the first 8 vectors (the q37
+    deterministic-pivot convention — KMeans pivots are the production
+    path, exercised by pytest); the mean is an exact integer sum DIV
+    count, never a double fold."""
+    from albedo_spark.operators.similarity import cluster_profile
+
+    e = _t(spark, sf_dir, "embeddings")
+    pivots = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.where("vec_id < 8").collect()
+    ]
+    return cluster_profile(e, pivots).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        "mean_cos_x10k",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5043,6 +5098,7 @@ _POST_WINDOW = [
     "q106_dsir_importance",
     "q107_simhash_store",
     "q108_shuffle_shards",
+    "q109_cluster_profile",
     "q92_exact_dedup_incremental",
     "q93_ann_vector_store",
     "q94_group_sample",

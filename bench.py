@@ -96,6 +96,7 @@ HEADLINE2 = [
     "q106_dsir_importance",
     "q107_simhash_store",
     "q108_shuffle_shards",
+    "q109_cluster_profile",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

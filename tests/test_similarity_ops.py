@@ -335,3 +335,34 @@ def test_near_dup_vs_store(spark):
         assert all(c >= 0.95 for c in got.values())
     finally:
         spark.sql("DROP TABLE IF EXISTS vecstore_nd")
+
+
+def test_cluster_assign_matches_ivf_quantization(spark):
+    """cluster_assign must reproduce the cell ivf_knn gives each corpus
+    vector (same _cell_scores tie-breaks), with KMeans pivots (the
+    production path) and non-degenerate cell sizes; cluster_profile sums
+    are exact over the assignment."""
+    from albedo_spark.operators.similarity import (
+        cluster_assign,
+        cluster_profile,
+        kmeans_pivots,
+    )
+
+    emb = _emb(spark)
+    pivots = kmeans_pivots(emb, k=4, seed=7)
+    a = cluster_assign(emb, pivots)
+    rows = a.collect()
+    assert len(rows) == emb.count()
+    cells = {r.cell for r in rows}
+    assert cells <= {c for c, _ in pivots} and len(cells) >= 2
+    prof = {
+        r.cell: (r.n_vectors, r.mean_cos_x10k)
+        for r in cluster_profile(emb, pivots).collect()
+    }
+    from collections import defaultdict
+    agg = defaultdict(list)
+    for r in rows:
+        agg[r.cell].append(r.cos_x10k)
+    assert prof == {
+        c: (len(v), sum(v) // len(v)) for c, v in agg.items()
+    }
