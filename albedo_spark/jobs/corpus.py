@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> dict:
                         "second), then its signatures join the stores")
     p.add_argument("--store-prefix", default="corpus_store",
                    help="table-name prefix for the persisted stores")
+    p.add_argument("--bloom-bits", type=int, default=None,
+                   help="maintain a Bloom sidecar of this many bits (a "
+                        "multiple of 64; ~10x expected distinct digests "
+                        "for ~1%% fp) next to the digest store, so each "
+                        "batch's definite-novel rows skip the store join "
+                        "map-side; appended in lockstep with the digests")
     p.add_argument("--compact-stores", action="store_true",
                    help="after appending, compact the stores back to one "
                         "file per bucket (run periodically — every append "
@@ -289,8 +295,10 @@ def main(argv: list[str] | None = None) -> dict:
         # shuffle). Exact digests run first (cheapest — kills bulk dups),
         # MinHash incremental runs on the exact-novel survivors only.
         from albedo_spark.operators.dedup_store import (
+            append_bloom,
             append_digests,
             append_signatures,
+            build_bloom_sidecar,
             build_digest_store,
             build_signature_store,
             dedup_incremental,
@@ -301,14 +309,23 @@ def main(argv: list[str] | None = None) -> dict:
         batch = docs.where(args.incremental_filter)
         dig_tbl = f"{args.store_prefix}_digests"
         sig_tbl = f"{args.store_prefix}_minhash"
+        blm_tbl = f"{args.store_prefix}_bloom" if args.bloom_bits else None
         # Build-if-missing: an existing store IS the history (including
         # every previously appended batch) — rebuilding would forget it.
         stores_built = not spark.catalog.tableExists(dig_tbl)
         if stores_built:
             build_digest_store(hist, dig_tbl)
             build_signature_store(hist, sig_tbl)
+        if blm_tbl and not spark.catalog.tableExists(blm_tbl):
+            # Rebuildable independently (derived from the digest store),
+            # so a sidecar enabled mid-loop starts covering full history.
+            build_bloom_sidecar(
+                spark, dig_tbl, blm_tbl, num_bits=args.bloom_bits
+            )
 
-        resolved = exact_dedup_incremental(batch, dig_tbl).persist()
+        resolved = exact_dedup_incremental(
+            batch, dig_tbl, bloom_table=blm_tbl
+        ).persist()
         novel_ids = resolved.where("NOT is_dup").select("doc_id")
         novel = batch.join(novel_ids, "doc_id", "left_semi")
         near_pairs = dedup_incremental(novel, sig_tbl).persist()
@@ -320,6 +337,14 @@ def main(argv: list[str] | None = None) -> dict:
         }
         append_digests(resolved, dig_tbl)
         append_signatures(novel, sig_tbl)
+        if blm_tbl:
+            # Lockstep with append_digests — same novel slice; skipping
+            # this would plant false NEGATIVES for the next batch.
+            append_bloom(
+                resolved.where("NOT is_dup AND digest IS NOT NULL")
+                .select("digest"),
+                blm_tbl,
+            )
         if args.out:
             near_pairs.write.mode("overwrite").parquet(
                 os.path.join(args.out, "incremental_near_dup_pairs")
@@ -336,6 +361,14 @@ def main(argv: list[str] | None = None) -> dict:
                 "digests": compact_table(spark, dig_tbl, "digest", 16),
                 "minhash": compact_table(spark, sig_tbl, "bkey", 16),
             }
+            if blm_tbl:
+                from albedo_spark.operators.dedup_store import (
+                    merge_bloom_generations,
+                )
+
+                summary["incremental"]["compaction"]["bloom_generations"] = (
+                    merge_bloom_generations(spark, blm_tbl)
+                )
 
     if args.quality_model_dim:
         # CCNet-style model-based quality stage: weak labels from the

@@ -38,7 +38,7 @@ later crosses ``max_bucket`` cannot retract them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from albedo_spark.operators.dedup import minhash_sig_table
@@ -253,6 +253,7 @@ def exact_dedup_incremental(
     table: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom_table: str | None = None,
 ) -> DataFrame:
     """Resolve a new batch against the digest store WITHOUT rescanning the
     corpus: ``(id, digest, is_dup, keeper_id)``. A digest already in the
@@ -263,9 +264,20 @@ def exact_dedup_incremental(
     NULL precedent). The store side joins on its bucket column with no
     Exchange; only the batch shuffles.
 
-    Feed the ``is_dup = false`` rows to ``append_digests`` after
-    consuming the result, and the next batch dedups against history
-    including this one.
+    ``bloom_table`` (a sidecar built by ``build_bloom_sidecar`` and kept
+    in lockstep by ``append_bloom``) splits the batch MAP-SIDE before
+    any join: digests the bloom rules out resolve purely within the
+    batch — on a high-novelty crawl that is most of the batch — and only
+    the maybe-seen remainder (true dups plus the sized false-positive
+    trickle) pays the store join. False positives just take the exact
+    join and resolve correctly, so the result is byte-identical with or
+    without the sidecar; a sidecar NOT covering every store generation
+    would instead produce false NEGATIVES (missed dups) — the lockstep
+    contract is the caller's to keep.
+
+    Feed the ``is_dup = false`` rows to ``append_digests`` (and
+    ``append_bloom``) after consuming the result, and the next batch
+    dedups against history including this one.
     """
     from albedo_spark.operators.dedup import normalize_text
 
@@ -280,15 +292,60 @@ def exact_dedup_incremental(
         .groupBy("digest")
         .agg(F.min(id_col).alias("_bmin"))
     )
-    j = hashed.join(store, "digest", "left").join(batch_min, "digest", "left")
-    keeper = F.coalesce(F.col("keeper_id"), F.col("_bmin"))
-    is_dup = F.col("digest").isNotNull() & (keeper != F.col(id_col))
-    return j.select(
+    if bloom_table is None:
+        j = hashed.join(store, "digest", "left").join(
+            batch_min, "digest", "left"
+        )
+        keeper = F.coalesce(F.col("keeper_id"), F.col("_bmin"))
+        is_dup = F.col("digest").isNotNull() & (keeper != F.col(id_col))
+        return j.select(
+            F.col(id_col),
+            "digest",
+            is_dup.alias("is_dup"),
+            F.when(is_dup, keeper).alias("keeper_id"),
+        )
+
+    side = spark.table(bloom_table)
+    params = side.select("num_bits", "num_hashes").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(f"sidecar {bloom_table} mixes bloom parameters: {params}")
+    num_bits, num_hashes = params[0].num_bits, params[0].num_hashes
+    gens = side.agg(F.collect_list("bits").alias("_gens"))
+    flagged = hashed.crossJoin(F.broadcast(gens)).withColumn(
+        "_maybe",
+        F.coalesce(
+            bloom_might_contain(F.col("digest"), F.col("_gens"), num_bits, num_hashes),
+            F.lit(False),
+        ),
+    ).drop("_gens")
+    # The split is digest-consistent (the flag is a function of the
+    # digest alone), so _bmin — computed over the WHOLE batch — is the
+    # same keeper either branch would elect.
+    maybe = (
+        flagged.where(F.col("_maybe"))
+        .join(store, "digest", "left")
+        .join(batch_min, "digest", "left")
+    )
+    keeper_m = F.coalesce(F.col("keeper_id"), F.col("_bmin"))
+    dup_m = F.col("digest").isNotNull() & (keeper_m != F.col(id_col))
+    resolved_maybe = maybe.select(
         F.col(id_col),
         "digest",
-        is_dup.alias("is_dup"),
-        F.when(is_dup, keeper).alias("keeper_id"),
+        dup_m.alias("is_dup"),
+        F.when(dup_m, keeper_m).alias("keeper_id"),
     )
+    # Definite-novel branch: the store never feeds these rows (no false
+    # negatives ⇒ their digests are certainly absent), so the only join
+    # is against the batch's own keeper election.
+    novel = flagged.where(~F.col("_maybe")).join(batch_min, "digest", "left")
+    dup_n = F.col("digest").isNotNull() & (F.col("_bmin") != F.col(id_col))
+    resolved_novel = novel.select(
+        F.col(id_col),
+        "digest",
+        dup_n.alias("is_dup"),
+        F.when(dup_n, F.col("_bmin")).alias("keeper_id"),
+    )
+    return resolved_maybe.unionByName(resolved_novel)
 
 
 def append_digests(
@@ -479,3 +536,222 @@ def simhash_incremental(
         ham_int.alias("hamming"),
     )
     return cross.unionByName(internal).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecar: map-side novel-document elimination for the digest store
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the digest store holds billions of rows and every crawl batch
+# left-joins it — yet on a typical high-novelty crawl most batch rows have
+# NEVER been seen, so most of the join's probe volume resolves to "no
+# match". A Bloom filter summarizing the store's digests answers
+# "definitely not in the store" map-side, BEFORE any join: definite-novel
+# rows resolve purely within the batch (no store scan feeds them), and
+# only the maybe-seen remainder — true dups plus a sized false-positive
+# trickle — pays the store join. Bloom false positives only ever route a
+# row to the exact join (which then answers correctly), so the final
+# resolution is byte-identical with or without the sidecar (pinned by
+# tests/test_bloom.py::test_bloom_resolution_equivalence).
+#
+# The sidecar is ROW-GENERATIONAL: the initial build writes one bitmap
+# row; each `append_digests` is mirrored by an `append_bloom` writing one
+# more bitmap row covering just that batch's novel digests (blooms are
+# OR-mergeable, so generations never rewrite each other). A key is
+# maybe-seen iff ANY generation has all its bits set. Periodic
+# `merge_bloom_generations` collapses the rows back to one (the
+# `--compact-stores` discipline). CONTRACT: every digest append MUST be
+# mirrored by a bloom append — a store row missing from every generation
+# would be a false NEGATIVE, the one error class a Bloom filter must
+# never produce. The corpus CLI loop appends both or neither.
+#
+# Everything is declarative: the bitmap is array<long> built by
+# explode→bit_or→reassemble, the probe is a HOF expression over a
+# broadcast one-row generations array — no UDF, no driver bit-twiddling.
+
+
+def _bit_masks() -> Column:
+    """element_at(masks, j+1) == 1L << j as a signed 64-bit long — a
+    64-entry literal lookup that stands in for shiftleft-by-a-column
+    (the Python ``F.shiftleft`` only takes an int literal shift). Built
+    lazily: literal Columns need an active SparkContext."""
+    return F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(64)
+        ]
+    )
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The ``num_hashes`` bit positions of ``key``: independent hash family
+    via xxhash64 with the member index mixed in as an extra column."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits)).cast("long")
+        for i in range(num_hashes)
+    ]
+
+
+def _assemble_bits(words: DataFrame, num_words: int) -> DataFrame:
+    """(widx, w) word rows → ONE row with the dense ``bits`` array<long>
+    (absent words zero-filled). map_from_entries + transform keeps the
+    assembly in-plan; the single collected row is num_words longs."""
+    one = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("widx"), F.col("w")))
+        ).alias("m")
+    )
+    return one.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(num_words - 1).cast("long")),
+            lambda i: F.coalesce(F.try_element_at(F.col("m"), i), F.lit(0).cast("long")),
+        ).alias("bits")
+    )
+
+
+def bloom_bitmap(
+    df: DataFrame, key_col: str, num_bits: int, num_hashes: int
+) -> DataFrame:
+    """ONE-row frame ``(bits array<long>)``: the Bloom bitmap of
+    ``df[key_col]`` (NULL keys skipped — they are never deduplicated, so
+    they need no membership answer). ``num_bits`` must divide by 64."""
+    if num_bits % 64 != 0 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_bloom_positions(key, num_bits, num_hashes))).alias("pos")
+    words = (
+        df.where(key.isNotNull())
+        .select(pos)
+        .select(
+            F.floor(F.col("pos") / F.lit(64)).alias("widx"),
+            F.try_element_at(
+                _bit_masks(), (F.pmod(F.col("pos"), F.lit(64)) + 1).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    return _assemble_bits(words, num_bits // 64)
+
+
+def bloom_might_contain(
+    key: Column, generations: Column, num_bits: int, num_hashes: int
+) -> Column:
+    """Boolean Column: is ``key`` maybe-present in ANY generation bitmap?
+    ``generations`` is an array<array<long>> column (one inner array per
+    sidecar row, every inner array ``num_bits/64`` long). A NULL key
+    hashes like an empty row (xxhash64 skips NULL inputs), so it answers
+    whatever those fixed positions hold — almost always False; callers
+    coalesce and route NULL keys to their pass-through policy regardless,
+    so either answer is only a (harmless) routing choice."""
+    pos_arr = F.array(*_bloom_positions(key, num_bits, num_hashes))
+    def _bit_set(g: Column, p: Column) -> Column:
+        word = F.try_element_at(g, (F.floor(p / F.lit(64)) + 1).cast("int"))
+        mask = F.try_element_at(_bit_masks(), (F.pmod(p, F.lit(64)) + 1).cast("int"))
+        return word.bitwiseAND(mask) != 0
+    return F.exists(
+        generations, lambda g: F.forall(pos_arr, lambda p: _bit_set(g, p))
+    )
+
+
+def build_bloom_sidecar(
+    spark: SparkSession,
+    store_table: str,
+    sidecar_table: str,
+    key_col: str = "digest",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> None:
+    """One-time sidecar build from the CURRENT store contents: one
+    ``(num_bits, num_hashes, bits)`` generation row. Size ``num_bits`` ≈
+    10× expected distinct keys for ~1% false positives at 5 hashes; the
+    sidecar is derived data — losing it never loses information, rebuild
+    from the store. At billions of store keys one monolithic broadcast
+    bitmap stops fitting; shard the sidecar by a digest prefix and probe
+    each batch row against its shard's generations (same expressions,
+    grouped broadcast)."""
+    from albedo_spark.io import drop_orphan_table_location
+
+    bm = bloom_bitmap(spark.table(store_table), key_col, num_bits, num_hashes)
+    row = bm.select(
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(num_hashes).alias("num_hashes"),
+        "bits",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{sidecar_table}`")
+    drop_orphan_table_location(spark, sidecar_table)
+    row.write.mode("overwrite").format("parquet").saveAsTable(sidecar_table)
+
+
+def append_bloom(
+    novel: DataFrame,
+    sidecar_table: str,
+    key_col: str = "digest",
+) -> None:
+    """Mirror of ``append_digests`` on the sidecar: append ONE generation
+    row covering the batch's novel keys (parameters inherited from the
+    existing sidecar so every generation probes identically). Feed it the
+    same ``is_dup = false`` slice ``append_digests`` consumed — appending
+    digests without appending their bloom breaks the no-false-negative
+    contract."""
+    spark = novel.sparkSession
+    meta = spark.table(sidecar_table).select("num_bits", "num_hashes").first()
+    bm = bloom_bitmap(novel, key_col, meta.num_bits, meta.num_hashes)
+    (
+        bm.select(
+            F.lit(meta.num_bits).alias("num_bits"),
+            F.lit(meta.num_hashes).alias("num_hashes"),
+            "bits",
+        )
+        .write.mode("append")
+        .format("parquet")
+        .saveAsTable(sidecar_table)
+    )
+
+
+def merge_bloom_generations(spark: SparkSession, sidecar_table: str) -> int:
+    """Collapse the sidecar's generation rows into one by element-wise OR
+    (blooms are union-mergeable) — the probe's per-row work drops from
+    G generations back to 1. Same private-table + DROP/RENAME publish as
+    ``io.compact_table``, with the same crashed-swap adoption on entry;
+    a crash that loses both copies only costs a rebuild (derived data).
+    Returns the number of generations merged."""
+    import os as _os
+
+    pref = f"{sidecar_table.lower()}__m"
+    orphans = sorted(
+        t.name for t in spark.catalog.listTables() if t.name.startswith(pref)
+    )
+    if orphans and not spark.catalog.tableExists(sidecar_table):
+        adopted = orphans.pop()
+        spark.sql(f"ALTER TABLE `{adopted}` RENAME TO `{sidecar_table}`")
+        spark.catalog.refreshTable(sidecar_table)
+    for t in orphans:
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+    side = spark.table(sidecar_table)
+    params = side.select("num_bits", "num_hashes").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"sidecar {sidecar_table} mixes bloom parameters: {params}"
+        )
+    generations = side.count()
+    if generations <= 1:
+        return int(generations)
+    num_bits, num_hashes = params[0].num_bits, params[0].num_hashes
+    words = (
+        side.select(F.posexplode("bits").alias("widx", "w"))
+        .groupBy("widx")
+        .agg(F.bit_or("w").alias("w"))
+        .select(F.col("widx").cast("long").alias("widx"), "w")
+    )
+    merged = _assemble_bits(words, num_bits // 64).select(
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(num_hashes).alias("num_hashes"),
+        "bits",
+    )
+    tmp = f"{sidecar_table}__m{_os.getpid()}"
+    merged.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE IF EXISTS `{sidecar_table}`")
+    spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{sidecar_table}`")
+    return int(generations)

@@ -5018,6 +5018,88 @@ def q109_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q110_bloom_dedup",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+        FROM documents
+    ),
+    store AS (SELECT digest, min(doc_id) AS keeper FROM norm GROUP BY digest),
+    batch AS (
+        SELECT doc_id + 40000 AS doc_id,
+               md5(trim(regexp_replace(lower(replace(text, ' ', '  ')),
+                                       '\\s+', ' ', 'g'))) AS digest
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 45000 AS doc_id,
+               md5(trim(regexp_replace(lower('qq bloom novel qq ' || text),
+                                       '\\s+', ' ', 'g'))) AS digest
+        FROM documents WHERE doc_id % 9 = 5
+    ),
+    bmin AS (SELECT digest, min(doc_id) AS bmin FROM batch GROUP BY digest),
+    resolved AS (
+        SELECT b.doc_id, b.digest, coalesce(s.keeper, m.bmin) AS k
+        FROM batch b
+        LEFT JOIN store s USING (digest)
+        LEFT JOIN bmin m USING (digest)
+    )
+    SELECT doc_id, digest, (k != doc_id) AS is_dup,
+           CASE WHEN k != doc_id THEN k END AS keeper_id
+    FROM resolved
+    """,
+)
+def q110_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar exact dedup (dedup_store.py build_bloom_sidecar /
+    bloom_might_contain): the digest store's Bloom bitmap — built once,
+    appended in lockstep with the store, broadcast as one scalar row —
+    splits each batch MAP-SIDE into definite-novel (resolved purely
+    within the batch, the store never feeds them) and maybe-seen (true
+    dups plus the sized false-positive trickle, the only rows that pay
+    the store join). At a 100 TB store with high-novelty crawl batches
+    the join probe volume drops to the dup fraction. False positives
+    only route rows to the exact join, so the result is byte-identical
+    to the plain resolve — which is exactly what the oracle checks: the
+    SQL replays digest + keeper resolution with no bloom at all. Shares
+    q92's memoized digest store (same corpus identity); the batch plants
+    whitespace-doubled dups (normalization collapses them onto their
+    historical keepers) and prefixed novels."""
+    from albedo_spark.operators.dedup_store import (
+        build_bloom_sidecar,
+        build_digest_store,
+        exact_dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = "digstore_q92_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = _memo_store(
+        spark, sf_dir, "documents", tag,
+        lambda t: build_digest_store(d, t, num_buckets=16),
+    )
+    side_tag = "bloomsc_q110_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    side = _memo_store(
+        spark, sf_dir, "documents", side_tag,
+        lambda t: build_bloom_sidecar(
+            spark, table, t, num_bits=1 << 17, num_hashes=5
+        ),
+    )
+    batch = (
+        d.where("doc_id % 4 = 0")
+        .select(
+            (F.col("doc_id") + 40000).alias("doc_id"),
+            F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias("text"),
+        )
+        .unionByName(
+            d.where("doc_id % 9 = 5").select(
+                (F.col("doc_id") + 45000).alias("doc_id"),
+                F.concat(F.lit("qq bloom novel qq "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return exact_dedup_incremental(batch, table, bloom_table=side)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5100,6 +5182,7 @@ _POST_WINDOW = [
     "q108_shuffle_shards",
     "q109_cluster_profile",
     "q92_exact_dedup_incremental",
+    "q110_bloom_dedup",
     "q93_ann_vector_store",
     "q94_group_sample",
     "q95_merge_intervals",

@@ -97,6 +97,7 @@ HEADLINE2 = [
     "q107_simhash_store",
     "q108_shuffle_shards",
     "q109_cluster_profile",
+    "q110_bloom_dedup",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -1,0 +1,248 @@
+"""Bloom sidecar for the digest store (operators/dedup_store.py): no
+false negatives ever, sized false-positive rate, byte-identical
+resolution with/without the sidecar, generation append + merge, and the
+map-side-split property the sidecar exists for."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.dedup import normalize_text
+from albedo_spark.operators.dedup_store import (
+    append_bloom,
+    append_digests,
+    bloom_bitmap,
+    bloom_might_contain,
+    build_bloom_sidecar,
+    build_digest_store,
+    exact_dedup_incremental,
+    merge_bloom_generations,
+)
+
+
+def _real_docs(spark):
+    from albedo_spark.io import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+
+def _probe(spark, keys_df, key_col, bits_rows, num_bits, num_hashes):
+    """Probe keys against a list-of-generations frame; returns dict
+    key -> maybe."""
+    gens = bits_rows.agg(F.collect_list("bits").alias("_gens"))
+    out = keys_df.crossJoin(F.broadcast(gens)).select(
+        key_col,
+        bloom_might_contain(
+            F.col(key_col), F.col("_gens"), num_bits, num_hashes
+        ).alias("maybe"),
+    )
+    return {r[key_col]: r.maybe for r in out.collect()}
+
+
+def test_bitmap_no_false_negatives_and_sized_fp(spark):
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], "k string"
+    )
+    bm = bloom_bitmap(keys, "k", num_bits=64 * 64, num_hashes=5)
+    row = bm.first()
+    assert len(row.bits) == 64
+    # every inserted key answers maybe=True — the hard guarantee
+    hits = _probe(spark, keys, "k", bm, 64 * 64, 5)
+    assert all(hits.values())
+    # disjoint keys: mostly False, deterministic fp trickle stays small
+    # (4096 bits / 200 keys / 5 hashes → theoretical fp ≈ 2%)
+    other = spark.createDataFrame(
+        [(f"absent-{i}",) for i in range(500)], "k string"
+    )
+    miss = _probe(spark, other, "k", bm, 64 * 64, 5)
+    fp = sum(1 for v in miss.values() if v)
+    assert fp / 500 < 0.10, fp
+
+
+def test_bitmap_rejects_unaligned_bits(spark):
+    keys = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        bloom_bitmap(keys, "k", num_bits=100, num_hashes=3)
+
+
+def test_null_keys_skipped_and_probe_null(spark):
+    keys = spark.createDataFrame([("a",), (None,)], "k string")
+    bm = bloom_bitmap(keys, "k", num_bits=640, num_hashes=3)
+    gens = bm.agg(F.collect_list("bits").alias("_gens"))
+    out = (
+        spark.createDataFrame([("a",), (None,)], "k string")
+        .crossJoin(F.broadcast(gens))
+        .select(
+            "k",
+            bloom_might_contain(F.col("k"), F.col("_gens"), 640, 3).alias("m"),
+        )
+        .collect()
+    )
+    by_key = {r.k: r.m for r in out}
+    assert by_key["a"] is True
+    # NULL key hashes like an empty row (xxhash64 skips NULLs) — the
+    # answer is a routing choice only; resolution handles NULL digests
+    # on either branch (test_bloom_resolution_equivalence plants them)
+    assert by_key[None] in (True, False)
+
+
+def test_bloom_resolution_equivalence(spark):
+    """The headline contract: exact_dedup_incremental with the sidecar
+    returns byte-identical rows to the plain path, on a batch mixing
+    historical dups, batch-internal dups, novel docs, and NULL text."""
+    docs = _real_docs(spark)
+    hist = docs.where("doc_id % 3 != 0")
+    build_digest_store(hist, "blq_store", num_buckets=8)
+    build_bloom_sidecar(spark, "blq_store", "blq_side", num_bits=1 << 14)
+    try:
+        batch = (
+            docs.where("doc_id % 3 = 1")  # in the store → historical dups
+            .select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+            .unionByName(
+                docs.where("doc_id % 7 = 1").select(
+                    (F.col("doc_id") + 60000).alias("doc_id"),
+                    F.concat(F.lit("bloom novel "), F.col("text")).alias("text"),
+                )
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(99001, None), (99002, None)], "doc_id long, text string"
+                )
+            )
+        )
+        plain = {
+            tuple(r)
+            for r in exact_dedup_incremental(batch, "blq_store").collect()
+        }
+        bloomed = {
+            tuple(r)
+            for r in exact_dedup_incremental(
+                batch, "blq_store", bloom_table="blq_side"
+            ).collect()
+        }
+        assert plain == bloomed
+        assert any(r[2] for r in plain)       # non-vacuous: dups present
+        assert any(not r[2] for r in plain)   # and novel docs present
+    finally:
+        _drop(spark, "blq_store", "blq_side")
+
+
+def test_append_bloom_keeps_lockstep(spark):
+    """Loop discipline: batch1's novel digests appended to BOTH store and
+    sidecar; batch2 re-submitting batch1's docs must see them as dups —
+    i.e. the new generation actually answers maybe=True (a false negative
+    here would silently re-admit duplicates)."""
+    docs = _real_docs(spark)
+    hist = docs.where("doc_id % 4 = 1")
+    build_digest_store(hist, "blq_store2", num_buckets=8)
+    build_bloom_sidecar(spark, "blq_store2", "blq_side2", num_bits=1 << 14)
+    try:
+        b1 = docs.where("doc_id % 4 = 2").select(
+            (F.col("doc_id") + 70000).alias("doc_id"), "text"
+        )
+        r1 = exact_dedup_incremental(
+            b1, "blq_store2", bloom_table="blq_side2"
+        ).localCheckpoint()
+        append_digests(r1, "blq_store2", num_buckets=8)
+        append_bloom(
+            r1.where(~F.col("is_dup") & F.col("digest").isNotNull()),
+            "blq_side2",
+        )
+        assert spark.table("blq_side2").count() == 2  # two generations
+        b2 = docs.where("doc_id % 4 = 2").select(
+            (F.col("doc_id") + 80000).alias("doc_id"), "text"
+        )
+        r2 = exact_dedup_incremental(
+            b2, "blq_store2", bloom_table="blq_side2"
+        )
+        # every b2 row duplicates its b1 twin through the appended store
+        assert r2.where(~F.col("is_dup")).count() == 0
+        keepers = {r.keeper_id for r in r2.collect()}
+        assert all(70000 <= k < 80000 for k in keepers), keepers
+        # merge maintenance: one generation afterwards, same answers
+        merged_n = merge_bloom_generations(spark, "blq_side2")
+        assert merged_n == 2
+        assert spark.table("blq_side2").count() == 1
+        r2m = exact_dedup_incremental(
+            b2, "blq_store2", bloom_table="blq_side2"
+        )
+        assert {tuple(r) for r in r2.collect()} == {
+            tuple(r) for r in r2m.collect()
+        }
+    finally:
+        _drop(spark, "blq_store2", "blq_side2")
+
+
+def test_merge_noop_and_param_mismatch(spark):
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    bm = bloom_bitmap(keys, "k", num_bits=640, num_hashes=3).select(
+        F.lit(640).alias("num_bits"), F.lit(3).alias("num_hashes"), "bits"
+    )
+    bm.write.mode("overwrite").format("parquet").saveAsTable("blq_side3")
+    try:
+        assert merge_bloom_generations(spark, "blq_side3") == 1  # no-op
+        bad = bloom_bitmap(keys, "k", num_bits=1280, num_hashes=3).select(
+            F.lit(1280).alias("num_bits"), F.lit(3).alias("num_hashes"), "bits"
+        )
+        bad.write.mode("append").format("parquet").saveAsTable("blq_side3")
+        with pytest.raises(ValueError):
+            merge_bloom_generations(spark, "blq_side3")
+    finally:
+        _drop(spark, "blq_side3")
+
+
+def test_novel_branch_bypasses_store(spark):
+    """The scale property: for an all-novel batch the store join receives
+    only the bloom's false-positive trickle — with a well-sized sidecar,
+    (near) zero rows — while the definite-novel branch never touches the
+    store at all (its subplan simply has no store relation)."""
+    docs = _real_docs(spark)
+    hist = docs.where("doc_id % 2 = 0")
+    build_digest_store(hist, "blq_store4", num_buckets=8)
+    build_bloom_sidecar(spark, "blq_store4", "blq_side4", num_bits=1 << 16)
+    try:
+        novel = docs.where("doc_id % 2 = 1").select(
+            "doc_id",
+            F.concat(F.lit("entirely novel prefix "), F.col("text")).alias(
+                "text"
+            ),
+        )
+        side = spark.table("blq_side4")
+        gens = side.agg(F.collect_list("bits").alias("_gens"))
+        hashed = novel.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("digest")
+        )
+        flags = hashed.crossJoin(F.broadcast(gens)).select(
+            F.coalesce(
+                bloom_might_contain(F.col("digest"), F.col("_gens"), 1 << 16, 5),
+                F.lit(False),
+            ).alias("maybe")
+        )
+        n = flags.count()
+        n_maybe = flags.where("maybe").count()
+        assert n > 0
+        # deterministic given fixed hashing; generous bound — expected fp
+        # at 65536 bits for a few hundred keys is ~0
+        assert n_maybe / n < 0.05, (n_maybe, n)
+        # and the resolution stays exact end-to-end
+        plain = {
+            tuple(r)
+            for r in exact_dedup_incremental(novel, "blq_store4").collect()
+        }
+        bloomed = {
+            tuple(r)
+            for r in exact_dedup_incremental(
+                novel, "blq_store4", bloom_table="blq_side4"
+            ).collect()
+        }
+        assert plain == bloomed
+    finally:
+        _drop(spark, "blq_store4", "blq_side4")

@@ -164,6 +164,7 @@ def test_corpus_job_incremental_store_loop(tmp_path):
         "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path),
         "--incremental-filter", "doc_id % 5 = 0",
         "--store-prefix", "t_corpus_store",
+        "--bloom-bits", "65536",
     ])
     inc = summary["incremental"]
     assert inc["n_batch"] == 100
@@ -178,6 +179,7 @@ def test_corpus_job_incremental_store_loop(tmp_path):
         "--sf-dir", "/root/testdata/sf0.001",
         "--incremental-filter", "doc_id % 5 = 1",
         "--store-prefix", "t_corpus_store",
+        "--bloom-bits", "65536",
     ])
     inc2 = summary2["incremental"]
     assert inc2["stores_built"] is False
@@ -188,6 +190,7 @@ def test_corpus_job_incremental_store_loop(tmp_path):
         "--sf-dir", "/root/testdata/sf0.001",
         "--incremental-filter", "doc_id % 5 = 2",
         "--store-prefix", "t_corpus_store",
+        "--bloom-bits", "65536",
         "--compact-stores",
     ])
     comp = summary3["incremental"]["compaction"]
@@ -195,3 +198,6 @@ def test_corpus_job_incremental_store_loop(tmp_path):
         assert comp[store]["files_after"] <= 16
         assert comp[store]["files_after"] <= comp[store]["files_before"]
         assert comp[store]["rows"] > 0
+    # bloom sidecar kept lockstep: initial build + one append per batch
+    # = 4 generations entering compaction, collapsed back to one row
+    assert comp["bloom_generations"] == 4
