@@ -131,6 +131,64 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    strat_col: str,
+    key_col: str,
+    sqrt_iters: int = 1,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled corpus rebalancing (the multilingual sampling
+    rule of mT5/XLM-R, α-weighted mixing): keep a subset whose stratum
+    sizes are ∝ ``c_s^α`` with ``α = 1/2^sqrt_iters`` — larger strata
+    are downsampled harder, the smallest stratum is kept WHOLE (its rate
+    is exactly 1), so low-resource languages/domains stop drowning.
+    ``mixture_sample`` is the same machinery with EXPLICIT target
+    weights; here the weights derive from the observed counts.
+
+    Per-stratum keep-rate: ``rate_s = (c_min / c_s)^(1-α)``; with
+    α = 1/2^k that is ``nested_sqrt_k(c_min/c_s) ** (2^k - 1)`` — but we
+    avoid pow entirely by iterating the identity
+    ``x^(1-1/2^k) = x / x^(1/2^k)``: one IEEE division of counts, k
+    nested sqrts, one final division. α is restricted to the 1/2^k
+    family BY DESIGN: sqrt and division are correctly-rounded in every
+    IEEE-754 engine so the oracle replays the rate bit-for-bit, while a
+    general ``pow(x, α)`` carries no cross-engine determinism guarantee
+    — the same reasoning that keeps transcendental logs out of the gated
+    surface (cf. textstats.bigram_lm_scores). Row selection is the
+    catalog's engine-portable md5 rule; the float-vs-int comparison is
+    integerized through floor(+0.5) exactly as ``mixture_sample``.
+    NULL strata are dropped (no target size is derivable for them).
+
+    At 100 TB: one tiny per-stratum aggregate broadcast back onto the
+    scan — no driver collect, no extra shuffle on the data path, same
+    plan shape as ``mixture_sample``.
+    """
+    counts = df.where(F.col(strat_col).isNotNull()).groupBy(strat_col).agg(
+        F.count("*").alias("_c")
+    )
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    ratio = F.col("_cmin").cast("double") / F.col("_c").cast("double")
+    root = ratio
+    for _ in range(sqrt_iters):
+        root = F.sqrt(root)
+    rate = ratio / root  # x / x^(1/2^k) = x^(1 - α)
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        strat_col,
+        F.floor(rate * resolution + F.lit(0.5)).alias("_thr"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % resolution
+    )
+    return (
+        df.join(F.broadcast(rates), strat_col)
+        .where(u < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def weighted_sample_without_replacement(
     df: DataFrame,
     weight_col: str,

@@ -5100,6 +5100,47 @@ def q110_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_incremental(batch, table, bloom_table=side)
 
 
+@query(
+    "q111_temperature_mixture",
+    """
+    WITH c AS (
+        SELECT lang, count(*) AS cnt FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    m AS (SELECT min(cnt) AS cmin FROM c),
+    r AS (
+        SELECT lang,
+               CAST(floor(
+                   (CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE))
+                   / sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE))
+                   * 1000000 + 0.5
+               ) AS BIGINT) AS thr
+        FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000 < r.thr
+    """,
+)
+def q111_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (operators/sampling.py
+    temperature_mixture — the mT5/XLM-R α-weighted multilingual mixing
+    rule, α = 1/2): stratum keep-rates derive from the OBSERVED counts,
+    kept sizes ∝ sqrt(c_lang), smallest language kept whole. The rate
+    arithmetic is one IEEE division + one sqrt + one division — all
+    correctly-rounded ops, so DuckDB replays the float threshold
+    bit-for-bit before the floor integerization; row choice is the
+    catalog's md5 rule. One tiny per-stratum aggregate broadcast onto
+    the scan — no extra shuffle on the data path at 100 TB."""
+    from albedo_spark.operators.sampling import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture(
+        d.select("doc_id", "lang"), "lang", "doc_id", sqrt_iters=1
+    ).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5183,6 +5224,7 @@ _POST_WINDOW = [
     "q109_cluster_profile",
     "q92_exact_dedup_incremental",
     "q110_bloom_dedup",
+    "q111_temperature_mixture",
     "q93_ann_vector_store",
     "q94_group_sample",
     "q95_merge_intervals",

@@ -98,6 +98,7 @@ HEADLINE2 = [
     "q108_shuffle_shards",
     "q109_cluster_profile",
     "q110_bloom_dedup",
+    "q111_temperature_mixture",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

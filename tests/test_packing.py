@@ -343,3 +343,51 @@ def test_encode_corpus_order_and_counts(spark):
             10,
         )
     }  # NULL-text doc carries no tokens and is not emitted
+
+
+def test_temperature_mixture_sqrt_rebalance(spark):
+    from albedo_spark.operators.sampling import temperature_mixture
+
+    rows = (
+        [(i, "big") for i in range(1600)]
+        + [(i + 10000, "mid") for i in range(400)]
+        + [(i + 20000, "small") for i in range(100)]
+        + [(90000, None)]
+    )
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = temperature_mixture(df, "src", key_col="id", sqrt_iters=1)
+    counts = {
+        r.src: r.n
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # kept sizes ∝ sqrt(c): small whole (100), mid ≈ sqrt(100*400)=200,
+    # big ≈ sqrt(100*1600)=400
+    assert counts["small"] == 100
+    assert abs(counts["mid"] - 200) <= 30
+    assert abs(counts["big"] - 400) <= 45
+    assert None not in counts  # NULL strata dropped
+    # deterministic replay
+    again = temperature_mixture(df, "src", key_col="id", sqrt_iters=1)
+    assert sorted(r.id for r in out.collect()) == sorted(
+        r.id for r in again.collect()
+    )
+    # α = 1/4 (two nested sqrts) flattens harder: kept_big/kept_small
+    # drops from 4x toward 16^(1/4)=2x
+    out4 = temperature_mixture(df, "src", key_col="id", sqrt_iters=2)
+    c4 = {
+        r.src: r.n
+        for r in out4.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert c4["small"] == 100
+    assert c4["big"] < counts["big"]
+    assert abs(c4["big"] - 200) <= 35
+
+
+def test_temperature_mixture_stays_in_plan(spark):
+    from albedo_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, src string")
+    out = temperature_mixture(df, "src", key_col="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
