@@ -209,3 +209,104 @@ def near_dup_vs_store(
         .select(query_id_col, "neighbor_id", "cosine")
         .distinct()
     )
+
+
+def vector_incremental(
+    batch: DataFrame,
+    table: str,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 42,
+    multi_probe: bool = True,
+    exclude_store_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-granularity incremental near-dup pairs ``(id_a < id_b,
+    cosine)`` touching the new batch: batch-vs-store PLUS batch-internal
+    — the embedding member of the ``dedup_incremental`` /
+    ``simhash_incremental`` family (``near_dup_vs_store`` is the
+    batch-vs-store half only; an ingest loop also needs the pairs WITHIN
+    the arriving batch to pick a keeper per duplicate cluster).
+
+    Candidate rule mirrors the probe scheme everywhere else in this
+    module: (a, b) is a candidate when a's probe set (own signature +
+    ``num_planes`` single-bit flips under ``multi_probe``) contains b's
+    base signature, in EITHER direction — the union of both directions
+    sorted into ``id_a < id_b`` makes the relation symmetric, exactly
+    the pair semantics the banded stores emit. Verification is the exact
+    cosine on the candidate pairs, so like q102 the output is
+    threshold-gated and bounded by bucket collisions, never all-pairs.
+
+    ``exclude_store_ids`` (small one-column id frame, broadcast
+    anti-join) is the replay guard the streaming sink needs: passing the
+    batch's own ids hides signatures a crashed prior attempt already
+    appended, so a replay sees the store exactly as the first attempt
+    did and the admit set is byte-identical. The store side still never
+    shuffles — probes explode on the (small) batch side and equi-join
+    the store's bucket layout.
+    """
+    spark = batch.sparkSession
+    store = spark.table(table).select(
+        F.col("bucket"),
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_n").alias("_cn"),
+    )
+    if exclude_store_ids is not None:
+        xid = exclude_store_ids.select(
+            F.col(exclude_store_ids.columns[0]).alias("_xid")
+        )
+        store = store.join(
+            F.broadcast(xid), F.col("_sid") == F.col("_xid"), "left_anti"
+        ).drop("_xid")
+
+    hashed = _hashed(batch, dim, vec_col, id_col, num_planes, seed)
+    probes = (
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(num_planes)
+            ],
+        )
+        if multi_probe
+        else F.array(F.col("bucket"))
+    )
+    probed = hashed.select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_n").alias("_qn"),
+        F.explode(probes).alias("bucket"),
+    )
+
+    def _verified(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn(
+                "cosine",
+                F.when(
+                    (F.col("_cn") > 0) & (F.col("_qn") > 0),
+                    dot(F.col("_cv"), F.col("_qv"))
+                    / (F.col("_cn") * F.col("_qn")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .where(F.col("cosine") >= threshold)
+            .select(
+                F.least("_bid", "_sid").alias("id_a"),
+                F.greatest("_bid", "_sid").alias("id_b"),
+                "cosine",
+            )
+        )
+
+    cross = _verified(probed.join(store, "bucket"))
+    base = hashed.select(
+        "bucket",
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_n").alias("_cn"),
+    )
+    internal = _verified(
+        probed.join(base, "bucket").where(F.col("_bid") != F.col("_sid"))
+    )
+    return cross.unionByName(internal).distinct()

@@ -5141,6 +5141,83 @@ def q111_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _vector_incremental_oracle_sql(
+    dim: int = 64, num_planes: int = 6, seed: int = 42, threshold: float = 0.3
+) -> str:
+    from albedo_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, num_planes, seed)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << i}::BIGINT)" for i in range(num_planes)]
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT vec_id, embedding, ({sig_terms})::BIGINT AS sig
+        FROM embeddings
+    ),
+    stored AS (SELECT * FROM hashed WHERE vec_id % 10 != 0),
+    batch AS (SELECT * FROM hashed WHERE vec_id % 10 = 0),
+    probes AS (
+        SELECT vec_id AS bid, embedding AS qv,
+               unnest([{probe_list}]) AS bucket
+        FROM batch
+    ),
+    cand AS (
+        SELECT p.bid, s.vec_id AS oid, p.qv, s.embedding AS ov
+        FROM probes p JOIN stored s ON p.bucket = s.sig
+        UNION ALL
+        SELECT p.bid, b.vec_id AS oid, p.qv, b.embedding AS ov
+        FROM probes p JOIN batch b ON p.bucket = b.sig
+        WHERE p.bid != b.vec_id
+    )
+    SELECT DISTINCT least(bid, oid) AS id_a, greatest(bid, oid) AS id_b,
+           round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                        CAST(ov AS DOUBLE[])), 4) AS cosine
+    FROM cand
+    WHERE list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                 CAST(ov AS DOUBLE[])) >= {threshold}
+    """
+
+
+@query("q112_vector_incremental", _vector_incremental_oracle_sql(64, 6, 42, 0.3))
+def q112_vector_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-granularity incremental dedup pairs (vector_store.py
+    vector_incremental): batch-vs-store PLUS batch-internal candidates
+    under the shared multi-probe scheme, exact-cosine verified — the
+    embedding member of the dedup_incremental/simhash_incremental family
+    and the pair source the streaming embedding sink
+    (streaming.run_to_vector_store) admits against. Reuses q93/q102's
+    memoized vector store (zero extra build); the oracle embeds the
+    identical plane literals and unions both probe directions before the
+    sorted-pair DISTINCT, exactly the operator's symmetry rule."""
+    from albedo_spark.operators.vector_store import (
+        build_vector_store,
+        vector_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = "vecstore_q93_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = _memo_store(
+        spark, sf_dir, "embeddings", tag,
+        lambda t: build_vector_store(
+            emb.where("vec_id % 10 != 0"), t, dim=64, num_planes=6,
+            seed=42, num_buckets=16,
+        ),
+    )
+    batch = emb.where("vec_id % 10 = 0").select("vec_id", "embedding")
+    out = vector_incremental(
+        batch, table, threshold=0.3, dim=64, num_planes=6, seed=42
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5235,6 +5312,7 @@ _POST_WINDOW = [
     "q100_hygiene_pipeline",
     "q101_rolling_zscore",
     "q102_near_dup_vs_store",
+    "q112_vector_incremental",
     "q103_bpe_learn",
     "q76_events_hopping",
     "q86_key_skew_profile",

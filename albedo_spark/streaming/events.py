@@ -496,6 +496,55 @@ def run_to_simhash_store(
     )
 
 
+def run_to_vector_store(
+    stream_df: DataFrame,
+    table: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 42,
+    multi_probe: bool = True,
+    num_buckets: int = 16,
+):
+    """Streaming ingest dedup at EMBEDDING granularity — SemDeDup as a
+    sink, completing the streaming store family's fourth rung (exact
+    digests, Jaccard candidates, Hamming distance, cosine similarity):
+    each micro-batch admits only vectors whose exact cosine is below
+    ``threshold`` against every stored vector and every admitted
+    smaller-id batch vector among the hyperplane-bucket candidates, then
+    advances the ANN store with the admitted vectors. Candidates come
+    from the same multi-probe scheme as ``ann_store_knn`` (recall tuned
+    by ``num_planes``/``multi_probe``, the LSH S-curve); verification is
+    the exact cosine, so within the candidate set the admit rule is
+    exact. NULL-vector rows are not ingested (the family's NULL-text
+    precedent). Same keeper rule, replay idempotence, and crash-window
+    contract as the MinHash sink — see its docstring."""
+    from albedo_spark.operators.vector_store import (
+        append_vectors,
+        build_vector_store,
+        vector_incremental,
+    )
+
+    return _run_near_dup_ingest(
+        stream_df, table, out_path, checkpoint, vec_col, id_col,
+        build_empty=lambda empty, t: build_vector_store(
+            empty, t, dim, vec_col, id_col, num_planes, seed, num_buckets,
+        ),
+        pairs_for=lambda batch, t: vector_incremental(
+            batch, t, threshold, dim, vec_col, id_col,
+            num_planes, seed, multi_probe,
+            exclude_store_ids=batch.select(id_col),
+        ),
+        append_novel=lambda novel, t: append_vectors(
+            novel, t, dim, vec_col, id_col, num_planes, seed, num_buckets,
+        ),
+    )
+
+
 def _run_near_dup_ingest(
     stream_df: DataFrame,
     table: str,

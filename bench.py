@@ -99,6 +99,7 @@ HEADLINE2 = [
     "q109_cluster_profile",
     "q110_bloom_dedup",
     "q111_temperature_mixture",
+    "q112_vector_incremental",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -337,6 +337,71 @@ def test_near_dup_vs_store(spark):
         spark.sql("DROP TABLE IF EXISTS vecstore_nd")
 
 
+def test_vector_incremental_pairs_and_replay_exclusion(spark):
+    """vector_incremental = near_dup_vs_store pairs (batch-vs-store)
+    PLUS batch-internal pairs; exclude_store_ids makes a replay whose
+    prior attempt already appended the batch see the store as the first
+    attempt did (byte-identical pairs)."""
+    from albedo_spark.operators.vector_store import (
+        append_vectors,
+        build_vector_store,
+        near_dup_vs_store,
+        vector_incremental,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.where("vec_id % 10 != 0")
+    build_vector_store(corpus, "vecstore_inc", dim=64, num_planes=6,
+                       num_buckets=8)
+    try:
+        # batch: copies of stored 1 and 11 (cross pairs) plus TWO copies
+        # of stored 21 offset to fresh ids (cross AND batch-internal)
+        batch = (
+            corpus.where("vec_id IN (1, 11, 21)")
+            .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+            .unionByName(
+                corpus.where("vec_id = 21").select(
+                    (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+                )
+            )
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in vector_incremental(
+                batch, "vecstore_inc", threshold=0.95, dim=64, num_planes=6
+            ).collect()
+        }
+        # every batch-vs-store pair near_dup_vs_store finds is present
+        cross = {
+            (min(r.query_id, r.neighbor_id), max(r.query_id, r.neighbor_id))
+            for r in near_dup_vs_store(
+                batch.select(F.col("vec_id").alias("query_id"), "embedding"),
+                "vecstore_inc", threshold=0.95, dim=64, num_planes=6,
+            ).collect()
+        }
+        assert cross <= got
+        for src in (1, 11, 21):
+            assert (src, src + 100000) in got
+        # the batch-internal twin pair, which near_dup_vs_store misses
+        assert (100021, 200021) in got
+        assert (100021, 200021) not in cross
+
+        # replay: a crashed prior attempt already appended the batch;
+        # excluding the batch's own ids reproduces the original pairs
+        append_vectors(batch, "vecstore_inc", dim=64, num_planes=6,
+                       num_buckets=8)
+        replay = {
+            (r.id_a, r.id_b)
+            for r in vector_incremental(
+                batch, "vecstore_inc", threshold=0.95, dim=64, num_planes=6,
+                exclude_store_ids=batch.select("vec_id"),
+            ).collect()
+        }
+        assert replay == got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vecstore_inc")
+
+
 def test_cluster_assign_matches_ivf_quantization(spark):
     """cluster_assign must reproduce the cell ivf_knn gives each corpus
     vector (same _cell_scores tie-breaks), with KMeans pivots (the

@@ -502,6 +502,61 @@ def test_run_to_simhash_store(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_run_to_vector_store(spark, tmp_path):
+    """Embedding-granularity streaming ingest (SemDeDup as a sink): a
+    scaled copy (cosine 1.0) is blocked by history across batches; a
+    same-batch twin keeps only the min id; full replay after a
+    checkpoint reset changes nothing; the ANN store advances with
+    admitted vectors only."""
+    from albedo_spark.streaming.events import run_to_vector_store
+
+    v_a = [1.0, 0.0, 0.0, 0.0]
+    v_b = [0.0, 1.0, 0.0, 0.0]
+    v_c = [0.0, 0.0, 1.0, 0.0]
+    v_a2 = [2.0, 0.0, 0.0, 0.0]  # cosine 1.0 with v_a
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck1, ck2, ck3 = (str(tmp_path / c) for c in ("ck1", "ck2", "ck3"))
+    tbl = "t_stream_vecstore"
+    schema = "vec_id long, embedding array<float>"
+    try:
+        spark.createDataFrame(
+            [(1, v_a), (2, v_a2), (3, v_b)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        def run(ck):
+            run_to_vector_store(
+                stream(), tbl, out, ck, threshold=0.95, dim=4,
+                num_planes=4, num_buckets=4,
+            )
+
+        run(ck1)
+        assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+        # second file: one scaled dup of stored content, one novel
+        spark.createDataFrame(
+            [(10, v_a2), (11, v_c)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run(ck2)  # fresh ck replays all
+        assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1, 3, 11}
+
+        run(ck3)
+        rows = spark.read.parquet(out).collect()
+        assert {r.vec_id for r in rows} == {1, 3, 11}
+        assert len(rows) == 3
+        # store holds exactly the admitted vectors
+        assert {r.vec_id for r in spark.table(tbl).collect()} == {1, 3, 11}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_stage_gc_reaps_crashed_builder_tmp(spark):
     """r5 ADVICE: a foreign .tmp-* dir older than the long grace is a
     crashed builder's debris and must be reaped; a FRESH foreign tmp (a
