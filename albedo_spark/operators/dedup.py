@@ -517,6 +517,55 @@ def connected_components(
     return labels
 
 
+def keeper_by_quality(
+    components: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_x10k",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Canonical-document election per near-dup component: given
+    ``connected_components`` output ``(node, label)`` and a per-document
+    score frame ``(id, score)``, keep the HIGHEST-scoring member of each
+    component (ties → smallest id) — ``(doc_id, component_id, score,
+    keeper_id, is_kept)``.
+
+    Min-id keepers (the digest/incremental stores' rule) are the right
+    default when members are byte-identical; for NEAR-dups the members
+    genuinely differ, and a curation pipeline wants to discard the
+    boilerplate-laden or truncated variants, not whichever happened to
+    crawl first — the canonicalization step of the standard fuzzy-dedup
+    recipe (pair graph → components → best-member election).
+
+    One equi-join (component membership is tiny next to the corpus —
+    only docs that near-dup anything) + one window over ``label``:
+    ``first(id)`` under a (score DESC, id ASC) total order with an
+    unbounded frame, so every member row carries its component's elected
+    keeper without a second join. At 100 TB: a single shuffle on the
+    component label; component cardinality is bounded by the pair
+    graph's bucket caps upstream, and AQE splits the rare mega-cluster.
+    The (score, id) order is a deterministic total order, so the
+    election is engine-replayable (integer scores per the catalog's
+    x10k discipline — never elect on raw doubles)."""
+    from pyspark.sql import Window
+
+    members = components.select(
+        F.col(node_col).alias(id_col), F.col(label_col).alias("component_id")
+    ).join(scored, id_col)
+    w = (
+        Window.partitionBy("component_id")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return members.select(
+        id_col,
+        "component_id",
+        score_col,
+        F.first(id_col).over(w).alias("keeper_id"),
+    ).withColumn("is_kept", F.col(id_col) == F.col("keeper_id"))
+
+
 def line_boilerplate_dedup(
     docs: DataFrame,
     min_df: int = 2,

@@ -5218,6 +5218,100 @@ def q112_vector_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+@query(
+    "q113_keeper_selection",
+    _MINHASH_VERIFIED_PAIRS_CTES
+    + """
+    , nodes AS (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+        WHERE r.label < e.b
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node),
+    qt AS (
+        SELECT doc_id, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    qm AS (
+        SELECT doc_id,
+               len(w) AS n_tok,
+               (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
+                   / greatest(length(text), 1) AS punct_ratio,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0
+                   / greatest(len(w), 1) AS sw_ratio
+        FROM qt
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(floor((0.4::DOUBLE * (CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 1.0::DOUBLE
+                             WHEN n_tok > 0 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+                     + 0.3::DOUBLE * (1.0::DOUBLE - punct_ratio)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE, 5.0::DOUBLE * sw_ratio))
+                     * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
+        FROM qm
+    ),
+    sc AS (
+        SELECT c.doc_id, c.component_id, q.quality_x10k
+        FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT doc_id, component_id, quality_x10k,
+           first_value(doc_id) OVER (
+               PARTITION BY component_id
+               ORDER BY quality_x10k DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS keeper_id,
+           doc_id = first_value(doc_id) OVER (
+               PARTITION BY component_id
+               ORDER BY quality_x10k DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS is_kept
+    FROM sc
+    """,
+)
+def q113_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical-document election over near-dup clusters
+    (operators/dedup.py keeper_by_quality): the q21 pair graph closed
+    into q63's components, then each component keeps its HIGHEST-quality
+    member (Gopher/C4-style heuristic score ×10⁴, ties → smallest id) —
+    the canonicalization step of the standard fuzzy-dedup recipe. Min-id
+    keepers (the store family's rule) are right for byte-identical dups;
+    near-dup members genuinely differ, and curation wants the
+    boilerplate-laden or truncated variants dropped, not whichever
+    crawled first. One membership join + one window on the component
+    label on top of the component machinery; integer scores keep the
+    election a deterministic total order (never elect on raw doubles).
+    The oracle replays the same pair graph + recursive closure (shared
+    CTE prefix with q21/q63), the q29 score chain term by term, and the
+    same explicit-frame first_value election."""
+    d = _t(spark, sf_dir, "documents")
+    from albedo_spark.operators.dedup import (
+        connected_components,
+        keeper_by_quality,
+    )
+    from albedo_spark.operators.textstats import quality_score_x10k
+
+    cand = minhash_lsh_pairs(
+        d, num_hashes=8, rows_per_band=2, shingle_n=3, max_bucket=200
+    )
+    verified = jaccard_verify(cand, d, shingle_n=3, threshold=0.8)
+    with _scoped_shuffle_partitions(spark):
+        comps = connected_components(verified.select("id_a", "id_b"))
+    scored = d.select(
+        "doc_id", quality_score_x10k(F.col("text")).alias("quality_x10k")
+    )
+    return keeper_by_quality(comps, scored)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5313,6 +5407,7 @@ _POST_WINDOW = [
     "q101_rolling_zscore",
     "q102_near_dup_vs_store",
     "q112_vector_incremental",
+    "q113_keeper_selection",
     "q103_bpe_learn",
     "q76_events_hopping",
     "q86_key_skew_profile",

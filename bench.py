@@ -100,6 +100,7 @@ HEADLINE2 = [
     "q110_bloom_dedup",
     "q111_temperature_mixture",
     "q112_vector_incremental",
+    "q113_keeper_selection",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

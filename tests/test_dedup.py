@@ -163,6 +163,29 @@ def test_connected_components_iteration_bound(spark):
     assert set(got.values()) == {0}
 
 
+def test_keeper_by_quality_election(spark):
+    """Per-component argmax election: highest score wins, ties break to
+    the smallest id, every member row carries its component's keeper,
+    docs outside every component don't appear."""
+    from albedo_spark.operators.dedup import keeper_by_quality
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "node long, label long"
+    )
+    scored = spark.createDataFrame(
+        # doc 4 is in no component; 10 and 11 tie on score
+        [(1, 50), (2, 90), (3, 90), (4, 99), (10, 70), (11, 70)],
+        "doc_id long, quality_x10k long",
+    )
+    rows = {r.doc_id: r for r in keeper_by_quality(comps, scored).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11}
+    assert all(rows[d].keeper_id == 2 for d in (1, 2, 3))  # 90-tie -> min id 2
+    assert [rows[d].is_kept for d in (1, 2, 3)] == [False, True, False]
+    assert rows[10].keeper_id == 10 and rows[10].is_kept
+    assert rows[11].keeper_id == 10 and not rows[11].is_kept
+    assert rows[1].component_id == 1 and rows[11].component_id == 10
+
+
 def test_ngram_jaccard_max_df_guard(spark):
     """df-cap semantics: with a cap no shingle above the cap contributes,
     quadratic stop-shingle pairs disappear, and a cap at/above the true
