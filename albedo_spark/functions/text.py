@@ -159,3 +159,63 @@ def pii_counts(col: Column) -> list[Column]:
         F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).alias(f"n_{name}")
         for name, pattern, _ in PII_PATTERNS
     ]
+
+
+# --- Markup extraction (training-data pipeline extension) -----------------
+# The raw-crawl front door: before any hygiene stage can score or dedup a
+# web document, the HTML shell has to come off. Same regex-subset
+# discipline as PII_PATTERNS — (?is) inline flags, non-greedy repetition,
+# NO backreferences (RE2 lacks them), so Spark and the DuckDB oracle
+# match identically. Element-blind tag stripping (not a DOM parse — no
+# parser dependency, no UDF); script/style/comment BODIES are dropped
+# first because their content is code, not prose.
+
+_MARKUP_BLOCK_PATTERNS: tuple[str, ...] = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+)
+_MARKUP_TAG_PATTERN = r"(?s)</?[A-Za-z!][^>]*>"
+# Decode order matters: named/numeric entities FIRST, the ampersand
+# escape LAST — else '&amp;lt;' would double-decode to '<'.
+_MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: Column) -> Column:
+    """Plain text from HTML-ish markup: drop script/style/comment blocks
+    (content and all), strip remaining tags to spaces, decode the six
+    common entities, collapse whitespace. Tag stripping runs BEFORE
+    entity decoding — the standard order, so text that merely *mentions*
+    markup ('use &lt;p&gt; for paragraphs') keeps its escaped brackets
+    as literal text instead of having them stripped as tags. One chained
+    regexp_replace projection, JVM-side, no UDF — at 100 TB this is a
+    map-only scan like redact_pii."""
+    out = col
+    for pattern in _MARKUP_BLOCK_PATTERNS:
+        out = F.regexp_replace(out, pattern, " ")
+    out = F.regexp_replace(out, _MARKUP_TAG_PATTERN, " ")
+    for entity, repl in _MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(repl))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def markup_ratio_x10k(col: Column) -> Column:
+    """Markup overhead per document, ×10⁴: chars removed by
+    ``strip_markup`` over raw length (0 for empty input) — the
+    boilerplate-heaviness signal a crawl-quality report keys on.
+    Integer-scaled per the catalog's engine-portable convention."""
+    raw_len = F.length(col)
+    kept_len = F.length(strip_markup(col))
+    return F.when(
+        raw_len > 0,
+        F.floor(
+            (raw_len - kept_len).cast("double") / raw_len * 10000.0 + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))

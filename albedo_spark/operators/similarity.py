@@ -539,3 +539,68 @@ def cluster_profile(
         F.count("*").alias("n_vectors"),
         F.expr("sum(cos_x10k) DIV count(*)").alias("mean_cos_x10k"),
     )
+
+
+def rp_sign_matrix(
+    in_dim: int, out_dim: int, seed: int = 42
+) -> list[list[float]]:
+    """±1 sign matrix for random projection, derived per entry from
+    ``md5(f"rp:{seed}:{j}:{i}")`` (first hex digit < 8 → +1) — the
+    catalog's engine-portable determinism rule, so the DuckDB oracle
+    recomputes the identical matrix in SQL instead of trusting a
+    seeded RNG to agree across engines. Rademacher ±1 entries satisfy
+    the Johnson-Lindenstrauss guarantee (Achlioptas 2001) — no Gaussian
+    sampling needed."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{seed}:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress ``in_dim``
+    embeddings to ``out_dim`` signed sums ``y_j = Σ_i v_i·s_ij`` with a
+    Rademacher ±1 matrix — ``(id, projected array<double>)``. The
+    standard pre-step when downstream stages (ANN indexing, clustering,
+    near-dup banding) don't need full precision: distances are preserved
+    within (1±ε) at out_dim = O(log n / ε²), and a 4× narrower vector is
+    4× less shuffle bytes for every stage that follows. (The common
+    1/√out_dim scale factor is omitted — it rescales all distances
+    uniformly and cosine is scale-invariant.)
+
+    Map-only at 100 TB: the sign matrix rides the plan as literals
+    (same trick as ``_cell_scores``' pivot matrix) and each output
+    coordinate is one ordered ``aggregate`` fold over the input array —
+    a pure projection, no shuffle, no UDF, whole-stage codegen. The
+    left-to-right fold order makes each double sum bit-reproducible,
+    which is what lets the oracle replay it exactly."""
+    signs = rp_sign_matrix(in_dim, out_dim, seed)
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(s) for s in row]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for row in signs
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias("projected"))

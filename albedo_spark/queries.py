@@ -5312,6 +5312,136 @@ def q113_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keeper_by_quality(comps, scored)
 
 
+@query(
+    "q114_markup_extract",
+    """
+    WITH src AS (
+        SELECT doc_id,
+               '<html><head><script type="text/x">var a=1 && b<2; // <p>junk</p></script>'
+               || '<style>p { margin: 0; }</style></head><body>'
+               || '<h1>Title &amp; summary</h1><p>' || text || '</p>'
+               || '<div class="f">use &lt;b&gt; for &quot;bold&quot;, it&#39;s fine; escaped: &amp;lt;i&amp;gt;</div>'
+               || '<!-- trailer --></body></html>' AS raw
+        FROM documents WHERE text IS NOT NULL
+    ),
+    stripped AS (
+        SELECT doc_id, raw,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(raw,
+                           '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                         '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                 '\\s+', ' ', 'g')) AS clean
+        FROM src
+    )
+    SELECT doc_id, clean AS text,
+           CAST(floor((length(raw) - length(clean)) * 1.0 / length(raw)
+                      * 10000.0 + 0.5) AS BIGINT) AS markup_x10k
+    FROM stripped
+    """,
+)
+def q114_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup extraction — the raw-crawl front door (functions/text.py
+    strip_markup / markup_ratio_x10k): drop script/style/comment bodies,
+    strip remaining tags, decode the six common entities (tags BEFORE
+    entities, so '&lt;b&gt;' survives as literal '<b>' text; '&amp;'
+    last, so '&amp;lt;' decodes once, not twice), collapse whitespace —
+    plus the per-doc markup-overhead ratio ×10⁴ a crawl-quality report
+    keys on. The documents fixture is plain text, so the query plants a
+    deterministic HTML shell (script with code to discard, heading,
+    entity-laden div, comment) around each doc — the q110 planting
+    discipline. Map-only chained regexp_replace, JVM-side, no UDF, no
+    parser dependency; the regexes stay in the Java-regex ∩ RE2 subset
+    (no backreferences) so the oracle replays the identical chain."""
+    from albedo_spark.functions.text import strip_markup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    raw = F.concat(
+        F.lit(
+            '<html><head><script type="text/x">var a=1 && b<2; // <p>junk</p></script>'
+            "<style>p { margin: 0; }</style></head><body>"
+            "<h1>Title &amp; summary</h1><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</p>"
+            '<div class="f">use &lt;b&gt; for &quot;bold&quot;, it&#39;s fine; escaped: &amp;lt;i&amp;gt;</div>'
+            "<!-- trailer --></body></html>"
+        ),
+    )
+    src = d.select("doc_id", raw.alias("raw"))
+    st = src.select(
+        "doc_id", "raw", strip_markup(F.col("raw")).alias("text")
+    )
+    return st.select(
+        "doc_id",
+        "text",
+        F.floor(
+            (F.length("raw") - F.length("text")).cast("double")
+            / F.length("raw")
+            * 10000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("markup_x10k"),
+    )
+
+
+@query(
+    "q115_random_projection",
+    """
+    WITH dims AS (SELECT unnest(range(16)) AS j),
+    ins AS (SELECT unnest(range(64)) AS i),
+    signs AS (
+        SELECT j,
+               list(CASE WHEN substr(md5('rp:42:' || j || ':' || i), 1, 1) < '8'
+                         THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+        FROM dims CROSS JOIN ins GROUP BY j
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+        SELECT e.vec_id, signs.j, list_dot_product(e.v, signs.s) AS y
+        FROM e CROSS JOIN signs
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS dim,
+           CAST(floor(y * 10000.0 + 0.5) AS BIGINT) AS value_x10k
+    FROM p
+    """,
+)
+def q115_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss embedding compression (operators/
+    similarity.py random_project): 64-dim float vectors → 16 signed sums
+    against a Rademacher ±1 matrix whose entries derive from md5 (the
+    engine-portable determinism rule — no cross-engine RNG trust), here
+    exploded to (vec_id, dim, value ×10⁴) for the gate. The standard
+    pre-step before ANN indexing / clustering / near-dup banding when
+    full precision isn't needed: 4× narrower vectors are 4× less shuffle
+    for every downstream stage, with distances preserved within (1±ε) at
+    out_dim = O(log n/ε²). Map-only — the sign matrix rides the plan as
+    literals and each coordinate is one ordered aggregate fold, so the
+    double sums are bit-reproducible and the oracle replays them with
+    the identical sign lists and sequential dot product."""
+    from albedo_spark.operators.similarity import random_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    p = random_project(e, in_dim=64, out_dim=16, seed=42)
+    return p.select(
+        "vec_id",
+        F.posexplode("projected").alias("dim", "_y"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("_y") * 10000.0 + 0.5).cast("long").alias("value_x10k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5408,6 +5538,8 @@ _POST_WINDOW = [
     "q102_near_dup_vs_store",
     "q112_vector_incremental",
     "q113_keeper_selection",
+    "q114_markup_extract",
+    "q115_random_projection",
     "q103_bpe_learn",
     "q76_events_hopping",
     "q86_key_skew_profile",

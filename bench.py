@@ -101,6 +101,8 @@ HEADLINE2 = [
     "q111_temperature_mixture",
     "q112_vector_incremental",
     "q113_keeper_selection",
+    "q114_markup_extract",
+    "q115_random_projection",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

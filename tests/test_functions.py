@@ -153,6 +153,41 @@ def test_pii_redaction(spark):
     assert got[5] == ("mix <EMAIL> at <IP> tel <PHONE>", 1, 1, 1)
 
 
+def test_strip_markup(spark):
+    """Tag/entity semantics: script+style+comment BODIES drop, tags strip
+    to spaces, entities decode AFTER tags (escaped markup survives as
+    text), '&amp;' decodes last (no double-decode), whitespace collapses,
+    plain text passes through untouched."""
+    from albedo_spark.functions.text import markup_ratio_x10k, strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>hello <b>world</b></p>"),
+            (2, "<script>var x = '<p>gone</p>';</script>kept"),
+            (3, "<style media='x'>p{color:red}</style>body"),
+            (4, "a <!-- secret --> b"),
+            (5, "use &lt;i&gt; and &quot;q&quot; it&#39;s &amp;lt;ok"),
+            (6, "plain text stays"),
+            (7, "<div\n class='x'>multi\n  line</div>"),
+        ],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        strip_markup(F.col("text")).alias("clean"),
+        markup_ratio_x10k(F.col("text")).alias("ratio"),
+    )
+    got = {r.id: (r.clean, r.ratio) for r in out.collect()}
+    assert got[1][0] == "hello world"
+    assert got[2][0] == "kept"
+    assert got[3][0] == "body"
+    assert got[4][0] == "a b"
+    assert got[5][0] == 'use <i> and "q" it\'s &lt;ok'
+    assert got[6] == ("plain text stays", 0)
+    assert got[7][0] == "multi line"
+    assert got[1][1] == 5600  # 14 of 25 chars removed -> floor(5600.0+0.5)
+
+
 def test_ngram_contamination(spark):
     from albedo_spark.operators.textstats import ngram_contamination
 

@@ -431,3 +431,51 @@ def test_cluster_assign_matches_ivf_quantization(spark):
     assert prof == {
         c: (len(v), sum(v) // len(v)) for c, v in agg.items()
     }
+
+
+def test_random_project_one_hot_recovers_sign_matrix(spark):
+    """Projecting the standard basis returns the sign matrix columns
+    exactly — pins both the md5-derived matrix and the fold order."""
+    from albedo_spark.operators.similarity import random_project, rp_sign_matrix
+
+    in_dim, out_dim = 8, 4
+    signs = rp_sign_matrix(in_dim, out_dim, seed=11)
+    rows = [
+        (i, [1.0 if k == i else 0.0 for k in range(in_dim)])
+        for i in range(in_dim)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: list(r.projected)
+        for r in random_project(df, in_dim, out_dim, seed=11).collect()
+    }
+    for i in range(in_dim):
+        assert got[i] == [signs[j][i] for j in range(out_dim)]
+
+
+def test_random_project_jl_distance_preservation(spark, emb):
+    """JL property: squared distances scaled by 1/out_dim approximate the
+    originals. With out_dim=32 on 8-dim unit-ish vectors the median
+    relative distortion must be well under 50% — a seeded smoke floor
+    that catches sign-matrix or fold regressions, not a tight bound."""
+    from albedo_spark.operators.similarity import random_project
+
+    out_dim = 32
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    proj = {
+        r.vec_id: list(r.projected)
+        for r in random_project(emb, DIM, out_dim, seed=5).collect()
+    }
+    ids = sorted(orig)[:15]
+    ratios = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            d2 = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            p2 = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b])) / out_dim
+            if d2 > 1e-9:
+                ratios.append(p2 / d2)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.5 < med < 1.5, med
