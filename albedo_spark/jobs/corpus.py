@@ -5,11 +5,14 @@ tooling):
     python -m albedo_spark.jobs.corpus --sf-dir /root/testdata/sf0.001 \
         [--out DIR] [--probe-ids 5] [--jaccard 0.8]
 
-Pipeline: per-document stats (tokens, quality, language, repetition,
-fingerprint) → PII scrub → exact-dup groups → MinHash-LSH near-dup pairs
-(exact-Jaccard verified) → decontamination vs the probe set → one summary
-JSON line on stdout; with ``--out``, the cleaned per-document table and
-the near-dup pair list land as parquet.
+Pipeline: (optional ``--strip-markup`` front door: HTML shell off before
+anything else) → per-document stats (tokens, quality, language,
+repetition, fingerprint) → PII scrub → exact-dup groups → MinHash-LSH
+near-dup pairs (exact-Jaccard verified; with ``--keeper-quality`` the
+pairs close into components and only each component's highest-quality
+member survives) → decontamination vs the probe set → one summary JSON
+line on stdout; with ``--out``, the cleaned per-document table and the
+near-dup pair list land as parquet.
 
 With ``--mixture`` (e.g. ``en=5,de=2,fr=2,es=2,zh=1``) the surviving
 documents are mixture-downsampled to the target language weights, and
@@ -40,6 +43,17 @@ def main(argv: list[str] | None = None) -> dict:
                    help="doc_id < N is the decontamination probe set")
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--strip-markup", action="store_true",
+                   help="strip HTML-ish markup (script/style/comment "
+                        "bodies, tags, entities) from every document "
+                        "BEFORE any other stage — the raw-crawl front "
+                        "door; reports the mean markup-overhead ratio")
+    p.add_argument("--keeper-quality", action="store_true",
+                   help="close the near-dup pairs into components and "
+                        "drop every member except the highest-quality "
+                        "one (ties -> smallest id) from the surviving "
+                        "corpus — quality-aware canonicalization instead "
+                        "of keep-all")
     p.add_argument("--mixture", default=None,
                    help="target language weights, e.g. en=5,de=2,fr=2,es=2,zh=1")
     p.add_argument("--pack-capacity", type=int, default=None,
@@ -106,6 +120,35 @@ def main(argv: list[str] | None = None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, args.sf_dir, "documents")
+
+    markup_cached = None
+    if args.strip_markup:
+        # Front door: every later stage (stats, dedup, LM, tokenizer)
+        # sees extracted text, never the HTML shell. Persisted because
+        # the whole pipeline fans out from it — re-running the regex
+        # chain per consumer would multiply the one map-only pass.
+        from albedo_spark.functions.text import strip_markup
+
+        stripped = docs.select(
+            "*",
+            F.length("text").alias("_rawlen"),
+            strip_markup(F.col("text")).alias("_clean"),
+        )
+        ratio = F.when(
+            F.col("_rawlen") > 0,
+            F.floor(
+                (F.col("_rawlen") - F.length("_clean")).cast("double")
+                / F.col("_rawlen") * 10000.0 + 0.5
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        markup_cached = (
+            stripped.withColumn("_markup_x10k", ratio)
+            .drop("text", "_rawlen")
+            .withColumnRenamed("_clean", "text")
+            .persist()
+        )
+        docs = markup_cached.drop("_markup_x10k")
+
     text = F.col("text")
 
     per_doc = docs.select(
@@ -147,12 +190,52 @@ def main(argv: list[str] | None = None) -> dict:
             F.expr("percentile(quality_x10k, 0.5)")
         ).collect()[0][0],
     }
+    if markup_cached is not None:
+        # Exact integer mean (sum DIV count) — the catalog's
+        # order-independent discipline, one aggregate.
+        summary["markup"] = {
+            "mean_markup_x10k": int(
+                markup_cached.agg(
+                    F.expr("sum(_markup_x10k) DIV count(*)")
+                ).collect()[0][0]
+                or 0
+            ),
+        }
+
     # Post-hygiene corpus: quarantined (contaminated) docs drop out before
     # mixing/packing.
     contaminated_ids = contam.where(
         F.col("contaminated_x10k") >= 8000
     ).select("doc_id")
     survivors = docs.join(contaminated_ids, "doc_id", "left_anti")
+
+    if args.keeper_quality:
+        # Canonicalization (q113's operator): the verified near-dup pairs
+        # close into components; each component keeps its highest-quality
+        # member and the rest leave the corpus. Scores come from the
+        # already-persisted per_doc stats — no rescore pass.
+        from albedo_spark.operators.dedup import (
+            connected_components,
+            keeper_by_quality,
+        )
+
+        comps = connected_components(pairs.select("id_a", "id_b"))
+        elected = keeper_by_quality(
+            comps, per_doc.select("doc_id", "quality_x10k")
+        )
+        stats = elected.agg(
+            F.countDistinct("component_id").alias("n_components"),
+            F.sum(F.when(~F.col("is_kept"), 1).otherwise(0)).alias("n_dropped"),
+        ).collect()[0]
+        survivors = survivors.join(
+            elected.where(~F.col("is_kept")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        summary["keeper_quality"] = {
+            "n_components": int(stats["n_components"] or 0),
+            "n_dropped": int(stats["n_dropped"] or 0),
+        }
 
     if args.span_dedup:
         # Substring-granular hygiene (q104's operator): cross-doc
@@ -399,6 +482,8 @@ def main(argv: list[str] | None = None) -> dict:
         per_doc.write.mode("overwrite").parquet(os.path.join(args.out, "per_doc"))
         pairs.write.mode("overwrite").parquet(os.path.join(args.out, "near_dup_pairs"))
         summary["out"] = args.out
+    if markup_cached is not None:
+        markup_cached.unpersist()
     print(json.dumps(summary))
     return summary
 

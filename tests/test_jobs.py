@@ -201,3 +201,23 @@ def test_corpus_job_incremental_store_loop(tmp_path):
     # bloom sidecar kept lockstep: initial build + one append per batch
     # = 4 generations entering compaction, collapsed back to one row
     assert comp["bloom_generations"] == 4
+
+
+def test_corpus_job_markup_and_keeper_stages(tmp_path):
+    """--strip-markup is a no-op on the already-clean fixture (ratio 0,
+    counts unchanged); --keeper-quality drops exactly the non-keeper
+    members of the near-dup components from the surviving corpus."""
+    from albedo_spark.jobs.corpus import main
+
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--strip-markup", "--keeper-quality",
+        "--pack-capacity", "512",
+    ])
+    assert summary["n_docs"] == 500
+    assert summary["markup"]["mean_markup_x10k"] == 0  # plain-text fixture
+    kq = summary["keeper_quality"]
+    assert kq["n_components"] >= 1       # planted near-dups cluster
+    assert kq["n_dropped"] >= kq["n_components"]  # >=1 loser per component
+    # pack runs on the post-election corpus: quarantined + dropped gone
+    assert summary["pack"]["n_docs_packed"] <= 500 - kq["n_dropped"]
