@@ -493,3 +493,54 @@ def dsir_importance_scores(
             "importance_x10k",
         )
     )
+
+
+# --- Blocklist / policy filter (training-data pipeline extension) ---------
+# The C4-style badwords stage: documents containing blocklisted terms are
+# flagged (or dropped) before training. Term matching is word-boundary
+# anchored and case-insensitive — 'assess' must not hit a blocklist entry
+# 'ass' — and the whole check is ONE alternation regex per document, a
+# map-only scan at 100 TB. Regex stays in the Java-regex ∩ RE2 subset
+# (the PII_PATTERNS discipline) so the DuckDB oracle counts identically.
+
+
+def blocklist_pattern(terms: "Sequence[str]") -> str:
+    """Case-insensitive word-boundary alternation over ``terms``. Terms
+    are regex-escaped (blocklists come from config files, not regex
+    authors), and each term carries its own ``\\b`` anchors — only on
+    edges that ARE word characters: ``\\b`` is a \\w/\\W transition, so
+    anchoring a term like ``c++`` on the right would require a word char
+    after the ``+`` and never match. Lookarounds would express "not
+    followed by a word char" exactly, but RE2 lacks them (the PII_PATTERNS
+    subset rule), so non-word edges go un-anchored — the standard
+    compromise."""
+    import re as _re2
+
+    if not terms:
+        raise ValueError("empty blocklist")
+
+    def _anchored(t: str) -> str:
+        left = r"\b" if (t[0].isalnum() or t[0] == "_") else ""
+        right = r"\b" if (t[-1].isalnum() or t[-1] == "_") else ""
+        return left + _re2.escape(t) + right
+
+    return "(?i)(" + "|".join(_anchored(t) for t in sorted(terms)) + ")"
+
+
+def blocklist_hits(col: Column, terms: "Sequence[str]") -> Column:
+    """Count of blocklisted-term occurrences in ``col`` (long; 0 for
+    clean or NULL-safe per Spark regexp semantics)."""
+    return F.regexp_count(col, F.lit(blocklist_pattern(terms))).cast("long")
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: "Sequence[str]",
+    max_hits: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents with at most ``max_hits`` blocklisted occurrences
+    (the C4 policy is ``max_hits=0``: any hit drops the doc). A pure
+    filter over the one-regex count — predicate-pushdown-friendly,
+    no shuffle, no UDF."""
+    return docs.where(blocklist_hits(F.col(text_col), terms) <= max_hits)

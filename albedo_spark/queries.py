@@ -5442,6 +5442,40 @@ def q115_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q116_blocklist_filter",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '(?i)\\b(drop|merge|slow)\\b'))
+                AS BIGINT) AS n_blocked,
+           len(regexp_extract_all(text, '(?i)\\b(drop|merge|slow)\\b')) = 0
+               AS is_clean
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def q116_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist policy stage (operators/textstats.py blocklist_hits /
+    blocklist_filter — the C4 badwords idea): per-document count of
+    blocklisted-term occurrences and the keep/drop verdict, as ONE
+    case-insensitive word-boundary alternation regex — word-boundary so
+    'slower' does not hit 'slow'-as-substring semantics gone wrong, one
+    regexp_count per doc so the stage is a map-only scan at 100 TB. The
+    fixture blocklist ('drop', 'merge', 'slow') hits real corpus words,
+    so both branches of the verdict are exercised; terms are
+    regex-escaped and sorted in ``blocklist_pattern`` and the oracle
+    embeds the identical sorted alternation."""
+    from albedo_spark.operators.textstats import blocklist_hits
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hits = blocklist_hits(F.col("text"), ["slow", "merge", "drop"])
+    return d.select(
+        "doc_id",
+        hits.alias("n_blocked"),
+        (hits == 0).alias("is_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5540,6 +5574,7 @@ _POST_WINDOW = [
     "q113_keeper_selection",
     "q114_markup_extract",
     "q115_random_projection",
+    "q116_blocklist_filter",
     "q103_bpe_learn",
     "q76_events_hopping",
     "q86_key_skew_profile",

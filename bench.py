@@ -103,6 +103,7 @@ HEADLINE2 = [
     "q113_keeper_selection",
     "q114_markup_extract",
     "q115_random_projection",
+    "q116_blocklist_filter",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -310,3 +310,45 @@ def test_percentile_sketch_within_tolerance(spark):
             F.expr("percentile(value, 0.99) - percentile(value, 0.01)")
         ).collect()[0][0]
         assert abs(approx - exact) <= max(0.05 * abs(spread), 1e-9), (q, exact, approx)
+
+
+def test_blocklist_filter(spark):
+    """Word-boundary + case-insensitivity + regex escaping: 'slower' does
+    not hit 'slow', 'C++' as a term matches literally (escaped), and
+    max_hits gates the filter."""
+    from albedo_spark.operators.textstats import (
+        blocklist_filter,
+        blocklist_hits,
+        blocklist_pattern,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "this is slow and SLOW again"),
+            (2, "slower slowest unslow"),
+            (3, "we use C++ here"),
+            (4, "clean text"),
+            (5, "one slow mention"),
+        ],
+        "id long, text string",
+    )
+    terms = ["slow", "C++"]
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", blocklist_hits(F.col("text"), terms).alias("n")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 1, 4: 0, 5: 1}
+    kept = sorted(
+        r.id for r in blocklist_filter(df, terms, max_hits=0).collect()
+    )
+    assert kept == [2, 4]
+    kept1 = sorted(
+        r.id for r in blocklist_filter(df, terms, max_hits=1).collect()
+    )
+    assert kept1 == [2, 3, 4, 5]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        blocklist_pattern([])
