@@ -604,3 +604,64 @@ def random_project(
         ]
     )
     return df.select(F.col(id_col), proj.alias("projected"))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar corpus vectors with a DIFFERENT label —
+    ``(anchor_id, neighbor_id, cosine, rank)``. The negatives that sit
+    closest to the decision boundary are the ones a contrastive or
+    metric-learning objective learns most from (the standard
+    in-batch-negatives upgrade); same-label neighbors are excluded
+    because they are (pseudo-)positives, and NULL-label rows drop out on
+    either side (no label, no polarity).
+
+    Same plan shape as ``cosine_knn`` — broadcast the (small) anchor set
+    against the corpus with the label-difference predicate FUSED into
+    the join condition, so same-label pairs never materialize, then the
+    pinned window top-k per anchor with the (cosine DESC, neighbor ASC)
+    deterministic tie-break. At 100 TB: one corpus scan, no shuffle
+    before the top-k, and the window's partial aggregation keeps only k
+    rows per anchor per partition. For web-scale anchor sets, swap the
+    broadcast for the LSH/IVF candidate stage and verify exactly — the
+    same escalation path as the kNN family."""
+    c = _with_norm(corpus, vec_col, "_cn").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        "_cn",
+    )
+    a = _with_norm(anchors, vec_col, "_qn").select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_al"),
+        F.col(vec_col).alias("_qv"),
+        "_qn",
+    )
+    cond = (F.col("_cl") != F.col("_al")) & (
+        F.col("anchor_id") != F.col("neighbor_id")
+    )
+    scored = (
+        c.join(F.broadcast(a), cond)
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_qn") > 0),
+                dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("anchor_id", "neighbor_id", "cosine")
+    )
+    return top_k_per_group(
+        scored,
+        ["anchor_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        keep_rank=True,
+    )

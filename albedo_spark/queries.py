@@ -5476,6 +5476,54 @@ def q116_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q117_hard_negatives",
+    """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, label, embedding
+        FROM embeddings WHERE vec_id % 97 = 0 AND label IS NOT NULL
+    ),
+    scored AS (
+        SELECT a.anchor_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])
+               ) AS cos_raw
+        FROM a JOIN embeddings c
+          ON c.label IS NOT NULL AND c.label <> a.label
+         AND c.vec_id <> a.anchor_id
+    ),
+    ranked AS (
+        SELECT anchor_id, neighbor_id, cos_raw,
+               row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY cos_raw DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT anchor_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q117_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    per anchor (every 97th vector), the top-5 most-similar
+    DIFFERENT-label vectors — the near-boundary negatives a contrastive
+    or metric-learning objective learns most from. Same broadcast × scan
+    shape as q23's exact kNN with the label-difference predicate fused
+    into the join (same-label pairs never materialize) and the pinned
+    deterministic window top-k; the oracle replays the labeled join and
+    ranking exactly."""
+    from albedo_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(
+        (F.col("vec_id") % 97 == 0) & F.col("label").isNotNull()
+    )
+    out = hard_negatives(emb, anchors, k=5)
+    return out.select(
+        "anchor_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5575,6 +5623,7 @@ _POST_WINDOW = [
     "q114_markup_extract",
     "q115_random_projection",
     "q116_blocklist_filter",
+    "q117_hard_negatives",
     "q103_bpe_learn",
     "q76_events_hopping",
     "q86_key_skew_profile",

@@ -104,6 +104,7 @@ HEADLINE2 = [
     "q114_markup_extract",
     "q115_random_projection",
     "q116_blocklist_filter",
+    "q117_hard_negatives",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -479,3 +479,29 @@ def test_random_project_jl_distance_preservation(spark, emb):
     ratios.sort()
     med = ratios[len(ratios) // 2]
     assert 0.5 < med < 1.5, med
+
+
+def test_hard_negatives_label_exclusion(spark):
+    """No same-label or self neighbor ever appears; NULL-label rows drop
+    out on both sides; ranking is by exact cosine with deterministic
+    ties."""
+    from albedo_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),    # same label as anchor 0 -> never a negative
+        (2, [0.8, 0.2], 1),    # closest different-label
+        (3, [0.0, 1.0], 1),    # orthogonal different-label
+        (4, [0.7, 0.3], None), # NULL label -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    anchors = df.where("vec_id = 0")
+    got = hard_negatives(df, anchors, k=3).collect()
+    ids = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ids == [2, 3]           # only the two labeled-1 vectors qualify
+    assert all(r.anchor_id == 0 for r in got)
+    assert got[0].cosine <= 1.0
+    # NULL-label anchors mine nothing
+    assert hard_negatives(df, df.where("vec_id = 4"), k=3).count() == 0
