@@ -755,3 +755,79 @@ def merge_bloom_generations(spark: SparkSession, sidecar_table: str) -> int:
     spark.sql(f"DROP TABLE IF EXISTS `{sidecar_table}`")
     spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{sidecar_table}`")
     return int(generations)
+
+
+def near_dup_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_id: str = "doc_id",
+    probe_id: str = "probe_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Benchmark decontamination at NEAR-DUP granularity: training docs
+    that are near-duplicates of any probe/benchmark document —
+    ``(doc_id, probe_id, jaccard)``, exact shingle Jaccard ≥ threshold.
+    ``ngram_contamination`` (q69) catches verbatim n-gram overlap; this
+    catches the paraphrase-by-whitespace/reformatting class a benchmark
+    leak usually takes — near-dup semantics, cross-corpus direction. A
+    probe that is itself in the corpus surfaces as its own (trivial,
+    jaccard 1.0) match — that is the point: the benchmark copy must
+    leave the training set too.
+
+    Same banded-minhash candidate scheme as the store family
+    (band-folded md5 bkey), restricted to corpus×probe: each side bands
+    once, the bucket cap applies to the COMBINED bucket (consistent with
+    ``dedup_incremental``'s cap semantics), candidates equi-join on the
+    band key — never a cross product — and verification is exact set
+    Jaccard on the candidates only (array_intersect/union per pair; the
+    candidate set is bounded by the probe set's bucket matches, so wide
+    posting-list machinery isn't needed). At 100 TB the probe side is a
+    benchmark suite — tiny — so the corpus pays one banding scan and one
+    equi-join against a broadcast-scale opponent."""
+    from albedo_spark.operators.dedup import word_shingles
+
+    cb = minhash_band_rows(
+        corpus, text_col, corpus_id, num_hashes, rows_per_band, shingle_n
+    ).select(F.col(corpus_id).alias("_cid"), "bkey")
+    pb = minhash_band_rows(
+        probes, text_col, probe_id, num_hashes, rows_per_band, shingle_n
+    ).select(F.col(probe_id).alias("_pid"), "bkey")
+    sizes = (
+        cb.select("bkey")
+        .unionByName(pb.select("bkey"))
+        .groupBy("bkey")
+        .agg(F.count("*").alias("_n"))
+    )
+    eligible = sizes.where(F.col("_n") <= max_bucket).select("bkey")
+    cand = (
+        cb.join(eligible, "bkey").join(pb, "bkey").select("_cid", "_pid").distinct()
+    )
+    cset = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        word_shingles(F.col(text_col), shingle_n).alias("_cs"),
+    ).join(cand.select("_cid").distinct(), "_cid", "left_semi")
+    pset = probes.select(
+        F.col(probe_id).alias("_pid"),
+        word_shingles(F.col(text_col), shingle_n).alias("_ps"),
+    )
+    u = F.size(F.array_union(F.col("_cs"), F.col("_ps")))
+    jac = F.when(
+        u > 0,
+        F.size(F.array_intersect(F.col("_cs"), F.col("_ps"))).cast("double") / u,
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.join(cset, "_cid")
+        .join(F.broadcast(pset), "_pid")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("_cid").alias(corpus_id),
+            F.col("_pid").alias(probe_id),
+            "jaccard",
+        )
+    )

@@ -5524,6 +5524,80 @@ def q117_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q118_near_dup_decontamination",
+    """
+    WITH docs_t AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs_t),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[i + 1 : i + 3], ' ') AS sh
+        FROM words, unnest(range(greatest(len(w) - 3, 0) + 1)) AS r(i)
+    ),
+    sigs AS (
+        SELECT doc_id, i, min(md5(i || ':' || sh)) AS minhash
+        FROM shingles, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS h(i)
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id,
+               md5((i // 2) || '|' || string_agg(minhash, ',' ORDER BY i)) AS bkey
+        FROM sigs GROUP BY doc_id, i // 2
+    ),
+    pbands AS (SELECT doc_id AS probe_id, bkey FROM bands WHERE doc_id < 25),
+    sizes AS (
+        SELECT bkey, count(*) AS n FROM (
+            SELECT bkey FROM bands
+            UNION ALL SELECT bkey FROM pbands
+        ) GROUP BY bkey
+    ),
+    eligible AS (SELECT bkey FROM sizes WHERE n <= 200),
+    cand AS (
+        SELECT DISTINCT c.doc_id, p.probe_id
+        FROM bands c
+        JOIN eligible e USING (bkey)
+        JOIN pbands p USING (bkey)
+    ),
+    shsets AS (
+        SELECT doc_id, list(DISTINCT sh) AS shset FROM shingles GROUP BY doc_id
+    )
+    SELECT cand.doc_id, cand.probe_id,
+           round(len(list_intersect(sc.shset, sp.shset)) * 1.0 /
+                 len(list_distinct(list_concat(sc.shset, sp.shset))), 4) AS jaccard
+    FROM cand
+    JOIN shsets sc ON cand.doc_id = sc.doc_id
+    JOIN shsets sp ON cand.probe_id = sp.doc_id
+    WHERE len(list_intersect(sc.shset, sp.shset)) * 1.0 /
+          len(list_distinct(list_concat(sc.shset, sp.shset))) >= 0.8
+    """,
+)
+def q118_near_dup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at near-dup granularity
+    (dedup_store.near_dup_decontaminate): training docs that are
+    near-duplicates of any probe/benchmark doc (here: doc_id < 25 as the
+    probe suite) — the cross-corpus complement of q69's verbatim n-gram
+    overlap, catching the reformatting/paraphrase-by-whitespace class a
+    benchmark leak usually takes. Probe docs surface as their own
+    jaccard-1.0 matches by design: the benchmark copy must leave the
+    training set too. Banded-minhash candidates (store-family band-folded
+    md5 bkey, combined bucket cap) restricted to corpus×probe, exact
+    set-Jaccard verification on candidates only; the probe side is
+    broadcast-scale at any corpus size."""
+    from albedo_spark.operators.dedup_store import near_dup_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    probes = d.where("doc_id < 25").select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    out = near_dup_decontaminate(d, probes, threshold=0.8)
+    return out.select(
+        "doc_id", "probe_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5624,6 +5698,7 @@ _POST_WINDOW = [
     "q115_random_projection",
     "q116_blocklist_filter",
     "q117_hard_negatives",
+    "q118_near_dup_decontamination",
     "q103_bpe_learn",
     "q76_events_hopping",
     "q86_key_skew_profile",

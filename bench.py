@@ -105,6 +105,7 @@ HEADLINE2 = [
     "q115_random_projection",
     "q116_blocklist_filter",
     "q117_hard_negatives",
+    "q118_near_dup_decontamination",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

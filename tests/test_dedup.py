@@ -690,3 +690,31 @@ def test_exact_dedup_incremental_store_no_shuffle(spark):
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS digstore_plan")
+
+
+def test_near_dup_decontaminate_planted(spark):
+    """A corpus doc that is a whitespace-reformatted copy of a probe is
+    flagged; the probe's own corpus copy self-matches at 1.0; unrelated
+    docs stay clean; disjoint id spaces are respected."""
+    from albedo_spark.operators.dedup_store import near_dup_decontaminate
+
+    bench = "the quick brown fox jumps over the lazy dog every single day"
+    corpus = spark.createDataFrame(
+        [
+            (100, bench),                      # verbatim benchmark copy
+            (101, bench.replace(" ", "  ")),   # reformatting leak
+            (102, "completely different text about spark shuffles and joins here"),
+            (103, None),                       # NULL text never flagged
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(7, bench)], "probe_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.probe_id): r.jaccard
+        for r in near_dup_decontaminate(corpus, probes).collect()
+    }
+    assert set(got) == {(100, 7), (101, 7)}
+    assert got[(100, 7)] == 1.0
+    assert got[(101, 7)] == 1.0  # normalization collapses the whitespace
