@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--out", default=None, help="write per-doc + pairs parquet here")
     p.add_argument("--probe-ids", type=int, default=5,
                    help="doc_id < N is the decontamination probe set")
+    p.add_argument("--near-dup-decontaminate", action="store_true",
+                   help="ALSO quarantine docs that are near-duplicates "
+                        "(banded minhash + exact Jaccard >= --jaccard) of "
+                        "any probe doc — catches the reformatting/"
+                        "paraphrase leak class verbatim n-grams miss")
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--strip-markup", action="store_true",
@@ -208,6 +213,25 @@ def main(argv: list[str] | None = None) -> dict:
         F.col("contaminated_x10k") >= 8000
     ).select("doc_id")
     survivors = docs.join(contaminated_ids, "doc_id", "left_anti")
+
+    if args.near_dup_decontaminate:
+        # The q118 stage: the same probe suite, near-dup granularity —
+        # catches the reformatting leak class the verbatim n-gram check
+        # misses (and re-flags the probes' own corpus copies at 1.0).
+        from albedo_spark.operators.dedup_store import near_dup_decontaminate
+
+        flagged = near_dup_decontaminate(
+            docs,
+            docs.where(F.col("doc_id") < args.probe_ids).select(
+                F.col("doc_id").alias("probe_id"), "text"
+            ),
+            threshold=args.jaccard,
+        )
+        flagged_ids = flagged.select("doc_id").distinct()
+        summary["near_dup_decontamination"] = {
+            "n_flagged": flagged_ids.count(),
+        }
+        survivors = survivors.join(flagged_ids, "doc_id", "left_anti")
 
     if args.keeper_quality:
         # Canonicalization (q113's operator): the verified near-dup pairs

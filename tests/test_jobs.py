@@ -221,3 +221,18 @@ def test_corpus_job_markup_and_keeper_stages(tmp_path):
     assert kq["n_dropped"] >= kq["n_components"]  # >=1 loser per component
     # pack runs on the post-election corpus: quarantined + dropped gone
     assert summary["pack"]["n_docs_packed"] <= 500 - kq["n_dropped"]
+
+
+def test_corpus_job_near_dup_decontamination(tmp_path):
+    """--near-dup-decontaminate quarantines at least the probes' own
+    corpus copies (self-matches at 1.0) on top of the n-gram stage."""
+    from albedo_spark.jobs.corpus import main
+
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--near-dup-decontaminate",
+        "--pack-capacity", "512",
+    ])
+    nd = summary["near_dup_decontamination"]
+    assert nd["n_flagged"] >= 5  # the 5 probe docs self-match
+    assert summary["pack"]["n_docs_packed"] <= 500 - nd["n_flagged"] + 5
