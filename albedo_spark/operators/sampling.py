@@ -310,3 +310,51 @@ def shuffle_shards(
         df.withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    strat_col: str,
+    weights: dict[str, int],
+    token_budget: int,
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-stratum repeat plan for a fixed training token budget — the
+    data table a pre-training run ships (the LLaMA-style "sampling prop /
+    epochs" breakdown): ``(stratum, n_tokens, weight, target_tokens,
+    epochs_x10k)``. Each stratum's share of the budget is proportional to
+    its integer weight; ``epochs`` is how many passes over the stratum
+    that share implies (> 1 ⇒ the source repeats, the signal data teams
+    watch for overfit-prone upsampling).
+
+    ALL arithmetic is BIGINT floor-division (``DIV``): budget·weight can
+    reach 10^18-scale so the multiply stays in long range for any real
+    budget, and there is no double anywhere — both engines derive
+    identical integers with no rounding discipline needed. One tiny
+    aggregate (|strata| rows) — the plan itself is driver-free; empty
+    strata (0 tokens) are excluded rather than dividing by zero, but
+    their weight STAYS in the denominator: the mixture is the CONFIGURED
+    one, so a missing source leaves its budget share unassigned instead
+    of silently redistributing it over the others."""
+    wsum = sum(weights.values())
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(v))]
+    )
+    counts = (
+        df.where(F.col(strat_col).isin(*weights))
+        .groupBy(strat_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+    )
+    weight = wmap[F.col(strat_col)].cast("long")
+    target = F.expr(
+        f"CAST({token_budget} AS BIGINT) * weight DIV {wsum}"
+    )
+    return (
+        counts.withColumn("weight", weight)
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "epochs_x10k",
+            F.expr("target_tokens * 10000 DIV n_tokens"),
+        )
+    )

@@ -5598,6 +5598,57 @@ def q118_near_dup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "q119_epoch_plan",
+    """
+    WITH t AS (
+        SELECT lang,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS n
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+          AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+    ),
+    c AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_tokens,
+               CAST(CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2
+                              WHEN 'fr' THEN 2 WHEN 'es' THEN 2
+                              WHEN 'zh' THEN 1 END AS BIGINT) AS weight
+        FROM c WHERE n_tokens > 0
+    )
+    SELECT lang, n_tokens, weight,
+           CAST(1000000 AS BIGINT) * weight // 12 AS target_tokens,
+           (CAST(1000000 AS BIGINT) * weight // 12) * 10000 // n_tokens
+               AS epochs_x10k
+    FROM w
+    """,
+)
+def q119_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch plan (operators/sampling.py epoch_plan): the
+    per-language repeat table a pre-training run ships — each language's
+    share of a 1M-token budget ∝ its mixture weight (en:de:fr:es:zh =
+    5:2:2:2:1, Σ=12), and epochs ×10⁴ = how many passes over the source
+    that share implies (the upsampling signal data teams watch). ALL
+    BIGINT floor-division — no doubles, no rounding discipline needed,
+    both engines derive identical integers. One |strata|-row aggregate;
+    the q19 non-empty-text filter keeps the token count convention."""
+    from albedo_spark.operators.sampling import epoch_plan
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = d.select("lang", token_count(F.col("text")).alias("n_tokens"))
+    return epoch_plan(
+        toks,
+        "lang",
+        {"en": 5, "de": 2, "fr": 2, "es": 2, "zh": 1},
+        token_budget=1_000_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5699,6 +5750,7 @@ _POST_WINDOW = [
     "q116_blocklist_filter",
     "q117_hard_negatives",
     "q118_near_dup_decontamination",
+    "q119_epoch_plan",
     "q103_bpe_learn",
     "q76_events_hopping",
     "q86_key_skew_profile",

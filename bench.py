@@ -106,6 +106,7 @@ HEADLINE2 = [
     "q116_blocklist_filter",
     "q117_hard_negatives",
     "q118_near_dup_decontamination",
+    "q119_epoch_plan",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

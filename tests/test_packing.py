@@ -391,3 +391,33 @@ def test_temperature_mixture_stays_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_plan_arithmetic(spark):
+    """Exact integer shares: weights 3:1 over a 1200-token budget give
+    900/300 targets; epochs reflect repeat factors; zero-token and
+    unweighted strata drop out."""
+    from albedo_spark.operators.sampling import epoch_plan
+
+    df = spark.createDataFrame(
+        [
+            ("a", 450), ("a", 0),       # a: 450 tokens -> target 900 -> 2.0 epochs
+            ("b", 600),                 # b: 600 tokens -> target 300 -> 0.5 epochs
+            ("c", 100),                 # not in weights -> excluded
+            ("d", 0),                   # zero tokens -> excluded (no div0)
+        ],
+        "lang string, n_tokens long",
+    )
+    got = {
+        r.lang: (r.n_tokens, r.weight, r.target_tokens, r.epochs_x10k)
+        for r in epoch_plan(df, "lang", {"a": 3, "b": 1}, 1200).collect()
+    }
+    assert got == {"a": (450, 3, 900, 20000), "b": (600, 1, 300, 5000)}
+    # a configured-but-empty stratum keeps its weight in the denominator:
+    # its share of the budget is deliberately left unassigned, not
+    # silently redistributed (the mixture is the CONFIGURED one)
+    got2 = {
+        r.lang: r.target_tokens
+        for r in epoch_plan(df, "lang", {"a": 3, "b": 1, "d": 1}, 1200).collect()
+    }
+    assert got2 == {"a": 720, "b": 240}
