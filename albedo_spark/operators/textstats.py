@@ -542,5 +542,8 @@ def blocklist_filter(
     """Keep documents with at most ``max_hits`` blocklisted occurrences
     (the C4 policy is ``max_hits=0``: any hit drops the doc). A pure
     filter over the one-regex count — predicate-pushdown-friendly,
-    no shuffle, no UDF."""
-    return docs.where(blocklist_hits(F.col(text_col), terms) <= max_hits)
+    no shuffle, no UDF. NULL text carries no content and therefore no
+    hits: those rows pass through (the package's exact_dedup precedent —
+    a bare ``<=`` on the NULL count would silently drop them)."""
+    hits = blocklist_hits(F.col(text_col), terms)
+    return docs.where(F.coalesce(hits, F.lit(0)) <= max_hits)

@@ -329,6 +329,7 @@ def test_blocklist_filter(spark):
             (3, "we use C++ here"),
             (4, "clean text"),
             (5, "one slow mention"),
+            (6, None),
         ],
         "id long, text string",
     )
@@ -339,15 +340,15 @@ def test_blocklist_filter(spark):
             "id", blocklist_hits(F.col("text"), terms).alias("n")
         ).collect()
     }
-    assert got == {1: 2, 2: 0, 3: 1, 4: 0, 5: 1}
+    assert got == {1: 2, 2: 0, 3: 1, 4: 0, 5: 1, 6: None}
     kept = sorted(
         r.id for r in blocklist_filter(df, terms, max_hits=0).collect()
     )
-    assert kept == [2, 4]
+    assert kept == [2, 4, 6]  # NULL text carries no content -> passes
     kept1 = sorted(
         r.id for r in blocklist_filter(df, terms, max_hits=1).collect()
     )
-    assert kept1 == [2, 3, 4, 5]
+    assert kept1 == [2, 3, 4, 5, 6]
     import pytest as _pt
 
     with _pt.raises(ValueError):
