@@ -203,3 +203,22 @@ def test_q94_window_group_limit(spark):
     # sort (Partial+Final WindowGroupLimit), never rank whole strata
     plan = _plan(spark, "q94_group_sample")
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q114_markup_extract",
+        "q115_random_projection",
+        "q116_blocklist_filter",
+    ],
+)
+def test_map_only_stages_have_no_exchange(spark, name):
+    """The round-7 map-only stages (markup extraction, random projection,
+    blocklist) must stay single-stage: ONE scan, zero Exchange — the
+    property that makes them free riders on any 100 TB pipeline. A
+    shuffle appearing here means someone broke the literal-fold/pure-
+    projection design."""
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan}"
+    assert plan.count("Scan parquet") == 1
