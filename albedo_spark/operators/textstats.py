@@ -547,3 +547,49 @@ def blocklist_filter(
     a bare ``<=`` on the NULL count would silently drop them)."""
     hits = blocklist_hits(F.col(text_col), terms)
     return docs.where(F.coalesce(hits, F.lit(0)) <= max_hits)
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage per document: with the corpus's ``vocab_size``
+    most frequent words as the vocabulary (ties → lexicographic, a
+    deterministic total order), report ``(doc_id, n_tokens, n_oov,
+    oov_x10k)`` — the fraction of tokens a fixed-size word vocabulary
+    would map to <unk>. The go/no-go metric for sizing a tokenizer
+    vocabulary against a corpus (high OOV ⇒ grow the vocab or move to
+    subwords), and a per-document outlier signal (a doc that is mostly
+    OOV against its own corpus is usually junk).
+
+    Plan at 100 TB: one token explode + one (word) shuffle for corpus
+    frequencies, top-``vocab_size`` via the pinned window idiom on ONE
+    partition of word-count pairs (vocabulary candidates, not corpus
+    rows), vocabulary broadcast back onto the token stream, one per-doc
+    aggregate. The vocabulary is data-derived but bounded — broadcast is
+    by construction ``vocab_size`` rows."""
+    toks = docs.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w")
+    )
+    freq = toks.groupBy("_w").agg(F.count("*").alias("_n"))
+    from albedo_spark.operators.topk import global_top_k
+
+    vocab = global_top_k(
+        freq, [F.col("_n").desc(), F.col("_w").asc()], vocab_size
+    ).select("_w")
+    return (
+        toks.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "_w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_x10k",
+            F.expr("n_oov * 10000 DIV n_tokens"),
+        )
+    )

@@ -5649,6 +5649,49 @@ def q119_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q120_oov_rate",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS w
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    freq AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, row_number() OVER (ORDER BY n DESC, w ASC) AS rk FROM freq
+        ) WHERE rk <= 16
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS oov_x10k
+    FROM toks t LEFT JOIN vocab v USING (w)
+    GROUP BY t.doc_id
+    """,
+)
+def q120_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate (operators/textstats.py oov_rate):
+    with the corpus's 16 most frequent words as the vocabulary (ties →
+    lexicographic — a deterministic total order), the per-document
+    fraction of tokens a fixed-size word vocabulary would map to <unk>
+    (×10⁴ integer DIV). The go/no-go metric for sizing a tokenizer
+    vocabulary, and a junk signal (a doc mostly OOV against its own
+    corpus). One token explode + one word shuffle for frequencies,
+    top-k via the pinned global sort+limit over word-count pairs (not
+    corpus rows), vocabulary broadcast back, one per-doc aggregate —
+    the vocabulary is data-derived but bounded by construction. The
+    16-word vocab (the fixture has 31 distinct words) keeps both
+    branches of the membership test exercised."""
+    from albedo_spark.operators.textstats import oov_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate(d, vocab_size=16)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5751,6 +5794,7 @@ _POST_WINDOW = [
     "q117_hard_negatives",
     "q118_near_dup_decontamination",
     "q119_epoch_plan",
+    "q120_oov_rate",
     "q103_bpe_learn",
     "q76_events_hopping",
     "q86_key_skew_profile",

@@ -107,6 +107,7 @@ HEADLINE2 = [
     "q117_hard_negatives",
     "q118_near_dup_decontamination",
     "q119_epoch_plan",
+    "q120_oov_rate",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -353,3 +353,29 @@ def test_blocklist_filter(spark):
 
     with _pt.raises(ValueError):
         blocklist_pattern([])
+
+
+def test_oov_rate(spark):
+    """Vocab = top-k by (freq DESC, word ASC); OOV counts per doc are
+    exact; empty/NULL docs drop; frequency ties at the boundary break
+    lexicographically."""
+    from albedo_spark.operators.textstats import oov_rate
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),   # freqs: a3 b3(doc1+2) c2 d1
+            (2, "b c d a"),
+            (3, ""),              # empty -> dropped
+            (4, None),            # NULL -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    # corpus freqs: a=4, b=3, c=2, d=1 -> vocab_size=2 -> {a, b}
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_x10k)
+        for r in oov_rate(df, vocab_size=2).collect()
+    }
+    assert got == {1: (6, 1, 1666), 2: (4, 2, 5000)}
+    # tie at the boundary: with vocab_size=3, c (freq 2) is in, d is out
+    got3 = {r.doc_id: r.n_oov for r in oov_rate(df, vocab_size=3).collect()}
+    assert got3 == {1: 0, 2: 1}
