@@ -61,6 +61,10 @@ def main(argv: list[str] | None = None) -> dict:
                         "of keep-all")
     p.add_argument("--mixture", default=None,
                    help="target language weights, e.g. en=5,de=2,fr=2,es=2,zh=1")
+    p.add_argument("--epoch-budget", type=int, default=None, metavar="TOKENS",
+                   help="with --mixture: also report the per-language epoch "
+                        "plan (budget share ∝ weight, repeat factor x10k) "
+                        "for this total training token budget")
     p.add_argument("--pack-capacity", type=int, default=None,
                    help="emit a chunk layout at this token capacity")
     p.add_argument("--span-dedup", type=int, default=None, metavar="MIN_DF",
@@ -316,6 +320,28 @@ def main(argv: list[str] | None = None) -> dict:
             r["lang"]: r["n"]
             for r in survivors.groupBy("lang").agg(F.count("*").alias("n")).collect()
         }
+
+        if args.epoch_budget:
+            # The q119 table over the MIXED corpus: what the sampled
+            # mixture implies in passes-per-source at the training budget.
+            from albedo_spark.operators.sampling import epoch_plan
+
+            plan = epoch_plan(
+                survivors.select(
+                    "lang", token_count(F.col("text")).alias("n_tokens")
+                ),
+                "lang",
+                weights,
+                token_budget=args.epoch_budget,
+            )
+            summary["epoch_plan"] = {
+                r["lang"]: {
+                    "n_tokens": r["n_tokens"],
+                    "target_tokens": r["target_tokens"],
+                    "epochs_x10k": r["epochs_x10k"],
+                }
+                for r in plan.collect()
+            }
 
     if args.pack_capacity:
         from albedo_spark.operators.packing import pack_sequences

@@ -62,6 +62,7 @@ def test_corpus_job_mixture_and_packing(tmp_path):
     summary = main([
         "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path),
         "--mixture", "en=5,de=2,fr=2,es=2,zh=1",
+        "--epoch-budget", "1200000",
         "--pack-capacity", "512",
     ])
     mix = summary["mixture"]
@@ -69,6 +70,14 @@ def test_corpus_job_mixture_and_packing(tmp_path):
     # binding stratum survives whole-ish; every stratum nonempty and the
     # top-weighted language dominates
     assert mix["en"] == max(mix.values())
+    plan = summary["epoch_plan"]
+    assert set(plan) <= {"en", "de", "fr", "es", "zh"}
+    # shares follow the configured 5:2:2:2:1 weights over the 1.2M budget
+    assert plan["en"]["target_tokens"] == 1_200_000 * 5 // 12
+    assert all(
+        v["epochs_x10k"] == v["target_tokens"] * 10000 // v["n_tokens"]
+        for v in plan.values()
+    )
     pack = summary["pack"]
     assert pack["capacity"] == 512
     assert pack["n_docs_packed"] == sum(mix.values())  # all mixed docs packed
