@@ -5725,10 +5725,17 @@ def q120_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        path in-window; round 6 promotes the NEW incremental-store
 #        family's representative q90 in its place — the same new-family
 #        promotion rule that brought q79/q82 in during round 5)
+#   q32 (simhash fingerprint: dedup keeps q18/q20/q21/q63 in-window and
+#        the SimHash surface stays gated via q107's band store; round 7
+#        promotes the NEW markup-extraction family's q114 in its place)
+#   q72 (unpivot: q43 pivot keeps the reshape family; round 7 promotes
+#        the NEW blocklist-policy family's q116 in its place)
 # Demoted entries still run in pytest, tools/check_correctness.py (which
 # has no cap), and bench.py.
 _DEMOTED = [
     "q60_multimodal_embed",
+    "q32_simhash",
+    "q72_part_unpivot",
     "q9_union_distinct_keys",
     "q12_date_arithmetic",
     "q24_label_centroid_sim",
@@ -5788,9 +5795,7 @@ _POST_WINDOW = [
     "q102_near_dup_vs_store",
     "q112_vector_incremental",
     "q113_keeper_selection",
-    "q114_markup_extract",
     "q115_random_projection",
-    "q116_blocklist_filter",
     "q117_hard_negatives",
     "q118_near_dup_decontamination",
     "q119_epoch_plan",

@@ -209,6 +209,9 @@ def test_driver_record_window_contains_flagships():
         "q82_snapshot_diff",
         # round-6 new family: the persisted incremental-store loop
         "q90_incremental_dedup",
+        # round-7 new families: markup extraction + blocklist policy
+        "q114_markup_extract",
+        "q116_blocklist_filter",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
