@@ -789,31 +789,69 @@ def near_dup_decontaminate(
     posting-list machinery isn't needed). At 100 TB the probe side is a
     benchmark suite — tiny — so the corpus pays one banding scan and one
     equi-join against a broadcast-scale opponent."""
-    from albedo_spark.operators.dedup import word_shingles
-
     cb = minhash_band_rows(
         corpus, text_col, corpus_id, num_hashes, rows_per_band, shingle_n
     ).select(F.col(corpus_id).alias("_cid"), "bkey")
-    pb = minhash_band_rows(
-        probes, text_col, probe_id, num_hashes, rows_per_band, shingle_n
-    ).select(F.col(probe_id).alias("_pid"), "bkey")
+    # The probe side is benchmark-suite sized: materialize its bands once
+    # and broadcast them everywhere below — the corpus side then needs
+    # exactly TWO banding passes (bucket sizes, candidate join) instead of
+    # one per downstream reference.
+    pb = (
+        minhash_band_rows(
+            probes, text_col, probe_id, num_hashes, rows_per_band, shingle_n
+        )
+        .select(F.col(probe_id).alias("_pid"), "bkey")
+        .localCheckpoint(eager=False)
+    )
+    probe_keys = pb.select("bkey").distinct()
+    # Candidates only arise in probe buckets, so the combined cap only
+    # needs counting THERE: restrict the corpus-count pass to probe
+    # buckets (broadcast semi-join) before aggregating.
     sizes = (
-        cb.select("bkey")
+        cb.join(F.broadcast(probe_keys), "bkey", "left_semi")
+        .select("bkey")
         .unionByName(pb.select("bkey"))
         .groupBy("bkey")
         .agg(F.count("*").alias("_n"))
     )
     eligible = sizes.where(F.col("_n") <= max_bucket).select("bkey")
+    # Candidate pairs are bounded by probe-bucket collisions — tiny next
+    # to the corpus — so a lazy localCheckpoint here stops the TWO
+    # downstream references (membership semi-join, verification join)
+    # from re-banding the corpus once each.
     cand = (
-        cb.join(eligible, "bkey").join(pb, "bkey").select("_cid", "_pid").distinct()
+        cb.join(F.broadcast(eligible), "bkey")
+        .join(F.broadcast(pb), "bkey")
+        .select("_cid", "_pid")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    cset = corpus.select(
-        F.col(corpus_id).alias("_cid"),
-        word_shingles(F.col(text_col), shingle_n).alias("_cs"),
-    ).join(cand.select("_cid").distinct(), "_cid", "left_semi")
-    pset = probes.select(
-        F.col(probe_id).alias("_pid"),
-        word_shingles(F.col(text_col), shingle_n).alias("_ps"),
+    # Shingle ONLY candidate documents, and in the cheap order: semi-join
+    # down to candidates FIRST, then split once below a widen() barrier
+    # (the minhash_sig_table discipline — an inline split re-evaluates per
+    # shingle position), then checkpoint the small per-doc shingle-set
+    # frames so the verification join reads materialized arrays instead
+    # of re-running the shingle transform per pair reference.
+    from albedo_spark.io import widen
+    from albedo_spark.operators.dedup import normalize_text, shingles_from_words
+
+    def _shingle_sets(side: DataFrame, sid: str, out: str) -> DataFrame:
+        words = side.select(
+            sid, F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+        )
+        return widen(words).select(
+            sid, shingles_from_words(F.col("_w"), shingle_n).alias(out)
+        ).localCheckpoint(eager=False)
+
+    cset = _shingle_sets(
+        corpus.select(F.col(corpus_id).alias("_cid"), text_col).join(
+            cand.select("_cid").distinct(), "_cid", "left_semi"
+        ),
+        "_cid",
+        "_cs",
+    )
+    pset = _shingle_sets(
+        probes.select(F.col(probe_id).alias("_pid"), text_col), "_pid", "_ps"
     )
     u = F.size(F.array_union(F.col("_cs"), F.col("_ps")))
     jac = F.when(
