@@ -5306,8 +5306,14 @@ def q113_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = jaccard_verify(cand, d, shingle_n=3, threshold=0.8)
     with _scoped_shuffle_partitions(spark):
         comps = connected_components(verified.select("id_a", "id_b"))
-    scored = d.select(
-        "doc_id", quality_score_x10k(F.col("text")).alias("quality_x10k")
+    # Score ONLY component members: the semi-join must sit BELOW the
+    # score projection (a join does not reorder under a computed-column
+    # Project), so filter first, then compute the quality chain — docs
+    # outside every component never pay the tokenize/score expressions.
+    members = comps.select(F.col("node").alias("doc_id"))
+    scored = (
+        d.join(F.broadcast(members), "doc_id", "left_semi")
+        .select("doc_id", quality_score_x10k(F.col("text")).alias("quality_x10k"))
     )
     return keeper_by_quality(comps, scored)
 
