@@ -391,3 +391,36 @@ def test_bpe_trainer_and_apply_match_pure_python(spark, corpus_words, n_merges):
         for r in segment_vocab(words_df, got_merges).collect()
     }
     assert applied == syms
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+            min_size=6, max_size=6,
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.integers(0, 1000),
+)
+@settings(max_examples=10, deadline=None)
+def test_random_project_matches_sequential_python_replay(spark, vecs, seed):
+    """Bit-reproducibility pin for the JL projection: the engine's ordered
+    aggregate fold must equal a pure-Python left-to-right float64 fold
+    EXACTLY (==, not approx) — the property the q115 oracle relies on.
+    A pairwise/SIMD summation sneaking into the fold breaks this."""
+    from albedo_spark.operators.similarity import random_project, rp_sign_matrix
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: list(r.projected)
+        for r in random_project(df, 6, 4, seed=seed).collect()
+    }
+    signs = rp_sign_matrix(6, 4, seed)
+    for i, v in rows:
+        for j in range(4):
+            acc = 0.0
+            for x, s in zip(v, signs[j]):
+                acc = acc + (x * s)   # strict left-to-right IEEE order
+            assert got[i][j] == acc, (i, j, got[i][j], acc)
