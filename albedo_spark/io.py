@@ -299,6 +299,29 @@ def read_jsonl_documents(
     return good, bad
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    num_files: int | None = None,
+) -> None:
+    """Emit a JSON-lines corpus drop — the mirror of
+    ``read_jsonl_documents`` for handing a cleaned corpus to tools that
+    speak JSONL rather than parquet. Gzip by default (the interchange
+    convention; splittability doesn't matter for an export format — the
+    CONSUMER parallelizes by file, which is why ``num_files`` exists:
+    size it to the consumer's parallelism, via coalesce so capping the
+    file count never adds a shuffle). Writers must not emit a literal
+    ``_corrupt_record`` column — it would round-trip as a parse artifact."""
+    if "_corrupt_record" in df.columns:
+        raise ValueError("refusing to export a _corrupt_record column")
+    out = df.coalesce(num_files) if num_files else df
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def write_partitioned_overwrite(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> None:

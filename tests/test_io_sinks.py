@@ -67,6 +67,38 @@ def test_jsonl_ingest_with_corrupt_accounting(spark, tmp_path):
     assert any("not_a_number" in r for r in raws)
 
 
+def test_jsonl_round_trip(spark, tmp_path):
+    """write_jsonl -> read_jsonl_documents round-trips values exactly,
+    honors the num_files cap, gzips by default, and refuses to export a
+    _corrupt_record column."""
+    import pytest as _pt
+
+    from albedo_spark.io import read_jsonl_documents, write_jsonl
+
+    rows = [
+        (1, "hello world", "en", "web"),
+        (2, "zwei drei", "de", "books"),
+        (3, None, "fr", "web"),          # NULL text survives the trip
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = str(tmp_path / "drop")
+    write_jsonl(df, out, num_files=1)
+    import glob
+
+    files = glob.glob(out + "/*.json.gz")
+    assert len(files) == 1  # coalesced + gzip extension
+    good, bad = read_jsonl_documents(spark, out)
+    assert bad.count() == 0
+    got = {r.doc_id: (r.text, r.lang, r.source) for r in good.collect()}
+    assert got == {i: tuple(t) for i, *t in rows}
+
+    poisoned = df.withColumn("_corrupt_record", F.lit("x"))
+    with _pt.raises(ValueError):
+        write_jsonl(poisoned, str(tmp_path / "nope"))
+
+
 def test_compact_table_store_lifecycle(spark):
     """build -> append x3 -> compact: files collapse back to ~one per
     bucket, data survives exactly, and the bucketed-join layout property
