@@ -310,8 +310,9 @@ def write_jsonl(
     speak JSONL rather than parquet. Gzip by default (the interchange
     convention; splittability doesn't matter for an export format — the
     CONSUMER parallelizes by file, which is why ``num_files`` exists:
-    size it to the consumer's parallelism, via coalesce so capping the
-    file count never adds a shuffle). Writers must not emit a literal
+    an UPPER cap sized to the consumer's parallelism, via coalesce so
+    capping never adds a shuffle — fewer upstream partitions simply mean
+    fewer files). Writers must not emit a literal
     ``_corrupt_record`` column — it would round-trip as a parse artifact."""
     if "_corrupt_record" in df.columns:
         raise ValueError("refusing to export a _corrupt_record column")

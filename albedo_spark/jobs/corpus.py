@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", default=None, help="write per-doc + pairs parquet here")
+    p.add_argument("--export-jsonl", type=int, default=None, metavar="N_FILES",
+                   help="with --out: also export the surviving corpus as "
+                        "gzip JSONL in N_FILES files (the interchange drop "
+                        "downstream tools consume)")
     p.add_argument("--probe-ids", type=int, default=5,
                    help="doc_id < N is the decontamination probe set")
     p.add_argument("--near-dup-decontaminate", action="store_true",
@@ -532,6 +536,18 @@ def main(argv: list[str] | None = None) -> dict:
         per_doc.write.mode("overwrite").parquet(os.path.join(args.out, "per_doc"))
         pairs.write.mode("overwrite").parquet(os.path.join(args.out, "near_dup_pairs"))
         summary["out"] = args.out
+        if args.export_jsonl:
+            # The interchange drop: the POST-hygiene corpus (every stage
+            # above already applied to `survivors`), sized to the
+            # consumer's parallelism.
+            from albedo_spark.io import write_jsonl
+
+            write_jsonl(
+                survivors,
+                os.path.join(args.out, "corpus_jsonl"),
+                num_files=args.export_jsonl,
+            )
+            summary["export_jsonl"] = {"n_files": args.export_jsonl}
     if markup_cached is not None:
         markup_cached.unpersist()
     print(json.dumps(summary))

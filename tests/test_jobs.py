@@ -232,6 +232,26 @@ def test_corpus_job_markup_and_keeper_stages(tmp_path):
     assert summary["pack"]["n_docs_packed"] <= 500 - kq["n_dropped"]
 
 
+def test_corpus_job_jsonl_export(tmp_path):
+    """--export-jsonl drops the post-hygiene corpus as gzip JSONL next to
+    the parquet artifacts, in the requested file count."""
+    import glob
+
+    from albedo_spark.jobs.corpus import main
+
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path),
+        "--export-jsonl", "2",
+    ])
+    assert summary["export_jsonl"] == {"n_files": 2}
+    files = glob.glob(str(tmp_path / "corpus_jsonl" / "*.json.gz"))
+    assert 1 <= len(files) <= 2  # num_files is an upper cap (coalesce)
+    # drop contains the survivors, not the full corpus
+    import gzip, json as _json
+    n = sum(1 for f in files for _ in gzip.open(f))
+    assert 0 < n <= 500 - summary["n_contaminated"]
+
+
 def test_corpus_job_near_dup_decontamination(tmp_path):
     """--near-dup-decontaminate quarantines at least the probes' own
     corpus copies (self-matches at 1.0) on top of the n-gram stage."""
