@@ -302,3 +302,54 @@ def rolling_zscore(
         F.col("_n").cast("long").alias("n_window"),
         F.floor(z * F.lit(100.0) + F.lit(0.5)).cast("long").alias("z_x100"),
     )
+
+
+def hygiene_transform(
+    docs: DataFrame,
+    blocklist: "list[str] | None" = None,
+    min_quality_x10k: int | None = None,
+    strip: bool = True,
+    redact: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """The map-only hygiene front of the pipeline as ONE composable
+    transform: markup off → PII redacted → blocklist verdict → quality
+    floor, in that order (strip first so scores and blocklist matching
+    see extracted text, redact before scoring is deliberate too — the
+    placeholder tokens are what a trained model would see). Pure
+    projection + filter — no aggregate, no join, no state — so the SAME
+    function body drives batch (``df.transform(hygiene_transform)``) and
+    Structured Streaming (apply to a ``readStream`` frame; stateless
+    maps need no watermark and support append mode), pinned by the
+    batch-vs-stream equality test. NULL-text rows pass every stage
+    untouched (the package's contentless-row precedent: strip/redact of
+    NULL is NULL, blocklist and quality gates coalesce their way past).
+
+    At 100 TB this is the free-rider stage: a single whole-stage-codegen
+    scan with zero Exchange, whether the source is a parquet lake or a
+    stream of crawl drops."""
+    from albedo_spark.functions.text import redact_pii, strip_markup
+    from albedo_spark.operators.textstats import (
+        blocklist_hits,
+        quality_score_x10k,
+    )
+
+    out = docs
+    text = F.col(text_col)
+    if strip:
+        out = out.withColumn(
+            text_col, F.when(text.isNotNull(), strip_markup(text)).otherwise(text)
+        )
+    if redact:
+        out = out.withColumn(
+            text_col, F.when(text.isNotNull(), redact_pii(text)).otherwise(text)
+        )
+    if blocklist:
+        out = out.where(
+            F.coalesce(blocklist_hits(text, blocklist), F.lit(0)) <= 0
+        )
+    if min_quality_x10k is not None:
+        out = out.where(
+            text.isNull() | (quality_score_x10k(text) >= min_quality_x10k)
+        )
+    return out

@@ -584,3 +584,44 @@ def test_stage_gc_reaps_crashed_builder_tmp(spark):
         import shutil
         shutil.rmtree(fresh_tmp, ignore_errors=True)
         shutil.rmtree(old_tmp, ignore_errors=True)
+
+
+def test_hygiene_transform_stream_equals_batch(spark, tmp_path):
+    """The map-only hygiene front is batch/streaming agnostic: the SAME
+    transform over a file stream (2 micro-batches) yields exactly the
+    batch result — stateless maps need no watermark and run in append
+    mode. NULL text passes every stage."""
+    from albedo_spark.operators.quality import hygiene_transform
+    from albedo_spark.streaming.events import run_to_memory
+
+    d = str(tmp_path / "docs_stream")
+    rows1 = [
+        (1, "<p>the cat sat on the mat and it is a fine day for all of us "
+            "in the garden today really</p>"),
+        (2, "spam slow spam"),                      # blocklisted
+        (3, None),                                   # NULL -> passes
+    ]
+    rows2 = [
+        (4, "mail me at a@b.io <i>the road goes ever on and on down from "
+            "the door where it began now</i>"),
+        (5, "!!! ??? !!!"),                          # low quality -> floor
+    ]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    kwargs = dict(blocklist=["slow"], min_quality_x10k=5000)
+    batch = hygiene_transform(spark.read.parquet(d), **kwargs)
+    expected = {r.doc_id: r.text for r in batch.collect()}
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    run_to_memory(hygiene_transform(stream, **kwargs), "hyg_stream", mode="append")
+    got = {r.doc_id: r.text for r in spark.table("hyg_stream").collect()}
+
+    assert got == expected
+    assert 3 in got and got[3] is None               # NULL passed through
+    assert 2 not in got and 5 not in got             # blocklist + floor
+    assert "<p>" not in (got.get(1) or "")           # markup stripped
+    assert "<EMAIL>" in (got.get(4) or "")           # PII redacted
