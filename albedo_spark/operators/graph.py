@@ -1,0 +1,131 @@
+"""Graph ranking operators: PageRank over an edge frame.
+
+The reference's own roadmap promises this surface and never shipped it —
+``README.md:146`` ("Build a recommender system with Spark: PageRank and
+GraphX") is the one TODO item left open in the reference repo. This module
+closes it Spark-first: no GraphX (RDD-based, unavailable from PySpark
+DataFrames), just the power iteration expressed as K rounds of
+join + aggregate that Catalyst plans as ordinary shuffles.
+
+Design for the oracle AND for 100 TB:
+
+- **Integer arithmetic end-to-end.** Ranks are BIGINT multiples of
+  ``unit`` (default 10^9); each round computes
+  ``rank' = reset + Σ_in (rank_src * d_x100) div (outdeg_src * 100)``
+  with integer floor division. Integer sums are order-independent, so
+  Spark's shuffle order and DuckDB's aggregation order derive the SAME
+  integers — the gated query (q121) hash-matches exactly, no float
+  tolerance, the same discipline as ``textstats.bigram_lm_scores``.
+- **Fixed iteration count, unrolled oracle.** A recursive CTE cannot
+  aggregate in its recursive member (SQL rule; q63's fixpoint CTE gets
+  away without one), so the oracle unrolls the K rounds as chained CTEs
+  — which is also exactly what the Spark loop builds.
+- **Per-round cost**: one shuffle join of edges against the rank frame
+  (both hash-partitioned on the same key after round 1 — AQE reuses the
+  exchange) + one aggregate. Hub skew is an AQE skew-join case; the
+  edges frame is static across rounds and persisted once.
+- **Dangling mass is dropped, not redistributed** (documented contract;
+  the oracle replays the same choice via LEFT JOIN + coalesce 0). Feed
+  a symmetrized edge set — e.g. ``bipartite_edges`` — when every node
+  must keep mass, which is the recommender use anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bipartite_edges(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Symmetric edge frame from distinct bipartite incidences.
+
+    Node ids disambiguate the two partitions arithmetically —
+    ``left*2`` vs ``right*2+1`` — so the two id spaces cannot collide
+    and the mapping replays in any engine (no driver-side id dictionary,
+    no monotonically_increasing_id nondeterminism). Each distinct
+    (left, right) pair yields both directions, so every node has
+    outdegree ≥ 1 and indegree ≥ 1: no dangling mass, no lost nodes.
+    """
+    inc = pairs.select(
+        (F.col(left_col).cast("long") * 2).alias("u"),
+        (F.col(right_col).cast("long") * 2 + 1).alias("v"),
+    ).distinct()
+    return inc.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        inc.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+    damping_x100: int = 85,
+    unit: int = 10**9,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank → ``(node, rank)`` with BIGINT ranks.
+
+    ``rank_0 = unit`` for every node with outdegree ≥ 1;
+    ``rank_{t+1}(v) = reset(v) + Σ_{u→v} (rank_t(u) * damping) div
+    (outdeg(u) * 100)`` — all BIGINT, all floor division, so the result
+    is bit-identical across engines and shuffle orders. Un-normalized
+    (ranks are ∝ the probability vector; ordering and ratios are what a
+    recommender consumes).
+
+    ``seeds``: optional one-column ``(node)`` frame → PERSONALIZED
+    PageRank: the reset mass lands only on seed nodes (``reset(v) =
+    unit*(100-damping)/100`` if v ∈ seeds else 0), giving ranks biased
+    toward the seeds' neighborhoods — the "recommend around this user"
+    form the reference's TODO meant. Seeds are broadcast (a seed set is
+    small by definition).
+
+    Scale: the edge frame (with outdegree attached) is persisted once
+    and reused every round; each round's rank frame is eagerly
+    ``localCheckpoint``-ed, truncating lineage exactly as
+    ``dedup.connected_components`` does, so K rounds never stack K
+    joins into one plan. The driver moves no data — the loop is pure
+    plan construction + checkpoint actions.
+    """
+    deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    ed = edges.join(deg, src).persist()
+    nodes = deg.select(F.col(src).alias("node"))
+    reset_unit = (unit * (100 - damping_x100)) // 100
+    if seeds is None:
+        reset_col = F.lit(reset_unit).cast("long")
+        nodes_r = nodes.withColumn("_reset", reset_col)
+    else:
+        seed_flag = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        nodes_r = nodes.join(
+            F.broadcast(seed_flag.withColumn("_is_seed", F.lit(1))), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("_is_seed").isNotNull(), F.lit(reset_unit))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_reset"),
+        )
+    nodes_r = nodes_r.localCheckpoint()
+    ranks = nodes_r.select("node", F.lit(unit).cast("long").alias("rank"))
+    contrib_expr = F.expr(f"(rank * {damping_x100}) div (outdeg * 100)")
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", src), src)
+            .select(F.col(dst).alias("node"), contrib_expr.alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes_r.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.col("_reset") + F.coalesce(F.col("_s"), F.lit(0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    ed.unpersist()
+    return ranks

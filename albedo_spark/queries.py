@@ -5698,6 +5698,75 @@ def q120_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(d, vocab_size=16)
 
 
+# PageRank oracle: a recursive CTE cannot aggregate in its recursive member
+# (SQL rule — q63's fixpoint CTE gets away without one), so the K power-
+# iteration rounds are unrolled as chained CTEs, each the literal SQL of one
+# Spark round: contributions = join ranks to out-edges, BIGINT floor-divide,
+# sum per destination; new rank = reset + coalesce(sum, 0).
+_PAGERANK_ROUNDS = "".join(
+    f""",
+    r{i} AS (
+        SELECT d.src AS node,
+               CAST(150000000 + coalesce(c.s, 0) AS BIGINT) AS rank
+        FROM deg d LEFT JOIN (
+            SELECT ed.dst AS node, sum((r.rank * 85) // (ed.outdeg * 100)) AS s
+            FROM ed JOIN r{i - 1} r ON ed.src = r.node
+            GROUP BY ed.dst
+        ) c ON d.src = c.node
+    )"""
+    for i in range(1, 6)
+)
+
+
+@query(
+    "q121_pagerank",
+    """
+    WITH inc AS (
+        SELECT DISTINCT l_orderkey * 2 AS u, l_partkey * 2 + 1 AS v
+        FROM lineitem
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM inc
+        UNION ALL
+        SELECT v AS src, u AS dst FROM inc
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg)
+    """
+    + _PAGERANK_ROUNDS
+    + """
+    SELECT node, rank FROM r5
+    """,
+)
+def q121_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the order-part co-purchase graph (operators/graph.py
+    pagerank) — the reference's own unshipped roadmap item (the README
+    TODO "PageRank and GraphX", ``README.md:146``), closed Spark-first:
+    no GraphX, just K unrolled rounds of join + aggregate that Catalyst
+    plans as ordinary shuffles. The bipartite incidence (order, part)
+    becomes a symmetric edge set with arithmetic id disambiguation
+    (order*2 / part*2+1 — no driver-side id dictionary), so part ranks
+    are basket-weighted centrality, the graph route to q96's "also
+    bought" signal. All arithmetic is BIGINT with floor division — rank
+    sums are order-independent, so Spark's shuffle order and DuckDB's
+    unrolled CTEs derive identical integers (the q105 discipline, no
+    float tolerance). Per round: ONE shuffle join of the static persisted
+    edge frame against the rank frame + one partial-agg sum; rank frames
+    are localCheckpoint-ed so K rounds never stack K joins into one plan
+    (the q63/q103 iterative idiom). At 100 TB: edges persist once,
+    per-round cost is constant, hub skew is AQE's skew-join case."""
+    from albedo_spark.operators.graph import bipartite_edges, pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = bipartite_edges(li, "l_orderkey", "l_partkey")
+    # The iterative loop EXECUTES here (one localCheckpoint per round):
+    # scope shuffle width to the gate scale, as every iterative entry does.
+    with _scoped_shuffle_partitions(spark):
+        ranks = pagerank(edges, iterations=5)
+    return ranks
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5736,12 +5805,17 @@ def q120_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        promotes the NEW markup-extraction family's q114 in its place)
 #   q72 (unpivot: q43 pivot keeps the reshape family; round 7 promotes
 #        the NEW blocklist-policy family's q116 in its place)
+#   q37 (IVF ANN: q33 hyperplane-LSH ANN + q71 exact GEMM kNN keep the
+#        similarity family, and IVF's coarse quantizer stays gated via
+#        q109; round 7 promotes the NEW graph family's q121 PageRank —
+#        the reference README's own TODO — in its place)
 # Demoted entries still run in pytest, tools/check_correctness.py (which
 # has no cap), and bench.py.
 _DEMOTED = [
     "q60_multimodal_embed",
     "q32_simhash",
     "q72_part_unpivot",
+    "q37_ann_ivf",
     "q9_union_distinct_keys",
     "q12_date_arithmetic",
     "q24_label_centroid_sim",

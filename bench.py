@@ -108,6 +108,7 @@ HEADLINE2 = [
     "q118_near_dup_decontamination",
     "q119_epoch_plan",
     "q120_oov_rate",
+    "q121_pagerank",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
