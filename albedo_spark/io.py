@@ -680,3 +680,84 @@ def compact_table(
         "rows": rows,
         "adopted": adopted,
     }
+
+
+def with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> DataFrame:
+    """Add a BIGINT ``zkey`` column: the Morton (Z-order) interleave of
+    the given integral columns, each first quantized to ``2^bits`` levels
+    over its observed min/max. Sorting by ``zkey`` clusters rows so that
+    EVERY interleaved column's values are locally contiguous — parquet
+    footer min/max stats then skip files/row-groups for predicates on ANY
+    of the columns, not just the leading sort key (a linear sort gives
+    perfect skipping on its first column and none on the others; Z-order
+    trades a little of the first for usable skipping on all — the
+    OPTIMIZE ZORDER BY capability of the table formats, on plain parquet).
+
+    The whole computation is exact BIGINT arithmetic expressed in-plan:
+    min/max come from one tiny aggregate broadcast back onto the scan (no
+    driver round-trip, no collected literals), quantization is
+    ``((v - mn) * (levels-1)) div (mx - mn)``, and the interleave is an
+    unrolled sum of ``((q div 2^b) % 2) * 2^(b*n + i)`` terms — every
+    step replayable by any engine (the q105/q119 integer discipline).
+    Column i of n occupies bit positions ``b*n + i``, so columns listed
+    FIRST get the lower interleave bits (columns are peers; order only
+    breaks ties). Constant columns quantize to 0 rather than divide by
+    zero. Input columns must be integral (quantize upstream otherwise).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-order needs >= 2 columns (use a plain sort for 1)")
+    levels = (1 << bits) - 1
+    mm = df.agg(
+        *[F.min(c).cast("long").alias(f"_mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("long").alias(f"_mx_{i}") for i, c in enumerate(cols)],
+    )
+    out = df.crossJoin(F.broadcast(mm))
+    for i, c in enumerate(cols):
+        out = out.withColumn(
+            f"_q_{i}",
+            F.expr(
+                f"CASE WHEN _mx_{i} = _mn_{i} THEN CAST(0 AS BIGINT) "
+                f"ELSE ((CAST({c} AS BIGINT) - _mn_{i}) * {levels}) "
+                f"div (_mx_{i} - _mn_{i}) END"
+            ),
+        )
+    zexpr = " + ".join(
+        f"((_q_{i} div {1 << b}) % 2) * {1 << (b * n + i)}"
+        for i in range(n)
+        for b in range(bits)
+    )
+    drop = [f"_mn_{i}" for i in range(n)] + [f"_mx_{i}" for i in range(n)] + [
+        f"_q_{i}" for i in range(n)
+    ]
+    return out.withColumn("zkey", F.expr(zexpr).cast("long")).drop(*drop)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as parquet laid out in Z-order over ``cols``: compute
+    ``zkey`` (``with_zorder_key``), range-partition into ``num_files``
+    contiguous zkey slices, sort within each, drop the key, write. Each
+    output file then covers a compact hyper-rectangle of the column
+    space, so parquet min/max footer stats prune files for predicates on
+    ANY of the interleaved columns — measured (not asserted) by the
+    file-skipping probe in tests/test_io_sinks.py. One range shuffle,
+    same cost shape as any sorted write; at 100 TB size ``num_files`` to
+    the target file size exactly as ``compact_partitions`` does."""
+    keyed = with_zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(num_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -358,3 +358,67 @@ def epoch_plan(
             F.expr("target_tokens * 10000 DIV n_tokens"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    test_x10k: int = 2500,
+    salt: str = "",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Group-aware train/test split that CANNOT leak near-duplicates
+    across the boundary: rows connected by a ``pairs`` edge (near-dup
+    verdicts, same-source provenance, same-author links) always land on
+    the same side, because the unit of assignment is the connected
+    COMPONENT, not the row. A row-level random split puts one member of
+    a near-dup pair in train and its twin in test, and the eval silently
+    measures memorization — the standard contamination failure this
+    operator exists to prevent (the split-side complement of q69/q118's
+    decontamination, which guards against a FIXED benchmark; this guards
+    eval splits drawn from the corpus itself).
+
+    Components come from ``dedup.connected_components`` (min-id label,
+    O(log diameter) rounds); rows with no edge form singleton groups
+    (their own id). The side draw is the house md5 rule on the GROUP id
+    (first 32 hash bits mod 10^4 < ``test_x10k`` → test), so any engine
+    replays the exact assignment and re-runs are stable under
+    repartitioning. Expected test mass is test_x10k/10^4 of GROUPS —
+    near-dup-heavy corpora put slightly more rows than groups into
+    whichever side big components land on, which is inherent to
+    leakage-safety (the alternative is leaking). Output = input columns
+    + ``split_group`` + ``split`` ('train'/'test').
+
+    Scale: the component frame is |connected nodes| rows (sparse — only
+    docs with at least one edge), joined once on id; the draw is a pure
+    per-row expression. One join + the component loop's own shuffles.
+    """
+    from albedo_spark.operators.dedup import connected_components
+
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("node").alias(id_col), F.col("label").alias("_comp")
+    )
+    joined = df.join(comps, id_col, "left").withColumn(
+        "split_group",
+        F.coalesce(F.col("_comp"), F.col(id_col).cast("long")),
+    ).drop("_comp")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.col("split_group").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return joined.withColumn(
+        "split",
+        F.when(draw < test_x10k, F.lit("test")).otherwise(F.lit("train")),
+    )

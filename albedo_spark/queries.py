@@ -5767,6 +5767,124 @@ def q121_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks
 
 
+# Z-order interleave oracle: the same unrolled BIGINT term sum the Spark
+# expression builds — ((q div 2^b) % 2) placed at bit (b*2 + i).
+_ZORDER_TERMS = " + ".join(
+    f"((q{i} // {1 << b}) % 2) * {1 << (b * 2 + i)}"
+    for i in range(2)
+    for b in range(8)
+)
+
+
+@query(
+    "q122_zorder_key",
+    """
+    WITH mm AS (
+        SELECT CAST(min(l_partkey) AS BIGINT) AS mn0,
+               CAST(max(l_partkey) AS BIGINT) AS mx0,
+               CAST(min(l_suppkey) AS BIGINT) AS mn1,
+               CAST(max(l_suppkey) AS BIGINT) AS mx1
+        FROM lineitem
+    ),
+    q AS (
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               CASE WHEN mx0 = mn0 THEN 0
+                    ELSE ((CAST(l_partkey AS BIGINT) - mn0) * 255) // (mx0 - mn0)
+               END AS q0,
+               CASE WHEN mx1 = mn1 THEN 0
+                    ELSE ((CAST(l_suppkey AS BIGINT) - mn1) * 255) // (mx1 - mn1)
+               END AS q1
+        FROM lineitem, mm
+    )
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST("""
+    + _ZORDER_TERMS
+    + """ AS BIGINT) AS zkey
+    FROM q
+    """,
+)
+def q122_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (l_partkey, l_suppkey) —
+    ``io.with_zorder_key``, the math behind ``io.write_zordered``'s
+    multi-dimensional file clustering (the OPTIMIZE ZORDER BY capability
+    of the table formats, on plain parquet). Each column is quantized to
+    256 levels over its observed min/max — the min/max aggregate is ONE
+    tiny broadcast row, no driver round-trip — and the interleave is an
+    unrolled BIGINT term sum, so both engines derive identical keys (the
+    q105/q119 integer discipline). The physical payoff (parquet footer
+    min/max pruning on EVERY interleaved column, not just a leading sort
+    key) is measured by the file-skipping probe in tests/test_io_sinks.py;
+    this entry gates the arithmetic that layout depends on. Scale: pure
+    map-side expression over the scan + one broadcast agg; the sink adds
+    one range shuffle sized to the target file count."""
+    from albedo_spark.io import with_zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    return with_zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+
+
+@query(
+    "q123_leakage_safe_split",
+    _MINHASH_VERIFIED_PAIRS_CTES
+    + """
+    , nodes AS (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+        WHERE r.label < e.b
+    ),
+    comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+    grouped AS (
+        SELECT d.doc_id,
+               CAST(coalesce(c.label, d.doc_id) AS BIGINT) AS split_group
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, split_group,
+           CASE WHEN CAST(concat('0x', substr(
+                        md5(concat('r7', CAST(split_group AS VARCHAR))), 1, 8
+                    )) AS BIGINT) % 10000 < 2500
+                THEN 'test' ELSE 'train' END AS split
+    FROM grouped
+    """,
+)
+def q123_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (operators/sampling.py
+    leakage_safe_split): near-dup components (q63's verified-pair graph,
+    shared CTE prefix) are the unit of assignment, so two near-duplicate
+    documents can never straddle the train/test boundary — the eval-split
+    complement of q69/q118's benchmark decontamination. Singletons group
+    as themselves; the side draw is the house md5 rule on the GROUP id
+    (engine-replayable, stable under repartitioning, salt to redraw).
+    The never-straddles property is pinned in pytest over every verified
+    pair. Scale: component loop (O(log diameter) rounds over the sparse
+    pair graph) + one left join + a per-row expression."""
+    from albedo_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(
+        d, num_hashes=8, rows_per_band=2, shingle_n=3, max_bucket=200
+    )
+    verified = jaccard_verify(prs, d, shingle_n=3, threshold=0.8)
+    with _scoped_shuffle_partitions(spark):
+        out = leakage_safe_split(
+            d.select("doc_id"),
+            verified.select("id_a", "id_b"),
+            id_col="doc_id",
+            test_x10k=2500,
+            salt="r7",
+        )
+    return out.select("doc_id", "split_group", "split")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -5881,6 +5999,8 @@ _POST_WINDOW = [
     "q119_epoch_plan",
     "q120_oov_rate",
     "q103_bpe_learn",
+    "q122_zorder_key",
+    "q123_leakage_safe_split",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

@@ -109,6 +109,8 @@ HEADLINE2 = [
     "q119_epoch_plan",
     "q120_oov_rate",
     "q121_pagerank",
+    "q122_zorder_key",
+    "q123_leakage_safe_split",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

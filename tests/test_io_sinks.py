@@ -237,3 +237,123 @@ def test_compact_table_adopts_orphan_after_crashed_swap(spark):
     finally:
         for t in (tbl, f"{tbl}__c999", f"{tbl}__c123"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (io.with_zorder_key / io.write_zordered)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_exact_interleave(spark):
+    from albedo_spark.io import with_zorder_key
+
+    # min 0 / max 255 present -> quantization is the identity, so zkey is
+    # the textbook Morton interleave (col0 -> even bits, col1 -> odd).
+    df = spark.createDataFrame(
+        [(0, 0), (255, 255), (3, 5), (255, 0), (0, 255)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.zkey
+        for r in with_zorder_key(df, ["x", "y"], bits=8).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(255, 255)] == 65535
+    # x=3 (bits 0,1) -> z bits 0,2 = 5; y=5 (bits 0,2) -> z bits 1,5 = 34
+    assert got[(3, 5)] == 5 + 34
+    assert got[(255, 0)] == sum(1 << (2 * b) for b in range(8))
+    assert got[(0, 255)] == sum(1 << (2 * b + 1) for b in range(8))
+
+
+def test_zorder_key_constant_column(spark):
+    from albedo_spark.io import with_zorder_key
+
+    df = spark.createDataFrame([(7, i) for i in range(4)], "x int, y int")
+    rows = with_zorder_key(df, ["x", "y"], bits=8).collect()
+    # constant column quantizes to 0, not a divide-by-zero: zkey uses odd
+    # bits (y) only
+    for r in rows:
+        assert r.zkey % 2 == 0
+
+
+def _files_reading(path, col, lo, hi):
+    """Files whose parquet footer [min,max] for ``col`` overlaps [lo,hi] —
+    i.e. files a stats-pruning scan must actually read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n_total, n_read = 0, 0
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.read_metadata(f)
+        mns, mxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    mns.append(c.statistics.min)
+                    mxs.append(c.statistics.max)
+        n_total += 1
+        if mns and not (max(mxs) < lo or min(mns) > hi):
+            n_read += 1
+    return n_read, n_total
+
+
+def test_zorder_layout_skips_files_on_every_column(spark, tmp_path):
+    """The probe behind write_zordered's claim: a linear sort skips files
+    perfectly on its leading column and not at all on the other; Z-order
+    skips on BOTH."""
+    from albedo_spark.io import write_zordered
+
+    rows = [((i * 37) % 1000, (i * 91) % 1000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "x int, y int")
+
+    linear = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], num_files=8, bits=8)
+
+    # layout changes bytes, never rows
+    assert spark.read.parquet(zpath).count() == 4000
+    got = {(r.x, r.y) for r in spark.read.parquet(zpath).collect()}
+    assert got == set(rows)
+
+    # leading-column predicate: both layouts skip
+    lin_x, lin_n = _files_reading(linear, "x", 0, 124)
+    z_x, z_n = _files_reading(zpath, "x", 0, 124)
+    assert lin_n == 8 and z_n == 8
+    assert lin_x <= 2
+    assert z_x <= 5  # half the octants carry x-high bit 1 (+ boundary files)
+
+    # NON-leading column predicate: linear reads everything, z-order skips
+    lin_y, _ = _files_reading(linear, "y", 0, 124)
+    z_y, _ = _files_reading(zpath, "y", 0, 124)
+    assert lin_y == 8  # every x-sorted file spans the full y range
+    assert z_y <= 5
+
+    # rectangle (both columns): intersect the per-column overlap sets
+    import glob
+
+    def reading_set(path, col, lo, hi):
+        import pyarrow.parquet as pq
+
+        out = set()
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.read_metadata(f)
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mns.append(c.statistics.min)
+                        mxs.append(c.statistics.max)
+            if mns and not (max(mxs) < lo or min(mns) > hi):
+                out.add(f)
+        return out
+
+    z_rect = reading_set(zpath, "x", 0, 124) & reading_set(zpath, "y", 0, 124)
+    assert len(z_rect) <= 3

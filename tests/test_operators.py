@@ -543,3 +543,54 @@ def test_shuffle_shards_deterministic_and_balanced(spark):
     for sh in sizes:
         poss = sorted(p for s, p in a.values() if s == sh)
         assert poss == list(range(1, sizes[sh] + 1))  # dense ranks
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split (operators/sampling.py leakage_safe_split)
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    import hashlib
+
+    from albedo_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    # components {1,2,3}, {10,11}; the rest are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, id_col="doc_id", test_x10k=5000, salt="s"
+    )
+    rows = {r.doc_id: (r.split_group, r.split) for r in out.collect()}
+    assert set(rows) == set(range(1, 13))
+
+    # linked docs share group AND side — the operator's whole point
+    for a, b in [(1, 2), (2, 3), (1, 3), (10, 11)]:
+        assert rows[a] == rows[b]
+    assert rows[1][0] == 1 and rows[10][0] == 10  # min-id component labels
+    for s in (4, 5, 6, 7, 8, 9, 12):  # singletons group as themselves
+        assert rows[s][0] == s
+
+    # the draw replays the documented house rule exactly
+    for doc_id, (grp, side) in rows.items():
+        h = hashlib.md5(f"s{grp}".encode()).hexdigest()
+        expect = "test" if int(h[:8], 16) % 10000 < 5000 else "train"
+        assert side == expect
+
+    # deterministic re-run; a different salt redraws (groups unchanged)
+    again = {
+        r.doc_id: (r.split_group, r.split)
+        for r in leakage_safe_split(
+            docs, pairs, id_col="doc_id", test_x10k=5000, salt="s"
+        ).collect()
+    }
+    assert again == rows
+    other = {
+        r.doc_id: r.split_group
+        for r in leakage_safe_split(
+            docs, pairs, id_col="doc_id", test_x10k=5000, salt="t"
+        ).collect()
+    }
+    assert other == {d: g for d, (g, _) in rows.items()}
