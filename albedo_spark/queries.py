@@ -5885,6 +5885,74 @@ def q123_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split_group", "split")
 
 
+@query(
+    "q124_triangle_count",
+    """
+    WITH pb AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+    co AS (
+        SELECT a.i AS x, b.i AS y
+        FROM pb a JOIN pb b ON a.bk = b.bk AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT x AS node FROM co UNION ALL SELECT y FROM co
+        ) GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS u,
+               CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS v,
+               CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN dy.d ELSE dx.d END AS dv
+        FROM co e
+        JOIN deg dx ON e.x = dx.node
+        JOIN deg dy ON e.y = dy.node
+    ),
+    tri AS (
+        SELECT o1.u, o1.v AS b, o2.v AS c
+        FROM o o1
+        JOIN o o2 ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+        JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY node
+    """,
+)
+def q124_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py triangle_count) over
+    the thresholded co-purchase item graph (parts co-ordered >= 2 times —
+    the q96 incidence at edge granularity): the clustering-coefficient
+    numerator, the graph family's second member beside q121. The
+    degree-ordered orientation makes hub nodes harmless — every triangle
+    is found once at its (degree, id)-smallest apex, and max out-degree
+    under the orientation is O(sqrt(|E|)), bounding the wedge join at
+    O(|E|^1.5) — with the total order compared as a (degree, id) struct,
+    never materialized as a global rank (no single-partition window).
+    Exact integers end-to-end; DuckDB replays orientation, wedges, and
+    closure with row-value comparisons. Edge derivation is the q96
+    basket self-join (sum(basket^2), never items^2)."""
+    from albedo_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    other = li.select(
+        F.col("l_orderkey").alias("l_orderkey"),
+        F.col("l_partkey").alias("pk2"),
+    )
+    pairs = (
+        li.join(other, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("pk2"))
+        .groupBy("l_partkey", "pk2")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= 2)
+        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
+    )
+    return triangle_count(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6001,6 +6069,7 @@ _POST_WINDOW = [
     "q103_bpe_learn",
     "q122_zorder_key",
     "q123_leakage_safe_split",
+    "q124_triangle_count",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

@@ -111,6 +111,7 @@ HEADLINE2 = [
     "q121_pagerank",
     "q122_zorder_key",
     "q123_leakage_safe_split",
+    "q124_triangle_count",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

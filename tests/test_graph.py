@@ -101,3 +101,44 @@ def test_pagerank_total_mass_conserved_on_symmetric_graph(spark):
     total = sum(r.rank for r in rows)
     expected = 10**9 * len(rows)
     assert expected - n_edges * 6 <= total <= expected
+
+
+def test_triangle_count_known_graph(spark):
+    from albedo_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3), a pendant edge (4,5),
+    # a triangle {6,7,8}, a star hub 100 with no closures, duplicate and
+    # reversed edges that must collapse.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5),
+        (6, 7), (7, 8), (8, 6), (6, 8),  # reversed duplicate
+        (100, 201), (100, 202), (100, 203), (201, 100),
+        (9, 9),  # self-loop dropped
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_count_matches_brute_force(spark):
+    from itertools import combinations
+
+    from albedo_spark.operators.graph import triangle_count
+
+    # pseudo-random graph, brute-force all node triples as the oracle
+    nodes = list(range(24))
+    edges = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if (a * 7919 + b * 104729) % 5 == 0
+    ]
+    es = {frozenset(e) for e in edges}
+    expect: dict[int, int] = {}
+    for t in combinations(nodes, 3):
+        if all(frozenset(p) in es for p in combinations(t, 2)):
+            for n in t:
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == expect

@@ -222,3 +222,17 @@ def test_map_only_stages_have_no_exchange(spark, name):
     plan = _plan(spark, name)
     assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan}"
     assert plan.count("Scan parquet") == 1
+
+
+def test_q122_zorder_key_no_shuffle(spark):
+    """with_zorder_key must stay a broadcast-augmented projection: the
+    min/max row arrives via BroadcastExchange (a 1-row build side), and
+    the quantize+interleave is pure expression work — a hash or range
+    Exchange appearing here means the layout key computation itself
+    started shuffling, which would double the cost of every zordered
+    write."""
+    plan = _plan(spark, "q122_zorder_key")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line:
+            raise AssertionError(f"zorder key grew a shuffle: {line}")
