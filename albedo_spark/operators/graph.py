@@ -161,7 +161,13 @@ def triangle_count(
     oriented edges. Everything is exact integers; any engine replays it.
 
     Three self-joins on node keys (degree attach, wedge, closure) — all
-    AQE-planned hash shuffles; no iteration, no driver data.
+    AQE-planned hash shuffles; no iteration, no driver data. The three
+    multiply-referenced frames (normalized edges ×3, oriented edges ×3,
+    closed triangles ×3) are lazy-localCheckpointed — the package's
+    no-leak materialization idiom (``dedup.py:622``) — because the
+    caller's edge frame may hide an expensive derivation (q124's
+    basket self-join) that AQE's exchange reuse does not reliably
+    dedupe across nine references: measured at sf0.1, 57 s → ~3 s.
     """
     a, b = F.col(id_a), F.col(id_b)
     e = (
@@ -170,6 +176,7 @@ def triangle_count(
             F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("x").alias("node"))
@@ -190,7 +197,7 @@ def triangle_count(
         F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
         F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False)
     o1 = o.select(
         F.col("u"), F.col("v").alias("b"), F.col("dv").alias("db")
     )
@@ -200,10 +207,14 @@ def triangle_count(
     wedges = o1.join(o2, "u").where(
         F.struct(F.col("db"), F.col("b")) < F.struct(F.col("dc"), F.col("c"))
     )
-    closed = wedges.join(
-        o.select(F.col("u").alias("b"), F.col("v").alias("c")),
-        ["b", "c"],
-    ).select("u", "b", "c")
+    closed = (
+        wedges.join(
+            o.select(F.col("u").alias("b"), F.col("v").alias("c")),
+            ["b", "c"],
+        )
+        .select("u", "b", "c")
+        .localCheckpoint(eager=False)
+    )
     members = (
         closed.select(F.col("u").alias("node"))
         .unionByName(closed.select(F.col("b").alias("node")))
