@@ -112,22 +112,30 @@ def pagerank(
     nodes_r = nodes_r.localCheckpoint()
     ranks = nodes_r.select("node", F.lit(unit).cast("long").alias("rank"))
     contrib_expr = F.expr(f"(rank * {damping_x100}) div (outdeg * 100)")
-    for _ in range(iterations):
-        contrib = (
-            ed.join(ranks.withColumnRenamed("node", src), src)
-            .select(F.col(dst).alias("node"), contrib_expr.alias("_c"))
-            .groupBy("node")
-            .agg(F.sum("_c").alias("_s"))
-        )
-        ranks = (
-            nodes_r.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.col("_reset") + F.coalesce(F.col("_s"), F.lit(0))).alias("rank"),
+    try:
+        for _ in range(iterations):
+            contrib = (
+                ed.join(ranks.withColumnRenamed("node", src), src)
+                .select(F.col(dst).alias("node"), contrib_expr.alias("_c"))
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_s"))
             )
-            .localCheckpoint()
-        )
-    ed.unpersist()
+            ranks = (
+                nodes_r.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (F.col("_reset") + F.coalesce(F.col("_s"), F.lit(0))).alias(
+                        "rank"
+                    ),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        # every round's ranks frame is EAGERLY checkpointed, so by the
+        # time we get here nothing pending still reads ed — releasing it
+        # unconditionally (a failed round must not strand the cache, the
+        # dedup.py:516 discipline)
+        ed.unpersist()
     return ranks
 
 
