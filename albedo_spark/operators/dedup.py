@@ -319,12 +319,17 @@ def jaccard_verify(
 
     Shingles are computed only for documents that appear in a candidate
     pair (semi-join first) — at scale candidates ≪ corpus. The candidate
-    DataFrame is persisted because it is referenced three times below —
-    without it the whole upstream LSH DAG would recompute per reference
-    (the reference's IntermediateCacher exists for exactly this,
-    S/transformers/IntermediateCacher.scala:10-40).
+    DataFrame is materialized once because it is referenced three times
+    below — without it the whole upstream LSH DAG would recompute per
+    reference (the reference's IntermediateCacher exists for exactly
+    this, S/transformers/IntermediateCacher.scala:10-40). Lazy
+    localCheckpoint, NOT persist: this function returns a lazy frame so
+    it could never unpersist its own cache, and a CacheManager entry
+    lives until explicitly dropped — checkpoint blocks are released by
+    the ContextCleaner once the caller drops the result (the
+    ``line_boilerplate_dedup`` leak-fix discipline).
     """
-    candidates = candidates.persist()
+    candidates = candidates.localCheckpoint(eager=False)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
@@ -481,39 +486,48 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = None
-    for _ in range(max_iter):
-        # HashMin: pull the smallest label from the neighborhood
-        prop = edges.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "label")
-        merged = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        )
-        # path halving: adopt one's label's own label (pointer jumping)
-        lab2 = merged.select(
-            F.col("node").alias("label"), F.col("label").alias("label2")
-        )
-        jumped = (
-            merged.join(lab2, "label", "left")
-            .select(
-                "node", F.least("label", F.coalesce("label2", "label")).alias("label")
+    try:
+        for _ in range(max_iter):
+            # HashMin: pull the smallest label from the neighborhood
+            prop = edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "label")
+            merged = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
             )
-            .localCheckpoint()
-        )
-        # Convergence via the label-sum invariant: every step is
-        # non-increasing per node (min over neighborhood, then min with
-        # the label's label), so ANY change strictly decreases
-        # sum(label) — one aggregate on the just-checkpointed frame
-        # replaces the old join-against-previous-labels count job.
-        # decimal(38,0) so the sum never overflows at web-graph scale.
-        label_sum = jumped.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = jumped
-        if label_sum == prev_sum:
-            break
-        prev_sum = label_sum
-    edges.unpersist()
+            # path halving: adopt one's label's own label (pointer jumping)
+            lab2 = merged.select(
+                F.col("node").alias("label"), F.col("label").alias("label2")
+            )
+            jumped = (
+                merged.join(lab2, "label", "left")
+                .select(
+                    "node",
+                    F.least("label", F.coalesce("label2", "label")).alias(
+                        "label"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            # Convergence via the label-sum invariant: every step is
+            # non-increasing per node (min over neighborhood, then min with
+            # the label's label), so ANY change strictly decreases
+            # sum(label) — one aggregate on the just-checkpointed frame
+            # replaces the old join-against-previous-labels count job.
+            # decimal(38,0) so the sum never overflows at web-graph scale.
+            label_sum = jumped.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            labels = jumped
+            if label_sum == prev_sum:
+                break
+            prev_sum = label_sum
+    finally:
+        # per-round eager checkpoints mean nothing pending reads the
+        # edge cache at exit — release it even if a round failed
+        edges.unpersist()
     return labels
 
 

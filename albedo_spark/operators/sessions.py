@@ -134,26 +134,32 @@ def funnel(
     reached = None  # (user, _t_prev, _t0) frame for step-k-1 completers
     persisted = []
     counts = []
-    for i, step in enumerate(steps):
-        ev = events.where(F.col(type_col) == step).select(
-            F.col(user_col).alias("u"), us.alias("_ts")
-        )
-        if reached is None:
-            cur = ev.groupBy("u").agg(F.min("_ts").alias("_t"))
-        else:
-            joined = ev.join(reached, "u").where(F.col("_ts") > F.col("_t_prev"))
-            if within_seconds is not None:
-                joined = joined.where(
-                    F.col("_ts") <= F.col("_t0") + within_seconds * 1_000_000
+    try:
+        for i, step in enumerate(steps):
+            ev = events.where(F.col(type_col) == step).select(
+                F.col(user_col).alias("u"), us.alias("_ts")
+            )
+            if reached is None:
+                cur = ev.groupBy("u").agg(F.min("_ts").alias("_t"))
+            else:
+                joined = ev.join(reached, "u").where(
+                    F.col("_ts") > F.col("_t_prev")
                 )
-            cur = joined.groupBy("u", "_t0").agg(F.min("_ts").alias("_t"))
-        if i == 0:
-            cur = cur.withColumn("_t0", F.col("_t"))
-        reached = cur.select("u", F.col("_t").alias("_t_prev"), "_t0").persist()
-        persisted.append(reached)
-        counts.append((i + 1, step, reached.count()))
-    for p in persisted:
-        p.unpersist()
+                if within_seconds is not None:
+                    joined = joined.where(
+                        F.col("_ts") <= F.col("_t0") + within_seconds * 1_000_000
+                    )
+                cur = joined.groupBy("u", "_t0").agg(F.min("_ts").alias("_t"))
+            if i == 0:
+                cur = cur.withColumn("_t0", F.col("_t"))
+            reached = cur.select("u", F.col("_t").alias("_t_prev"), "_t0").persist()
+            persisted.append(reached)
+            counts.append((i + 1, step, reached.count()))
+    finally:
+        # a failed step's count must not strand the earlier steps'
+        # caches (the pagerank/connected_components discipline)
+        for p in persisted:
+            p.unpersist()
     return spark.createDataFrame(
         counts, "step_index int, step string, n_users long"
     )

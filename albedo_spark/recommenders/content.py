@@ -70,7 +70,11 @@ class ContentRecommender(Recommender):
     def recommend_for_users(self, user_df: DataFrame) -> DataFrame:
         user_col, item_col = self.getUserCol(), self.getItemCol()
 
-        tokens = tokenize_corpus(self.repo_text_df).persist()
+        # lazy localCheckpoint, not persist: this method returns a lazy
+        # frame and could never unpersist its own cache (the
+        # line_boilerplate_dedup leak-fix discipline) — tokens is read
+        # three times below (idf, query-term join, scoring join)
+        tokens = tokenize_corpus(self.repo_text_df).localCheckpoint(eager=False)
         n_docs = self.repo_text_df.count()
         idf = (
             tokens.groupBy("token")
