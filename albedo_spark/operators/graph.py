@@ -231,3 +231,59 @@ def triangle_count(
     return members.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-round k-core peel over an undirected edge frame →
+    ``(node, degree)`` of the subgraph surviving ``rounds`` rounds of
+    "drop every node with degree < k" — the graph-curation workhorse
+    (dense engagement cores vs. spam/singleton fringe; the k-core is the
+    standard activity filter before co-occurrence/embedding stages, the
+    same role the reference's minimum-stars thresholds play for its
+    pipelines, ``S/UserRepoTransformer.scala``-adjacent curation).
+
+    FIXED round count, not run-to-convergence: each round is
+    deterministic given the previous round's graph (integer degrees, no
+    ordering sensitivity), so an unrolled-CTE oracle replays the exact
+    peel — the q121 pagerank discipline. The true k-core is the fixpoint;
+    ``rounds`` rounds give the standard over-approximation that shrinks
+    monotonically toward it (at web scale a handful of rounds removes
+    almost all of the fringe — each pass peels the entire current
+    boundary, not one node).
+
+    Per round: one degree aggregate + two semi-joins (both endpoints must
+    survive) — all key-partitioned shuffles Catalyst plans freely; the
+    round output is eagerly ``localCheckpoint``-ed so R rounds never
+    stack R join-trees into one plan and each round's THREE references
+    to the current edge frame (degree, src-semi, dst-semi) read
+    materialized blocks. The driver moves no data.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    half = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .distinct()
+    )
+    e = (
+        half.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .unionByName(half.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("_d"))
+        keep = deg.where(F.col("_d") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )

@@ -5953,6 +5953,56 @@ def q124_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(pairs)
 
 
+@query(
+    "q125_k_core",
+    """
+    WITH pb AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    half AS (SELECT o * 2 AS x, p * 2 + 1 AS y FROM pb),
+    e0 AS (
+        SELECT x AS src, y AS dst FROM half
+        UNION ALL SELECT y, x FROM half
+    ),
+    k0 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 4),
+    e1 AS (
+        SELECT e.src, e.dst FROM e0 e
+        JOIN k0 a ON e.src = a.src JOIN k0 b ON e.dst = b.src
+    ),
+    k1 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 4),
+    e2 AS (
+        SELECT e.src, e.dst FROM e1 e
+        JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src
+    ),
+    k2 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 4),
+    e3 AS (
+        SELECT e.src, e.dst FROM e2 e
+        JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src
+    )
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e3 GROUP BY src
+    """,
+)
+def q125_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peel rounds of the 4-core over the order-part bipartite
+    graph (operators/graph.py k_core; q121's incidence with the same
+    arithmetic id disambiguation): orders keeping >= 4 surviving parts
+    and parts kept by >= 4 surviving orders — the graph-curation
+    activity filter (dense engagement core vs. fringe) that plays the
+    reference's minimum-stars-threshold role at subgraph granularity.
+    Fixed round count so DuckDB replays the exact peel as unrolled CTEs
+    (the q121 discipline); integer degrees end-to-end — no ordering
+    sensitivity anywhere. Per round: one degree aggregate + two
+    semi-joins, round outputs eagerly checkpointed so rounds never stack
+    into one plan."""
+    from albedo_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pairs = li.select(
+        (F.col("l_orderkey").cast("long") * 2).alias("id_a"),
+        (F.col("l_partkey").cast("long") * 2 + 1).alias("id_b"),
+    )
+    return k_core(pairs, k=4, rounds=3)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6070,6 +6120,7 @@ _POST_WINDOW = [
     "q122_zorder_key",
     "q123_leakage_safe_split",
     "q124_triangle_count",
+    "q125_k_core",
     "q76_events_hopping",
     "q86_key_skew_profile",
     "q87_table_profile",

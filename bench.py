@@ -112,6 +112,7 @@ HEADLINE2 = [
     "q122_zorder_key",
     "q123_leakage_safe_split",
     "q124_triangle_count",
+    "q125_k_core",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -142,3 +142,51 @@ def test_triangle_count_matches_brute_force(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert got == expect
+
+
+def test_k_core_known_graph(spark):
+    from albedo_spark.operators.graph import k_core
+
+    # K4 on {1,2,3,4} is a 3-core; a tail 4-5-6 hangs off it. Peeling is
+    # simultaneous per round (degrees from BEFORE the round): round 1
+    # drops 5 (deg 2) and 6 (deg 1) together, round 2 confirms K4 is
+    # stable with all degrees exactly 3.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6),
+        (2, 1),  # reversed duplicate must collapse
+        (7, 7),  # self-loop dropped
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.degree for r in k_core(df, k=3, rounds=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_matches_python_peel(spark):
+    from itertools import combinations
+
+    from albedo_spark.operators.graph import k_core
+
+    nodes = list(range(30))
+    edges = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if (a * 7919 + b * 104729) % 4 == 0
+    ]
+    k, rounds = 4, 3
+    # pure-Python simultaneous peel, exactly `rounds` rounds
+    es = {frozenset(e) for e in edges}
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for e in es:
+            for n in e:
+                deg[n] = deg.get(n, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es = {e for e in es if all(n in keep for n in e)}
+    expect: dict[int, int] = {}
+    for e in es:
+        for n in e:
+            expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.degree for r in k_core(df, k=k, rounds=rounds).collect()}
+    assert got == expect
