@@ -1,4 +1,5 @@
-"""Graph ranking operators: PageRank over an edge frame.
+"""Graph operators over plain edge DataFrames: PageRank (incl.
+personalized), exact triangle counting, and fixed-round k-core peel.
 
 The reference's own roadmap promises this surface and never shipped it —
 ``README.md:146`` ("Build a recommender system with Spark: PageRank and
