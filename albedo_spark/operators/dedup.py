@@ -305,6 +305,119 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (PPJoin-style;
+    Bayardo et al. WWW'07 / Xiao et al. WWW'08) — every pair with shingle
+    Jaccard ≥ num/den, at a fraction of the inverted-index join's cost.
+
+    The candidate-generation theorem: order the shingle universe globally
+    (here by ascending document frequency, ties lexicographic — rarest
+    first) and let a document's PREFIX be its first ``|d| - ceil(τ|d|) + 1``
+    shingles in that order. Any two sets with J ≥ τ share at least one
+    shingle in BOTH prefixes (the smallest common shingle is in each side's
+    prefix: a set's suffix holds only ``ceil(τ|d|) - 1 < τ|d| ≤ |A∩B|``
+    elements). So self-joining on PREFIX shingles only is complete — and
+    because prefixes are the RAREST shingles, the join's per-key fan-out is
+    bounded by rare-shingle document frequencies instead of stop-shingle
+    df² (the blowup ``ngram_jaccard_pairs``'s ``max_df`` cap exists to
+    amputate, with a recall trade this operator doesn't make). At τ = 0.7
+    the prefix is ~30% of each document's shingles, and candidate pairs
+    drop by the SQUARE of the per-key fan-out reduction.
+
+    Threshold is an exact integer rational (num/den): the candidate filter
+    compares ``inter * den ≥ num * union`` and the returned score is
+    ``jaccard_x10k = (inter * 10^4) div union`` — BIGINT end-to-end, no
+    float tolerance (the q105/q121 discipline).
+
+    Plan: one shingle explode (lazily checkpointed — it feeds the df count
+    AND the per-doc ordered array), one df aggregate, one per-doc sort,
+    prefix explode → self-equi-join on shingle → distinct pairs → exact
+    array-intersect verify (arrays joined back from the same checkpointed
+    frame, referenced three times). At 100 TB: no cap needed for
+    correctness; if one shingle still saturates a reducer, salt the
+    candidate join or pre-drop exact duplicates (``exact_dedup``) first.
+    """
+    from albedo_spark.io import widen
+
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    sh = (
+        widen(words)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    arrs = (
+        sh.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("sh")))
+            ).alias("_o")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_o"), lambda s: s["sh"]).alias("shset"),
+            F.size("_o").alias("s"),
+        )
+        .withColumn(
+            "p",
+            F.col("s")
+            - F.expr(
+                f"({threshold_num}*s + {threshold_den} - 1) div {threshold_den}"
+            )
+            + F.lit(1),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pref = arrs.select(
+        F.col(id_col), F.explode(F.slice(F.col("shset"), F.lit(1), F.col("p"))).alias("sh")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"), F.col("s").alias("s_a")
+    )
+    sb = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"), F.col("s").alias("s_b")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .where(
+            F.col("inter") * F.lit(threshold_den)
+            >= F.lit(threshold_num) * (F.col("s_a") + F.col("s_b") - F.col("inter"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(inter * 10000) div (s_a + s_b - inter)").alias("jaccard_x10k"),
+        )
+    )
+
+
 def jaccard_verify(
     candidates: DataFrame,
     df: DataFrame,

@@ -1,5 +1,6 @@
 """Graph operators over plain edge DataFrames: PageRank (incl.
-personalized), exact triangle counting, and fixed-round k-core peel.
+personalized), exact triangle counting, fixed-round k-core peel, and
+synchronous label-propagation community detection.
 
 The reference's own roadmap promises this surface and never shipped it —
 ``README.md:146`` ("Build a recommender system with Spark: PageRank and
@@ -33,7 +34,7 @@ Design for the oracle AND for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -138,6 +139,71 @@ def pagerank(
         # dedup.py:516 discipline)
         ed.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) →
+    ``(node, label)`` community assignments after a FIXED number of
+    rounds — the community-detection sibling of ``pagerank`` and the
+    soft-clustering counterpart to ``dedup.connected_components`` (which
+    gives exact transitive closure; LPA splits dense graphs into
+    communities that components lump together).
+
+    Contract (everything deterministic, every engine replays it):
+
+    - Feed a SYMMETRIC edge frame (e.g. ``bipartite_edges``) — each
+      node's votes come from its in-neighbors, so symmetry makes votes
+      neighbor votes. Nodes appear iff they have an edge.
+    - ``label_0(v) = v``; each round, ``label_{t+1}(v)`` = the label
+      most frequent among v's in-neighbors, ties broken by SMALLEST
+      label — (count desc, label asc) is a strict total order, so the
+      synchronous update is reproducible (classic LPA breaks ties
+      randomly; a gated operator cannot).
+    - FIXED round count, like ``pagerank``/``k_core``: the oracle
+      unrolls the rounds as chained CTEs; convergence detection would
+      make the plan data-dependent.
+
+    Per round: one shuffle join of the static persisted edge frame
+    against the label frame, one (node, label) count, one per-node
+    row_number — all integer, no floats anywhere. Rounds are eagerly
+    localCheckpoint-ed so K rounds never stack K joins into one plan
+    (the q63/q103/q121 iterative idiom). Hub vote-counting is a
+    partial-aggregated shuffle (map-side combine), and AQE's skew join
+    handles celebrity nodes on the join side.
+    """
+    ed = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
+    labels = (
+        ed.select(F.col("_s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(rounds):
+            votes = (
+                ed.join(labels.withColumnRenamed("node", "_s"), "_s")
+                .groupBy(F.col("_d").alias("node"), "label")
+                .agg(F.count("*").alias("_cnt"))
+            )
+            w = Window.partitionBy("node").orderBy(
+                F.col("_cnt").desc(), F.col("label").asc()
+            )
+            labels = (
+                votes.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") == 1)
+                .select("node", "label")
+                .localCheckpoint()
+            )
+    finally:
+        # rounds are eagerly checkpointed — releasing unconditionally can
+        # strand no pending reader (the pagerank/dedup.py:516 discipline)
+        ed.unpersist()
+    return labels
 
 
 def triangle_count(

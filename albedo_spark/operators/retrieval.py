@@ -1,0 +1,131 @@
+"""Full-text retrieval operators: BIGINT-exact BM25 top-k search.
+
+Not in the reference as an operator — but it is the reference's REASON for
+its Elasticsearch dependency (``S/recommenders/ContentRecommender.scala``
+queries ES with more-like-this, i.e. BM25 under the hood;
+``app/mappings.py:26-64`` defines the index). The §7.4 rewrite replaced the
+per-user ES round-trip with an inverted-index join; this module completes
+that story by exposing the scoring function itself, Spark-first: the
+inverted index is a DataFrame, the queries are a broadcast frame, and the
+ranking is one partial-aggregated shuffle + the pinned top-k window idiom.
+
+Scoring contract (fixed, part of the oracle): Okapi BM25 with k1 = 6/5 and
+b = 3/4 expressed as EXACT BIGINT rational arithmetic, and a log-free
+rational idf — the raw Robertson–Spärck Jones odds ``(N - df + 1/2) /
+(df + 1/2)`` scaled ×10⁴ with floor division, instead of its logarithm:
+
+- ``ln`` is the one sub-expression whose last bit Java and C libms may
+  disagree on; everything else here is integer, so dropping it makes the
+  whole score an order-independent BIGINT sum that hash-matches across
+  engines (the q105/q121 discipline).
+- Per single-term scoring the mapping idf → odds is monotone, so one-term
+  rankings are unchanged; multi-term SUMS can rank differently from
+  log-BM25 (documented trade). Swap in ``F.log`` for production ranking
+  quality — the plan shape is identical.
+
+All per-row arithmetic is bounded by per-document quantities (tf, dl,
+avgdl_x100, df, N) — no corpus-total appears in a product — so the BIGINT
+headroom survives 10¹¹-document corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.dedup import normalize_text
+from albedo_spark.operators.textstats import tokens
+
+
+def bm25_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k documents per query under BIGINT-exact BM25 (k1=6/5, b=3/4).
+
+    ``queries`` is a small literal list of ``(query_id, query_text)`` —
+    query-side data is broadcast-scale by definition (a search workload's
+    queries are not the corpus). Query term multiplicity is ignored
+    (distinct terms per query, the usual BM25 practice).
+
+    Integer scoring chain (both engines replay it exactly):
+
+    - ``avgdl_x100 = (100 * T) DIV N`` — one corpus scalar (T total tokens,
+      N docs with ≥1 token).
+    - ``idf_x10k = (10^4 * (2N - 2df + 1)) DIV (2df + 1)`` — the RSJ odds
+      ``(N-df+0.5)/(df+0.5)`` as an exact integer rational.
+    - ``tfpart_x10k = (10^4 * 22 * tf * avgdl_x100)
+      DIV (10*tf*avgdl_x100 + 3*avgdl_x100 + 900*dl)`` — algebraically
+      ``tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)`` ×10⁴ with every
+      denominator cleared (k1+1 = 11/5, k1(1-b) = 3/10, k1·b = 9/10).
+    - per-term score = ``(idf_x10k * tfpart_x10k) DIV 10^4``; per-(query,
+      doc) score = the SUM of term scores — an integer sum, order-free.
+
+    Plan shape at 100 TB: ONE token explode over the corpus feeding ONE
+    (doc, word) aggregate — the posting list — which is lazily
+    checkpointed because doc-length, document-frequency and the corpus
+    scalar all derive from it (the q126/encode_corpus multi-reference
+    discipline). Query terms broadcast into the posting list, so only the
+    postings of queried terms flow into scoring; the per-(query, doc) sum
+    partial-aggregates map-side; ranking is the pinned row_number idiom
+    (deterministic tie-break on doc id). Nothing leaves the JVM.
+    """
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+    )
+    # Posting list (doc, word, tf): the single corpus-wide shuffle. Four
+    # downstream references (dl, df, corpus scalars, scoring join) — lazy
+    # localCheckpoint so the explode runs once, released with the result.
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("_t")
+    ).select("n_docs", F.expr("(100 * _t) div n_docs").alias("avgdl_x100"))
+
+    qterms = (
+        spark.createDataFrame(queries, ["query_id", "_qtext"])
+        .select(
+            "query_id",
+            F.explode(F.array_distinct(F.split(normalize_text(F.col("_qtext")), " "))).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+
+    # BIGINT floor division via SQL `div` (the q121 idiom) — `/` would be
+    # double division and break exactness past 2^53.
+    idf_x10k = F.expr("(10000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")
+    tfpart_x10k = F.expr(
+        "(10000 * 22 * tf * avgdl_x100)"
+        " div (10*tf*avgdl_x100 + 3*avgdl_x100 + 900*dl)"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfreq.join(F.broadcast(qterms.select("w").distinct()), "w")), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_idf_x10k", idf_x10k)
+        .withColumn("_tfpart_x10k", tfpart_x10k)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.expr("(_idf_x10k * _tfpart_x10k) div 10000")).alias("bm25_x10k")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_x10k").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "rank", "bm25_x10k")
+    )

@@ -6003,6 +6003,192 @@ def q125_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(pairs, k=4, rounds=3)
 
 
+# BM25 search workload: a fixed literal query set (a search workload's
+# queries are constants, like q115's sign matrix or q116's blocklist — not
+# learned state, so the oracle bakes the identical VALUES list).
+_BM25_QUERIES = [
+    ("alpha", "fast hash join"),
+    ("beta", "window merge sort"),
+    ("gamma", "stream batch data"),
+    ("delta", "slow table scan vector"),
+]
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{w}')" for qid, text in _BM25_QUERIES for w in text.split()
+)
+
+
+@query(
+    "q127_bm25_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks WHERE w <> '' GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    stats AS (
+        SELECT count(*) AS n_docs, (100 * sum(dl)) // count(*) AS avgdl_x100 FROM dl
+    ),
+    q(query_id, w) AS (VALUES {_BM25_VALUES}),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               sum((((10000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+                    * ((10000 * 22 * tf.tf * s.avgdl_x100)
+                       // (10*tf.tf*s.avgdl_x100 + 3*s.avgdl_x100 + 900*dl.dl)))
+                   // 10000) AS bm25_x10k
+        FROM tf
+        JOIN q USING (w)
+        JOIN dfreq d USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, rank, bm25_x10k FROM (
+        SELECT query_id, doc_id, bm25_x10k,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY bm25_x10k DESC, doc_id ASC
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q127_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGINT-exact BM25 top-5 per query (operators/retrieval.py
+    bm25_search) — the scoring function behind the reference's
+    Elasticsearch dependency (more-like-this IS BM25;
+    ``app/mappings.py:26-64``), exposed Spark-first so the §7.4 content
+    rewrite's inverted-index join gains a real ranking function. k1=6/5,
+    b=3/4 and a log-free rational idf make every score an
+    order-independent integer sum (the q105/q121 discipline — see the
+    module docstring for the ranking trade). Plan: ONE corpus explode →
+    ONE (doc, word) posting aggregate (lazily checkpointed — doc length,
+    document frequency, corpus scalars and the scoring join all read
+    it); query terms BROADCAST into the postings so only queried terms'
+    postings flow; per-(query, doc) sums partial-aggregate map-side;
+    pinned row_number top-k. At 100 TB the posting build is the one big
+    shuffle and scoring cost is bounded by the queried terms' posting
+    lists, not the corpus."""
+    from albedo_spark.operators.retrieval import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(spark, d, _BM25_QUERIES, top_k=5)
+
+
+@query(
+    "q128_prefix_filter_jaccard",
+    """
+    WITH docs AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i + 1 : i + 3], ' ') AS sh
+        FROM words, unnest(range(greatest(len(w) - 3, 0) + 1)) AS r(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           (inter * 10000) // (sa.s + sb.s - inter) AS jaccard_x10k
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter * 10 >= 7 * (sa.s + sb.s - inter)
+    """,
+)
+def q128_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.7 similarity join via prefix filtering
+    (operators/dedup.py prefix_filter_jaccard_pairs; PPJoin — Bayardo
+    WWW'07). The oracle is the brute inverted-index join (the q20/q21
+    exact-Jaccard form): prefix filtering is COMPLETE by theorem, so the
+    two must match row-for-row — the operator's whole value is the plan,
+    not the answer. Self-join fan-out is bounded by RARE-shingle document
+    frequencies (prefixes are df-ascending), where the brute join pays
+    stop-shingle df² or takes ``max_df``'s recall trade. Integer rational
+    threshold (7/10) and ``jaccard_x10k`` BIGINT scoring — no float
+    anywhere. See tools/scale_decontam.py-style probe in
+    tools/scale_prefix_join.py for the measured candidate reduction."""
+    from albedo_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        d, shingle_n=3, threshold_num=7, threshold_den=10
+    )
+
+
+# Label-propagation oracle: one chained CTE per synchronous round — votes =
+# join labels to in-edges, count per (node, label), keep the (count desc,
+# label asc) winner. Same unrolled-rounds treatment as q121/q125.
+_LPA_ROUNDS = "".join(
+    f""",
+    r{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                       PARTITION BY node ORDER BY cnt DESC, label ASC
+                   ) AS rk
+            FROM (
+                SELECT e.dst AS node, l.label, count(*) AS cnt
+                FROM edges e JOIN r{i - 1} l ON e.src = l.node
+                GROUP BY e.dst, l.label
+            )
+        ) WHERE rk = 1
+    )"""
+    for i in range(1, 4)
+)
+
+
+@query(
+    "q129_label_propagation",
+    """
+    WITH inc AS (
+        SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM lineitem
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM inc
+        UNION ALL
+        SELECT v AS src, u AS dst FROM inc
+    ),
+    r0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)
+    """
+    + _LPA_ROUNDS
+    + """
+    SELECT node, label FROM r3
+    """,
+)
+def q129_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the part-supplier
+    graph (operators/graph.py label_propagation) — 3 fixed rounds, votes
+    from in-neighbors, ties to the smallest label: fully deterministic
+    where classic LPA randomizes, so DuckDB replays the exact rounds as
+    unrolled CTEs (the q121/q125 discipline). The graph-curation use:
+    communities = supply clusters, the subgraph granularity between
+    connected components (q63 — too coarse on dense graphs) and k-core
+    (q125 — a filter, not an assignment). Per round ONE join of the
+    persisted static edge frame + one partial-aggregated count + one
+    per-node row_number; rounds eagerly checkpointed, never stacked."""
+    from albedo_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    inc = li.select(
+        (F.col("l_partkey").cast("long") * 2).alias("u"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"),
+    ).distinct()
+    edges = inc.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        inc.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    with _scoped_shuffle_partitions(spark):
+        labels = label_propagation(edges, rounds=3)
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6089,6 +6275,9 @@ _DEMOTED = [
 # demoted above to make room (dedup keeps 5 reps; q82 IS the full-outer
 # shape q50 exercised).
 _POST_WINDOW = [
+    "q127_bm25_search",
+    "q128_prefix_filter_jaccard",
+    "q129_label_propagation",
     "q91_line_boilerplate",
     "q104_repeated_spans",
     "q105_bigram_lm",
