@@ -206,6 +206,38 @@ def strip_markup(col: Column) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+def strip_controls(col: Column) -> Column:
+    """Remove ASCII control characters (``\\x00-\\x1f`` and DEL) — the
+    crawl-hygiene step before any tokenization; embedded NULs and
+    terminal-escape bytes are corpus poison. Explicit character class
+    (not ``\\p{Cntrl}``) so the pattern means the same thing in Java
+    regex and RE2 — the oracle replays it verbatim. Map-only, JVM-side."""
+    return F.regexp_replace(col, r"[\x00-\x1f\x7f]", "")
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization (combining sequences → precomposed
+    forms) via an Arrow-batched pandas UDF — the package's
+    justified-UDF case (the jieba/Porter/multimodal precedent): Spark
+    SQL has no normalization builtin, and byte-identical text is the
+    precondition for every digest-keyed operator upstream
+    (``exact_dedup`` hashes bytes — 'é' and 'e'+U+0301 are the same
+    document and must hash the same). NULL passes through. Python's
+    ``unicodedata`` and DuckDB's utf8proc both implement standard NFC,
+    so the oracle's ``nfc_normalize`` matches exactly."""
+    import pandas as pd  # noqa: F401 — signature type only
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize("NFC", v)
+        )
+
+    return _nfc(col)
+
+
 def markup_ratio_x10k(col: Column) -> Column:
     """Markup overhead per document, ×10⁴: chars removed by
     ``strip_markup`` over raw length (0 for empty input) — the

@@ -6003,6 +6003,95 @@ def q125_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(pairs, k=4, rounds=3)
 
 
+# BPE APPLY with a FIXED literal merge table (inference-shape: the merge
+# list is the tokenizer artifact, a constant of the query like q116's
+# blocklist — learned tables are per-sf state an oracle can't bake, which
+# is why the TRAINER q103 is rows-only). The table must be "consistent"
+# (every non-initial symbol produced by an earlier merge) — that is what
+# makes rank-priority application (operators/bpe.py segment_vocab, what
+# the Spark side runs) provably equal to sequential replace-all in merge
+# order (what the oracle runs): a merge can only CREATE pairs involving
+# its new symbol, and that symbol cannot appear in any earlier-rank pair,
+# so earlier pairs never reappear once their pass is done.
+_BPE_APPLY_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("o", "r"),
+    ("s", "t"),
+    ("e", "n"),
+    ("a", "t"),
+]
+
+
+def _bpe_replace_chain() -> str:
+    """Sequential BPE replay as nested SQL ``replace`` on a sentinel-framed
+    symbol string: word → ``¤c¤h¤a¤r¤s¤``; each merge (a,b) rewrites
+    ``¤a¤b¤`` → ``¤ab¤``. The frame makes symbol boundaries exact (a
+    symbol that is a suffix of another can't false-match: the pattern
+    demands a leading ¤), and ``replace``'s left-to-right non-overlapping
+    scan — the consumed trailing ¤ prevents re-matching the same symbol —
+    IS BPE's greedy merge-all-occurrences pass."""
+    expr = "'¤' || regexp_replace(word, '(.)', '\\1¤', 'g')"
+    for a, b in _BPE_APPLY_MERGES:
+        expr = f"replace({expr}, '¤{a}¤{b}¤', '¤{a}{b}¤')"
+    return expr
+
+
+@query(
+    "q126_bpe_encode",
+    f"""
+    WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    wpos AS (
+        SELECT doc_id, i, w[i + 1] AS word
+        FROM docs, unnest(range(len(w))) AS r(i)
+        WHERE w[i + 1] <> ''
+    ),
+    seg AS (
+        SELECT doc_id, i, trim({_bpe_replace_chain()}, '¤') AS segs
+        FROM wpos
+    )
+    SELECT doc_id,
+           CAST(sum(len(string_split(segs, '¤'))) AS BIGINT) AS n_tokens,
+           md5(string_agg(segs, '¤' ORDER BY i)) AS sig
+    FROM seg GROUP BY doc_id
+    """,
+)
+def q126_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of the corpus with a fixed learned-merge artifact
+    (operators/bpe.py encode_corpus / segment_vocab) — the INFERENCE hot
+    path of the q103 trainer, the operation a 100 TB pre-training
+    pipeline runs over every byte. Spark plan: the imperative rank-order
+    merge loop (the package's justified-pandas-UDF case, Arrow-batched)
+    touches only the DISTINCT WORD VOCABULARY; the corpus side is pure
+    JVM — posexplode, vocab equi-join (broadcast: |vocab| ≪ corpus), one
+    position-ordered reassembly aggregate. The oracle replays the merges
+    as a nested sentinel-string replace chain (see _bpe_replace_chain) —
+    sequential replace-all in merge order, provably identical to the
+    Spark side's rank-priority segmentation on a consistent merge table
+    (tests/test_bpe.py pins the same equivalence in Python). Output per
+    doc: token count + md5 over the ¤-joined token stream, so the hash
+    certifies every token boundary, not just counts."""
+    from albedo_spark.operators.bpe import encode_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    enc = encode_corpus(d, _BPE_APPLY_MERGES)
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", "¤")).alias("sig"),
+    )
+
+
 # BM25 search workload: a fixed literal query set (a search workload's
 # queries are constants, like q115's sign matrix or q116's blocklist — not
 # learned state, so the oracle bakes the identical VALUES list).
@@ -6189,6 +6278,66 @@ def q129_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+# Unicode-hygiene plant: the fixture corpus is pure ASCII, so the query
+# appends a constructed suffix with decomposed combining sequences
+# (e + U+0301, u + U+0308), a precomposed ï that must survive unchanged,
+# and two control bytes that must be stripped — BOTH engines build the
+# same suffix (Spark as a Python literal, DuckDB via chr()), so the gate
+# exercises real NFC semantics instead of vacuously hashing ASCII (the
+# q114 planted-HTML-shell technique).
+_NFC_PLANT = " cafe\u0301 u\u0308ber\x01 na\u00efve\x1f end"
+_NFC_PLANT_SQL = (
+    "' cafe' || chr(769) || ' u' || chr(776) || 'ber' || chr(1)"
+    " || ' na' || chr(239) || 've' || chr(31) || ' end'"
+)
+
+
+@query(
+    "q130_unicode_normalize",
+    f"""
+    WITH planted AS (
+        SELECT doc_id,
+               nfc_normalize(
+                   regexp_replace(text || {_NFC_PLANT_SQL},
+                                  '[\\x00-\\x1f\\x7f]', '', 'g')
+               ) AS norm
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           md5(norm) AS sig
+    FROM planted
+    """,
+)
+def q130_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene front (functions/text.py strip_controls +
+    nfc_normalize): control bytes out JVM-side, then NFC so combining
+    sequences and precomposed forms hash identically — the precondition
+    for every digest-keyed operator (q18/q90/q92 hash BYTES; 'é' written
+    two ways is one document). NFC is the package's justified pandas-UDF
+    case (no Spark SQL builtin; Arrow-batched, map-only, no shuffle at
+    all — the plan is scan → project, embarrassingly parallel at 100
+    TB). Python unicodedata and DuckDB's utf8proc both implement
+    standard Unicode NFC, so the oracle matches byte-for-byte; the
+    planted suffix (see _NFC_PLANT) makes the gate non-vacuous on the
+    ASCII fixture. Output hashes the full normalized text, so every
+    codepoint is certified."""
+    from albedo_spark.functions.text import nfc_normalize, strip_controls
+
+    d = _t(spark, sf_dir, "documents")
+    norm = nfc_normalize(
+        strip_controls(F.concat(F.col("text"), F.lit(_NFC_PLANT)))
+    )
+    return (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.length(norm).cast("long").alias("n_chars_norm"),
+            F.md5(norm).alias("sig"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6275,9 +6424,11 @@ _DEMOTED = [
 # demoted above to make room (dedup keeps 5 reps; q82 IS the full-outer
 # shape q50 exercised).
 _POST_WINDOW = [
+    "q126_bpe_encode",
     "q127_bm25_search",
     "q128_prefix_filter_jaccard",
     "q129_label_propagation",
+    "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",
     "q105_bigram_lm",

@@ -113,6 +113,11 @@ HEADLINE2 = [
     "q123_leakage_safe_split",
     "q124_triangle_count",
     "q125_k_core",
+    "q126_bpe_encode",
+    "q127_bm25_search",
+    "q128_prefix_filter_jaccard",
+    "q129_label_propagation",
+    "q130_unicode_normalize",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

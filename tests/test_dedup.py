@@ -718,3 +718,77 @@ def test_near_dup_decontaminate_planted(spark):
     assert set(got) == {(100, 7), (101, 7)}
     assert got[(100, 7)] == 1.0
     assert got[(101, 7)] == 1.0  # normalization collapses the whitespace
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_jaccard_pairs
+# ---------------------------------------------------------------------------
+
+def _shingle_set(text, n=3):
+    """Replicates shingles_from_words: distinct word n-grams; texts shorter
+    than n words yield one whole-text shingle."""
+    ws = " ".join(text.lower().split()).split(" ")
+    return {
+        " ".join(ws[i : i + n]) for i in range(max(len(ws) - n, 0) + 1)
+    }
+
+
+def _brute_pairs(rows, num, den, n=3):
+    out = {}
+    sets = {i: _shingle_set(t, n) for i, t in rows}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * den >= num * union:
+                out[(a, b)] = (inter * 10000) // union
+    return out
+
+
+def test_prefix_filter_equals_bruteforce(spark):
+    from albedo_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base + " tonight"),  # near dup
+        (4, "the quick brown fox jumps over the lazy dog near the new river bank"),
+        (5, "completely different text about spark query engines and shuffles today"),
+        (6, "another unrelated document mentioning joins aggregates and scans"),
+        (7, "short text"),
+        (8, "short text"),  # whole-text shingle dup of 7
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_x10k
+        for r in prefix_filter_jaccard_pairs(
+            df, threshold_num=7, threshold_den=10
+        ).collect()
+    }
+    expect = _brute_pairs(rows, 7, 10)
+    assert got == expect
+    assert (1, 2) in got and (7, 8) in got  # the planted dups made it
+
+
+def test_prefix_filter_threshold_boundary_is_integer_exact(spark):
+    from albedo_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    # two 1-word-shingle docs sharing exactly 7 of 10 distinct unigrams:
+    # J = 7/10 exactly — the >= comparator must keep it (float '>=' on
+    # 0.6999999 would drop it)
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 x1 x2"),
+        (2, "w1 w2 w3 w4 w5 w6 w7 y1 y2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_x10k
+        for r in prefix_filter_jaccard_pairs(
+            df, shingle_n=1, threshold_num=7, threshold_den=11
+        ).collect()
+    }
+    # |A|=|B|=9, inter=7, union=11 -> J = 7/11 == threshold exactly
+    assert got == {(1, 2): (7 * 10000) // 11}

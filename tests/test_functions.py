@@ -379,3 +379,31 @@ def test_oov_rate(spark):
     # tie at the boundary: with vocab_size=3, c (freq 2) is in, d is out
     got3 = {r.doc_id: r.n_oov for r in oov_rate(df, vocab_size=3).collect()}
     assert got3 == {1: 0, 2: 1}
+
+
+def test_strip_controls_and_nfc_normalize(spark):
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from albedo_spark.functions.text import nfc_normalize, strip_controls
+
+    decomposed = "cafe\u0301 u\u0308ber"
+    rows = [
+        (1, "plain ascii"),
+        (2, decomposed),
+        (3, "nul\x00tab\x07del\x7fkeep"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r.i: r.norm
+        for r in df.select(
+            "i", nfc_normalize(strip_controls(F.col("t"))).alias("norm")
+        ).collect()
+    }
+    assert out[1] == "plain ascii"
+    assert out[2] == unicodedata.normalize("NFC", decomposed)
+    assert len(out[2]) == len(decomposed) - 2  # two combining marks fused
+    assert out[3] == "nultabdelkeep"
+    assert out[4] is None

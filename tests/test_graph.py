@@ -190,3 +190,48 @@ def test_k_core_matches_python_peel(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.degree for r in k_core(df, k=k, rounds=rounds).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+def _lpa_replay(sym_edges, rounds):
+    """Pure-Python synchronous LPA with the same (count desc, label asc)
+    winner rule — deterministic, so equality is exact."""
+    nodes = sorted({s for s, _ in sym_edges})
+    label = {n: n for n in nodes}
+    for _ in range(rounds):
+        votes: dict[int, dict[int, int]] = {}
+        for s, d in sym_edges:
+            votes.setdefault(d, {})[label[s]] = votes.setdefault(d, {}).get(label[s], 0) + 1
+        label = {
+            n: min(v.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for n, v in votes.items()
+        }
+    return label
+
+
+def _symmetrize(pairs):
+    return sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+
+
+def test_label_propagation_matches_replay(spark):
+    from albedo_spark.operators.graph import label_propagation
+
+    # irregular graph: a hub, a chain, a triangle
+    sym = _symmetrize(
+        [(1, 2), (1, 3), (1, 4), (4, 5), (5, 6), (7, 8), (8, 9), (7, 9)]
+    )
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert got == _lpa_replay(sym, 3)
+
+
+def test_label_propagation_disjoint_cliques_converge_to_min_id(spark):
+    from albedo_spark.operators.graph import label_propagation
+
+    sym = _symmetrize([(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)])
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}

@@ -421,3 +421,39 @@ def test_epoch_plan_arithmetic(spark):
         for r in epoch_plan(df, "lang", {"a": 3, "b": 1, "d": 1}, 1200).collect()
     }
     assert got2 == {"a": 720, "b": 240}
+
+
+def test_segment_vocab_equals_sequential_replay(spark):
+    """The q126 oracle equivalence: on a CONSISTENT merge table (every
+    non-initial symbol produced by an earlier merge), rank-priority
+    application (segment_vocab) equals sequential replace-all in merge
+    order — a merge can only create pairs involving its new symbol, and
+    that symbol cannot appear in any earlier-rank pair."""
+    from albedo_spark.operators.bpe import segment_vocab
+    from albedo_spark.queries import _BPE_APPLY_MERGES
+
+    def sequential(word):
+        syms = list(word)
+        for left, right in _BPE_APPLY_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = [
+        "then", "the", "and", "thth", "anan", "store", "internet",
+        "error", "attention", "oregon", "renderer", "ananas", "x",
+        "thethe", "standard", "orientation",
+    ]
+    vocab = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: list(r.symbols)
+        for r in segment_vocab(vocab, _BPE_APPLY_MERGES).collect()
+    }
+    assert got == {w: sequential(w) for w in words}

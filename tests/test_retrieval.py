@@ -1,0 +1,93 @@
+"""BM25 (operators/retrieval.py): exact BIGINT replay on a hand-sized
+corpus, unseen-term behavior, and the broadcast-query plan shape."""
+
+from albedo_spark.operators.retrieval import bm25_search
+
+DOCS = [
+    (1, "fast hash join beats sort merge join"),
+    (2, "slow table scan and slow merge"),
+    (3, "fast fast fast hash"),
+    (4, "window sort merge window sort"),
+    (5, "join the window stream"),
+]
+QS = [("q1", "fast join"), ("q2", "sort window"), ("q3", "scan")]
+
+
+def _replay(docs, queries, top_k):
+    """Pure-Python BM25 with the SAME integer chain (k1=6/5, b=3/4,
+    log-free rational idf); integer arithmetic makes equality exact."""
+    tf: dict[tuple[int, str], int] = {}
+    dl: dict[int, int] = {}
+    for i, t in docs:
+        ws = t.lower().split()
+        dl[i] = len(ws)
+        for w in ws:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    n = len(dl)
+    avgdl = (100 * sum(dl.values())) // n
+    df: dict[str, int] = {}
+    for _, w in tf:
+        df[w] = df.get(w, 0) + 1
+    out = {}
+    for qid, qt in queries:
+        scores: dict[int, int] = {}
+        for w in dict.fromkeys(qt.split()):
+            if w not in df:
+                continue
+            idf = (10000 * (2 * n - 2 * df[w] + 1)) // (2 * df[w] + 1)
+            for i in dl:
+                if (i, w) in tf:
+                    t_ = tf[(i, w)]
+                    tfp = (10000 * 22 * t_ * avgdl) // (
+                        10 * t_ * avgdl + 3 * avgdl + 900 * dl[i]
+                    )
+                    scores[i] = scores.get(i, 0) + (idf * tfp) // 10000
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        out[qid] = [(i, s) for i, s in ranked]
+    return out
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_exact_integer_replay(spark):
+    got: dict[str, list] = {}
+    rows = bm25_search(spark, _docs_df(spark), QS, top_k=3).collect()
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.doc_id, r.bm25_x10k))
+    assert got == _replay(DOCS, QS, 3)
+
+
+def test_bm25_rank_is_dense_and_tiebroken(spark):
+    rows = bm25_search(spark, _docs_df(spark), QS, top_k=5).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        # ordered by (score desc, doc_id asc) — a strict total order
+        keys = [(-r.bm25_x10k, r.doc_id) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_bm25_unseen_terms(spark):
+    # one term unseen → scored from the seen term only; all-unseen → no rows
+    rows = bm25_search(
+        spark,
+        _docs_df(spark),
+        [("mix", "join zzzz"), ("none", "xxxx yyyy")],
+        top_k=5,
+    ).collect()
+    qids = {r.query_id for r in rows}
+    assert "mix" in qids and "none" not in qids
+    mix_docs = {r.doc_id for r in rows if r.query_id == "mix"}
+    assert mix_docs == {1, 5}  # exactly the docs containing 'join'
+
+
+def test_bm25_plan_broadcasts_queries_and_stays_jvm(spark):
+    df = bm25_search(spark, _docs_df(spark), QS, top_k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
