@@ -6380,6 +6380,13 @@ def q130_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        similarity family, and IVF's coarse quantizer stays gated via
 #        q109; round 7 promotes the NEW graph family's q121 PageRank —
 #        the reference README's own TODO — in its place)
+#   q64 (TF-IDF doc keywords: q127 BM25 is the full tf·idf ranking form
+#        of the same term-weighting machinery, q19/q70 keep textstats;
+#        round 8 promotes the NEW retrieval family's q127 in its place)
+#   q20 (exact unigram-Jaccard pairs: q128 IS the exact-Jaccard join at
+#        a stronger contract — integer rational threshold, complete
+#        prefix filtering — and q21 keeps the LSH+exact-verify path;
+#        round 8 promotes q128 in its place)
 # Demoted entries still run in pytest, tools/check_correctness.py (which
 # has no cap), and bench.py.
 _DEMOTED = [
@@ -6414,6 +6421,8 @@ _DEMOTED = [
     "q62_multimodal_resize",
     "q47_fuzzy_name_pairs",
     "q50_full_outer_reconcile",
+    "q64_doc_keywords",
+    "q20_jaccard_near_dups",
 ]
 # Family extensions OUTSIDE the 50-entry window by design (each family
 # keeps an in-window representative; all remain in the no-cap local gate
@@ -6425,8 +6434,6 @@ _DEMOTED = [
 # shape q50 exercised).
 _POST_WINDOW = [
     "q126_bpe_encode",
-    "q127_bm25_search",
-    "q128_prefix_filter_jaccard",
     "q129_label_propagation",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
