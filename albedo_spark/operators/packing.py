@@ -203,3 +203,57 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("long").alias("chunk_tokens"),
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    divisor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea at token
+    granularity): a chunk boundary opens BEFORE token i (i > 0) whenever
+    the token's content hash ≡ 0 (mod ``divisor``), giving chunks of
+    ~``divisor`` tokens on average whose boundaries depend on CONTENT,
+    not position — so inserting a paragraph shifts only the chunks it
+    touches and every later chunk keeps its exact text and digest. That
+    is what makes chunk-level dedup survive edits; ``chunk_documents``'s
+    fixed windows re-cut the whole document after any insertion.
+
+    Boundary hash is the md5-prefix integer (the q31 engine-portable
+    draw), so the oracle replays identical boundaries. Plan shape: ZERO
+    shuffles — boundary positions, chunk spans and chunk slices are all
+    higher-order array expressions (filter/sequence → zip_with → slice)
+    followed by one posexplode; embarrassingly parallel per document at
+    any scale. Output: (id, chunk_id, n_tokens, chunk_text).
+    """
+    from albedo_spark.operators.textstats import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    hash_ok = (
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        % divisor
+        == 0
+    )
+    bpos = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: hash_ok(F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), bpos)
+    ends = F.concat(bpos, F.array(n))
+    chunks = F.zip_with(starts, ends, lambda s, e: F.slice(toks, s + 1, e - s))
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_c").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("_c")).alias("chunk_text"),
+        )
+    )

@@ -304,6 +304,54 @@ def rolling_zscore(
     )
 
 
+def per_group_quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    q_num: int = 1,
+    q_den: int = 4,
+) -> DataFrame:
+    """Adaptive per-group quality thresholding (the CCNet per-language
+    perplexity-bucket idea): keep rows whose integer score is ≥ their
+    GROUP's exact q-quantile cutoff, where the cutoff is the value at
+    rank ``ceil(q·n)`` under the total order (score asc, id asc). A
+    single global threshold over a multilingual corpus filters whole
+    languages out (scores aren't comparable across groups); a per-group
+    quantile keeps the same survivor fraction everywhere.
+
+    Exact rational quantile (q = num/den, rank via BIGINT ceil-division)
+    over an INTEGER score column — both engines derive the identical
+    cutoff, no percentile-interpolation or float-comparison ambiguity.
+    Output = surviving rows + their group's ``cutoff`` column.
+
+    Plan: ONE window pass per group computes (row_number, count) → the
+    cutoff rows (one per group) join back broadcast (|groups| rows).
+    The scored input is lazily checkpointed — it feeds the window AND
+    the survivor join. At 100 TB the exact form is a per-group sort
+    (fully parallel across groups, skew-bounded by the largest group);
+    swap the cutoff subquery for ``approx_percentile`` when an
+    ε-approximate threshold is acceptable — the join-back shape is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    scored = df.localCheckpoint(eager=False)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    cuts = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .where(F.col("_rn") == F.expr(f"({q_num}*_n + {q_den} - 1) div {q_den}"))
+        .select(F.col(group_col), F.col(score_col).alias("cutoff"))
+    )
+    return scored.join(F.broadcast(cuts), group_col).where(
+        F.col(score_col) >= F.col("cutoff")
+    )
+
+
 def hygiene_transform(
     docs: DataFrame,
     blocklist: "list[str] | None" = None,

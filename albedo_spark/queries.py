@@ -6338,6 +6338,124 @@ def q130_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q131_adaptive_quality_filter",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               len(w) AS n_tok,
+               (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
+                   / greatest(length(text), 1) AS punct_ratio,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0
+                   / greatest(len(w), 1) AS sw_ratio
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               CAST(floor((0.4::DOUBLE * (CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 1.0::DOUBLE
+                                 WHEN n_tok > 0 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+                     + 0.3::DOUBLE * (1.0::DOUBLE - punct_ratio)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE, 5.0::DOUBLE * sw_ratio))
+                     * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
+        FROM m
+    ),
+    r AS (
+        SELECT doc_id, lang, quality_x10k,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY quality_x10k ASC, doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM s
+    ),
+    cut AS (SELECT lang, quality_x10k AS cutoff FROM r WHERE rn = (n + 3) // 4)
+    SELECT s.doc_id, s.lang, s.quality_x10k, c.cutoff
+    FROM s JOIN cut c USING (lang)
+    WHERE s.quality_x10k >= c.cutoff
+    """,
+)
+def q131_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality thresholding (operators/quality.py
+    per_group_quantile_filter): keep documents scoring at or above their
+    OWN language's exact P25 quality cutoff — the CCNet idea that a
+    single global threshold silently deletes whole languages, expressed
+    as one window pass + a broadcast cutoff join-back. Cutoff rank is
+    BIGINT ceil-division over the q29 integer score, so both engines
+    derive the identical threshold value (no percentile interpolation,
+    no float comparison). At 100 TB: the exact form sorts per group (the
+    honest gated semantics); the documented swap to approx_percentile
+    keeps the identical join-back plan when ε-approximate cutoffs are
+    acceptable."""
+    from albedo_spark.operators.quality import per_group_quantile_filter
+    from albedo_spark.operators.textstats import quality_score_x10k
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", quality_score_x10k(F.col("text")).alias("quality_x10k")
+    )
+    return per_group_quantile_filter(
+        scored, "quality_x10k", "lang", "doc_id", q_num=1, q_den=4
+    ).select("doc_id", "lang", "quality_x10k", "cutoff")
+
+
+@query(
+    "q132_content_defined_chunks",
+    """
+    WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    spans AS (
+        SELECT doc_id, w,
+               list_concat([0], b) AS starts,
+               list_concat(b, [len(w)]) AS ends
+        FROM (
+            SELECT doc_id, w,
+                   list_filter(
+                       range(1, len(w)),
+                       i -> CAST(concat('0x', substr(md5(w[i + 1]), 1, 8)) AS BIGINT)
+                                % 16 = 0
+                   ) AS b
+            FROM docs
+        )
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(ends[k + 1] - starts[k + 1] AS BIGINT) AS n_tokens,
+           md5(array_to_string(w[starts[k + 1] + 1 : ends[k + 1]], ' ')) AS sig
+    FROM spans, unnest(range(len(starts))) AS r(k)
+    """,
+)
+def q132_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/packing.py
+    content_defined_chunks; the FastCDC/rsync boundary idea at token
+    granularity): boundaries open where a token's md5-prefix integer ≡ 0
+    (mod 16), so chunk extents follow CONTENT — an inserted paragraph
+    shifts only the chunks it touches, and every later chunk keeps its
+    digest, which is what lets chunk-level dedup (q18/q90's granularity
+    below documents) survive edits. ZERO shuffles: boundary positions
+    and chunk slices are higher-order array expressions + one
+    posexplode — the rare operator whose plan is a pure map at any
+    scale. Output hashes each chunk's text, certifying every boundary."""
+    from albedo_spark.operators.packing import content_defined_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    ch = content_defined_chunks(d, divisor=16)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens",
+        F.md5("chunk_text").alias("sig"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6435,6 +6553,8 @@ _DEMOTED = [
 _POST_WINDOW = [
     "q126_bpe_encode",
     "q129_label_propagation",
+    "q131_adaptive_quality_filter",
+    "q132_content_defined_chunks",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",

@@ -118,6 +118,8 @@ HEADLINE2 = [
     "q128_prefix_filter_jaccard",
     "q129_label_propagation",
     "q130_unicode_normalize",
+    "q131_adaptive_quality_filter",
+    "q132_content_defined_chunks",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -457,3 +457,57 @@ def test_segment_vocab_equals_sequential_replay(spark):
         for r in segment_vocab(vocab, _BPE_APPLY_MERGES).collect()
     }
     assert got == {w: sequential(w) for w in words}
+
+
+def test_content_defined_chunks_reassemble_exactly(spark):
+    from albedo_spark.operators.packing import content_defined_chunks
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "one"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = content_defined_chunks(df, divisor=4).collect()
+    got: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        got.setdefault(r.doc_id, []).append(r)
+    for i, text in rows:
+        toks = text.split()
+        rs = got[i]
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        assert " ".join(r.chunk_text for r in rs) == " ".join(toks)
+        assert sum(r.n_tokens for r in rs) == len(toks)
+
+
+def test_content_defined_chunks_stable_under_prefix_insertion(spark):
+    from albedo_spark.operators.packing import content_defined_chunks
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi"
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted preface words here " + base)],
+        "doc_id long, text string",
+    )
+    out = content_defined_chunks(df, divisor=4).collect()
+    sigs = {1: [], 2: []}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        sigs[r.doc_id].append(r.chunk_text)
+    # content-defined boundaries: every chunk after the first boundary in
+    # the unmodified suffix is IDENTICAL text (the dedup-survives-edits
+    # property; fixed windows would re-cut everything)
+    common = set(sigs[1]) & set(sigs[2])
+    assert len(common) >= len(sigs[1]) - 2
+    # and doc 2's tail chunks literally equal doc 1's tail chunks
+    k = min(len(sigs[1]), len(sigs[2])) - 1
+    assert k >= 1 and sigs[1][-k:] == sigs[2][-k:]
+
+
+def test_content_defined_chunks_divisor_one_is_per_token(spark):
+    from albedo_spark.operators.packing import content_defined_chunks
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = sorted(
+        content_defined_chunks(df, divisor=1).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_text for r in out] == ["a", "b", "c", "d"]

@@ -211,11 +211,14 @@ def test_q94_window_group_limit(spark):
         "q114_markup_extract",
         "q115_random_projection",
         "q116_blocklist_filter",
+        "q130_unicode_normalize",
+        "q132_content_defined_chunks",
     ],
 )
 def test_map_only_stages_have_no_exchange(spark, name):
-    """The round-7 map-only stages (markup extraction, random projection,
-    blocklist) must stay single-stage: ONE scan, zero Exchange — the
+    """The round-7/8 map-only stages (markup extraction, random projection,
+    blocklist, unicode hygiene, content-defined chunking) must stay
+    single-stage: ONE scan, zero Exchange — the
     property that makes them free riders on any 100 TB pipeline. A
     shuffle appearing here means someone broke the literal-fold/pure-
     projection design."""

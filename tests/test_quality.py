@@ -137,3 +137,35 @@ def test_rolling_zscore_flags_spike(spark):
     assert got[10][0] == 11
     assert got[10][1] > 300          # spike >> 3 sigma
     assert got[20] == (1, 0)
+
+
+def test_per_group_quantile_filter_exact_cutoff(spark):
+    from albedo_spark.operators.quality import per_group_quantile_filter
+
+    rows = [
+        # group a: scores 10,20,30,40 -> ceil(4/4)=1st smallest = 10 -> all kept
+        (1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 40),
+        # group b: scores 1..8 -> ceil(8/4)=2nd smallest = 2 -> drops only 1
+        *[(10 + i, "b", i) for i in range(1, 9)],
+        # group c: all-equal scores -> cutoff == the value, everything kept
+        (30, "c", 7), (31, "c", 7), (32, "c", 7),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score long")
+    out = per_group_quantile_filter(df, "score", "grp", "id", q_num=1, q_den=4)
+    got = {(r.id, r.cutoff) for r in out.collect()}
+    expect = (
+        {(i, 10) for i in (1, 2, 3, 4)}
+        | {(10 + i, 2) for i in range(2, 9)}
+        | {(i, 7) for i in (30, 31, 32)}
+    )
+    assert got == expect
+
+
+def test_per_group_quantile_filter_median(spark):
+    from albedo_spark.operators.quality import per_group_quantile_filter
+
+    rows = [(i, "g", i * 10) for i in range(1, 6)]  # 10..50, n=5
+    df = spark.createDataFrame(rows, "id long, grp string, score long")
+    # q=1/2 -> rank ceil(5/2)=3 -> cutoff 30 -> keeps 30,40,50
+    out = per_group_quantile_filter(df, "score", "grp", "id", q_num=1, q_den=2)
+    assert {r.id for r in out.collect()} == {3, 4, 5}
