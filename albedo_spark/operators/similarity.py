@@ -665,3 +665,87 @@ def hard_negatives(
         k,
         keep_rank=True,
     )
+
+
+def mmr_select(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 4,
+    pool: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998): greedily pick the item maximizing ``relevance − max similarity
+    to anything already picked`` — the diversity-aware re-rank behind
+    search result diversification AND diverse exemplar selection for
+    training data (k near-identical top hits teach less than k spread
+    ones). λ = 1/2, with the ×2 scale absorbed so the score stays the
+    integer difference ``rel_x10k − max(sim_x10k)`` (same argmax).
+
+    Determinism contract (every engine and a pure-Python replay derive
+    the identical selection): relevance and similarity are inner
+    products computed as LEFT-TO-RIGHT float64 folds (the q115
+    bit-reproducibility rule — Spark's ordered ``aggregate``, DuckDB's
+    ``list_dot_product`` and Python's sequential ``sum`` round
+    identically), integerized ×10⁴ BEFORE any comparison; all ties break
+    on ascending id.
+
+    Plan shape at 100 TB: the DISTRIBUTED work is scoring the full
+    corpus against the query (one map-only projection) and the
+    ``TakeOrderedAndProject`` pool cut — the classic re-rank-window
+    geometry. The greedy loop then runs driver-side over the
+    CONSTANT-size pool (``pool`` rows collected — a bounded collect per
+    the A7 discipline, like the IVF pivots and BPE argmax rows), because
+    an O(pool²·k) integer loop over ≤16 rows is not a distributed
+    problem. Output: (rank, id, score_x10k), rank 0 scored by pure
+    relevance.
+    """
+    q = vectors.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    rel = (
+        vectors.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            F.floor(dot(F.col(vec_col), F.col("_qv")) * 10000.0 + 0.5)
+            .cast("long")
+            .alias("rel_x10k"),
+        )
+        .orderBy(F.col("rel_x10k").desc(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    rows = rel.collect()  # bounded by the `pool` constant
+    vecs = {r[0]: [float(x) for x in r._v] for r in rows}
+    relv = {r[0]: r.rel_x10k for r in rows}
+
+    def _dot_x10k(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        import math
+
+        return int(math.floor(s * 10000.0 + 0.5))
+
+    selected: list[tuple[int, int, int]] = []  # (rank, id, score)
+    chosen: list[int] = []
+    for rank in range(min(k, len(rows))):
+        best = None
+        for i in sorted(vecs):
+            if i in chosen:
+                continue
+            if chosen:
+                score = relv[i] - max(
+                    _dot_x10k(vecs[i], vecs[s]) for s in chosen
+                )
+            else:
+                score = relv[i]
+            if best is None or (score, -i) > (best[1], -best[0]):
+                best = (i, score)
+        selected.append((rank, best[0], best[1]))
+        chosen.append(best[0])
+    return vectors.sparkSession.createDataFrame(
+        selected, f"rank long, {id_col} long, score_x10k long"
+    )

@@ -6456,6 +6456,85 @@ def q132_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MMR oracle: the greedy rounds unroll as chained CTEs — each round's
+# candidate scores subtract the max similarity to everything selected so
+# far, and the argmax picks (score desc, id asc). Pool and round counts
+# are constants of the query.
+def _mmr_rounds(k: int) -> str:
+    parts = []
+    for i in range(1, k):
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(i)
+        )
+        parts.append(
+            f""",
+    cand{i} AS (
+        SELECT p.vec_id, min(p.rel_x10k) - max(s.sim_x10k) AS score_x10k
+        FROM pool p JOIN sims s ON s.ia = p.vec_id
+        WHERE s.ib IN ({sel_union})
+          AND p.vec_id NOT IN ({sel_union})
+        GROUP BY p.vec_id
+    ),
+    sel{i} AS (
+        SELECT {i} AS rank, vec_id, score_x10k FROM cand{i}
+        ORDER BY score_x10k DESC, vec_id ASC LIMIT 1
+    )"""
+        )
+    return "".join(parts)
+
+
+@query(
+    "q133_mmr_diverse_topk",
+    """
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    rel AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+               CAST(floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                          * 10000.0 + 0.5) AS BIGINT) AS rel_x10k
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    ),
+    pool AS (SELECT * FROM rel ORDER BY rel_x10k DESC, vec_id ASC LIMIT 16),
+    sims AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(floor(list_dot_product(a.v, b.v) * 10000.0 + 0.5) AS BIGINT)
+                   AS sim_x10k
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    sel0 AS (
+        SELECT 0 AS rank, vec_id, rel_x10k AS score_x10k FROM pool
+        ORDER BY rel_x10k DESC, vec_id ASC LIMIT 1
+    )
+    """
+    + _mmr_rounds(4)
+    + """
+    SELECT rank, vec_id, score_x10k FROM (
+        SELECT * FROM sel0 UNION ALL SELECT * FROM sel1
+        UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3
+    )
+    """,
+)
+def q133_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k (operators/similarity.py mmr_select; MMR —
+    Carbonell & Goldstein 1998): greedy ``rel − max sim to selected``
+    over a 16-vector relevance pool around query vec 0 — the re-rank
+    that keeps 4 SPREAD results instead of 4 near-duplicates, equally a
+    diverse-exemplar selector for training data. Everything integer
+    after the q115-rule float64 folds (Spark ordered aggregate = DuckDB
+    list_dot_product = Python sequential sum), ties to ascending id, so
+    the unrolled-CTE oracle and the pure-Python replay in
+    tests/test_similarity_ops.py derive the identical selection. The
+    distributed work is the corpus-wide scoring + TakeOrdered pool cut;
+    the greedy loop runs driver-side over the CONSTANT-size pool (a
+    bounded collect, the A7/BPE-argmax discipline)."""
+    from albedo_spark.operators.similarity import mmr_select
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_select(e, query_id=0, k=4, pool=16)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6555,6 +6634,7 @@ _POST_WINDOW = [
     "q129_label_propagation",
     "q131_adaptive_quality_filter",
     "q132_content_defined_chunks",
+    "q133_mmr_diverse_topk",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",

@@ -120,6 +120,7 @@ HEADLINE2 = [
     "q130_unicode_normalize",
     "q131_adaptive_quality_filter",
     "q132_content_defined_chunks",
+    "q133_mmr_diverse_topk",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -505,3 +505,55 @@ def test_hard_negatives_label_exclusion(spark):
     assert got[0].cosine <= 1.0
     # NULL-label anchors mine nothing
     assert hard_negatives(df, df.where("vec_id = 4"), k=3).count() == 0
+
+
+def test_mmr_select_prefers_diversity_and_matches_replay(spark):
+    import math
+
+    from albedo_spark.operators.similarity import mmr_select
+
+    # query q, two near-identical high-relevance vectors (a1, a2), one
+    # moderately relevant but orthogonal-to-a vector b, one low-rel c
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # query
+        (1, [0.9, 0.1, 0.0, 0.0]),       # a1: rel .9
+        (2, [0.9, 0.1, 0.0, 0.001]),     # a2: near-dup of a1 (rel ties -> id picks a1)
+        (3, [0.85, 0.0, 0.52, 0.0]),     # b: rel .85, low sim to a1 -> wins round 2
+        (4, [0.1, 0.0, 0.0, 0.9]),       # c: low rel, very diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [
+        (r.rank, r.vec_id, r.score_x10k)
+        for r in sorted(mmr_select(df, query_id=0, k=3, pool=4).collect())
+    ]
+
+    def dot_x10k(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(np32(x)) * float(np32(y))
+        return int(math.floor(s * 10000.0 + 0.5))
+
+    import numpy as np
+
+    def np32(x):
+        return np.float32(x)
+
+    vecs = {i: [float(np32(x)) for x in v] for i, v in rows}
+    rel = {i: dot_x10k(vecs[i], vecs[0]) for i in (1, 2, 3, 4)}
+    pool = sorted((1, 2, 3, 4), key=lambda i: (-rel[i], i))[:4]
+    chosen, expect = [], []
+    for rank in range(3):
+        best = None
+        for i in pool:
+            if i in chosen:
+                continue
+            s = rel[i] - (
+                max(dot_x10k(vecs[i], vecs[j]) for j in chosen) if chosen else 0
+            )
+            if best is None or (s, -i) > (best[1], -best[0]):
+                best = (i, s)
+        chosen.append(best[0])
+        expect.append((rank, best[0], best[1]))
+    assert got == expect
+    # the diversity property itself: after a1, MMR skips its near-dup a2
+    assert [i for _, i, _ in got[:2]] == [1, 3]
