@@ -75,6 +75,10 @@ def main(argv: list[str] | None = None) -> dict:
                    help="remove 4-token spans duplicated across >= MIN_DF "
                         "distinct docs (ExactSubstr-style) and rewrite the "
                         "surviving documents before mixing/packing")
+    p.add_argument("--adaptive-quality", default=None, metavar="NUM/DEN",
+                   help="per-language exact-quantile quality cutoff (e.g. "
+                        "1/4 keeps each language's top 75%% by heuristic "
+                        "score — q131's operator)")
     p.add_argument("--min-lm-score", type=int, default=None, metavar="X10K",
                    help="drop docs whose corpus-self-trained bigram LM "
                         "score (x10k) is below this floor (the "
@@ -310,6 +314,28 @@ def main(argv: list[str] | None = None) -> dict:
         summary["lm_filter"] = {
             "min_score_x10k": args.min_lm_score,
             "n_dropped": n_dropped,
+        }
+
+    if args.adaptive_quality is not None:
+        # Per-language adaptive quality cutoff (q131's operator): keep
+        # documents at or above their OWN language's exact q-quantile of
+        # the heuristic score — the CCNet posture; a single global floor
+        # silently deletes whole languages.
+        from albedo_spark.operators.quality import per_group_quantile_filter
+        from albedo_spark.operators.textstats import quality_score_x10k
+
+        q_num, q_den = (int(x) for x in args.adaptive_quality.split("/"))
+        scored = survivors.select(
+            "doc_id", "lang", quality_score_x10k(F.col("text")).alias("_q")
+        )
+        kept = per_group_quantile_filter(
+            scored, "_q", "lang", "doc_id", q_num=q_num, q_den=q_den
+        ).select("doc_id")
+        n_before = scored.count()
+        survivors = survivors.join(kept, "doc_id", "left_semi")
+        summary["adaptive_quality"] = {
+            "quantile": args.adaptive_quality,
+            "n_dropped": n_before - survivors.count(),
         }
 
     if args.mixture:

@@ -265,3 +265,16 @@ def test_corpus_job_near_dup_decontamination(tmp_path):
     nd = summary["near_dup_decontamination"]
     assert nd["n_flagged"] >= 5  # the 5 probe docs self-match
     assert summary["pack"]["n_docs_packed"] <= 500 - nd["n_flagged"] + 5
+
+
+def test_corpus_job_adaptive_quality_stage():
+    from albedo_spark.jobs.corpus import main
+
+    summary = main(
+        ["--sf-dir", "/root/testdata/sf0.001", "--adaptive-quality", "1/4"]
+    )
+    aq = summary["adaptive_quality"]
+    assert aq["quantile"] == "1/4"
+    # a P25 cutoff drops at most ~25% of each language (ties keep more,
+    # never fewer survivors), and always keeps at least 75% overall
+    assert 0 < aq["n_dropped"] <= summary["n_docs"] // 4 + len(summary["langs"])

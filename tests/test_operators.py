@@ -192,7 +192,8 @@ def test_driver_record_window_contains_flagships():
         "q58_stream_ewma_stateful",
         "q59_multimodal_decode",  # q60 demoted r6: q59 keeps mapInPandas
         "q63_dedup_components",
-        "q64_doc_keywords",
+        # q64 demoted r8: q127 BM25 is the same term-weighting machinery's
+        # full ranking form and takes the retrieval family's window slot
         "q65_stream_interval_join",
         "q27_asof_join",  # as-of family rep (q66 forward demoted, r5)
         # round-4/5 LLM-pipeline flagships (VERDICT r4 ask #2)
@@ -212,6 +213,9 @@ def test_driver_record_window_contains_flagships():
         # round-7 new families: markup extraction + blocklist policy
         "q114_markup_extract",
         "q116_blocklist_filter",
+        # round-8 new families: BM25 retrieval + prefix-filtered join
+        "q127_bm25_search",
+        "q128_prefix_filter_jaccard",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
