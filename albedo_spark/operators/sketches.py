@@ -1,0 +1,113 @@
+"""Mergeable frequency sketches: count-min (Cormode & Muthukrishnan 2005)
+as a plain DataFrame — the bounded-memory answer to "how often does each
+of these keys occur" when the key universe is too hot-skewed or too wide
+for an exact groupBy to be worth its shuffle.
+
+Why a sketch when Spark can groupBy anything: at 100 TB an exact
+frequency table over a heavy-tailed key column (URLs, n-grams, user ids)
+is itself a giant table that must shuffle, store, and re-shuffle on every
+merge; a CMS is ``depth × width`` BIGINT cells REGARDLESS of key
+cardinality, merges by elementwise addition (partial-aggregate friendly,
+cross-day/cross-batch composable — the q90 store discipline at sketch
+granularity), and answers point queries with one-sided error: estimates
+NEVER undercount, and overcount by ≤ ε·N with probability 1-δ at
+width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+
+Engine-portable by construction: the d hash functions are md5 over
+``"cms:<row>:" || key`` (the q31 draw), buckets are BIGINT mod, cells are
+integer sums — DuckDB replays the identical sketch cell-for-cell, so the
+gate hashes the actual registers, not a tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _buckets(key, depth: int, width: int):
+    """Array of the d md5-derived bucket ids for one key."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms:{r}:"), key)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % width
+            for r in range(depth)
+        ]
+    )
+
+
+def build_cms(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of a key column → ``(row, bucket, cell)`` with
+    exactly ``depth × width`` rows (absent cells materialized as 0 so two
+    sketches union/merge positionally). ``weight_col`` turns it into a
+    weighted-frequency sketch (e.g. token counts instead of doc counts).
+
+    Plan: one projection fanning each input row into ``depth`` (row,
+    bucket) pairs + ONE partial-aggregated shuffle of at most
+    depth×width groups — the reduce side is constant-size no matter how
+    many input rows or distinct keys. The zero-fill frame is a cross of
+    two tiny ranges (broadcast scale by construction).
+    """
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    pairs = df.select(
+        F.posexplode(_buckets(key, depth, width)).alias("row", "bucket"),
+        w.alias("_w"),
+    )
+    counts = pairs.groupBy("row", "bucket").agg(F.sum("_w").alias("cell"))
+    spark = df.sparkSession
+    grid = (
+        spark.range(depth)
+        .select(F.col("id").cast("int").alias("row"))
+        .crossJoin(spark.range(width).select(F.col("id").alias("bucket")))
+    )
+    return grid.join(counts, ["row", "bucket"], "left").select(
+        "row", "bucket", F.coalesce(F.col("cell"), F.lit(0)).cast("long").alias("cell")
+    )
+
+
+def merge_cms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Elementwise sum of two sketches with identical (depth, width) —
+    the mergeability that makes CMS a per-batch/per-partition rollup:
+    sketch(A ∪ B) == merge(sketch(A), sketch(B)) EXACTLY, pinned in
+    tests. One union + one constant-size aggregate."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates for a (small, broadcast) key frame:
+    ``est = min over rows of cell[row][h_row(key)]`` — the one-sided CMS
+    read. ``depth``/``width`` are constants of the sketch, passed rather
+    than inferred (no driver round-trip). The d probe cells per key join
+    against the sketch broadcast-side; one min-aggregate per key.
+    Estimates NEVER undercount (pinned in tests)."""
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(_buckets(key, depth, width)).alias("row", "bucket"),
+    )
+    return (
+        sketch.join(F.broadcast(probes), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cell").alias("est"))
+    )

@@ -6535,6 +6535,72 @@ def q133_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(e, query_id=0, k=4, pool=16)
 
 
+@query(
+    "q134_count_min_sketch",
+    """
+    WITH cells AS (
+        SELECT r AS row,
+               CAST(concat('0x', substr(md5('cms:' || r || ':' ||
+                    CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket,
+               count(*) AS cell
+        FROM lineitem, unnest([0, 1, 2, 3]) AS t(r)
+        GROUP BY 1, 2
+    ),
+    keys(l_partkey) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8)),
+    probes AS (
+        SELECT l_partkey, r AS row,
+               CAST(concat('0x', substr(md5('cms:' || r || ':' ||
+                    CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+        FROM keys, unnest([0, 1, 2, 3]) AS t(r)
+    ),
+    ex AS (
+        SELECT k.l_partkey, count(li.l_partkey) AS exact
+        FROM keys k LEFT JOIN lineitem li USING (l_partkey)
+        GROUP BY k.l_partkey
+    )
+    SELECT p.l_partkey,
+           CAST(min(coalesce(c.cell, 0)) AS BIGINT) AS est,
+           CAST(min(ex.exact) AS BIGINT) AS exact
+    FROM probes p
+    LEFT JOIN cells c USING (row, bucket)
+    JOIN ex USING (l_partkey)
+    GROUP BY p.l_partkey
+    """,
+)
+def q134_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.py): depth 4 ×
+    width 64 BIGINT cells over part keys, probed for 8 fixed keys next
+    to their exact counts — the bounded-memory frequency table for
+    heavy-tailed key universes where an exact groupBy is itself a giant
+    skewed table (URLs, n-grams at 100 TB). The sketch is CONSTANT-size
+    regardless of cardinality, partial-aggregates map-side, and merges
+    across batches/days by elementwise addition (pinned exactly in
+    pytest); estimates never undercount and overcount ≤ ε·N whp. Hashes
+    are the md5 q31 draw, cells are integer sums — DuckDB replays the
+    sketch cell-for-cell, so the gate is exact replay (the est/exact gap
+    visible in the output is the sketch's documented error, identical in
+    both engines)."""
+    from albedo_spark.operators.sketches import build_cms, cms_estimate
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    sk = build_cms(li, "l_partkey", depth=4, width=64)
+    keys = spark.createDataFrame([(i,) for i in range(1, 9)], "l_partkey long")
+    est = cms_estimate(sk, keys, "l_partkey", depth=4, width=64)
+    exact = (
+        li.join(F.broadcast(keys), "l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("exact"))
+    )
+    return (
+        est.join(exact, "l_partkey", "left")
+        .select(
+            "l_partkey",
+            "est",
+            F.coalesce(F.col("exact"), F.lit(0)).cast("long").alias("exact"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6635,6 +6701,7 @@ _POST_WINDOW = [
     "q131_adaptive_quality_filter",
     "q132_content_defined_chunks",
     "q133_mmr_diverse_topk",
+    "q134_count_min_sketch",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",

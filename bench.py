@@ -121,6 +121,7 @@ HEADLINE2 = [
     "q131_adaptive_quality_filter",
     "q132_content_defined_chunks",
     "q133_mmr_diverse_topk",
+    "q134_count_min_sketch",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -1,0 +1,56 @@
+"""Count-min sketch (operators/sketches.py): one-sided error, exact
+mergeability, weighted counts, and the constant-size grid contract."""
+
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.sketches import build_cms, cms_estimate, merge_cms
+
+D, W = 4, 16  # small width on purpose: forces collisions so est > exact
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k long")
+
+
+def test_cms_never_undercounts_and_grid_is_constant(spark):
+    rows = [(i % 7,) for i in range(200)] + [(99,)] * 50
+    df = spark.createDataFrame(rows, "k long")
+    sk = build_cms(df, "k", depth=D, width=W)
+    assert sk.count() == D * W  # every cell materialized, zeros included
+    assert sk.agg(F.sum("cell")).first()[0] == 250 * D  # mass conservation
+    est = {
+        r.k: r.est
+        for r in cms_estimate(
+            sk, _keys_df(spark, [0, 1, 6, 99, 12345]), "k", depth=D, width=W
+        ).collect()
+    }
+    exact = {0: 29, 1: 29, 6: 28, 99: 50, 12345: 0}
+    for k, ex in exact.items():
+        assert est[k] >= ex, (k, est[k], ex)
+
+
+def test_cms_merge_equals_rebuild(spark):
+    a = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 9,) for i in range(80)], "k long")
+    merged = {
+        (r.row, r.bucket): r.cell
+        for r in merge_cms(
+            build_cms(a, "k", depth=D, width=W), build_cms(b, "k", depth=D, width=W)
+        ).collect()
+    }
+    rebuilt = {
+        (r.row, r.bucket): r.cell
+        for r in build_cms(a.unionByName(b), "k", depth=D, width=W).collect()
+    }
+    assert merged == rebuilt
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame([(1, 10), (1, 5), (2, 7)], "k long, w long")
+    sk = build_cms(df, "k", depth=D, width=W, weight_col="w")
+    est = {
+        r.k: r.est
+        for r in cms_estimate(sk, _keys_df(spark, [1, 2]), "k", depth=D, width=W).collect()
+    }
+    assert est[1] >= 15 and est[2] >= 7
+    assert sk.agg(F.sum("cell")).first()[0] == 22 * D
