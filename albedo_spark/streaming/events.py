@@ -633,3 +633,62 @@ def _run_near_dup_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def run_to_cms_store(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+):
+    """Streaming maintenance of a count-min frequency sketch
+    (operators/sketches.py) — the store family at SKETCH granularity:
+    the running answer to "how hot is each key so far" in constant
+    space, over an unbounded stream.
+
+    A sketch is addition, and addition is NOT replay-idempotent — a
+    re-delivered batch merged into a live sketch double-counts. So the
+    store is per-batch GENERATIONS instead of a mutable total: each
+    micro-batch's own sketch lands under ``out_path/sketch_batch=<id>``
+    with OVERWRITE (a replayed batch rewrites the identical cells — the
+    ``run_to_dedup_store`` idempotence discipline), and the LIVE sketch
+    is the elementwise sum over generations (``read_cms_store``), exact
+    by CMS mergeability. Compaction = rewriting the summed sketch as one
+    generation — the ``merge_bloom_generations`` posture.
+
+    Per batch the work is one constant-size aggregate (depth × width
+    cells); the read side sums |generations| × depth × width rows —
+    compact when generations pile up.
+    """
+    from albedo_spark.operators.sketches import build_cms
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = build_cms(batch_df, key_col, depth, width, weight_col)
+        sk.write.mode("overwrite").parquet(
+            f"{out_path}/sketch_batch={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_cms_store(spark, out_path: str) -> DataFrame:
+    """The live sketch: elementwise sum across batch generations —
+    exactly ``build_cms`` over everything ingested (CMS mergeability,
+    pinned in tests/test_streaming.py)."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )

@@ -625,3 +625,48 @@ def test_hygiene_transform_stream_equals_batch(spark, tmp_path):
     assert 2 not in got and 5 not in got             # blocklist + floor
     assert "<p>" not in (got.get(1) or "")           # markup stripped
     assert "<EMAIL>" in (got.get(4) or "")           # PII redacted
+
+
+def test_run_to_cms_store_equals_batch_and_replays_idempotently(spark, tmp_path):
+    """Streaming CMS generations: summed store == batch-built sketch over
+    all ingested rows; a full replay with a fresh checkpoint rewrites the
+    same generations (overwrite idempotence) instead of double-counting."""
+    from albedo_spark.operators.sketches import build_cms
+    from albedo_spark.streaming.events import read_cms_store, run_to_cms_store
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    f1 = [(i % 5,) for i in range(60)]
+    f2 = [(i % 11,) for i in range(40)]
+    spark.createDataFrame(f1, "k long").coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, "k long").coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_to_cms_store(stream(), out, ck1, "k", depth=3, width=8)
+    store = {
+        (r.row, r.bucket): r.cell for r in read_cms_store(spark, out).collect()
+    }
+    batch = {
+        (r.row, r.bucket): r.cell
+        for r in build_cms(
+            spark.createDataFrame(f1 + f2, "k long"), "k", depth=3, width=8
+        ).collect()
+    }
+    assert store == batch
+    assert sum(store.values()) == 100 * 3  # mass = rows x depth
+
+    # fresh checkpoint -> the SAME batches replay into the SAME
+    # generation directories: cells unchanged, nothing double-counted
+    run_to_cms_store(stream(), out, ck2, "k", depth=3, width=8)
+    store2 = {
+        (r.row, r.bucket): r.cell for r in read_cms_store(spark, out).collect()
+    }
+    assert store2 == store
