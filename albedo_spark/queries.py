@@ -6601,6 +6601,68 @@ def q134_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q135_dedup_cluster_histogram",
+    _MINHASH_VERIFIED_PAIRS_CTES
+    + """
+    , nodes AS (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+        WHERE r.label < e.b
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(label) AS component_id
+        FROM reach GROUP BY node
+    ),
+    sizes AS (
+        SELECT component_id, count(*) AS cluster_size FROM comp
+        GROUP BY component_id
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q135_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: cluster-size histogram over the q63 near-dup
+    components — per size: how many clusters, how many documents they
+    hold, and how many rows keeper-election would REMOVE (size − 1 each).
+    This is the number a corpus owner asks for before turning dedup on
+    ("what does it cost me"), and the shape every dedup paper tabulates.
+    Pure composition on the gated component operator: two constant-size
+    aggregates on top of q63's graph — the oracle extends the SAME
+    shared recursive-CTE prefix, so the histogram certifies the whole
+    pipeline transitively. At 100 TB the added cost over q63 is two tiny
+    shuffles of |components| rows."""
+    from albedo_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(
+        d, num_hashes=8, rows_per_band=2, shingle_n=3, max_bucket=200
+    )
+    verified = jaccard_verify(prs, d, shingle_n=3, threshold=0.8)
+    with _scoped_shuffle_partitions(spark):
+        comps = connected_components(verified.select("id_a", "id_b"))
+    sizes = comps.groupBy(F.col("label").alias("component_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6702,6 +6764,7 @@ _POST_WINDOW = [
     "q132_content_defined_chunks",
     "q133_mmr_diverse_topk",
     "q134_count_min_sketch",
+    "q135_dedup_cluster_histogram",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",

@@ -122,6 +122,7 @@ HEADLINE2 = [
     "q132_content_defined_chunks",
     "q133_mmr_diverse_topk",
     "q134_count_min_sketch",
+    "q135_dedup_cluster_histogram",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
