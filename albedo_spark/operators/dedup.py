@@ -336,6 +336,16 @@ def prefix_filter_jaccard_pairs(
     ``jaccard_x10k = (inter * 10^4) div union`` — BIGINT end-to-end, no
     float tolerance (the q105/q121 discipline).
 
+    Shingles are hashed to 60-bit longs (md5-prefix, the portable q31
+    draw) BEFORE set algebra, so every downstream structure — df counts,
+    ordered arrays, the intersect verify — is integer, not string: the
+    verify stage's ``array_intersect`` drops from hashing ~100 20-char
+    strings per pair to comparing longs (measured 6.6 → 2.1 s at sf0.1,
+    now FASTER than the brute inverted-index join it replaces). The
+    semantic is Jaccard over hashed shingle sets: a 60-bit collision
+    (~10⁻¹⁸ per pair) could merge two shingles, and the oracle hashes
+    identically so the gate replays bit-for-bit regardless.
+
     Plan: one shingle explode (lazily checkpointed — it feeds the df count
     AND the per-doc ordered array), one df aggregate, one per-doc sort,
     prefix explode → self-equi-join on shingle → distinct pairs → exact
@@ -349,12 +359,18 @@ def prefix_filter_jaccard_pairs(
     words = df.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
     )
+    # distinct AFTER hashing (array_distinct on the hashed array), so a
+    # collision inside one document merges the two shingles exactly as
+    # the oracle's DISTINCT (doc_id, hashed) does
+    hashed = F.array_distinct(
+        F.transform(
+            shingles_from_words(F.col("_w"), shingle_n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
     sh = (
         widen(words)
-        .select(
-            F.col(id_col),
-            F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("sh"),
-        )
+        .select(F.col(id_col), F.explode(hashed).alias("sh"))
         .localCheckpoint(eager=False)
     )
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))

@@ -6174,7 +6174,9 @@ def q127_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     words AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs),
     sh AS (
-        SELECT DISTINCT doc_id, array_to_string(w[i + 1 : i + 3], ' ') AS sh
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(array_to_string(w[i + 1 : i + 3], ' ')),
+                    1, 15)) AS BIGINT) AS sh
         FROM words, unnest(range(greatest(len(w) - 3, 0) + 1)) AS r(i)
     ),
     sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
@@ -6195,7 +6197,8 @@ def q128_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard ≥ 0.7 similarity join via prefix filtering
     (operators/dedup.py prefix_filter_jaccard_pairs; PPJoin — Bayardo
     WWW'07). The oracle is the brute inverted-index join (the q20/q21
-    exact-Jaccard form): prefix filtering is COMPLETE by theorem, so the
+    exact-Jaccard form), both sides over identically md5-hashed 60-bit
+    shingles: prefix filtering is COMPLETE by theorem, so the
     two must match row-for-row — the operator's whole value is the plan,
     not the answer. Self-join fan-out is bounded by RARE-shingle document
     frequencies (prefixes are df-ascending), where the brute join pays

@@ -63,13 +63,20 @@ def main() -> None:
         }
         wall_prefix = round(time.perf_counter() - t0, 2)
 
-        # brute inverted-index join (the q20/q128-oracle shape): exact
-        # intersections over ALL co-occurring pairs, then the threshold
-        sh = corpus.select(
-            "doc_id",
-            F.explode(
-                shingles_from_words(F.split(normalize_text(F.col("text")), " "), 3)
-            ).alias("sh"),
+        # brute inverted-index join (the q128-oracle shape): exact
+        # intersections over ALL co-occurring pairs, then the threshold —
+        # on the SAME 60-bit hashed shingles the operator uses
+        words = corpus.select(
+            "doc_id", F.split(normalize_text(F.col("text")), " ").alias("_w")
+        )
+        hashed = F.array_distinct(
+            F.transform(
+                shingles_from_words(F.col("_w"), 3),
+                lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+            )
+        )
+        sh = words.select(
+            "doc_id", F.explode(hashed).alias("sh")
         ).localCheckpoint(eager=False)
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("s"))
         t0 = time.perf_counter()
