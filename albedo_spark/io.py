@@ -323,6 +323,79 @@ def write_jsonl(
     w.json(path)
 
 
+def read_csv_documents(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+    sep: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest a CSV/TSV corpus drop with the same contract as
+    ``read_jsonl_documents``: explicit pinned schema (never
+    ``inferSchema`` — a second full scan AND silent retyping at 100 TB),
+    PERMISSIVE parse, ``(good, bad)`` split with the raw offending line
+    preserved. ``multiLine`` stays OFF by design: multi-line CSV records
+    make the format unsplittable (one file = one task at any size) —
+    corpora with embedded newlines belong in JSONL/parquet, and quoted
+    embedded newlines in a drop are treated as corruption to surface,
+    not silently absorb."""
+    full = (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .csv(path)
+    ).cache()
+    from pyspark.sql import functions as F
+
+    good = full.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = full.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    compression: str | None = "gzip",
+    num_files: int | None = None,
+) -> None:
+    """CSV export mirror of ``write_jsonl`` (same coalesce-capped,
+    never-reshuffling file-count contract). Spark quotes embedded
+    separators/quotes per RFC 4180; rows with embedded NEWLINES would
+    produce a file ``read_csv_documents`` deliberately refuses to
+    reassemble (see its multiLine note) — strip them first
+    (``functions.text.strip_controls`` or a newline→space projection)."""
+    out = df.coalesce(num_files) if num_files else df
+    w = out.write.mode("overwrite").option("sep", sep).option(
+        "header", str(header).lower()
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — the columnar interchange for Hive/Trino-side consumers
+    (predicate pushdown + column pruning survive the format change;
+    Spark's ORC writer embeds min/max stripe stats the same way parquet
+    footers do). Same overwrite semantics as ``write_parquet``."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; filters and projections push down exactly as with
+    parquet (pinned in tests/test_io_sinks.py)."""
+    return spark.read.orc(path)
+
+
 def write_partitioned_overwrite(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> None:

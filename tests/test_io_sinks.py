@@ -357,3 +357,48 @@ def test_zorder_layout_skips_files_on_every_column(spark, tmp_path):
 
     z_rect = reading_set(zpath, "x", 0, 124) & reading_set(zpath, "y", 0, 124)
     assert len(z_rect) <= 3
+
+
+def test_csv_roundtrip_and_corrupt_accounting(spark, tmp_path):
+    from albedo_spark.io import read_csv_documents, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s0"), (2, "gamma, delta", "de", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    p = str(tmp_path / "csv")
+    write_csv(df, p, num_files=1)
+    good, bad = read_csv_documents(spark, p)
+    assert bad.count() == 0
+    got = {r.doc_id: (r.text, r.lang) for r in good.collect()}
+    # RFC 4180 quoting survives the embedded separator
+    assert got == {1: ("alpha beta", "en"), 2: ("gamma, delta", "de")}
+
+    # a malformed line (unparseable doc_id, wrong arity) lands in bad,
+    # not in good — dropped as a NEW file (appending would invalidate
+    # the Hadoop .crc sidecar), with its own header line since the
+    # header option skips line 1 of EVERY file
+    import gzip
+    with gzip.open(p + "/part-zz-bad.csv.gz", "wt") as fh:
+        fh.write("doc_id,text,lang,source\nnot-a-long,only-two\n")
+    # the first read's shared-parse cache is plan-keyed on the same path;
+    # drop it so the re-read sees the new file
+    spark.catalog.clearCache()
+    good2, bad2 = read_csv_documents(spark, p)
+    assert bad2.count() == 1
+    assert good2.count() == 2
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    from albedo_spark.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", i % 3) for i in range(100)], "id long, t string, k int"
+    )
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p).where("id < 10").select("id")
+    assert back.count() == 10
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan  # filter reaches the scan
+    assert "ReadSchema: struct<id:bigint>" in plan  # column pruning
