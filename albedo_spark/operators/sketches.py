@@ -1,7 +1,8 @@
-"""Mergeable frequency sketches: count-min (Cormode & Muthukrishnan 2005)
-as a plain DataFrame — the bounded-memory answer to "how often does each
-of these keys occur" when the key universe is too hot-skewed or too wide
-for an exact groupBy to be worth its shuffle.
+"""Mergeable sketches as plain DataFrames: count-min (Cormode &
+Muthukrishnan 2005) for frequencies and HyperLogLog (Flajolet 2007) for
+cardinalities — the bounded-memory answers to "how often does each key
+occur" / "how many distinct keys" when the key universe is too
+hot-skewed or too wide for an exact groupBy to be worth its shuffle.
 
 Why a sketch when Spark can groupBy anything: at 100 TB an exact
 frequency table over a heavy-tailed key column (URLs, n-grams, user ids)
@@ -110,4 +111,76 @@ def cms_estimate(
         sketch.join(F.broadcast(probes), ["row", "bucket"])
         .groupBy(key_col)
         .agg(F.min("cell").alias("est"))
+    )
+
+
+def build_hll(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
+    """HyperLogLog registers as a DataFrame → ``(bucket, reg)`` with
+    exactly ``m`` rows (empty buckets materialized at 0) — the
+    cardinality sibling of ``build_cms``: constant size regardless of
+    input, map-side partial aggregation (max combines), and EXACT
+    mergeability (elementwise max, ``merge_hll``).
+
+    Engine-portable register math, no floats anywhere: the 60-bit
+    md5-prefix hash splits into ``bucket = h mod m`` and a 54-bit tail
+    ``w``; the register is the tail's number of trailing zeros + 1,
+    computed with the lsb trick ``bit_count((x & -x) - 1) + 1`` over
+    ``x = w + 2^54`` (the sentinel bit caps rho for w = 0) — bit_count
+    and integer ops round nowhere, so DuckDB rebuilds the identical
+    registers (pinned by the q136 gate).
+    """
+    key = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), key)), 1, 15), 16, 10
+    ).cast("long")
+    sentinel = 1 << 54
+    rows = df.select(h.alias("_h")).select(
+        F.expr(f"_h % {m}").alias("bucket"),
+        F.expr(
+            f"bit_count((((_h div {m}) + {sentinel})"
+            f" & -((_h div {m}) + {sentinel})) - 1) + 1"
+        ).alias("rho"),
+    )
+    regs = rows.groupBy("bucket").agg(F.max("rho").alias("reg"))
+    grid = df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    return grid.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("reg"), F.lit(0)).cast("int").alias("reg")
+    )
+
+
+def merge_hll(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Elementwise max of two register frames with the same ``m`` —
+    hll(A ∪ B) == merge(hll(A), hll(B)) EXACTLY (pinned in tests): the
+    property that lets per-day/per-batch register frames roll up into
+    any window's cardinality without re-reading data."""
+    return a.unionByName(b).groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
+    """Raw HyperLogLog estimator over a register frame → one row
+    ``(est)``: ``E = alpha_m · m² / Σ_j 2^(−reg_j)``. The reciprocal sum
+    is computed EXACTLY in BIGINT as ``S = Σ 2^(55 − reg)`` (reg ≤ 55 by
+    the builder's sentinel, so every term is an integer shift and the sum
+    is order-independent); the only floats are one fixed literal product
+    and two divisions — the same IEEE op sequence in any engine. Raw
+    estimator by contract (alpha = 0.709 for m = 64): no small-range
+    linear-counting branch, because ln() is the one function engines
+    disagree on at ulp level — callers in the < 2.5·m regime should count
+    exactly instead (a distinct count that small needs no sketch)."""
+    alpha_x1k = 709 if m == 64 else 7213 * 1000 // (10000 + 10790 // m)
+    pow2_55 = float(1 << 55)
+    return (
+        registers.agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - reg)")).alias("_s")
+        ).select(
+            F.floor(
+                F.lit(float(alpha_x1k))
+                * F.lit(float(m * m))
+                * F.lit(pow2_55)
+                / F.col("_s").cast("double")
+                / F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("est")
+        )
     )

@@ -6666,6 +6666,64 @@ def q135_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q136_hll_cardinality",
+    """
+    WITH h AS (
+        SELECT CAST(concat('0x', substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)),
+             1, 15)) AS BIGINT) AS h
+        FROM lineitem
+    ),
+    regs AS (
+        SELECT h % 64 AS bucket,
+               max(bit_count((((h // 64) + 18014398509481984)
+                   & -((h // 64) + 18014398509481984)) - 1) + 1) AS reg
+        FROM h GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(64)) AS bucket),
+    f AS (
+        SELECT g.bucket, coalesce(r.reg, 0) AS reg
+        FROM grid g LEFT JOIN regs r USING (bucket)
+    ),
+    s AS (SELECT sum(CAST(1 AS BIGINT) << (55 - reg)) AS s FROM f),
+    e AS (
+        SELECT CAST(floor(709.0::DOUBLE * 4096.0::DOUBLE
+                    * 36028797018963968.0::DOUBLE
+                    / CAST(s AS DOUBLE) / 1000.0::DOUBLE) AS BIGINT) AS est
+        FROM s
+    ),
+    x AS (SELECT count(DISTINCT l_orderkey) AS exact FROM lineitem)
+    SELECT e.est, CAST(x.exact AS BIGINT) AS exact,
+           (abs(e.est - x.exact) * 10000) // x.exact AS abs_err_x10k
+    FROM e, x
+    """,
+)
+def q136_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-order estimate next to the exact count
+    (operators/sketches.py build_hll/hll_estimate): 64 integer registers
+    built with md5-split buckets and the bit_count lsb trick — NO floats
+    until the final two-division estimator, so DuckDB rebuilds the
+    registers bit-for-bit and the gate hashes the actual estimate (the
+    q89 approx_count_distinct swap, now with the sketch itself open,
+    portable, and mergeable: per-day register frames roll up into any
+    window by elementwise max, pinned in tests). Constant 64-row state
+    regardless of cardinality; partial-aggregated max; raw estimator by
+    contract (no ln-based small-range branch — see hll_estimate)."""
+    from albedo_spark.operators.sketches import build_hll, hll_estimate
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    est = hll_estimate(build_hll(li, "l_orderkey", m=64), m=64)
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est",
+            F.col("exact").cast("long").alias("exact"),
+            F.expr("(abs(est - exact) * 10000) div exact").alias("abs_err_x10k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6768,6 +6826,7 @@ _POST_WINDOW = [
     "q133_mmr_diverse_topk",
     "q134_count_min_sketch",
     "q135_dedup_cluster_histogram",
+    "q136_hll_cardinality",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",

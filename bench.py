@@ -123,6 +123,7 @@ HEADLINE2 = [
     "q133_mmr_diverse_topk",
     "q134_count_min_sketch",
     "q135_dedup_cluster_histogram",
+    "q136_hll_cardinality",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -54,3 +54,36 @@ def test_cms_weighted(spark):
     }
     assert est[1] >= 15 and est[2] >= 7
     assert sk.agg(F.sum("cell")).first()[0] == 22 * D
+
+
+def test_hll_merge_equals_rebuild_and_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.sketches import build_hll, hll_estimate, merge_hll
+
+    a = spark.range(0, 1200).select(F.col("id").alias("k"))
+    b = spark.range(800, 2400).select(F.col("id").alias("k"))
+    merged = {
+        r.bucket: r.reg
+        for r in merge_hll(build_hll(a, "k"), build_hll(b, "k")).collect()
+    }
+    rebuilt = {r.bucket: r.reg for r in build_hll(a.unionByName(b), "k").collect()}
+    assert merged == rebuilt
+    assert len(rebuilt) == 64  # constant register frame, zeros included
+
+    # raw-estimator accuracy: sigma = 1.04/sqrt(64) = 13%; assert 3 sigma
+    est = hll_estimate(build_hll(a.unionByName(b), "k"), m=64).first().est
+    exact = 2400
+    assert abs(est - exact) / exact < 0.39
+
+
+def test_hll_insensitive_to_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.sketches import build_hll
+
+    once = spark.range(500).select(F.col("id").alias("k"))
+    many = once.unionByName(once).unionByName(once)
+    r1 = {r.bucket: r.reg for r in build_hll(once, "k").collect()}
+    r3 = {r.bucket: r.reg for r in build_hll(many, "k").collect()}
+    assert r1 == r3  # registers are max-of-rho: multiplicity-invariant
