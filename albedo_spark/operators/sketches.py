@@ -184,3 +184,57 @@ def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
             .alias("est")
         )
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with count ≥ threshold) via the classic
+    two-pass sketch-then-verify plan: pass 1 builds the CMS and folds its
+    ``depth × width`` cells back into the plan AS LITERALS (the
+    hyperplane/pivot literal-fold precedent — one bounded collect of a
+    constant-size sketch); pass 2 filters rows MAP-SIDE to candidates
+    whose sketch estimate clears the threshold, and only candidates
+    reach the exact groupBy.
+
+    Correct by the CMS one-sided bound: estimates never undercount, so
+    every true heavy key survives the filter (NO false negatives —
+    result row-for-row equals the plain ``HAVING count ≥ t``, which is
+    the q137 oracle); false positives are removed by the exact count.
+    The value is the plan: on a zipf-tailed 100 TB key column the exact
+    aggregate's reduce-side state drops from |key universe| to
+    |candidates| — the long tail never shuffles — while the plain
+    groupBy carries every distinct key to a reducer. Degenerate sketch
+    saturation (threshold below the collision noise floor) degrades
+    to the plain plan, never to a wrong answer.
+    """
+    cells = build_cms(df, key_col, depth, width).collect()
+    grid: list[list[int]] = [[0] * width for _ in range(depth)]
+    for r in cells:
+        grid[r.row][r.bucket] = r.cell
+    key = F.col(key_col).cast("string")
+    ests = [
+        F.element_at(
+            F.array(*[F.lit(c) for c in grid[r]]),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"cms:{r}:"), key)), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+                + 1
+            ).cast("int"),
+        )
+        for r in range(depth)
+    ]
+    candidates = df.where(F.least(*ests) >= threshold)
+    return (
+        candidates.groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= threshold)
+    )

@@ -6724,6 +6724,34 @@ def q136_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q137_cms_heavy_hitters",
+    """
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 39
+    """,
+)
+def q137_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters by the two-pass sketch-then-verify plan
+    (operators/sketches.py cms_heavy_hitters): pass 1 folds a count-min
+    sketch back into the plan as literals; pass 2 filters rows MAP-SIDE
+    to sketch-estimated candidates and exact-counts only those. The
+    oracle is the plain ``HAVING count ≥ t`` — row-for-row equality is
+    the CMS one-sided-error theorem (estimates never undercount → no
+    false negatives; the exact pass removes false positives), so like
+    q128 the operator's value is the PLAN: at 100 TB with a zipf-tailed
+    key column the exact aggregate's reduce-side state shrinks from the
+    key universe to the candidate set — the long tail never shuffles.
+    Two actions by design (one bounded constant-size sketch collect, the
+    literal-fold precedent of the LSH hyperplanes and IVF pivots)."""
+    from albedo_spark.operators.sketches import cms_heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return cms_heavy_hitters(li, "l_partkey", threshold=39, depth=4, width=64)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6773,6 +6801,10 @@ def q136_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        a stronger contract — integer rational threshold, complete
 #        prefix filtering — and q21 keeps the LSH+exact-verify path;
 #        round 8 promotes q128 in its place)
+#   q16 (JSON extraction: the events family keeps SIX in-window reps —
+#        q15/q17 batch + q56/q57/q58/q65 streaming; round 8 promotes the
+#        NEW sketch family's q136 HLL in its place, with q134 CMS as its
+#        gated sibling)
 # Demoted entries still run in pytest, tools/check_correctness.py (which
 # has no cap), and bench.py.
 _DEMOTED = [
@@ -6809,6 +6841,7 @@ _DEMOTED = [
     "q50_full_outer_reconcile",
     "q64_doc_keywords",
     "q20_jaccard_near_dups",
+    "q16_events_json_extract",
 ]
 # Family extensions OUTSIDE the 50-entry window by design (each family
 # keeps an in-window representative; all remain in the no-cap local gate
@@ -6826,7 +6859,7 @@ _POST_WINDOW = [
     "q133_mmr_diverse_topk",
     "q134_count_min_sketch",
     "q135_dedup_cluster_histogram",
-    "q136_hll_cardinality",
+    "q137_cms_heavy_hitters",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",

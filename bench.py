@@ -124,6 +124,7 @@ HEADLINE2 = [
     "q134_count_min_sketch",
     "q135_dedup_cluster_histogram",
     "q136_hll_cardinality",
+    "q137_cms_heavy_hitters",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

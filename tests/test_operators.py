@@ -213,9 +213,11 @@ def test_driver_record_window_contains_flagships():
         # round-7 new families: markup extraction + blocklist policy
         "q114_markup_extract",
         "q116_blocklist_filter",
-        # round-8 new families: BM25 retrieval + prefix-filtered join
+        # round-8 new families: BM25 retrieval + prefix-filtered join +
+        # mergeable sketches (q134 CMS gated post-window as its sibling)
         "q127_bm25_search",
         "q128_prefix_filter_jaccard",
+        "q136_hll_cardinality",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"

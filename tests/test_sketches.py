@@ -87,3 +87,22 @@ def test_hll_insensitive_to_duplicates(spark):
     r1 = {r.bucket: r.reg for r in build_hll(once, "k").collect()}
     r3 = {r.bucket: r.reg for r in build_hll(many, "k").collect()}
     assert r1 == r3  # registers are max-of-rho: multiplicity-invariant
+
+
+def test_cms_heavy_hitters_no_false_negatives_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.sketches import cms_heavy_hitters
+
+    # 3 hot keys among a wide tail — narrow width forces collisions, so
+    # the candidate set has false positives the exact pass must remove
+    rows = (
+        [(1,)] * 50 + [(2,)] * 45 + [(3,)] * 40 + [(i,) for i in range(100, 500)]
+    )
+    df = spark.createDataFrame(rows, "k long")
+    out = cms_heavy_hitters(df, "k", threshold=40, depth=D, width=W)
+    got = {r.k: r.n for r in out.collect()}
+    assert got == {1: 50, 2: 45, 3: 40}  # exact counts, zero misses
+    # the candidate filter is map-side: only literal lookups before the agg
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
