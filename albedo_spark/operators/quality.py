@@ -304,6 +304,86 @@ def rolling_zscore(
     )
 
 
+def correlation_matrix(
+    df: DataFrame,
+    cols: "list[tuple[str, int]]",
+) -> DataFrame:
+    """Pearson correlation for every column pair in ONE table scan →
+    ``(col_a, col_b, corr_x10k)`` — the profiling staple next to
+    ``profile_columns``, engine-exact where a naive float implementation
+    is not: each value integerizes per row as ``floor(x·scale + 0.5)``
+    (``cols`` is ``[(name, scale)]`` — pick scale so
+    ``(max·scale)²·n < 2^63``), all five moments per pair (n, Σx, Σy,
+    Σxy, Σx², Σy²) are EXACT BIGINT sums — order-independent, so shuffle
+    order cannot move the answer — and only the final closed formula
+    ``r = (nΣxy − ΣxΣy) / √((nΣx²−Σx²ᵗᵒᵗ)(nΣy²−Σy²ᵗᵒᵗ))`` runs in
+    doubles, as one fixed IEEE op sequence both engines replay.
+
+    Rows with a NULL in ANY profiled column are dropped up front
+    (listwise deletion — one consistent n for every pair). Single
+    map-side-combinable aggregate; the result is |pairs| rows. At PB
+    scale the BIGINT headroom rule above is the only sizing decision —
+    everything else is a constant-state aggregate.
+    """
+    clean = df.where(
+        F.expr(" AND ".join(f"{name} IS NOT NULL" for name, _ in cols))
+    )
+    ints = clean.select(
+        *[
+            F.floor(F.col(name) * F.lit(float(scale)) + F.lit(0.5))
+            .cast("long")
+            .alias(name)
+            for name, scale in cols
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    names = [name for name, _ in cols]
+    for c in names:
+        aggs += [
+            F.sum(F.col(c)).alias(f"_s_{c}"),
+            F.sum(F.col(c) * F.col(c)).alias(f"_q_{c}"),
+        ]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"_p_{a}_{b}"))
+    # one 1-row frame feeding |pairs| projections — checkpoint lazily so
+    # the scan+aggregate runs once, not once per pair branch
+    row = ints.agg(*aggs).localCheckpoint(eager=False)
+    out = []
+    for a, b in pairs:
+        num = (
+            F.col("_n").cast("double") * F.col(f"_p_{a}_{b}").cast("double")
+            - F.col(f"_s_{a}").cast("double") * F.col(f"_s_{b}").cast("double")
+        )
+        den = F.sqrt(
+            (
+                F.col("_n").cast("double") * F.col(f"_q_{a}").cast("double")
+                - F.col(f"_s_{a}").cast("double") * F.col(f"_s_{a}").cast("double")
+            )
+            * (
+                F.col("_n").cast("double") * F.col(f"_q_{b}").cast("double")
+                - F.col(f"_s_{b}").cast("double") * F.col(f"_s_{b}").cast("double")
+            )
+        )
+        # zero-variance column → r undefined: NULL by contract (a NaN
+        # would throw on the ANSI long cast and hash differently anyway)
+        corr = F.when(
+            den > 0,
+            F.floor(num / den * F.lit(10000.0) + F.lit(0.5)).cast("long"),
+        )
+        out.append(
+            row.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr.alias("corr_x10k"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def per_group_quantile_filter(
     df: DataFrame,
     score_col: str,

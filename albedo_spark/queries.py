@@ -6752,6 +6752,71 @@ def q137_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(li, "l_partkey", threshold=39, depth=4, width=64)
 
 
+@query(
+    "q138_correlation_matrix",
+    """
+    WITH ints AS (
+        SELECT CAST(floor(l_quantity * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice * 1.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS e,
+               CAST(floor(l_discount * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS d
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(q) AS sq, sum(e) AS se, sum(d) AS sd,
+               sum(q*q) AS qq, sum(e*e) AS ee, sum(d*d) AS dd,
+               sum(q*e) AS pqe, sum(q*d) AS pqd, sum(e*d) AS ped
+        FROM ints
+    )
+    SELECT col_a, col_b,
+           CAST(floor(
+               (CAST(n AS DOUBLE) * CAST(pxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(xx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(yy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS corr_x10k
+    FROM s, (VALUES
+        ('l_quantity', 'l_extendedprice'),
+        ('l_quantity', 'l_discount'),
+        ('l_extendedprice', 'l_discount')
+    ) AS p(col_a, col_b),
+    LATERAL (SELECT
+        CASE col_a WHEN 'l_quantity' THEN sq WHEN 'l_extendedprice' THEN se ELSE sd END AS sx,
+        CASE col_b WHEN 'l_quantity' THEN sq WHEN 'l_extendedprice' THEN se ELSE sd END AS sy,
+        CASE col_a WHEN 'l_quantity' THEN qq WHEN 'l_extendedprice' THEN ee ELSE dd END AS xx,
+        CASE col_b WHEN 'l_quantity' THEN qq WHEN 'l_extendedprice' THEN ee ELSE dd END AS yy,
+        CASE WHEN col_a = 'l_quantity' AND col_b = 'l_extendedprice' THEN pqe
+             WHEN col_a = 'l_quantity' AND col_b = 'l_discount' THEN pqd
+             ELSE ped END AS pxy
+    ) AS m
+    """,
+)
+def q138_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between the lineitem measures in ONE scan
+    (operators/quality.py correlation_matrix): per-row integerized
+    values (scale chosen per column for BIGINT headroom), EXACT integer
+    moments — order-independent sums, so shuffle order cannot move the
+    answer where a naive float Σxy does at ulp level — and the closed
+    formula in doubles as one fixed IEEE op sequence both engines
+    replay. The profiling stat q87's table profile doesn't cover: which
+    measures move together (this synthetic fixture draws them near-
+    independently — |r| < 0.02 — which the output shows honestly).
+    Constant aggregate state;
+    the only PB-scale decision is the per-column scale bound
+    ``(max·scale)²·n < 2^63``."""
+    from albedo_spark.operators.quality import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li,
+        [("l_quantity", 100), ("l_extendedprice", 1), ("l_discount", 10000)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6860,6 +6925,7 @@ _POST_WINDOW = [
     "q134_count_min_sketch",
     "q135_dedup_cluster_histogram",
     "q137_cms_heavy_hitters",
+    "q138_correlation_matrix",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",

@@ -125,6 +125,7 @@ HEADLINE2 = [
     "q135_dedup_cluster_histogram",
     "q136_hll_cardinality",
     "q137_cms_heavy_hitters",
+    "q138_correlation_matrix",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
