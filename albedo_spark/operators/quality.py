@@ -384,6 +384,70 @@ def correlation_matrix(
     return res
 
 
+def chi2_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Two-sample chi-square drift between two snapshots' categorical
+    distributions → one row per category ``(key, n_a, n_b,
+    chi2_contrib_x10k)`` — the distribution-level drift monitor that
+    ``snapshot_diff`` (row-level CDC) doesn't cover: "did the LANGUAGE
+    MIX of yesterday's crawl shift", not "which rows changed". Sum the
+    contribution column for the chi-square statistic (df = k−1 per
+    side).
+
+    Contingency-table expected counts stay EXACT rationals:
+    ``e = row_total · col_total / grand``, so each contribution
+    ``(o−e)²/e`` becomes the integer expression
+    ``(o·g − r·c)² · 10^4 DIV (g·r·c)`` — BIGINT end-to-end,
+    order-independent, replayed identically by the oracle. Headroom
+    bound like q138: ``(o·g)² · 10^4 < 2^63`` — at larger counts scale
+    both snapshots down proportionally first (chi-square contributions
+    are homogeneous in the counts). Categories absent on one side count
+    as 0 there (full-outer join), never dropped — appearing/vanishing
+    categories are exactly the drift worth flagging.
+
+    Plan: one count aggregate per snapshot, a full-outer join on the
+    category key (|categories| rows), the two totals broadcast. Nothing
+    scales with row count past the first aggregates.
+    """
+    ca = df_a.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("n_a"))
+    cb = df_b.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("n_b"))
+    joined = (
+        ca.join(cb, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = joined.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .withColumn("_r", F.col("n_a") + F.col("n_b"))
+        .withColumn("_g", F.col("_ta") + F.col("_tb"))
+        .select(
+            "key",
+            "n_a",
+            "n_b",
+            (
+                F.expr(
+                    "(10000 * (n_a*_g - _r*_ta) * (n_a*_g - _r*_ta))"
+                    " div (_g * _r * _ta)"
+                )
+                + F.expr(
+                    "(10000 * (n_b*_g - _r*_tb) * (n_b*_g - _r*_tb))"
+                    " div (_g * _r * _tb)"
+                )
+            ).alias("chi2_contrib_x10k"),
+        )
+    )
+
+
 def per_group_quantile_filter(
     df: DataFrame,
     score_col: str,

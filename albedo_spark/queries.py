@@ -6817,6 +6817,55 @@ def q138_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q139_chi2_drift",
+    """
+    WITH ca AS (
+        SELECT lang AS key, count(*) AS n_a FROM documents
+        WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    cb AS (
+        SELECT lang AS key, count(*) AS n_b FROM documents
+        WHERE doc_id % 2 = 1 GROUP BY lang
+    ),
+    j AS (
+        SELECT coalesce(ca.key, cb.key) AS key,
+               CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+               CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+        FROM ca FULL OUTER JOIN cb ON ca.key = cb.key
+    ),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+    SELECT key, n_a, n_b,
+           CAST(
+               (10000 * (n_a*(ta+tb) - (n_a+n_b)*ta) * (n_a*(ta+tb) - (n_a+n_b)*ta))
+                   // ((ta+tb) * (n_a+n_b) * ta)
+               + (10000 * (n_b*(ta+tb) - (n_a+n_b)*tb) * (n_b*(ta+tb) - (n_a+n_b)*tb))
+                   // ((ta+tb) * (n_a+n_b) * tb)
+           AS BIGINT) AS chi2_contrib_x10k
+    FROM j, t
+    """,
+)
+def q139_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square distribution drift between two corpus snapshots
+    (operators/quality.py chi2_drift) — here the even/odd doc-id halves'
+    LANGUAGE mix, the "did yesterday's crawl shift" monitor that q82's
+    row-level CDC diff doesn't express. Contingency expected counts stay
+    exact rationals, so every contribution is one BIGINT expression both
+    engines replay — no float chi-square, no ln (the PSI alternative was
+    rejected for exactly its ln). Absent-on-one-side categories keep a
+    0 row (full-outer): appearing/vanishing languages ARE the drift.
+    Two count aggregates + one |categories|-row join; nothing past the
+    first aggregates scales with the corpus."""
+    from albedo_spark.operators.quality import chi2_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return chi2_drift(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6926,6 +6975,7 @@ _POST_WINDOW = [
     "q135_dedup_cluster_histogram",
     "q137_cms_heavy_hitters",
     "q138_correlation_matrix",
+    "q139_chi2_drift",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",

@@ -126,6 +126,7 @@ HEADLINE2 = [
     "q136_hll_cardinality",
     "q137_cms_heavy_hitters",
     "q138_correlation_matrix",
+    "q139_chi2_drift",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -214,3 +214,32 @@ def test_correlation_matrix_exact_and_bounded(spark):
     # w is constant -> zero variance -> NaN r; floor(NaN) is NULL-ish per
     # engine, so just assert the pair exists and x-y math was unaffected
     assert ("x", "w") in got2
+
+
+def test_chi2_drift_detects_shift_and_keeps_vanished_categories(spark):
+    from albedo_spark.operators.quality import chi2_drift
+
+    a = spark.createDataFrame(
+        [("en",)] * 80 + [("de",)] * 20 + [("fr",)] * 10, "lang string"
+    )
+    # b: de surges, fr vanishes, zh appears
+    b = spark.createDataFrame(
+        [("en",)] * 40 + [("de",)] * 60 + [("zh",)] * 10, "lang string"
+    )
+    got = {r.key: r for r in chi2_drift(a, b, "lang").collect()}
+    assert set(got) == {"en", "de", "fr", "zh"}
+    assert got["fr"].n_b == 0 and got["zh"].n_a == 0
+    # shifted categories contribute more than the (also shifted) majority
+    same = {
+        r.key: r.chi2_contrib_x10k
+        for r in chi2_drift(a, a, "lang").collect()
+    }
+    assert all(v == 0 for v in same.values())  # identical dist -> zero drift
+    assert got["de"].chi2_contrib_x10k > 0 and got["fr"].chi2_contrib_x10k > 0
+
+    # exact integer replay of one cell: en, o=80, r=120, ta=110, tb=110, g=220
+    o, r_, ta, tb, g = 80, 120, 110, 110, 220
+    exp = (10000 * (o * g - r_ * ta) ** 2) // (g * r_ * ta) + (
+        10000 * (40 * g - r_ * tb) ** 2
+    ) // (g * r_ * tb)
+    assert got["en"].chi2_contrib_x10k == exp
