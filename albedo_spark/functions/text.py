@@ -225,7 +225,6 @@ def nfc_normalize(col: Column) -> Column:
     document and must hash the same). NULL passes through. Python's
     ``unicodedata`` and DuckDB's utf8proc both implement standard NFC,
     so the oracle's ``nfc_normalize`` matches exactly."""
-    import pandas as pd  # noqa: F401 — signature type only
 
     @F.pandas_udf("string")
     def _nfc(s):

@@ -21,13 +21,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from albedo_spark.functions import (
-    clean_company,
-    clean_email,
-    clean_location,
-    flag_any_like,
-    null_flag,
-)
 from albedo_spark.io import load_table
 from albedo_spark.operators.dedup import (
     exact_duplicates,
