@@ -272,3 +272,79 @@ def content_defined_chunks(
         F.size("_c").cast("long").alias("n_tokens"),
         F.concat_ws(" ", F.col("_c")).alias("chunk_text"),
     )
+
+
+def text_tiling_boundaries(
+    docs: DataFrame,
+    block_tokens: int = 16,
+    threshold_x10k: int = 3000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling-style topic-boundary detection (Hearst 1997, the block
+    comparison form): split each document into fixed ``block_tokens``
+    blocks, score every ADJACENT block pair by distinct-token Jaccard
+    (×10⁴ integer), and flag a semantic boundary where the similarity
+    dips below ``threshold_x10k`` — the SEMANTIC chunking complement to
+    ``chunk_documents`` (positional) and ``content_defined_chunks``
+    (content-hash): boundaries land where the vocabulary actually
+    shifts, which is where a RAG chunk should end.
+
+    Output: one row per adjacent pair ``(id, pair_idx, sim_x10k,
+    is_boundary)`` — pair_idx i scores blocks i and i+1, so a boundary
+    at i means "cut before block i+1". Docs shorter than two blocks
+    yield no rows (nothing to segment).
+
+    Plan: ZERO shuffles — token array, block array (distinct tokens per
+    block) and pair scores are each materialized behind a projection
+    boundary (the q132 lambda-capture discipline) and the pair scoring
+    is one ``transform`` over the block array + a posexplode. Integer
+    Jaccard end-to-end; the oracle replays block slicing and
+    intersection exactly.
+    """
+    from albedo_spark.operators.textstats import tokens
+
+    w = block_tokens
+    with_toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .where(F.size("_toks") >= 2 * w)
+    )
+    n_blocks = F.expr(f"size(_toks) div {w}")
+    with_blocks = with_toks.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_distinct(F.slice(F.col("_toks"), i * w + 1, w)),
+        ).alias("_blocks"),
+    )
+    # one int division per pair, floored after — a single identically-
+    # rounded IEEE op in every engine (inputs are exact ints)
+    sims = F.transform(
+        F.sequence(F.lit(0), F.size("_blocks") - 2),
+        lambda i: (
+            F.size(
+                F.array_intersect(
+                    F.element_at(F.col("_blocks"), i + 1),
+                    F.element_at(F.col("_blocks"), i + 2),
+                )
+            )
+            * 10000
+        )
+        / F.size(
+            F.array_union(
+                F.element_at(F.col("_blocks"), i + 1),
+                F.element_at(F.col("_blocks"), i + 2),
+            )
+        ),
+    )
+    return (
+        with_blocks.select(F.col(id_col), F.posexplode(sims).alias("pair_idx", "_s"))
+        .select(
+            id_col,
+            "pair_idx",
+            F.floor("_s").cast("long").alias("sim_x10k"),
+            (F.floor("_s") < threshold_x10k).alias("is_boundary"),
+        )
+    )

@@ -6859,6 +6859,49 @@ def q139_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q140_text_tiling",
+    """
+    WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    sized AS (SELECT doc_id, w, len(w) // 16 AS k FROM docs WHERE len(w) >= 32),
+    blocks AS (
+        SELECT doc_id, i, list_distinct(w[i*16 + 1 : i*16 + 16]) AS b
+        FROM sized, unnest(range(k)) AS r(i)
+    ),
+    pairs AS (
+        SELECT a.doc_id, a.i AS pair_idx,
+               floor((len(list_intersect(a.b, bb.b)) * 10000)
+                     / len(list_distinct(list_concat(a.b, bb.b)))) AS s
+        FROM blocks a JOIN blocks bb ON a.doc_id = bb.doc_id AND bb.i = a.i + 1
+    )
+    SELECT doc_id, CAST(pair_idx AS BIGINT) AS pair_idx,
+           CAST(s AS BIGINT) AS sim_x10k,
+           s < 3000 AS is_boundary
+    FROM pairs
+    """,
+)
+def q140_text_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic-boundary scores (operators/packing.py
+    text_tiling_boundaries; Hearst 1997): adjacent 16-token blocks scored
+    by integer distinct-token Jaccard, boundary where the vocabulary
+    similarity dips below 0.3 — the SEMANTIC chunking signal next to
+    q78's positional windows and q132's content-hash cuts: a RAG chunk
+    should end where the topic shifts, and this is the classic cheap
+    detector for "where". ZERO shuffles (the q132 map-only family): token
+    array → block array → pair scores, each materialized behind a
+    projection boundary so no lambda re-evaluates its captured
+    expression. One int division per pair, floored — a single
+    identically-rounded IEEE op in both engines."""
+    from albedo_spark.operators.packing import text_tiling_boundaries
+
+    d = _t(spark, sf_dir, "documents")
+    return text_tiling_boundaries(d, block_tokens=16, threshold_x10k=3000)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -6969,6 +7012,7 @@ _POST_WINDOW = [
     "q137_cms_heavy_hitters",
     "q138_correlation_matrix",
     "q139_chi2_drift",
+    "q140_text_tiling",
     "q130_unicode_normalize",
     "q91_line_boilerplate",
     "q104_repeated_spans",

@@ -127,6 +127,7 @@ HEADLINE2 = [
     "q137_cms_heavy_hitters",
     "q138_correlation_matrix",
     "q139_chi2_drift",
+    "q140_text_tiling",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -511,3 +511,25 @@ def test_content_defined_chunks_divisor_one_is_per_token(spark):
         key=lambda r: r.chunk_id,
     )
     assert [r.chunk_text for r in out] == ["a", "b", "c", "d"]
+
+
+def test_text_tiling_detects_topic_shift(spark):
+    from albedo_spark.operators.packing import text_tiling_boundaries
+
+    topic_a = "cat dog bird fish lion tiger bear wolf fox deer owl bat rat cow pig hen"
+    topic_b = "sql join index query table column schema view trigger cursor plan lock row page log disk"
+    doc = topic_a + " " + topic_a + " " + topic_b + " " + topic_b
+    short = "too short to segment"
+    df = spark.createDataFrame([(1, doc), (2, short)], "doc_id long, text string")
+    rows = sorted(
+        text_tiling_boundaries(df, block_tokens=16, threshold_x10k=3000).collect(),
+        key=lambda r: (r.doc_id, r.pair_idx),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # under two blocks -> nothing to segment
+    sims = [r.sim_x10k for r in by_doc[1]]
+    # pairs: (a,a) identical -> 10000; (a,b) disjoint topics -> 0; (b,b) -> 10000
+    assert sims == [10000, 0, 10000]
+    assert [r.is_boundary for r in by_doc[1]] == [False, True, False]

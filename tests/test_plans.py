@@ -213,6 +213,7 @@ def test_q94_window_group_limit(spark):
         "q116_blocklist_filter",
         "q130_unicode_normalize",
         "q132_content_defined_chunks",
+        "q140_text_tiling",
     ],
 )
 def test_map_only_stages_have_no_exchange(spark, name):
