@@ -194,12 +194,11 @@ def cms_heavy_hitters(
     width: int = 64,
 ) -> DataFrame:
     """EXACT heavy hitters (keys with count ≥ threshold) via the classic
-    two-pass sketch-then-verify plan: pass 1 builds the CMS and folds its
-    ``depth × width`` cells back into the plan AS LITERALS (the
-    hyperplane/pivot literal-fold precedent — one bounded collect of a
-    constant-size sketch); pass 2 filters rows MAP-SIDE to candidates
-    whose sketch estimate clears the threshold, and only candidates
-    reach the exact groupBy.
+    two-pass sketch-then-verify plan: pass 1 builds the CMS (a
+    constant-size frame, lazily checkpointed); pass 2 attaches each
+    row's ``depth`` probe cells via BROADCAST joins — map-side, no
+    shuffle of the fact rows — and only rows whose sketch estimate
+    clears the threshold reach the exact groupBy.
 
     Correct by the CMS one-sided bound: estimates never undercount, so
     every true heavy key survives the filter (NO false negatives —
@@ -207,32 +206,38 @@ def cms_heavy_hitters(
     the q137 oracle); false positives are removed by the exact count.
     The value is the plan: on a zipf-tailed 100 TB key column the exact
     aggregate's reduce-side state drops from |key universe| to
-    |candidates| — the long tail never shuffles — while the plain
-    groupBy carries every distinct key to a reducer. Degenerate sketch
-    saturation (threshold below the collision noise floor) degrades
-    to the plain plan, never to a wrong answer.
+    |candidate keys| — the long tail never reaches a reducer — while
+    the plain groupBy allocates hash state for every distinct key.
+
+    SIZE THE WIDTH: the filter only bites when the sketch's collision
+    noise ``e·N/width`` sits well below ``threshold`` — an undersized
+    sketch saturates and passes everything (measured in
+    tools/scale_cms.py: width 256 at N=4M/t=2000 filters nothing; width
+    16384 cuts the key state ~200×). Saturation degrades to the plain
+    plan, never to a wrong answer. Broadcast joins (not literal-folding
+    the cells into the plan) are what let width grow to millions of
+    cells — a few MB broadcast, the same ceiling as any dimension
+    broadcast.
     """
-    cells = build_cms(df, key_col, depth, width).collect()
-    grid: list[list[int]] = [[0] * width for _ in range(depth)]
-    for r in cells:
-        grid[r.row][r.bucket] = r.cell
+    sketch = build_cms(df, key_col, depth, width).localCheckpoint(eager=False)
     key = F.col(key_col).cast("string")
-    ests = [
-        F.element_at(
-            F.array(*[F.lit(c) for c in grid[r]]),
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"cms:{r}:"), key)), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % width
-                + 1
-            ).cast("int"),
+    probed = df
+    for r in range(depth):
+        bucket_r = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms:{r}:"), key)), 1, 8), 16, 10
+            ).cast("long")
+            % width
         )
-        for r in range(depth)
-    ]
-    candidates = df.where(F.least(*ests) >= threshold)
+        cells_r = sketch.where(F.col("row") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("cell").alias(f"_c{r}")
+        )
+        probed = probed.withColumn(f"_b{r}", bucket_r).join(
+            F.broadcast(cells_r), f"_b{r}"
+        )
+    candidates = probed.where(
+        F.least(*[F.col(f"_c{r}") for r in range(depth)]) >= threshold
+    )
     return (
         candidates.groupBy(key_col)
         .agg(F.count("*").alias("n"))

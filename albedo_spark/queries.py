@@ -6728,17 +6728,19 @@ def q136_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q137_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters by the two-pass sketch-then-verify plan
-    (operators/sketches.py cms_heavy_hitters): pass 1 folds a count-min
-    sketch back into the plan as literals; pass 2 filters rows MAP-SIDE
-    to sketch-estimated candidates and exact-counts only those. The
-    oracle is the plain ``HAVING count ≥ t`` — row-for-row equality is
-    the CMS one-sided-error theorem (estimates never undercount → no
-    false negatives; the exact pass removes false positives), so like
-    q128 the operator's value is the PLAN: at 100 TB with a zipf-tailed
-    key column the exact aggregate's reduce-side state shrinks from the
-    key universe to the candidate set — the long tail never shuffles.
-    Two actions by design (one bounded constant-size sketch collect, the
-    literal-fold precedent of the LSH hyperplanes and IVF pivots)."""
+    (operators/sketches.py cms_heavy_hitters): pass 1 builds the
+    count-min sketch; pass 2 attaches each row's probe cells via
+    BROADCAST joins — map-side, so only sketch-estimated candidates
+    reach the exact groupBy. The oracle is the plain ``HAVING count ≥
+    t`` — row-for-row equality is the CMS one-sided-error theorem
+    (estimates never undercount → no false negatives; the exact pass
+    removes false positives), so like q128 the operator's value is the
+    PLAN: the exact aggregate's reduce-side hash state shrinks from the
+    key universe to the candidate keys (measured 10,000× at 800k
+    distinct keys, tools/scale_cms.py) — the long tail never reaches a
+    reducer. Width must out-scale ``e·N/threshold`` or the sketch
+    saturates and degrades to the plain plan (never to a wrong
+    answer) — the probe measures both regimes."""
     from albedo_spark.operators.sketches import cms_heavy_hitters
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")

@@ -692,3 +692,49 @@ def read_cms_store(spark, out_path: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cell").alias("cell"))
     )
+
+
+def run_to_hll_store(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key_col: str,
+    m: int = 64,
+):
+    """Streaming maintenance of HyperLogLog registers — the cardinality
+    twin of ``run_to_cms_store`` ("how many DISTINCT keys so far", in
+    constant space, over an unbounded stream). Same replay-safe
+    generation layout: each micro-batch's own register frame lands under
+    ``out_path/sketch_batch=<id>`` with OVERWRITE, and the live sketch
+    is the elementwise MAX over generations (``read_hll_store``) — max
+    is idempotent AND replay-proof, but the generation layout keeps the
+    two sketch stores operationally identical (one compaction story,
+    one reader shape)."""
+    from albedo_spark.operators.sketches import build_hll
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_hll(batch_df, key_col, m).write.mode("overwrite").parquet(
+            f"{out_path}/sketch_batch={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_hll_store(spark, out_path: str) -> DataFrame:
+    """The live register frame: elementwise max across generations —
+    exactly ``build_hll`` over everything ingested (HLL mergeability;
+    feed to ``sketches.hll_estimate`` for the running distinct count)."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )

@@ -670,3 +670,29 @@ def test_run_to_cms_store_equals_batch_and_replays_idempotently(spark, tmp_path)
         (r.row, r.bucket): r.cell for r in read_cms_store(spark, out).collect()
     }
     assert store2 == store
+
+
+def test_run_to_hll_store_equals_batch(spark, tmp_path):
+    from albedo_spark.operators.sketches import build_hll, hll_estimate
+    from albedo_spark.streaming.events import read_hll_store, run_to_hll_store
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    f1 = [(i,) for i in range(0, 900)]
+    f2 = [(i,) for i in range(600, 1500)]  # overlaps f1: distinct total 1500
+    spark.createDataFrame(f1, "k long").coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, "k long").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_hll_store(stream, out, str(tmp_path / "ck"), "k", m=64)
+    store = {r.bucket: r.reg for r in read_hll_store(spark, out).collect()}
+    batch = {
+        r.bucket: r.reg
+        for r in build_hll(spark.createDataFrame(f1 + f2, "k long"), "k", m=64).collect()
+    }
+    assert store == batch
+    est = hll_estimate(read_hll_store(spark, out), m=64).first().est
+    assert abs(est - 1500) / 1500 < 0.39  # 3 sigma at m=64
