@@ -434,15 +434,24 @@ def chi2_drift(
             "key",
             "n_a",
             "n_b",
+            # an EMPTY snapshot has no expected counts — its side
+            # contributes 0 instead of dividing by zero (the comparison
+            # is degenerate; the caller still sees the other side's term)
             (
-                F.expr(
-                    "(10000 * (n_a*_g - _r*_ta) * (n_a*_g - _r*_ta))"
-                    " div (_g * _r * _ta)"
-                )
-                + F.expr(
-                    "(10000 * (n_b*_g - _r*_tb) * (n_b*_g - _r*_tb))"
-                    " div (_g * _r * _tb)"
-                )
+                F.when(
+                    F.col("_ta") > 0,
+                    F.expr(
+                        "(10000 * (n_a*_g - _r*_ta) * (n_a*_g - _r*_ta))"
+                        " div (_g * _r * _ta)"
+                    ),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("_tb") > 0,
+                    F.expr(
+                        "(10000 * (n_b*_g - _r*_tb) * (n_b*_g - _r*_tb))"
+                        " div (_g * _r * _tb)"
+                    ),
+                ).otherwise(F.lit(0))
             ).alias("chi2_contrib_x10k"),
         )
     )

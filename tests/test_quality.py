@@ -243,3 +243,17 @@ def test_chi2_drift_detects_shift_and_keeps_vanished_categories(spark):
         10000 * (40 * g - r_ * tb) ** 2
     ) // (g * r_ * tb)
     assert got["en"].chi2_contrib_x10k == exp
+
+
+def test_chi2_drift_empty_snapshot_contributes_zero(spark):
+    from albedo_spark.operators.quality import chi2_drift
+
+    a = spark.createDataFrame([("en",), ("de",)], "lang string")
+    b = spark.createDataFrame([], "lang string")
+    got = {r.key: r for r in chi2_drift(a, b, "lang").collect()}
+    # degenerate comparison: no expected counts on the empty side ->
+    # zero contribution instead of a divide-by-zero, rows preserved
+    assert set(got) == {"en", "de"}
+    assert all(r.n_b == 0 for r in got.values())
+    # a-side term is also 0 here: o == e exactly when the other total is 0
+    assert all(r.chi2_contrib_x10k == 0 for r in got.values())
