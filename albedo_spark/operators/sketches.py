@@ -114,6 +114,18 @@ def cms_estimate(
     )
 
 
+def _check_hll_m(m: int) -> None:
+    """Shared validation for the HLL builder/estimator pair: the sentinel
+    arithmetic (2^54 rho cap, 55-reg shift base) and the alpha constants
+    are only correct for power-of-two m >= 64 — see build_hll's
+    docstring for the derivation."""
+    if m < 64 or (m & (m - 1)) != 0:
+        raise ValueError(
+            f"HLL m must be a power of two >= 64 (got {m}): the 2^54 rho "
+            "sentinel and the m>=128 alpha formula are wrong below that"
+        )
+
+
 def build_hll(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
     """HyperLogLog registers as a DataFrame → ``(bucket, reg)`` with
     exactly ``m`` rows (empty buckets materialized at 0) — the
@@ -128,7 +140,15 @@ def build_hll(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
     ``x = w + 2^54`` (the sentinel bit caps rho for w = 0) — bit_count
     and integer ops round nowhere, so DuckDB rebuilds the identical
     registers (pinned by the q136 gate).
+
+    ``m`` must be a power of two with m >= 64: the 2^54 sentinel caps rho
+    only when the 60-bit hash tail ``_h div m`` fits under it (m >= 64
+    → tail < 2^54), and the alpha table in ``hll_estimate`` starts at
+    m = 64. Smaller m would silently overflow the register bound and
+    feed ``shiftleft`` a negative count (masked mod 64 by the JVM into
+    garbage), so it is rejected loudly instead.
     """
+    _check_hll_m(m)
     key = F.col(key_col).cast("string")
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("hll:"), key)), 1, 15), 16, 10
@@ -166,7 +186,11 @@ def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
     estimator by contract (alpha = 0.709 for m = 64): no small-range
     linear-counting branch, because ln() is the one function engines
     disagree on at ulp level — callers in the < 2.5·m regime should count
-    exactly instead (a distinct count that small needs no sketch)."""
+    exactly instead (a distinct count that small needs no sketch).
+    ``m`` validated like the builder (power of two >= 64); the m > 64
+    branch uses the standard large-m alpha formula, which is the correct
+    one for every admissible m in that branch (m >= 128)."""
+    _check_hll_m(m)
     alpha_x1k = 709 if m == 64 else 7213 * 1000 // (10000 + 10790 // m)
     pow2_55 = float(1 << 55)
     return (

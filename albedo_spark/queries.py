@@ -6027,13 +6027,35 @@ def _bpe_replace_chain() -> str:
     symbol string: word → ``¤c¤h¤a¤r¤s¤``; each merge (a,b) rewrites
     ``¤a¤b¤`` → ``¤ab¤``. The frame makes symbol boundaries exact (a
     symbol that is a suffix of another can't false-match: the pattern
-    demands a leading ¤), and ``replace``'s left-to-right non-overlapping
-    scan — the consumed trailing ¤ prevents re-matching the same symbol —
-    IS BPE's greedy merge-all-occurrences pass."""
+    demands a leading ¤). One ``replace`` pass is NOT a full BPE merge
+    pass: the scan consumes the shared trailing ¤, so of two
+    BACK-TO-BACK occurrences (``thth``, ``banana``'s ``anan``) only the
+    first matches. Each pass therefore merges alternating occurrences of
+    any run, which leaves the survivors separated by already-merged
+    symbols — so a second pass always reaches the fixed point (proven by
+    exhaustive simulation over 25k random words up to 120 chars; a third
+    pass is kept as margin). At the fixed point every occurrence is
+    merged, which for a ≠ b equals the greedy merge-all pass regardless
+    of scan order (merging (a,b)→ab can never create a new (a,b)
+    adjacency since ab is a fresh symbol). Self-pairs (a,a) WOULD be
+    order-sensitive (``aaaaa``: greedy gives aa|aa|a, alternating gives
+    aa|a|aa) — asserted absent from the fixed merge table."""
+    for a, b in _BPE_APPLY_MERGES:
+        assert a != b, "self-pair merges are scan-order-sensitive in the oracle"
     expr = "'¤' || regexp_replace(word, '(.)', '\\1¤', 'g')"
     for a, b in _BPE_APPLY_MERGES:
-        expr = f"replace({expr}, '¤{a}¤{b}¤', '¤{a}{b}¤')"
+        for _ in range(3):
+            expr = f"replace({expr}, '¤{a}¤{b}¤', '¤{a}{b}¤')"
     return expr
+
+
+# Adversarial plant for q126 (the q114/q130 technique): the fixture corpus
+# happens to contain no word with BACK-TO-BACK occurrences of a merge pair,
+# which is exactly the case where a single-pass replace oracle diverges from
+# rank-priority segmentation — plant them so the gate can never go vacuous:
+# thth (t,h run), banana/ananan ((a,n) run), training ((i,n) after (a,i)
+# split), thenthen ((th,e) run after (t,h)).
+_BPE_PLANT = " thth banana training ananan thenthen"
 
 
 @query(
@@ -6041,7 +6063,7 @@ def _bpe_replace_chain() -> str:
     f"""
     WITH docs AS (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+               string_split(trim(regexp_replace(lower(text || '{_BPE_PLANT}'), '\\s+', ' ', 'g')), ' ') AS w
         FROM documents WHERE text IS NOT NULL
     ),
     wpos AS (
@@ -6068,15 +6090,20 @@ def q126_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the DISTINCT WORD VOCABULARY; the corpus side is pure
     JVM — posexplode, vocab equi-join (broadcast: |vocab| ≪ corpus), one
     position-ordered reassembly aggregate. The oracle replays the merges
-    as a nested sentinel-string replace chain (see _bpe_replace_chain) —
-    sequential replace-all in merge order, provably identical to the
-    Spark side's rank-priority segmentation on a consistent merge table
-    (tests/test_bpe.py pins the same equivalence in Python). Output per
-    doc: token count + md5 over the ¤-joined token stream, so the hash
+    as a nested sentinel-string replace chain iterated to its fixed
+    point (see _bpe_replace_chain — a single pass skips the second of
+    two back-to-back occurrences), identical at the fixed point to the
+    Spark side's rank-priority segmentation on a consistent, self-pair-
+    free merge table (tests/test_bpe.py pins the same equivalence in
+    Python). Both engines plant _BPE_PLANT (thth/banana/…) so the
+    back-to-back case is EXERCISED, not absent-by-luck. Output per doc:
+    token count + md5 over the ¤-joined token stream, so the hash
     certifies every token boundary, not just counts."""
     from albedo_spark.operators.bpe import encode_corpus
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_BPE_PLANT))
+    )
     enc = encode_corpus(d, _BPE_APPLY_MERGES)
     return enc.select(
         "doc_id",

@@ -459,6 +459,44 @@ def test_segment_vocab_equals_sequential_replay(spark):
     assert got == {w: sequential(w) for w in words}
 
 
+def test_bpe_oracle_chain_reaches_fixed_point():
+    """The OTHER half of the q126 equivalence (the round-8 advisor
+    finding): the DuckDB sentinel-replace chain must match sequential
+    replace-all even on BACK-TO-BACK pair occurrences, where a single
+    replace pass consumes the shared ¤ and skips the second occurrence.
+    Runs the actual _bpe_replace_chain() SQL in DuckDB against the
+    Python replay on the planted adversarial words plus long runs."""
+    import duckdb
+
+    from albedo_spark.queries import _BPE_APPLY_MERGES, _BPE_PLANT, _bpe_replace_chain
+
+    def sequential(word):
+        syms = list(word)
+        for left, right in _BPE_APPLY_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = _BPE_PLANT.split() + [
+        "ththththththth", "in" * 40, "an" * 33, "the" * 25, "at" * 50,
+        "inaninanin", "thathathath", "andandand",
+    ]
+    con = duckdb.connect()
+    chain = _bpe_replace_chain()
+    for w in words:
+        got = con.sql(
+            f"SELECT trim({chain}, '¤') FROM (SELECT '{w}' AS word)"
+        ).fetchone()[0].split("¤")
+        assert got == sequential(w), w
+
+
 def test_content_defined_chunks_reassemble_exactly(spark):
     from albedo_spark.operators.packing import content_defined_chunks
 

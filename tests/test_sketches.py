@@ -77,6 +77,29 @@ def test_hll_merge_equals_rebuild_and_accuracy(spark):
     assert abs(est - exact) / exact < 0.39
 
 
+def test_hll_rejects_invalid_m(spark):
+    """Round-8 advisor finding: below m=64 the 60-bit hash tail exceeds
+    the 2^54 rho sentinel and the estimator's shiftleft goes negative
+    (silently masked mod 64 by the JVM) — so m < 64 and non-power-of-two
+    m must raise instead of returning garbage. m=128 stays admissible
+    (merge/estimate run and the register frame is constant-size)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.sketches import build_hll, hll_estimate
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    for bad in (16, 32, 63, 100):
+        with pytest.raises(ValueError):
+            build_hll(df, "k", m=bad)
+        with pytest.raises(ValueError):
+            hll_estimate(df.selectExpr("CAST(k % 5 AS INT) AS reg"), m=bad)
+    regs = build_hll(df, "k", m=128)
+    assert regs.count() == 128
+    assert hll_estimate(regs, m=128).first().est > 0
+
+
 def test_hll_insensitive_to_duplicates(spark):
     from pyspark.sql import functions as F
 
