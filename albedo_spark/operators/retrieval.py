@@ -129,3 +129,58 @@ def bm25_search(
         .where(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "rank", "bm25_x10k")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    top_k: int = 10,
+    k_const: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings → ``(query_id,
+    doc_id, n_legs, rrf_x1e6, rank)`` — the standard hybrid-search
+    combiner (Cormack, Clarke & Büttcher 2009): each leg contributes
+    ``1/(k + rank)``, here as the exact BIGINT ``10^6 div (k + rank)``
+    so the fused score is an order-independent integer sum both engines
+    hash identically (k = 60, the paper's constant). RRF needs only
+    RANKS from each leg — BM25 points and cosine floats never have to be
+    calibrated against each other, which is exactly why it is the
+    default fusion in hybrid lexical+dense retrieval.
+
+    Inputs are whatever each leg's operator emitted (``bm25_search``,
+    ``cosine_knn``, ``quantized_knn``…) as long as they carry (query,
+    doc, rank) under the given names; ``n_legs`` reports how many legs
+    ranked the doc (a doc missing from a leg simply contributes 0 —
+    the fusion semantics, not an outer-join artifact).
+
+    Plan at scale: each leg is already a per-query top-k (bounded:
+    |queries| × k rows), so the fusion input is broadcast-scale no
+    matter the corpus; one union + one tiny grouped sum + the pinned
+    row_number idiom (fused desc, doc asc). The heavy lifting stays
+    inside the legs, where each index (postings, ANN buckets) does its
+    own pruning."""
+    legs = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"1000000 div ({k_const} + {rank_col})").alias("_c"),
+        )
+        for r in rankings
+    ]
+    allc = legs[0]
+    for nxt in legs[1:]:
+        allc = allc.unionByName(nxt)
+    fused = allc.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_legs"),
+        F.sum("_c").alias("rrf_x1e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_x1e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "n_legs", "rrf_x1e6", "rank")
+    )

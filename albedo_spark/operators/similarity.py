@@ -749,3 +749,120 @@ def mmr_select(
     return vectors.sparkSession.createDataFrame(
         selected, f"rank long, {id_col} long, score_x10k long"
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column → ``(id, qvec
+    array<long>, scale double)``: per-vector max-abs scaling, element
+    ``q = floor(x·127/scale + 0.5)`` (round-half-up, so q ∈ [-127, 127];
+    zero vectors quantize to zeros with scale 0). This is the standard
+    storage/IO lever for 100 TB vector corpora — 4× smaller than float32
+    on the wire and in the ANN store, with the scale kept per vector so
+    approximate scores can be de-quantized (``qdot·scale_a·scale_b /
+    127²``) when a caller wants cosine-comparable values.
+
+    Determinism contract: scale is an exact max over exactly-cast
+    doubles, and the per-element chain ``(x·127.0)/scale + 0.5 → floor``
+    is one fixed IEEE op sequence, so DuckDB reproduces every quantized
+    integer bit-for-bit (the q115/q133 float rule) and everything
+    downstream of quantization is pure BIGINT — order-independent sums,
+    hashable by the gate. Plan: a single map-side projection, no
+    shuffle; the HOF lambdas only touch materialized columns (the q132
+    projection-boundary discipline)."""
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+    ).withColumn(
+        "scale", F.array_max(F.transform(F.col("_e"), lambda x: F.abs(x)))
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("_e"),
+            lambda x: F.floor(x * F.lit(127.0) / F.col("scale") + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.transform(F.col("_e"), lambda x: F.lit(0).cast("long")))
+    out = staged.select(id_col, q.alias("qvec"), "scale")
+    # Integer squared norm alongside the codes: Σ q² ≤ dim·127² stays far
+    # inside BIGINT, and carrying it lets consumers rank by QUANTIZED
+    # COSINE (qdot / √(qn_a·qn_b)) — the scale factors cancel in the
+    # ratio, so no float enters until one final sqrt+divide.
+    return out.withColumn(
+        "qnorm2",
+        F.aggregate(
+            F.col("qvec"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ),
+    )
+
+
+def quantized_knn(
+    corpus: DataFrame,
+    query_ids,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k under int8-quantized COSINE → ``(query_id,
+    neighbor_id, qdot, qcos, rank)``: quantize the corpus ONCE
+    (map-side), broadcast the quantized query rows, score with the
+    BIGINT dot ``Σ qa[i]·qb[i]`` normalized by the integer squared
+    norms — ``qcos = qdot / √(qn_a·qn_b)`` (the per-vector scales
+    cancel in the ratio, so the ONLY floats are one cast, one sqrt and
+    one divide per pair — a fixed IEEE sequence both engines replay) —
+    and rank with the pinned row_number idiom (qcos desc, neighbor id
+    asc). ``query_ids`` is a Column predicate selecting the query
+    subset from the corpus (queries share the corpus id space;
+    self-matches are excluded). Cosine, not raw dot, is the ranking
+    metric: raw quantized dot conflates direction with magnitude and
+    measurably degrades agreement with exact cosine (0.70 → 1.00
+    recall@5 on the fixture embeddings — pinned in pytest).
+
+    Why this exists next to ``cosine_knn``: at 100 TB the quantized
+    corpus is what you SHIP — reading 16 GB of int8 + one long norm per
+    vector instead of 64 GB of float32 per billion 64-dim vectors — and
+    the scoring loop is long multiplies inside whole-stage codegen
+    instead of double folds."""
+    qz = quantize_int8(corpus, vec_col, id_col)
+    queries = qz.where(query_ids).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("_qq"),
+        F.col("qnorm2").alias("_qn"),
+    )
+    scored = (
+        qz.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm2")
+        .join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("qvec"), F.col("_qq"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("qdot"),
+            F.col("qnorm2"),
+            F.col("_qn"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qdot",
+            F.when(
+                (F.col("qnorm2") > 0) & (F.col("_qn") > 0),
+                F.col("qdot").cast("double")
+                / F.sqrt((F.col("qnorm2") * F.col("_qn")).cast("double")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("qcos"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("qcos").desc(), F.col("neighbor_id").asc()],
+        k,
+        keep_rank=True,
+    )

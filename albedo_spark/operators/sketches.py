@@ -267,3 +267,217 @@ def cms_heavy_hitters(
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= threshold)
     )
+
+
+def build_hll_by(
+    df: DataFrame, group_col: str, key_col: str, m: int = 64
+) -> DataFrame:
+    """Per-group HyperLogLog registers → ``(group, bucket, reg)`` with
+    exactly ``m`` rows PER GROUP (empty buckets zero-filled against the
+    group's own grid) — ``build_hll`` lifted to a keyed sketch table:
+    one register frame per language / domain / day, all mergeable by
+    ``(group, bucket)`` max (``merge_hll_by``), so per-partition
+    cardinalities roll up into any union of groups without re-reading
+    data.
+
+    Plan at 100 TB: identical to the global builder — one projection
+    computing (bucket, rho) per row, ONE partial-aggregated shuffle
+    whose reduce state is |groups| × m registers (constant per group,
+    the whole point vs an exact |groups| × |keys| distinct). The
+    zero-fill grid is distinct-groups × range(m): the group list is a
+    by-product of the same aggregate, broadcast-scale relative to the
+    fact table. Register math is the md5/bit_count chain of
+    ``build_hll`` — engine-exact, the q136 gate discipline."""
+    _check_hll_m(m)
+    key = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), key)), 1, 15), 16, 10
+    ).cast("long")
+    sentinel = 1 << 54
+    rows = df.select(F.col(group_col).alias("grp"), h.alias("_h")).select(
+        "grp",
+        F.expr(f"_h % {m}").alias("bucket"),
+        F.expr(
+            f"bit_count((((_h div {m}) + {sentinel})"
+            f" & -((_h div {m}) + {sentinel})) - 1) + 1"
+        ).alias("rho"),
+    )
+    regs = rows.groupBy("grp", "bucket").agg(F.max("rho").alias("reg"))
+    grid = (
+        df.select(F.col(group_col).alias("grp"))
+        .distinct()
+        .crossJoin(
+            df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+        )
+    )
+    return (
+        grid.join(regs, ["grp", "bucket"], "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "bucket",
+            F.coalesce(F.col("reg"), F.lit(0)).cast("int").alias("reg"),
+        )
+    )
+
+
+def merge_hll_by(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Keyed register merge: elementwise max by (group, bucket) —
+    hll(A ∪ B) == merge per group EXACTLY, same as the global
+    ``merge_hll``. Groups absent from one side pass through (their grid
+    rows exist only on the side that saw them)."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_col: str, m: int = 64
+) -> DataFrame:
+    """Per-group raw HLL estimate → ``(group, est)``: the
+    ``hll_estimate`` BIGINT-exact reciprocal sum (``Σ 2^(55 − reg)``,
+    order-independent) turned into one grouped aggregate — |groups|
+    output rows from |groups| × m register rows, no data re-read. Same
+    raw-estimator contract as the global function (no linear-counting
+    branch; callers below ~2.5·m distincts per group should count
+    exactly)."""
+    _check_hll_m(m)
+    alpha_x1k = 709 if m == 64 else 7213 * 1000 // (10000 + 10790 // m)
+    pow2_55 = float(1 << 55)
+    return (
+        registers.groupBy(group_col)
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - reg)")).alias("_s")
+        )
+        .select(
+            group_col,
+            F.floor(
+                F.lit(float(alpha_x1k))
+                * F.lit(float(m * m))
+                * F.lit(pow2_55)
+                / F.col("_s").cast("double")
+                / F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("est"),
+        )
+    )
+
+
+def build_histogram(
+    df: DataFrame,
+    value_col,
+    boundaries: list[int],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-boundary counting histogram → ``(bucket, cnt)`` (or
+    ``(group, bucket, cnt)``) with every bucket materialized, zeros
+    included — the QUANTILE member of the sketch family (CMS =
+    frequency, HLL = cardinality, Bloom = membership): len(boundaries)+1
+    BIGINT cells regardless of input size, mergeable by elementwise SUM
+    (``cnt`` adds across batches/days — the same positional-union
+    contract as ``build_cms``), one partial-aggregated shuffle to build.
+
+    ``value_col`` must already be an integer-valued Column (callers
+    scale floats with the package's ``floor(x·10^k + 0.5)`` idiom so
+    both engines bucket the identical integer). ``boundaries`` are
+    literal UPPER bucket edges, strictly increasing: bucket b counts
+    values v with boundaries[b-1] < v <= boundaries[b]; bucket
+    len(boundaries) is the overflow cell (> last edge). Bucketing is
+    ``size(filter(edges, e -> e < v))`` — a pure JVM higher-order
+    expression over a literal array (no shuffle, no UDF), replayed
+    verbatim by DuckDB ``len(list_filter(...))``.
+
+    Exact-where-it-matters contract: the histogram is a SKETCH of the
+    distribution (quantile error bounded by bucket width — you choose
+    the resolution with the edge list), but its cells are EXACT counts,
+    so the oracle hashes cell values, not a tolerance."""
+    edges = sorted(boundaries)
+    assert list(boundaries) == edges and len(set(edges)) == len(edges), (
+        "boundaries must be strictly increasing"
+    )
+    edges_arr = F.array(*[F.lit(int(e)).cast("long") for e in edges])
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    keys = ([group_col] if group_col else []) + ["bucket"]
+    # Projection boundary BEFORE the HOF lambda: a computed value_col
+    # captured inside filter() would re-evaluate once per edge (the q132
+    # lesson) — materialize it as a plain column first.
+    staged = df.select(
+        *([group_col] if group_col else []), v.cast("long").alias("_v")
+    )
+    rows = staged.select(
+        *([group_col] if group_col else []),
+        F.size(F.filter(edges_arr, lambda e: e < F.col("_v"))).alias("bucket"),
+    )
+    counts = rows.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    grid = df.sparkSession.range(len(edges) + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    if group_col:
+        grid = (
+            df.select(group_col).distinct().crossJoin(grid)
+        )
+    return grid.join(counts, keys, "left").select(
+        *keys, F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    boundaries: list[int],
+    quantiles_x100: list[int],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Quantile estimates from a counting histogram → ``(q_x100, est)``
+    (or ``(group, q_x100, est)``): for each requested percentile q the
+    estimate is the UPPER EDGE of the first bucket whose cumulative
+    count reaches rank ``ceil(q·N/100)`` — the standard histogram
+    quantile read (estimate error ≤ one bucket width), all BIGINT
+    (ranks via ``(N·q + 99) div 100``, edges are literals), so both
+    engines agree bit-for-bit. Values past the last edge estimate as
+    the last edge (the overflow bucket has no upper bound — size the
+    edge list so the tail percentile you care about lands inside it).
+
+    Plan: one window cumsum over ≤ |groups|·(|edges|+1) register rows +
+    a tiny cross with the literal quantile list — nothing touches the
+    source data, which is the point: p50/p90/p99 per group at 100 TB
+    from a constant-size frame, vs percentile_approx's per-query full
+    scan."""
+    edges = sorted(boundaries)
+    keys = [group_col] if group_col else []
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("bucket") if keys else (
+        Window.orderBy("bucket")
+    )
+    cum = hist.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    edges_arr = F.array(*[F.lit(int(e)).cast("long") for e in edges])
+    qs = hist.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles_x100], "q_x100 int"
+    )
+    ranked = cum.join(
+        F.broadcast(qs),
+        F.col("cum") >= F.expr("(n * q_x100 + 99) div 100"),
+    )
+    first = (
+        ranked.groupBy(*keys, "q_x100")
+        .agg(F.min("bucket").alias("_b"))
+        .select(
+            *keys,
+            "q_x100",
+            F.element_at(
+                edges_arr, F.least(F.col("_b"), F.lit(len(edges) - 1)) + 1
+            ).alias("est"),
+        )
+    )
+    return first

@@ -6931,6 +6931,366 @@ def q140_text_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_tiling_boundaries(d, block_tokens=16, threshold_x10k=3000)
 
 
+# Hybrid-retrieval workload for q141: the lexical leg reuses the q127 BM25
+# query set verbatim; the dense leg anchors each query on a fixed SEED
+# document whose embedding stands in for an encoded query vector (the
+# "more-like-this" shape the reference's ES dependency served). Seeds are
+# constants of the query, like the query texts.
+_RRF_SEEDS = [("alpha", 10), ("beta", 120), ("gamma", 230), ("delta", 340)]
+_RRF_SEED_VALUES = ", ".join(f"('{q}', {s})" for q, s in _RRF_SEEDS)
+
+
+@query(
+    "q141_rrf_fusion",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks WHERE w <> '' GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    stats AS (
+        SELECT count(*) AS n_docs, (100 * sum(dl)) // count(*) AS avgdl_x100 FROM dl
+    ),
+    q(query_id, w) AS (VALUES {_BM25_VALUES}),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               sum((((10000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+                    * ((10000 * 22 * tf.tf * s.avgdl_x100)
+                       // (10*tf.tf*s.avgdl_x100 + 3*s.avgdl_x100 + 900*dl.dl)))
+                   // 10000) AS bm25_x10k
+        FROM tf
+        JOIN q USING (w)
+        JOIN dfreq d USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY bm25_x10k DESC, doc_id ASC
+               ) AS rank
+        FROM scored
+    ),
+    seeds(query_id, seed_id) AS (VALUES {_RRF_SEED_VALUES}),
+    qe AS (
+        SELECT s.query_id, s.seed_id, CAST(e.embedding AS DOUBLE[]) AS qv
+        FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id
+    ),
+    dsc AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])) AS cos_raw
+        FROM qe q JOIN embeddings c ON c.vec_id <> q.seed_id
+    ),
+    den AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, doc_id ASC
+               ) AS rank
+        FROM dsc
+    ),
+    legs AS (
+        SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM lex WHERE rank <= 20
+        UNION ALL
+        SELECT query_id, doc_id, 1000000 // (60 + rank) FROM den WHERE rank <= 20
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               CAST(count(*) AS BIGINT) AS n_legs,
+               CAST(sum(c) AS BIGINT) AS rrf_x1e6
+        FROM legs GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_legs, rrf_x1e6, rank FROM (
+        SELECT query_id, doc_id, n_legs, rrf_x1e6,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_x1e6 DESC, doc_id ASC
+               ) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def q141_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion
+    (operators/retrieval.py rrf_fuse over bm25_search + cosine_knn) —
+    the composition a RAG ingestion/search pipeline actually runs:
+    BM25 top-20 on the query TEXT, exact cosine top-20 on a fixed seed
+    document's EMBEDDING (doc_id and vec_id share an id space; at sf0.1
+    the vector index covers only a prefix of the corpus, and RRF's
+    missing-leg-contributes-zero semantics handles the asymmetry — the
+    production case of a lexical index that is always fresher than the
+    ANN index). Fusion score is the exact BIGINT ``Σ 10^6 div (60 +
+    rank)``: RRF needs only ranks, so the float cosine never has to be
+    calibrated against BM25 points, and the fused ordering hashes
+    identically in both engines. Plan: both legs are bounded per-query
+    top-k frames (broadcast scale), so fusion adds one tiny grouped sum
+    + window — the corpus-heavy work stays inside each leg's own
+    pruning (postings join / broadcast GEMM)."""
+    from albedo_spark.operators.retrieval import bm25_search, rrf_fuse
+    from albedo_spark.operators.similarity import cosine_knn
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_search(spark, docs, _BM25_QUERIES, top_k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    seeds = spark.createDataFrame(_RRF_SEEDS, "qname string, seed_id long")
+    qdf = emb.join(
+        F.broadcast(seeds), F.col("vec_id") == F.col("seed_id")
+    ).select(F.col("seed_id").alias("query_id"), "embedding")
+    den = cosine_knn(emb, qdf, k=20).select(
+        F.col("query_id").alias("_sid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    den_named = den.join(
+        F.broadcast(seeds), F.col("_sid") == F.col("seed_id")
+    ).select(F.col("qname").alias("query_id"), "doc_id", "rank")
+    return rrf_fuse([lex, den_named], top_k=10)
+
+
+@query(
+    "q142_lang_hll",
+    """
+    WITH keys AS (
+        SELECT lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+        SELECT lang,
+               CAST(concat('0x', substr(md5('hll:' || w), 1, 15)) AS BIGINT) AS h
+        FROM keys WHERE w <> ''
+    ),
+    regs AS (
+        SELECT lang, h % 64 AS bucket,
+               max(bit_count((((h // 64) + 18014398509481984)
+                   & -((h // 64) + 18014398509481984)) - 1) + 1) AS reg
+        FROM h GROUP BY lang, bucket
+    ),
+    grid AS (
+        SELECT l.lang, g.bucket
+        FROM (SELECT DISTINCT lang FROM h) l,
+             (SELECT unnest(range(64)) AS bucket) g
+    ),
+    f AS (
+        SELECT g.lang, g.bucket, coalesce(r.reg, 0) AS reg
+        FROM grid g LEFT JOIN regs r USING (lang, bucket)
+    ),
+    e AS (
+        SELECT lang,
+               CAST(floor(709.0::DOUBLE * 4096.0::DOUBLE
+                    * 36028797018963968.0::DOUBLE
+                    / CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS DOUBLE)
+                    / 1000.0::DOUBLE) AS BIGINT) AS est
+        FROM f GROUP BY lang
+    )
+    SELECT f.lang, f.bucket, CAST(f.reg AS INT) AS reg, e.est
+    FROM f JOIN e USING (lang)
+    """,
+)
+def q142_lang_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via KEYED HyperLogLog
+    register frames (operators/sketches.py build_hll_by /
+    hll_estimate_by — q136's sketch lifted to a group column): one
+    64-register frame per language, built in ONE partial-aggregated
+    shuffle whose reduce state is |langs|·64 integers instead of the
+    |langs|·|vocab| state of an exact grouped countDistinct — the
+    per-domain/per-day cardinality telemetry a 100 TB corpus pipeline
+    keeps as a tiny mergeable table (merge_hll_by: elementwise max by
+    (lang, bucket), exactness pinned in pytest). The gate hashes EVERY
+    register of every group plus the per-group BIGINT-exact estimate,
+    not a tolerance."""
+    from albedo_spark.operators.sketches import build_hll_by, hll_estimate_by
+    from albedo_spark.operators.textstats import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+    )
+    regs = build_hll_by(toks, "lang", "w", m=64)
+    est = hll_estimate_by(regs, "lang", m=64)
+    return regs.join(F.broadcast(est), "lang").select(
+        "lang", "bucket", "reg", "est"
+    )
+
+
+# Fixed bucket edges for q143, in integer CENTS (floor(price·100 + 0.5)):
+# a 1-1.5-2-3-5-7 ladder spanning the lineitem price range — the histogram
+# resolution is a declared constant of the sketch, like CMS width.
+_HIST_EDGES = [
+    100000, 150000, 200000, 300000, 500000, 700000,
+    1000000, 1500000, 2000000, 3000000, 5000000, 7000000,
+    10000000, 15000000,
+]
+_HIST_EDGES_SQL = "[" + ", ".join(str(e) for e in _HIST_EDGES) + "]"
+
+
+@query(
+    "q143_histogram_quantiles",
+    f"""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    b AS (
+        SELECT flag,
+               len(list_filter({_HIST_EDGES_SQL}, e -> e < cents)) AS bucket
+        FROM v
+    ),
+    counts AS (SELECT flag, bucket, count(*) AS cnt FROM b GROUP BY flag, bucket),
+    grid AS (
+        SELECT fl.flag, g.bucket
+        FROM (SELECT DISTINCT flag FROM v) fl,
+             (SELECT unnest(range({len(_HIST_EDGES) + 1})) AS bucket) g
+    ),
+    hist AS (
+        SELECT g.flag, g.bucket, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        FROM grid g LEFT JOIN counts c USING (flag, bucket)
+    ),
+    cum AS (
+        SELECT flag, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+               sum(cnt) OVER (PARTITION BY flag) AS n
+        FROM hist
+    ),
+    est AS (
+        SELECT c.flag, q.q_x100,
+               ({_HIST_EDGES_SQL})[least(min(c.bucket), {len(_HIST_EDGES) - 1}) + 1] AS est
+        FROM cum c JOIN (VALUES (50), (90), (99)) q(q_x100)
+          ON c.cum >= (c.n * q.q_x100 + 99) // 100
+        GROUP BY c.flag, q.q_x100
+    ),
+    wide AS (
+        SELECT flag,
+               max(CASE WHEN q_x100 = 50 THEN est END) AS p50,
+               max(CASE WHEN q_x100 = 90 THEN est END) AS p90,
+               max(CASE WHEN q_x100 = 99 THEN est END) AS p99
+        FROM est GROUP BY flag
+    )
+    SELECT h.flag AS l_returnflag, CAST(h.bucket AS INT) AS bucket, h.cnt,
+           w.p50, w.p90, w.p99
+    FROM hist h JOIN wide w USING (flag)
+    """,
+)
+def q143_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-boundary histogram + quantile read
+    (operators/sketches.py build_histogram / histogram_quantiles) — the
+    QUANTILE member of the sketch family next to CMS (q134/q137), HLL
+    (q136/q142) and Bloom (q110): per-returnflag price distribution as
+    |edges|+1 EXACT BIGINT cells (constant size at any corpus scale,
+    mergeable by elementwise sum across batches/days — pinned in
+    pytest), then p50/p90/p99 read from the cumulative counts as the
+    first bucket edge reaching rank ``ceil(q·N/100)`` — all integer, so
+    both engines agree on every cell AND every estimate. The 100 TB
+    contrast is q42's exact percentiles: exact needs a full sort per
+    query; the histogram is ONE partial-aggregated scan, and every later
+    percentile question is answered from the constant-size frame without
+    re-reading data (error ≤ one bucket width, a declared constant).
+    Values are bucketed on ``floor(price·100 + 0.5)`` integer cents (the
+    package's scaling idiom) against a literal 1-1.5-2-3-5-7 edge
+    ladder."""
+    from albedo_spark.operators.sketches import build_histogram, histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    hist = build_histogram(li, "cents", _HIST_EDGES, group_col="l_returnflag")
+    qs = histogram_quantiles(
+        hist, _HIST_EDGES, [50, 90, 99], group_col="l_returnflag"
+    )
+    wide = qs.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("q_x100") == 50, F.col("est"))).alias("p50"),
+        F.max(F.when(F.col("q_x100") == 90, F.col("est"))).alias("p90"),
+        F.max(F.when(F.col("q_x100") == 99, F.col("est"))).alias("p99"),
+    )
+    return hist.join(F.broadcast(wide), "l_returnflag").select(
+        "l_returnflag", "bucket", "cnt", "p50", "p90", "p99"
+    )
+
+
+@query(
+    "q144_quantized_ann",
+    """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS scale
+        FROM base
+    ),
+    qv AS (
+        SELECT vec_id,
+               CASE WHEN scale > 0
+                    THEN list_transform(e, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+                    ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q
+        FROM sc
+    ),
+    qn AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+        FROM qv
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS qdot,
+               a.n2 AS na, b.n2 AS nb
+        FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+    ),
+    cosd AS (
+        SELECT query_id, neighbor_id, qdot,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN CAST(qdot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))
+                    ELSE 0.0::DOUBLE END AS qcos
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, qdot, round(qcos, 4) AS qcos, rank FROM (
+        SELECT query_id, neighbor_id, qdot, qcos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC
+               ) AS rank
+        FROM cosd
+    ) WHERE rank <= 5
+    """,
+)
+def q144_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors under int8 scalar quantization
+    (operators/similarity.py quantize_int8 / quantized_knn): per-vector
+    max-abs scale, elements ``floor(x·127/scale + 0.5)`` — ONE fixed
+    IEEE op sequence, so both engines produce identical int8 codes —
+    then QUANTIZED COSINE ranking: BIGINT dot and BIGINT squared norms
+    (order-free integer sums), one cast+sqrt+divide per pair as the
+    only float ops (the scales cancel in the ratio). Cosine, not raw
+    dot, by measurement: raw quantized dot conflates direction with
+    magnitude (0.70 recall@5 vs exact cosine on these embeddings);
+    the normalized ranking recovers 1.00 — pinned in pytest. The
+    100 TB lever this gates: the quantized corpus is 4× smaller on
+    disk and on the broadcast wire than float32, and the scoring loop
+    is long multiplies inside whole-stage codegen instead of double
+    folds. Same query protocol as q23/q71 (every 50th vector, self
+    excluded, row_number tie-broken on neighbor id)."""
+    from albedo_spark.operators.similarity import quantized_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantized_knn(emb, F.col("vec_id") % 50 == 0, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "qdot",
+        F.round("qcos", 4).alias("qcos"),
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -7031,6 +7391,10 @@ _DEMOTED = [
 # demoted above to make room (dedup keeps 5 reps; q82 IS the full-outer
 # shape q50 exercised).
 _POST_WINDOW = [
+    "q141_rrf_fusion",
+    "q142_lang_hll",
+    "q143_histogram_quantiles",
+    "q144_quantized_ann",
     "q126_bpe_encode",
     "q129_label_propagation",
     "q131_adaptive_quality_filter",

@@ -128,6 +128,10 @@ HEADLINE2 = [
     "q138_correlation_matrix",
     "q139_chi2_drift",
     "q140_text_tiling",
+    "q141_rrf_fusion",
+    "q142_lang_hll",
+    "q143_histogram_quantiles",
+    "q144_quantized_ann",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

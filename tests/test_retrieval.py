@@ -91,3 +91,39 @@ def test_bm25_plan_broadcasts_queries_and_stays_jvm(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Fusion arithmetic pinned against hand math: contribution is the
+    exact BIGINT 10^6 div (60 + rank); a doc in both legs sums both,
+    a doc in one leg contributes once (n_legs records which)."""
+    from albedo_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 2), ("q1", 30, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    den = spark.createDataFrame(
+        [("q1", 20, 1), ("q1", 40, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    got = {
+        r.doc_id: (r.n_legs, r.rrf_x1e6, r.rank)
+        for r in rrf_fuse([lex, den], top_k=10).collect()
+    }
+    c = lambda rank: 1000000 // (60 + rank)  # noqa: E731
+    assert got[20] == (2, c(2) + c(1), 1)  # both legs -> top fused
+    assert got[10] == (1, c(1), 2)
+    assert got[40] == (1, c(2), 3)
+    assert got[30] == (1, c(3), 4)
+
+
+def test_rrf_fuse_tie_breaks_on_doc_id(spark):
+    from albedo_spark.operators.retrieval import rrf_fuse
+
+    leg = spark.createDataFrame(
+        [("q1", 7, 1), ("q1", 3, 1)],  # impossible in one real leg, but
+        "query_id string, doc_id long, rank int",  # ties must order by id
+    )
+    rows = rrf_fuse([leg], top_k=2).collect()
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [3, 7]

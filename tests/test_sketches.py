@@ -129,3 +129,134 @@ def test_cms_heavy_hitters_no_false_negatives_and_plan(spark):
     # the candidate filter is map-side: only literal lookups before the agg
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_hll_by_merge_equals_rebuild_and_grid(spark):
+    """Keyed registers: merge_hll_by(hll(A), hll(B)) == hll(A ∪ B) per
+    group EXACTLY; every group carries its full zero-filled 64-bucket
+    grid; groups present on one side only pass through the merge."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.sketches import build_hll_by, merge_hll_by
+
+    a = spark.range(0, 900).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    b = spark.range(600, 1500).select(
+        (F.col("id") % 2 + 10).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    merged = {
+        (r.g, r.bucket): r.reg
+        for r in merge_hll_by(
+            build_hll_by(a, "g", "k"), build_hll_by(b, "g", "k"), "g"
+        ).collect()
+    }
+    rebuilt = {
+        (r.g, r.bucket): r.reg
+        for r in build_hll_by(a.unionByName(b), "g", "k").collect()
+    }
+    assert merged == rebuilt
+    groups = {g for g, _ in rebuilt}
+    assert groups == {"0", "1", "2", "10", "11"}
+    for g in groups:
+        assert sum(1 for gg, _ in rebuilt if gg == g) == 64
+
+
+def test_hll_estimate_by_matches_global_per_group(spark):
+    """The grouped estimator is the global estimator applied per group:
+    for each group, hll_estimate over that group's registers alone gives
+    the identical BIGINT estimate."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.sketches import (
+        build_hll,
+        build_hll_by,
+        hll_estimate,
+        hll_estimate_by,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 4).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    grouped = {
+        r.g: r.est for r in hll_estimate_by(build_hll_by(df, "g", "k"), "g").collect()
+    }
+    for g in ["0", "1", "2", "3"]:
+        solo = hll_estimate(
+            build_hll(df.where(F.col("g") == g), "k")
+        ).first().est
+        assert grouped[g] == solo
+
+
+def test_histogram_merge_equals_rebuild_and_constant_size(spark):
+    """hist(A) + hist(B) elementwise == hist(A ∪ B) (the positional-sum
+    merge contract); the frame always has |edges|+1 buckets per group,
+    zeros included, regardless of data."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.sketches import build_histogram
+
+    edges = [10, 100, 1000]
+    a = spark.range(0, 500).select((F.col("id") * 3).alias("v"))
+    b = spark.range(0, 300).select((F.col("id") * 7).alias("v"))
+    ha = {r.bucket: r.cnt for r in build_histogram(a, "v", edges).collect()}
+    hb = {r.bucket: r.cnt for r in build_histogram(b, "v", edges).collect()}
+    hu = {
+        r.bucket: r.cnt
+        for r in build_histogram(a.unionByName(b), "v", edges).collect()
+    }
+    assert set(ha) == set(hb) == set(hu) == {0, 1, 2, 3}
+    for bkt in hu:
+        assert ha[bkt] + hb[bkt] == hu[bkt]
+    assert sum(hu.values()) == 800
+
+
+def test_histogram_quantiles_bound_exact_percentile(spark):
+    """The histogram quantile contract: the estimate is the upper edge
+    of the bucket holding the exact rank-ceil(q·N/100) value — so the
+    exact percentile is <= the estimate and > the previous edge (error
+    bounded by one bucket width)."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.sketches import build_histogram, histogram_quantiles
+
+    edges = [100, 200, 400, 800, 1600, 3200]
+    df = spark.range(1, 2001).select((F.col("id")).alias("v"))  # 1..2000
+    hist = build_histogram(df, "v", edges)
+    got = {
+        r.q_x100: r.est
+        for r in histogram_quantiles(hist, edges, [50, 90, 99]).collect()
+    }
+    import math
+
+    vals = list(range(1, 2001))
+    for q, est in got.items():
+        exact = vals[math.ceil(q * len(vals) / 100) - 1]
+        assert exact <= est, (q, exact, est)
+        prev = max([e for e in edges if e < est], default=0)
+        assert exact > prev, (q, exact, est, prev)
+
+
+def test_histogram_grouped_and_overflow_bucket(spark):
+    """Grouped histograms zero-fill per group; values past the last edge
+    land in the overflow bucket and quantiles estimate as the last edge
+    (the documented no-upper-bound contract)."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.sketches import build_histogram, histogram_quantiles
+
+    edges = [10, 20]
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("a", 99), ("b", 99)], "g string, v long"
+    )
+    hist = build_histogram(df, "v", edges, group_col="g")
+    cells = {(r.g, r.bucket): r.cnt for r in hist.collect()}
+    assert cells == {
+        ("a", 0): 1, ("a", 1): 1, ("a", 2): 1,
+        ("b", 0): 0, ("b", 1): 0, ("b", 2): 1,
+    }
+    qs = {
+        (r.g, r.q_x100): r.est
+        for r in histogram_quantiles(hist, edges, [99], group_col="g").collect()
+    }
+    assert qs[("b", 99)] == 20  # overflow estimates at the last edge
