@@ -7291,6 +7291,147 @@ def q144_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q145_sketch_overlap",
+    """
+    WITH keys AS (
+        SELECT lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+        SELECT lang, w,
+               CAST(concat('0x', substr(md5('hll:' || w), 1, 15)) AS BIGINT) AS h
+        FROM keys WHERE w <> ''
+    ),
+    regs AS (
+        SELECT lang, h % 64 AS bucket,
+               max(bit_count((((h // 64) + 18014398509481984)
+                   & -((h // 64) + 18014398509481984)) - 1) + 1) AS reg
+        FROM h GROUP BY lang, bucket
+    ),
+    grid AS (
+        SELECT l.lang, g.bucket
+        FROM (SELECT DISTINCT lang FROM h) l,
+             (SELECT unnest(range(64)) AS bucket) g
+    ),
+    f AS (
+        SELECT g.lang, g.bucket, coalesce(r.reg, 0) AS reg
+        FROM grid g LEFT JOIN regs r USING (lang, bucket)
+    ),
+    e AS (
+        SELECT lang,
+               CAST(floor(709.0::DOUBLE * 4096.0::DOUBLE
+                    * 36028797018963968.0::DOUBLE
+                    / CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS DOUBLE)
+                    / 1000.0::DOUBLE) AS BIGINT) AS est
+        FROM f GROUP BY lang
+    ),
+    pair_regs AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, a.bucket,
+               greatest(a.reg, b.reg) AS reg
+        FROM f a JOIN f b ON a.bucket = b.bucket AND a.lang < b.lang
+    ),
+    eu AS (
+        SELECT lang_a, lang_b,
+               CAST(floor(709.0::DOUBLE * 4096.0::DOUBLE
+                    * 36028797018963968.0::DOUBLE
+                    / CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS DOUBLE)
+                    / 1000.0::DOUBLE) AS BIGINT) AS est_union
+        FROM pair_regs GROUP BY lang_a, lang_b
+    ),
+    vocab AS (SELECT DISTINCT lang, w FROM h),
+    exact AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(count(*) AS BIGINT) AS exact_overlap
+        FROM vocab a JOIN vocab b ON a.w = b.w AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    )
+    SELECT eu.lang_a, eu.lang_b,
+           ea.est AS est_a, eb.est AS est_b, eu.est_union,
+           ea.est + eb.est - eu.est_union AS est_overlap,
+           coalesce(x.exact_overlap, 0) AS exact_overlap
+    FROM eu
+    JOIN e ea ON ea.lang = eu.lang_a
+    JOIN e eb ON eb.lang = eu.lang_b
+    LEFT JOIN exact x ON x.lang_a = eu.lang_a AND x.lang_b = eu.lang_b
+    """,
+)
+def q145_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus vocabulary overlap by SKETCH ALGEBRA — the payoff of
+    mergeable register frames (q142's build_hll_by + merge semantics):
+    |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where est(A ∪ B) comes from
+    merging the two groups' 64-register frames by elementwise max —
+    NO re-read of either corpus, which is the 100 TB point: pairwise
+    overlap of 1000 sources from a 1000×64-integer table instead of
+    O(pairs) distinct-joins over the raw data. The exact overlap rides
+    along as the honesty column (inclusion–exclusion inherits ±13%
+    per-term error at m=64 and CAN go negative on tiny overlaps — the
+    estimator is for triage, the exact join is the verifier you run on
+    the pairs the sketch flags). All register math is the q136 BIGINT
+    chain; both engines agree on every estimate bit-for-bit."""
+    from albedo_spark.operators.sketches import build_hll_by, hll_estimate_by
+    from albedo_spark.operators.textstats import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+    )
+    regs = build_hll_by(toks, "lang", "w", m=64).localCheckpoint(eager=False)
+    est = hll_estimate_by(regs, "lang", m=64)
+    a = regs.select(
+        F.col("lang").alias("lang_a"), "bucket", F.col("reg").alias("_ra")
+    )
+    b = regs.select(
+        F.col("lang").alias("lang_b"), "bucket", F.col("reg").alias("_rb")
+    )
+    pair_regs = (
+        a.join(b, ["bucket"])
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .select(
+            F.concat_ws("|", "lang_a", "lang_b").alias("pair"),
+            "lang_a",
+            "lang_b",
+            "bucket",
+            F.greatest("_ra", "_rb").alias("reg"),
+        )
+    )
+    eu = hll_estimate_by(pair_regs, "pair", m=64).join(
+        pair_regs.select("pair", "lang_a", "lang_b").distinct(), "pair"
+    )
+    vocab = toks.distinct()
+    va = vocab.select(F.col("lang").alias("lang_a"), "w")
+    vb = vocab.select(F.col("lang").alias("lang_b"), "w")
+    exact = (
+        va.join(vb, ["w"])
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("long").alias("exact_overlap"))
+    )
+    ea = est.select(F.col("lang").alias("lang_a"), F.col("est").alias("est_a"))
+    eb = est.select(F.col("lang").alias("lang_b"), F.col("est").alias("est_b"))
+    return (
+        eu.join(F.broadcast(ea), "lang_a")
+        .join(F.broadcast(eb), "lang_b")
+        .join(exact, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            "est_a",
+            "est_b",
+            F.col("est").alias("est_union"),
+            (F.col("est_a") + F.col("est_b") - F.col("est")).alias(
+                "est_overlap"
+            ),
+            F.coalesce(F.col("exact_overlap"), F.lit(0).cast("long")).alias(
+                "exact_overlap"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -7392,6 +7533,7 @@ _DEMOTED = [
 # shape q50 exercised).
 _POST_WINDOW = [
     "q141_rrf_fusion",
+    "q145_sketch_overlap",
     "q142_lang_hll",
     "q143_histogram_quantiles",
     "q144_quantized_ann",

@@ -738,3 +738,61 @@ def read_hll_store(spark, out_path: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("reg").alias("reg"))
     )
+
+
+def run_to_histogram_store(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    value_col: str,
+    boundaries: list[int],
+    group_col: str | None = None,
+):
+    """Streaming maintenance of a fixed-edge counting histogram
+    (operators/sketches.py build_histogram) — the QUANTILE member of
+    the streaming sketch-store family next to ``run_to_cms_store``
+    (frequency) and ``run_to_hll_store`` (cardinality): the running
+    answer to "what does the value distribution look like so far" in
+    |edges|+1 cells per group, over an unbounded stream.
+
+    Histogram cells merge by SUM, which like CMS is not
+    replay-idempotent — so the identical generation discipline: each
+    micro-batch's own histogram lands under
+    ``out_path/sketch_batch=<id>`` with OVERWRITE (a replayed batch
+    rewrites the same cells), and the live histogram is the elementwise
+    sum over generations (``read_histogram_store``), exact by
+    mergeability. Feed the read frame to
+    ``sketches.histogram_quantiles`` for running p50/p90/p99 — the
+    streaming-percentile answer that needs no per-trigger re-sort of
+    history."""
+    from albedo_spark.operators.sketches import build_histogram
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_histogram(
+            batch_df, value_col, boundaries, group_col=group_col
+        ).write.mode("overwrite").parquet(f"{out_path}/sketch_batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_histogram_store(
+    spark, out_path: str, group_col: str | None = None
+) -> DataFrame:
+    """The live histogram: elementwise sum across batch generations —
+    exactly ``build_histogram`` over everything ingested (pinned in
+    tests/test_streaming.py, including replay idempotence)."""
+    keys = ([group_col] if group_col else []) + ["bucket"]
+    return (
+        spark.read.parquet(out_path)
+        .groupBy(*keys)
+        .agg(F.sum("cnt").alias("cnt"))
+    )

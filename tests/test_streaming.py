@@ -696,3 +696,68 @@ def test_run_to_hll_store_equals_batch(spark, tmp_path):
     assert store == batch
     est = hll_estimate(read_hll_store(spark, out), m=64).first().est
     assert abs(est - 1500) / 1500 < 0.39  # 3 sigma at m=64
+
+
+def test_run_to_histogram_store_equals_batch_and_replays(spark, tmp_path):
+    """Streaming histogram generations: summed store == batch-built
+    histogram over all ingested rows (grouped, zero-filled per group); a
+    full replay with a fresh checkpoint rewrites the same generations
+    instead of double-counting; quantiles read straight off the store."""
+    from albedo_spark.operators.sketches import build_histogram, histogram_quantiles
+    from albedo_spark.streaming.events import (
+        read_histogram_store,
+        run_to_histogram_store,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    edges = [10, 50, 200]
+
+    f1 = [("a", i) for i in range(0, 60)] + [("b", 500)]
+    f2 = [("a", i * 4) for i in range(0, 40)] + [("b", 5)]
+    spark.createDataFrame(f1, "g string, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(f2, "g string, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("g string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_to_histogram_store(stream(), out, ck1, "v", edges, group_col="g")
+    store = {
+        (r.g, r.bucket): r.cnt
+        for r in read_histogram_store(spark, out, group_col="g").collect()
+    }
+    batch = {
+        (r.g, r.bucket): r.cnt
+        for r in build_histogram(
+            spark.createDataFrame(f1 + f2, "g string, v long"),
+            "v",
+            edges,
+            group_col="g",
+        ).collect()
+    }
+    assert store == batch
+    assert sum(store.values()) == len(f1) + len(f2)
+
+    run_to_histogram_store(stream(), out, ck2, "v", edges, group_col="g")
+    store2 = {
+        (r.g, r.bucket): r.cnt
+        for r in read_histogram_store(spark, out, group_col="g").collect()
+    }
+    assert store2 == store
+
+    # running percentiles straight off the store frame
+    live = read_histogram_store(spark, out, group_col="g")
+    qs = {
+        (r.g, r.q_x100): r.est
+        for r in histogram_quantiles(live, edges, [50, 99], group_col="g").collect()
+    }
+    assert qs[("a", 50)] in edges and qs[("b", 99)] == 200
