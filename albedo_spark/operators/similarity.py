@@ -752,7 +752,10 @@ def mmr_select(
 
 
 def quantize_int8(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Scalar int8 quantization of an embedding column → ``(id, qvec
     array<long>, scale double)``: per-vector max-abs scaling, element
@@ -770,9 +773,12 @@ def quantize_int8(
     downstream of quantization is pure BIGINT — order-independent sums,
     hashable by the gate. Plan: a single map-side projection, no
     shuffle; the HOF lambdas only touch materialized columns (the q132
-    projection-boundary discipline)."""
+    projection-boundary discipline). ``keep_cols`` pass through
+    untouched (e.g. a precomputed LSH bucket for the quantized vector
+    store)."""
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.col(vec_col).cast("array<double>").alias("_e"),
     ).withColumn(
         "scale", F.array_max(F.transform(F.col("_e"), lambda x: F.abs(x)))
@@ -786,7 +792,9 @@ def quantize_int8(
             ),
         ),
     ).otherwise(F.transform(F.col("_e"), lambda x: F.lit(0).cast("long")))
-    out = staged.select(id_col, q.alias("qvec"), "scale")
+    out = staged.select(
+        id_col, *[F.col(c) for c in keep_cols], q.alias("qvec"), "scale"
+    )
     # Integer squared norm alongside the codes: Σ q² ≤ dim·127² stays far
     # inside BIGINT, and carrying it lets consumers rank by QUANTIZED
     # COSINE (qdot / √(qn_a·qn_b)) — the scale factors cancel in the

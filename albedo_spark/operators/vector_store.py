@@ -37,15 +37,35 @@ from albedo_spark.operators.topk import top_k_per_group
 
 
 def _hashed(
-    df: DataFrame, dim: int, vec_col: str, id_col: str, num_planes: int, seed: int
+    df: DataFrame,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    seed: int,
+    quantize: bool = False,
 ) -> DataFrame:
+    """Index row for the store. ``quantize`` stores int8 codes + the
+    BIGINT squared norm instead of the float vector (~4× smaller at
+    rest, see tools/scale_quantize.py); the LSH signature is computed
+    from the FLOAT vector either way, so a quantized store and a float
+    store over the same corpus have IDENTICAL buckets — quantization
+    changes the scoring representation, never the candidate set."""
+    sig = hyperplane_signature(F.col(vec_col), dim, num_planes, seed)
+    if quantize:
+        from albedo_spark.operators.similarity import quantize_int8
+
+        return quantize_int8(
+            df.withColumn("bucket", sig),
+            vec_col=vec_col,
+            id_col=id_col,
+            keep_cols=("bucket",),
+        ).select(id_col, "qvec", "qnorm2", "bucket")
     return _with_norm(df, vec_col, "_n").select(
         F.col(id_col),
         F.col(vec_col),
         "_n",
-        hyperplane_signature(F.col(vec_col), dim, num_planes, seed).alias(
-            "bucket"
-        ),
+        sig.alias("bucket"),
     )
 
 
@@ -58,13 +78,18 @@ def build_vector_store(
     num_planes: int = 8,
     seed: int = 42,
     num_buckets: int = 16,
+    quantize: bool = False,
 ) -> None:
     """Hash + persist the corpus as the bucketed ANN index (one-time cost;
-    size ``num_buckets`` for the cluster — hundreds at 100 TB)."""
+    size ``num_buckets`` for the cluster — hundreds at 100 TB).
+    ``quantize=True`` persists int8 codes + integer norms instead of
+    float vectors — the production storage shape for large corpora; the
+    probe side then scores by quantized cosine (recall vs the float
+    store pinned in tests)."""
     from albedo_spark.io import write_bucketed
 
     write_bucketed(
-        _hashed(corpus, dim, vec_col, id_col, num_planes, seed),
+        _hashed(corpus, dim, vec_col, id_col, num_planes, seed, quantize),
         table,
         "bucket",
         num_buckets=num_buckets,
@@ -80,11 +105,14 @@ def append_vectors(
     num_planes: int = 8,
     seed: int = 42,
     num_buckets: int = 16,
+    quantize: bool = False,
 ) -> None:
     """Add a new batch's vectors to the index (same bucket spec — the
-    layout property survives the append)."""
+    layout property survives the append). ``quantize`` must match the
+    store's build-time representation (mixed schemas fail loudly on
+    write)."""
     (
-        _hashed(batch, dim, vec_col, id_col, num_planes, seed)
+        _hashed(batch, dim, vec_col, id_col, num_planes, seed, quantize)
         .write.mode("append")
         .bucketBy(num_buckets, "bucket")
         .sortBy("bucket")
@@ -109,42 +137,94 @@ def ann_store_knn(
     (query_id, neighbor_id, cosine, rank). Same probe scheme and
     tie-breaks as ``random_hyperplane_lsh_knn`` (rank by cosine desc,
     neighbor_id asc), so oracles replay it with the identical plane
-    literals."""
+    literals.
+
+    The store's representation is self-describing: a ``qvec`` column
+    means it was built with ``quantize=True``, and the probe side then
+    quantizes the QUERIES the same way and scores by quantized cosine
+    (BIGINT dot / √(BIGINT norms) — same buckets as a float store by
+    the signature-before-quantization contract, near-identical ranking:
+    recall floor pinned in tests)."""
     spark = queries.sparkSession
-    store = spark.table(table).select(
-        F.col("bucket"),
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.col("_n").alias("_cn"),
-    )
-    q = _with_norm(queries, vec_col, "_qn").withColumn(
-        "_sig", hyperplane_signature(F.col(vec_col), dim, num_planes, seed)
-    )
-    if multi_probe:
-        probes = F.array(
-            F.col("_sig"),
-            *[F.col("_sig").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+    store_raw = spark.table(table)
+    quantized = "qvec" in store_raw.columns
+    sig = hyperplane_signature(F.col(vec_col), dim, num_planes, seed)
+
+    def _probes(col):
+        if multi_probe:
+            return F.array(
+                col, *[col.bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
+            )
+        return F.array(col)
+
+    if quantized:
+        from albedo_spark.operators.similarity import quantize_int8
+
+        store = store_raw.select(
+            F.col("bucket"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("qvec").alias("_cq"),
+            F.col("qnorm2").alias("_cn2"),
+        )
+        q = quantize_int8(
+            queries.withColumn("_sig", sig),
+            vec_col=vec_col,
+            id_col=query_id_col,
+            keep_cols=("_sig",),
+        ).select(
+            F.col(query_id_col),
+            F.col("qvec").alias("_qq"),
+            F.col("qnorm2").alias("_qn2"),
+            F.explode(_probes(F.col("_sig"))).alias("bucket"),
+        )
+        scored = (
+            q.join(store, "bucket")
+            .withColumn(
+                "_qdot",
+                F.aggregate(
+                    F.zip_with(F.col("_cq"), F.col("_qq"), lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .withColumn(
+                "cosine",
+                F.when(
+                    (F.col("_cn2") > 0) & (F.col("_qn2") > 0),
+                    F.col("_qdot").cast("double")
+                    / F.sqrt((F.col("_cn2") * F.col("_qn2")).cast("double")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .select(query_id_col, "neighbor_id", "cosine")
+            .distinct()
         )
     else:
-        probes = F.array(F.col("_sig"))
-    q = q.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qv"),
-        "_qn",
-        F.explode(probes).alias("bucket"),
-    )
-    scored = (
-        q.join(store, "bucket")
-        .withColumn(
-            "cosine",
-            F.when(
-                (F.col("_cn") > 0) & (F.col("_qn") > 0),
-                dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
-            ).otherwise(F.lit(0.0)),
+        store = store_raw.select(
+            F.col("bucket"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col("_n").alias("_cn"),
         )
-        .select(query_id_col, "neighbor_id", "cosine")
-        .distinct()
-    )
+        q = _with_norm(queries, vec_col, "_qn").withColumn("_sig", sig)
+        q = q.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            "_qn",
+            F.explode(_probes(F.col("_sig"))).alias("bucket"),
+        )
+        scored = (
+            q.join(store, "bucket")
+            .withColumn(
+                "cosine",
+                F.when(
+                    (F.col("_cn") > 0) & (F.col("_qn") > 0),
+                    dot(F.col("_cv"), F.col("_qv"))
+                    / (F.col("_cn") * F.col("_qn")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .select(query_id_col, "neighbor_id", "cosine")
+            .distinct()
+        )
     return top_k_per_group(
         scored,
         [query_id_col],

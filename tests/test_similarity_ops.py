@@ -608,3 +608,51 @@ def test_quantized_knn_recall_vs_exact_cosine(spark):
         for r in quantized_knn(emb, F.col("vec_id") % 50 == 0, k=5).collect()
     }
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_quantized_vector_store_matches_float_store(spark):
+    """The quantized store contract: (a) the LSH signature is computed
+    BEFORE quantization, so the candidate sets are identical to the
+    float store's; (b) quantized-cosine re-ranking agrees with the float
+    store's top-k at >= 0.9 recall on the fixture (measured lossless);
+    (c) the probe plan still scans the store bucket-aware."""
+    from albedo_spark.operators.vector_store import (
+        ann_store_knn,
+        append_vectors,
+        build_vector_store,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.where("vec_id % 10 != 0 AND vec_id % 10 != 2")
+    queries = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    build_vector_store(corpus, "vecstore_f", dim=64, num_planes=4,
+                       num_buckets=8)
+    build_vector_store(corpus, "vecstore_q", dim=64, num_planes=4,
+                       num_buckets=8, quantize=True)
+    try:
+        assert "qvec" in spark.table("vecstore_q").columns
+        assert "embedding" not in spark.table("vecstore_q").columns
+        fl = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_store_knn(queries, "vecstore_f", k=5, dim=64,
+                                   num_planes=4).collect()
+        }
+        out_q = ann_store_knn(queries, "vecstore_q", k=5, dim=64,
+                              num_planes=4)
+        qs = {(r.query_id, r.neighbor_id) for r in out_q.collect()}
+        assert fl and len(fl & qs) / len(fl) >= 0.9
+        plan = out_q._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("spark_catalog.default.vecstore_q")
+        assert n_scans >= 1 and plan.count("Bucketed: true") == n_scans
+
+        # append keeps the quantized representation and the layout
+        append_vectors(emb.where("vec_id % 10 = 2"), "vecstore_q",
+                       dim=64, num_planes=4, num_buckets=8, quantize=True)
+        n2 = ann_store_knn(queries, "vecstore_q", k=5, dim=64,
+                           num_planes=4).count()
+        assert n2 >= len(qs)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vecstore_f")
+        spark.sql("DROP TABLE IF EXISTS vecstore_q")
