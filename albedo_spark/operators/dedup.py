@@ -305,6 +305,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed shingle-set CONTAINMENT pairs: ``C(A→B) = |A∩B| / |A|``
+    ≥ threshold means A's shingles (nearly) all appear in B — the
+    doc-in-doc detector Jaccard structurally misses: a 20-word quote
+    inside a 2000-word article has Jaccard ≈ 0.01 but containment 1.0.
+    This is the snippet/quote/boilerplate-extraction dual of
+    ``ngram_jaccard_pairs``, the asymmetric member of the near-dup
+    family (dedup wants the SNIPPET dropped and the container kept).
+
+    Output ``(contained_id, container_id, inter, size_contained,
+    cont_x10k)`` — one row per direction that clears the threshold
+    (mutual containment emits both). The threshold is an exact integer
+    rational (``inter·den ≥ size·num``, the q128 discipline) and
+    ``cont_x10k = (10⁴·inter) div size`` — pure BIGINT, so oracles hash
+    values, not tolerances.
+
+    Plan: the SAME inverted-index machinery as the Jaccard operator
+    (one explode, one df-driven self-equi-join, never |docs|²; the
+    ``max_df`` stop-shingle guard applies identically) — the undirected
+    intersection is computed ONCE and both direction checks are
+    projections of it.
+    """
+    from albedo_spark.io import widen
+
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    tok = widen(words).select(
+        F.col(id_col), F.explode(shingles_from_words(F.col("_w"), n)).alias("sh")
+    )
+    if max_df is not None:
+        stop = (
+            tok.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("sh")
+        )
+        tok = tok.join(stop, "sh", "left_anti")
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = tok.alias("a").join(
+        tok.alias("b"),
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    inter = a.groupBy(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    ).agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.where(
+        F.col("inter") * threshold_den >= F.col("size_a") * threshold_num
+    ).select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        "inter",
+        F.col("size_a").alias("size_contained"),
+    )
+    rev = both.where(
+        F.col("inter") * threshold_den >= F.col("size_b") * threshold_num
+    ).select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        "inter",
+        F.col("size_b").alias("size_contained"),
+    )
+    return fwd.unionByName(rev).select(
+        "contained_id",
+        "container_id",
+        "inter",
+        "size_contained",
+        F.expr("(10000 * inter) div size_contained").alias("cont_x10k"),
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

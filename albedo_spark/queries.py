@@ -7432,6 +7432,92 @@ def q145_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q146_containment_pairs",
+    """
+    WITH snippets AS (
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(
+                   (string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))[1:12],
+                   ' ') AS text
+        FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM snippets
+    ),
+    cwords AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM corpus
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[i + 1 : i + 3], ' ') AS sh
+        FROM cwords, unnest(range(greatest(len(w) - 3, 0) + 1)) AS r(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    bt AS (
+        SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b
+        FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+    )
+    SELECT contained_id, container_id,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(size_contained AS BIGINT) AS size_contained,
+           (10000 * inter) // size_contained AS cont_x10k
+    FROM (
+        SELECT id_a AS contained_id, id_b AS container_id, inter,
+               size_a AS size_contained
+        FROM bt WHERE inter * 10 >= size_a * 9
+        UNION ALL
+        SELECT id_b, id_a, inter, size_b
+        FROM bt WHERE inter * 10 >= size_b * 9
+    )
+    """,
+)
+def q146_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed doc-in-doc detection via shingle-set CONTAINMENT
+    (operators/dedup.py containment_pairs): C(A→B) = |A∩B|/|A| ≥ 9/10
+    flags documents whose vocabulary (nearly) all appears inside another
+    — the quote/snippet/boilerplate case Jaccard structurally misses
+    (20 words inside 2000 : Jaccard ≈ 0.01, containment 1.0), and the
+    asymmetric dedup decision (drop the snippet, KEEP the container)
+    that symmetric near-dup operators can't express. Same inverted-index
+    plan as q20/q21 (one explode over 3-GRAM shingles — unigram sets
+    saturate on this corpus's tiny vocabulary, 80k pairs vs 56; a
+    3-gram is discriminative — df-driven self-join, never |docs|²; the
+    undirected intersection computed once, both directions as
+    projections); exact integer threshold and BIGINT cont_x10k (the
+    q128 discipline). Both engines plant SNIPPET documents (first 12
+    normalized words of every 97th doc, id+100000 — the q114/q130
+    technique), so the containment-without-Jaccard case is exercised by
+    construction, not fixture luck."""
+    from albedo_spark.operators.dedup import containment_pairs, normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snippets = (
+        d.where((F.col("doc_id") % 97 == 0) & F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(normalize_text(F.col("text")), " "), 1, 12),
+                " ",
+            ).alias("text"),
+        )
+    )
+    corpus = d.unionByName(snippets)
+    return containment_pairs(
+        corpus, n=3, threshold_num=9, threshold_den=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -7534,6 +7620,7 @@ _DEMOTED = [
 _POST_WINDOW = [
     "q141_rrf_fusion",
     "q145_sketch_overlap",
+    "q146_containment_pairs",
     "q142_lang_hll",
     "q143_histogram_quantiles",
     "q144_quantized_ann",

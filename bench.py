@@ -132,6 +132,8 @@ HEADLINE2 = [
     "q142_lang_hll",
     "q143_histogram_quantiles",
     "q144_quantized_ann",
+    "q145_sketch_overlap",
+    "q146_containment_pairs",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

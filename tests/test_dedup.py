@@ -792,3 +792,69 @@ def test_prefix_filter_threshold_boundary_is_integer_exact(spark):
     }
     # |A|=|B|=9, inter=7, union=11 -> J = 7/11 == threshold exactly
     assert got == {(1, 2): (7 * 10000) // 11}
+
+
+def test_containment_pairs_detects_doc_in_doc(spark):
+    """The case Jaccard misses: a short snippet inside a long article has
+    tiny Jaccard but containment 1.0 — the snippet is flagged as the
+    CONTAINED side (direction matters: drop the snippet, keep the
+    container); the threshold is an exact integer rational; unrelated
+    docs never pair."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    article = " ".join(f"w{i} x{i} y{i}" for i in range(60))  # 180 words
+    snippet = " ".join(f"w{i} x{i} y{i}" for i in range(4))  # 12-word prefix
+    rows = [
+        (1, article),
+        (2, snippet),
+        (3, "completely different tokens about other things entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.contained_id, r.container_id): r.cont_x10k
+        for r in containment_pairs(df, n=3, threshold_num=9, threshold_den=10).collect()
+    }
+    assert got == {(2, 1): 10000}  # full containment, snippet->article only
+    # and Jaccard at any useful threshold does NOT see the pair
+    j = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert not [r for r in j if {r.id_a, r.id_b} == {1, 2}]
+
+
+def test_containment_threshold_boundary_is_integer_exact(spark):
+    """inter*den >= size*num at the exact boundary: 9 of 10 shingles
+    shared with num/den = 9/10 is IN (not float >=-drift excluded)."""
+    from albedo_spark.operators.dedup import containment_pairs
+
+    # doc 2 has 10 distinct unigrams, 9 of which appear in doc 1
+    d1 = "a b c d e f g h i zz1 zz2 zz3"
+    d2 = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    got = {
+        (r.contained_id, r.container_id): (r.inter, r.size_contained, r.cont_x10k)
+        for r in containment_pairs(df, n=1, threshold_num=9, threshold_den=10).collect()
+    }
+    assert got == {(2, 1): (9, 10, 9000)}
+    # one shingle fewer shared -> out
+    df2 = spark.createDataFrame(
+        [(1, d1), (2, "a b c d e f g h jj j")], "doc_id long, text string"
+    )
+    assert not containment_pairs(
+        df2, n=1, threshold_num=9, threshold_den=10
+    ).collect()
+
+
+def test_containment_mutual_emits_both_directions(spark):
+    from albedo_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    got = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(df, n=1, threshold_num=1, threshold_den=1).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
