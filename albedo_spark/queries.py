@@ -7617,13 +7617,23 @@ _DEMOTED = [
 # (q79 data-quality, q82 CDC diff) go IN-window instead — q47/q50
 # demoted above to make room (dedup keeps 5 reps; q82 IS the full-outer
 # shape q50 exercised).
+# Round-9 window swaps (the new-family promotion rule, as rounds 6-8):
+#   q141 hybrid RRF fusion IN; q128 prefix-filter Jaccard OUT to
+#        post-window (retrieval keeps q127 lexical + q141 fusion
+#        in-window; dedup still holds q18/q21/q63/q90 in-window and the
+#        prefix-filter surface stays gated post-window + brute-equality
+#        pytest + tools/scale_prefix_join.py)
+#   q144 quantized ANN IN; q33 hyperplane-LSH ANN OUT to post-window
+#        (similarity keeps q71 exact GEMM kNN + q144 quantized in-window;
+#        the LSH probe scheme stays gated via q33 post-window and the
+#        q93/q102 vector-store family)
 _POST_WINDOW = [
-    "q141_rrf_fusion",
+    "q33_ann_lsh",
+    "q128_prefix_filter_jaccard",
     "q145_sketch_overlap",
     "q146_containment_pairs",
     "q142_lang_hll",
     "q143_histogram_quantiles",
-    "q144_quantized_ann",
     "q126_bpe_encode",
     "q129_label_propagation",
     "q131_adaptive_quality_filter",

@@ -213,11 +213,16 @@ def test_driver_record_window_contains_flagships():
         # round-7 new families: markup extraction + blocklist policy
         "q114_markup_extract",
         "q116_blocklist_filter",
-        # round-8 new families: BM25 retrieval + prefix-filtered join +
-        # mergeable sketches (q134 CMS gated post-window as its sibling)
+        # round-8 new families: BM25 retrieval + mergeable sketches
+        # (q134 CMS gated post-window as its sibling; q128 prefix-filter
+        # moved post-window in r9 — dedup keeps 4 in-window reps)
         "q127_bm25_search",
-        "q128_prefix_filter_jaccard",
         "q136_hll_cardinality",
+        # round-9 new families: hybrid rank fusion + int8 quantization
+        # (q33 LSH ANN moved post-window: q71 exact + q144 quantized are
+        # the in-window similarity reps)
+        "q141_rrf_fusion",
+        "q144_quantized_ann",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
