@@ -7388,7 +7388,9 @@ def q145_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_b"), "bucket", F.col("reg").alias("_rb")
     )
     pair_regs = (
-        a.join(b, ["bucket"])
+        # register frames are constant-size (|langs|·64 rows) — broadcast
+        # the probe side so the pair build never sort-merges
+        a.join(F.broadcast(b), ["bucket"])
         .where(F.col("lang_a") < F.col("lang_b"))
         .select(
             F.concat_ws("|", "lang_a", "lang_b").alias("pair"),
