@@ -291,8 +291,13 @@ def main(argv: list[str] | None = None) -> dict:
         from albedo_spark.operators.dedup import containment_pairs
 
         c_num, c_den = (int(x) for x in args.containment_drop.split("/"))
+        # max_df is the production guard (stop-shingles generate df²
+        # candidate rows); applied consistently to sizes AND
+        # intersections, so the result is true containment over the
+        # reduced shingle universe — see containment_pairs docstring.
         cont = containment_pairs(
-            survivors, n=3, threshold_num=c_num, threshold_den=c_den
+            survivors, n=3, threshold_num=c_num, threshold_den=c_den,
+            max_df=1000,
         ).localCheckpoint(eager=False)
         drops = (
             cont.alias("f")
