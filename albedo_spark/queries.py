@@ -7520,6 +7520,96 @@ def q146_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q147_multimodal_ahash",
+    """
+    WITH base AS (
+        SELECT doc_id AS media_id, text AS t, length(text) AS L
+        FROM documents
+        WHERE text IS NOT NULL
+          AND octet_length(encode(text)) = length(text)
+          AND length(text) > 0
+    ),
+    planted AS (
+        SELECT media_id + 200000 AS media_id,
+               substr(t, 1, L // 2) || 'x' || substr(t, L // 2 + 2) AS t
+        FROM base WHERE media_id % 61 = 0 AND L >= 2
+    ),
+    corpus AS (
+        SELECT media_id, t, length(t) AS L FROM (
+            SELECT media_id, t FROM base
+            UNION ALL SELECT media_id, t FROM planted
+        )
+    ),
+    px AS (
+        SELECT media_id, k,
+               ascii(substr(t, (k * L) // 64 + 1, 1)) AS p
+        FROM corpus, unnest(range(64)) r(k)
+    ),
+    mn AS (SELECT media_id, sum(p) // 64 AS m FROM px GROUP BY media_id),
+    bits AS (
+        SELECT px.media_id, k // 16 AS band_idx,
+               sum(CASE WHEN p > m THEN 1 << (15 - (k % 16)) ELSE 0 END) AS band
+        FROM px JOIN mn ON px.media_id = mn.media_id
+        GROUP BY px.media_id, k // 16
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM bits a JOIN bits b
+          ON a.band_idx = b.band_idx AND a.band = b.band
+         AND a.media_id < b.media_id
+    ),
+    ham AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN bits x ON x.media_id = c.id_a
+        JOIN bits y ON y.media_id = c.id_b AND y.band_idx = x.band_idx
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def q147_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary media
+    (sources/multimodal.py ahash_images / ahash_near_dup_pairs) — the
+    IMAGE member of the dedup family next to text MinHash/SimHash and
+    embedding cosine: reduce each binary to a 64-cell grid (REAL path:
+    PIL 8×8 grayscale; stub: stride-sampled content bytes — locality-
+    preserving, unlike a digest, which is what a perceptual hash needs),
+    integer-mean-threshold to 64 bits, pack into 4×16-bit bands, then
+    the banded LSH join: only media sharing an IDENTICAL band ever pair
+    (pigeonhole-COMPLETE at hamming ≤ 3 — the q107 SimHash theorem),
+    verified by the exact hamming sum. All-integer after the Arrow hash
+    stage, so DuckDB replays grid, mean, every band bit, candidates and
+    hamming from the same ASCII bytes. Both engines plant one-byte-
+    mutated twins (the sampled center byte of every 61st doc — the
+    q114/q130 technique), so small-but-nonzero hamming pairs exist by
+    construction."""
+    from albedo_spark.sources.multimodal import ahash_images, ahash_near_dup_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("text").isNotNull()
+            & (F.octet_length(F.col("text")) == F.length(F.col("text")))
+            & (F.length(F.col("text")) > 0)
+        )
+        .select(F.col("doc_id").alias("media_id"), F.col("text").alias("t"))
+    )
+    planted = d.where((F.col("media_id") % 61 == 0) & (F.length("t") >= 2)).select(
+        (F.col("media_id") + 200000).alias("media_id"),
+        F.expr(
+            "concat(substring(t, 1, length(t) div 2), 'x',"
+            " substring(t, length(t) div 2 + 2))"
+        ).alias("t"),
+    )
+    media = d.unionByName(planted).select(
+        "media_id", F.encode(F.col("t"), "UTF-8").alias("content")
+    )
+    return ahash_near_dup_pairs(ahash_images(media), max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -7634,6 +7724,7 @@ _POST_WINDOW = [
     "q128_prefix_filter_jaccard",
     "q145_sketch_overlap",
     "q146_containment_pairs",
+    "q147_multimodal_ahash",
     "q142_lang_hll",
     "q143_histogram_quantiles",
     "q126_bpe_encode",

@@ -25,6 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -210,3 +211,105 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> Dat
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return media.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("bands", ArrayType(IntegerType()), True),
+])
+
+
+def _grid_pixels(content: bytes, cells: int = 64) -> list[int]:
+    """Locality-preserving stub 'decode' to a fixed grid: cell k samples
+    byte ``(k·L) div cells`` — similar byte streams give similar grids
+    (unlike an avalanche digest), which is what a PERCEPTUAL hash needs.
+    STUB: the real path resizes to an 8×8 grayscale via PIL; the grid →
+    hash math below is the real aHash algorithm either way."""
+    n = len(content or b"")
+    if n == 0:
+        return [0] * cells
+    return [content[(k * n) // cells] for k in range(cells)]
+
+
+def ahash_images(media: DataFrame, fake: bool = True, cells: int = 64) -> DataFrame:
+    """binary → average-hash (aHash) as four 16-bit bands via mapInPandas.
+
+    The REAL perceptual-hash recipe: reduce the image to a tiny grid
+    (8×8 grayscale; here the stride-sampled byte grid when ``fake``),
+    take the integer mean, emit bit k = pixel_k > mean, packed
+    big-endian into 4 × 16-bit bands. All-integer (floor mean, strict
+    >), so DuckDB replays every band bit-for-bit from the same bytes.
+    Bands, not one 64-bit word, so downstream hamming math never touches
+    the sign bit and the LSH-style band join needs no bit surgery."""
+    if not fake:
+        _require_real_codec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = _grid_pixels(content, cells)
+                mean = sum(px) // cells
+                bits = [1 if p > mean else 0 for p in px]
+                bands = [
+                    sum(bits[16 * j + i] << (15 - i) for i in range(16))
+                    for j in range(cells // 16)
+                ]
+                out.append((mid, bands))
+            yield pd.DataFrame(out, columns=["media_id", "bands"])
+
+    return media.select("media_id", "content").mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate pairs: hamming(aHash_a, aHash_b) <=
+    ``max_hamming`` → ``(id_a, id_b, hamming)`` — image-level dedup next
+    to the text (MinHash/SimHash) and embedding (cosine) families.
+
+    Plan: the banded LSH join — posexplode the 4 bands, equi-join on
+    (band_idx, band_value) so only media sharing an IDENTICAL band ever
+    pair (never |media|²), then verify with the exact hamming sum
+    ``Σ bit_count(band_a XOR band_b)``. By pigeonhole the candidate set
+    is COMPLETE for max_hamming <= 3 (4 bands, ≤3 differing bits → some
+    band identical — same theorem as the SimHash band store q107);
+    higher thresholds trade recall exactly like any banded LSH
+    (documented). Everything after the pandas hash stage is JVM integer
+    expressions."""
+    h = hashes.select("media_id", "bands")
+    bands = h.select(
+        "media_id", F.posexplode("bands").alias("band_idx", "band")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(F.col("media_id").alias("id_a"), F.col("bands").alias("_ba"))
+    hb = h.select(F.col("media_id").alias("id_b"), F.col("bands").alias("_bb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_ba"),
+                    F.col("_bb"),
+                    lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
