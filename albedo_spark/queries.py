@@ -4327,8 +4327,8 @@ def q97_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w
-               AS sum_value_x10k
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w
+               AS BIGINT) AS sum_value_x10k
     FROM events
     WINDOW w AS (
         PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -6143,10 +6143,10 @@ _BM25_VALUES = ", ".join(
     q(query_id, w) AS (VALUES {_BM25_VALUES}),
     scored AS (
         SELECT q.query_id, tf.doc_id,
-               sum((((10000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+               CAST(sum((((10000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
                     * ((10000 * 22 * tf.tf * s.avgdl_x100)
                        // (10*tf.tf*s.avgdl_x100 + 3*s.avgdl_x100 + 900*dl.dl)))
-                   // 10000) AS bm25_x10k
+                   // 10000) AS BIGINT) AS bm25_x10k
         FROM tf
         JOIN q USING (w)
         JOIN dfreq d USING (w)
@@ -7610,6 +7610,74 @@ def q147_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_dup_pairs(ahash_images(media), max_hamming=3)
 
 
+# q148 fixture: a FIXED factor table, shared verbatim by both engines, so
+# the serving half of ALS is hash-gated even though the training half
+# cannot be (q35's rows-only rationale). Integer factors → every score is
+# an exact, order-independent dot product. Small formula-generated values
+# (not a random dump) so the fixture is auditable at a glance.
+_ALS_DIMS = 4
+_ALS_USER_FACTORS = [
+    (u, [((u * 7 + d * 13) % 19) - 9 for d in range(_ALS_DIMS)])
+    for u in range(1, 9)
+]
+_ALS_ITEM_FACTORS = [
+    (i, [((i * 5 + d * 11) % 17) - 8 for d in range(_ALS_DIMS)])
+    for i in range(1, 13)
+]
+_ALS_UF_VALUES = ", ".join(
+    f"({u}, {d}, {f})" for u, fs in _ALS_USER_FACTORS for d, f in enumerate(fs)
+)
+_ALS_IF_VALUES = ", ".join(
+    f"({i}, {d}, {f})" for i, fs in _ALS_ITEM_FACTORS for d, f in enumerate(fs)
+)
+
+
+@query(
+    "q148_als_serve_topk",
+    f"""
+    WITH uf(user_id, d, f) AS (VALUES {_ALS_UF_VALUES}),
+    itf(repo_id, d, f) AS (VALUES {_ALS_IF_VALUES}),
+    scored AS (
+        SELECT uf.user_id, itf.repo_id,
+               CAST(sum(uf.f * itf.f) AS BIGINT) AS score
+        FROM uf JOIN itf USING (d)
+        GROUP BY uf.user_id, itf.repo_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(repo_id AS BIGINT) AS repo_id, score, rank
+    FROM (
+        SELECT user_id, repo_id, score,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY score DESC, repo_id ASC
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q148_als_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ALS SERVING gate (M3's other half — VERDICT r9 ask
+    #4): q35 keeps the rows-only trainer (ALS *training* is
+    un-oracle-able), but *serving* is just factor dot products + top-k, so
+    this query hash-gates that path on a fixed literal factor table
+    (``_ALS_USER_FACTORS``/``_ALS_ITEM_FACTORS``, identical VALUES in the
+    oracle). ``recommenders/als.py serve_topk`` is the same
+    broadcast-cross + ``zip_with``/``aggregate`` integer dot + q5
+    row_number idiom the reference hand-rolls with blockified crossJoin,
+    BLAS sdot and a BoundedPriorityQueue
+    (``S/recommenders/ALSRecommender.scala:28-66``). At scale: item
+    factors broadcast (model side is small), user side streams — one
+    window shuffle, no driver collect."""
+    from albedo_spark.recommenders.als import serve_topk
+
+    uf = spark.createDataFrame(
+        _ALS_USER_FACTORS, "user_id long, features array<long>"
+    )
+    itf = spark.createDataFrame(
+        _ALS_ITEM_FACTORS, "repo_id long, features array<long>"
+    )
+    return serve_topk(uf, itf, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -7719,7 +7787,15 @@ _DEMOTED = [
 #        (similarity keeps q71 exact GEMM kNN + q144 quantized in-window;
 #        the LSH probe scheme stays gated via q33 post-window and the
 #        q93/q102 vector-store family)
+# Round-10 window swap: q148 ALS-serving (hash-gated, fixed literal
+# factors) IN; q35 ALS trainer OUT to post-window — q35 has been the
+# artifact's one structural `no_oracle` row since round 5 because ALS
+# TRAINING is statistically un-oracle-able, but SERVING is exactly
+# oracle-able, so the M3 family's in-window representative becomes the
+# gateable half. q35 keeps its seeded pytest + NDCG floor + the no-cap
+# local gate unchanged.
 _POST_WINDOW = [
+    "q35_als_recommend",
     "q33_ann_lsh",
     "q128_prefix_filter_jaccard",
     "q145_sketch_overlap",

@@ -54,6 +54,51 @@ def train_als(
     return ALS(**params).fit(starring_df)
 
 
+def serve_topk(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    k: int,
+    user_col: str = "user_id",
+    item_col: str = "repo_id",
+) -> DataFrame:
+    """Factor-serving top-k as a pure DataFrame plan — the SERVING half of
+    the reference's hand-rolled recommender
+    (``S/recommenders/ALSRecommender.scala:28-66``: blockified
+    user×item crossJoin, per-pair BLAS sdot, BoundedPriorityQueue top-k),
+    decoupled from training so it is exactly oracle-able: on integer
+    factors every score is an order-independent integer dot product.
+
+    Inputs: ``user_factors(user_col, features array<long>)`` and
+    ``item_factors(item_col, features array<long>)``. Plan: broadcast the
+    item-factor frame (the model side is small relative to the user base —
+    at crawl scale the reference streams user blocks against the full item
+    factor block the same way), ONE broadcast nested-loop cross, the dot
+    product folded JVM-side (``zip_with`` + ``aggregate`` over plain column
+    references — no computed-array HOF capture), then the q5 row_number
+    idiom with full (score desc, item asc) tie-break. One shuffle total
+    (the per-user window), no driver collect."""
+    uf = user_factors.select(user_col, F.col("features").alias("_uf"))
+    itf = item_factors.select(item_col, F.col("features").alias("_if"))
+    dot = F.aggregate(
+        F.zip_with("_uf", "_if", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = uf.crossJoin(F.broadcast(itf)).select(
+        user_col, item_col, dot.alias("score")
+    )
+    from albedo_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        scored,
+        [user_col],
+        [F.col("score").desc(), F.col(item_col).asc()],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(user_col, item_col, "score", "rank")
+
+
 class ALSRecommender(Recommender):
     def __init__(self, als_model: ALSModel | None = None, **kwargs):
         super().__init__(**kwargs)

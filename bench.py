@@ -134,6 +134,11 @@ HEADLINE2 = [
     "q144_quantized_ann",
     "q145_sketch_overlap",
     "q146_containment_pairs",
+    # round 10: the perceptual-hash image-dedup family (tier-2 normalization
+    # note: tier2_normalized sums only TIER2_R5_SET, so appends here widen
+    # tier2_total without breaking the cross-round regression series).
+    "q147_multimodal_ahash",
+    "q148_als_serve_topk",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
@@ -266,6 +271,34 @@ def bench_oracles(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def repeat_main(n: int, names: list[str]) -> None:
+    """``python bench.py --repeat N q123 [q...]`` — N timed runs per named
+    query (after one untimed warm-up), reporting the median: the noise
+    check for single-run wobble on a shared box (VERDICT r9 ask #5 —
+    q123's +19% single-run move needed a median, not a redesign). Prints
+    one JSON line; does NOT emit the driver's headline metric shape."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import statistics
+
+    from albedo_spark.queries import QUERIES
+    from albedo_spark.session import get_spark
+
+    spark = get_spark("bench-repeat")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        out[name] = {"runs": runs, "median": round(statistics.median(runs), 3)}
+    print(json.dumps({"metric": "repeat_median", "repeat": n, "sf_dir": sf_dir, "queries": out}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from albedo_spark.queries import QUERIES
@@ -393,4 +426,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--repeat":
+        repeat_main(int(sys.argv[2]), sys.argv[3:])
+    else:
+        main()

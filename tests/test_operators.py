@@ -223,6 +223,9 @@ def test_driver_record_window_contains_flagships():
         # the in-window similarity reps)
         "q141_rrf_fusion",
         "q144_quantized_ann",
+        # round-10 swap: ALS serving (hash-gated) replaces the rows-only
+        # q35 trainer as the M3 family's in-window representative
+        "q148_als_serve_topk",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
@@ -605,3 +608,35 @@ def test_leakage_safe_split_never_straddles_pairs(spark):
         ).collect()
     }
     assert other == {d: g for d, (g, _) in rows.items()}
+
+
+def test_oracle_sql_output_types_are_hashable():
+    """Catalog-wide gate-integrity sweep: no ORACLE_SQL output column may
+    type as HUGEINT/UHUGEINT/DECIMAL in DuckDB. The driver's compare path
+    fetches via arrow/pandas, which renders int128/decimal as float64
+    ("17731.0" vs Spark's "17731") — rows/schema stay green while the
+    value hash flips, the exact two-round q127_bm25_search red row that
+    round 9's judge root-caused. DuckDB types uncast sum(BIGINT) as
+    HUGEINT, so every final oracle aggregate must carry an explicit
+    CAST(... AS BIGINT)."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    banned = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    offenders = []
+    for name, sql in ent.oracle_sql().items():
+        rel = con.sql(sql)  # lazy: .types comes from the bound plan
+        for col, typ in zip(rel.columns, rel.types):
+            t_s = str(typ).upper()
+            if any(b in t_s for b in banned):
+                offenders.append(f"{name}.{col}: {t_s}")
+    assert not offenders, offenders

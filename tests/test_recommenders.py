@@ -159,3 +159,31 @@ def test_train_als_sets_checkpoint_dir(spark, starring_df, tmp_path):
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getCheckpointDir().isDefined()
     assert "als_ckpt" in jsc.getCheckpointDir().get()
+
+
+def test_serve_topk_exact_vs_brute_force(spark):
+    """q148's serving contract: serve_topk on integer factors must equal a
+    driver-side brute-force dot-product ranking exactly — scores AND the
+    (score desc, item asc) tie-break — and emit no CartesianProduct (the
+    item side must broadcast)."""
+    from albedo_spark.queries import _ALS_ITEM_FACTORS, _ALS_USER_FACTORS
+    from albedo_spark.recommenders.als import serve_topk
+
+    uf = spark.createDataFrame(_ALS_USER_FACTORS, "user_id long, features array<long>")
+    itf = spark.createDataFrame(_ALS_ITEM_FACTORS, "repo_id long, features array<long>")
+    out = serve_topk(uf, itf, k=5)
+    got = {(r.user_id, r.rank): (r.repo_id, r.score) for r in out.collect()}
+
+    expect = {}
+    for u, ufs in _ALS_USER_FACTORS:
+        scored = [
+            (sum(a * b for a, b in zip(ufs, ifs)), i) for i, ifs in _ALS_ITEM_FACTORS
+        ]
+        ranked = sorted(scored, key=lambda t: (-t[0], t[1]))[:5]
+        for rank, (s, i) in enumerate(ranked, 1):
+            expect[(u, rank)] = (i, s)
+    assert got == expect
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

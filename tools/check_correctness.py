@@ -58,10 +58,16 @@ def main() -> int:
 
     qs = ent.queries()
     oracles = ent.oracle_sql()
+    print(
+        f"# duckdb {duckdb.__version__}, sf_dir={sf_dir}, "
+        f"{len(qs)} registered, filter={sorted(only) or 'none'}"
+    )
     failed = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -98,7 +104,7 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"pass {name}: {sn} rows, hash {sh[:12]}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    print(f"\n{attempted - len(failed)}/{attempted} pass")
     return 1 if failed else 0
 
 
