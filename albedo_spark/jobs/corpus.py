@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> dict:
                         "near-dup case Jaccard misses; the container is "
                         "kept, and of a MUTUAL pair the smaller doc_id "
                         "survives)")
+    p.add_argument("--ahash-dedup", type=int, default=None, metavar="MAX_HAMMING",
+                   help="perceptual-hash (aHash) near-dup stage for mixed "
+                        "text+media corpora: content bytes -> 64-bit aHash "
+                        "in 4 bands -> banded pairs at hamming <= "
+                        "MAX_HAMMING -> components -> q113 keeper election "
+                        "(highest quality survives). On this fixture the "
+                        "documents' UTF-8 bytes stand in for media content "
+                        "(the stub byte-grid path); a real corpus supplies "
+                        "a binary content column and the PIL path")
     p.add_argument("--span-dedup", type=int, default=None, metavar="MIN_DF",
                    help="remove 4-token spans duplicated across >= MIN_DF "
                         "distinct docs (ExactSubstr-style) and rewrite the "
@@ -319,6 +328,48 @@ def main(argv: list[str] | None = None) -> dict:
         summary["containment_drop"] = {
             "threshold": args.containment_drop,
             "n_dropped": n_drop,
+        }
+
+    if args.ahash_dedup is not None:
+        # Media-granularity dedup (q147's operator): the perceptual-hash
+        # family member, wired the same way as --keeper-quality — pairs
+        # close into components, each component keeps its highest-quality
+        # member (ties -> smallest id). Complete at max_hamming <= 3 by
+        # the 4-band pigeonhole; above that it is banded-LSH recall
+        # (documented on the operator).
+        from albedo_spark.operators.dedup import (
+            connected_components,
+            keeper_by_quality,
+        )
+        from albedo_spark.sources.multimodal import (
+            ahash_images,
+            ahash_near_dup_pairs,
+        )
+
+        media = survivors.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+        )
+        a_pairs = ahash_near_dup_pairs(
+            ahash_images(media), max_hamming=args.ahash_dedup
+        )
+        a_comps = connected_components(a_pairs.select("id_a", "id_b"))
+        a_elected = keeper_by_quality(
+            a_comps, per_doc.select("doc_id", "quality_x10k")
+        )
+        a_stats = a_elected.agg(
+            F.countDistinct("component_id").alias("n_components"),
+            F.sum(F.when(~F.col("is_kept"), 1).otherwise(0)).alias("n_dropped"),
+        ).collect()[0]
+        survivors = survivors.join(
+            a_elected.where(~F.col("is_kept")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        summary["ahash_dedup"] = {
+            "max_hamming": args.ahash_dedup,
+            "n_components": int(a_stats["n_components"] or 0),
+            "n_dropped": int(a_stats["n_dropped"] or 0),
         }
 
     if args.span_dedup:

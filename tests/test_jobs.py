@@ -298,3 +298,41 @@ def test_corpus_job_containment_drop(tmp_path):
     assert sum(summary["shards"]["per_shard"].values()) == (
         summary["n_docs"] - summary["n_contaminated"] - stage["n_dropped"]
     )
+
+
+def test_corpus_job_ahash_dedup(tmp_path, spark):
+    """--ahash-dedup closes perceptual-hash pairs into components and
+    keeps exactly one member per component (q113's keeper rule); the
+    survivor count reconciles with the summary's drop accounting. The
+    sf0.001 fixture has 500 UNIQUE texts (no byte-identical media), so
+    the test plants copies in a temp documents table — identical bytes
+    → identical aHash → guaranteed components."""
+    from albedo_spark.io import load_table
+    from albedo_spark.jobs.corpus import main
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    # plant OUTSIDE the decontamination probe set (doc_id < 5): verbatim
+    # copies of probes would be quarantined before the ahash stage runs
+    copies = docs.where("doc_id >= 10 AND doc_id < 16").selectExpr(
+        "doc_id + 1000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    sf_dir = str(tmp_path)
+    docs.unionByName(copies).coalesce(1).write.parquet(f"{sf_dir}/documents")
+    import glob
+    import shutil
+
+    part = glob.glob(f"{sf_dir}/documents/part-*.parquet")[0]
+    shutil.move(part, f"{sf_dir}/documents.parquet.tmp")
+    shutil.rmtree(f"{sf_dir}/documents")
+    shutil.move(f"{sf_dir}/documents.parquet.tmp", f"{sf_dir}/documents.parquet")
+
+    summary = main(["--sf-dir", sf_dir, "--ahash-dedup", "3", "--shards", "2"])
+    stage = summary["ahash_dedup"]
+    assert stage["max_hamming"] == 3
+    # the six planted byte-identical copies must each pair with their
+    # original: >= some components, one drop per 2-member component
+    assert stage["n_components"] >= 6
+    assert stage["n_dropped"] >= stage["n_components"]
+    assert sum(summary["shards"]["per_shard"].values()) == (
+        summary["n_docs"] - summary["n_contaminated"] - stage["n_dropped"]
+    )
