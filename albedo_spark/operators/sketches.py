@@ -392,7 +392,14 @@ def build_histogram(
     Exact-where-it-matters contract: the histogram is a SKETCH of the
     distribution (quantile error bounded by bucket width — you choose
     the resolution with the edge list), but its cells are EXACT counts,
-    so the oracle hashes cell values, not a tolerance."""
+    so the oracle hashes cell values, not a tolerance.
+
+    NULL contract: rows with a NULL value — or, when grouped, a NULL
+    group key — are EXCLUDED from the counts (a NULL has no bucket;
+    silently folding it into bucket 0, as the pre-round-10 filter-size
+    idiom did, miscounts the left tail, and a non-null-safe grid join
+    would drop a NULL group's counts anyway). Callers wanting NULLs
+    counted must impute first (the P9 idiom)."""
     edges = sorted(boundaries)
     assert list(boundaries) == edges and len(set(edges)) == len(edges), (
         "boundaries must be strictly increasing"
@@ -405,6 +412,9 @@ def build_histogram(
     # lesson) — materialize it as a plain column first.
     staged = df.select(
         *([group_col] if group_col else []), v.cast("long").alias("_v")
+    ).where(
+        F.col("_v").isNotNull()
+        & (F.col(group_col).isNotNull() if group_col else F.lit(True))
     )
     rows = staged.select(
         *([group_col] if group_col else []),
@@ -416,7 +426,10 @@ def build_histogram(
     )
     if group_col:
         grid = (
-            df.select(group_col).distinct().crossJoin(grid)
+            df.select(group_col)
+            .where(F.col(group_col).isNotNull())
+            .distinct()
+            .crossJoin(grid)
         )
     return grid.join(counts, keys, "left").select(
         *keys, F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")

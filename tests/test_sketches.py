@@ -260,3 +260,29 @@ def test_histogram_grouped_and_overflow_bucket(spark):
         for r in histogram_quantiles(hist, edges, [99], group_col="g").collect()
     }
     assert qs[("b", 99)] == 20  # overflow estimates at the last edge
+
+
+def test_build_histogram_null_contract(spark):
+    """NULL values and NULL group keys are EXCLUDED, not folded into
+    bucket 0 (ADVICE r9: the filter-size idiom bucketed NULL _v as 0 and
+    the non-null-safe grid join dropped NULL-group counts)."""
+    from albedo_spark.operators.sketches import build_histogram
+
+    edges = [10, 20]
+    df = spark.createDataFrame(
+        [("a", 5), ("a", None), ("a", 15), (None, 5), ("b", 25)],
+        "g string, v int",
+    )
+    got = {
+        (r.g, r.bucket): r.cnt
+        for r in build_histogram(df, "v", edges, group_col="g").collect()
+    }
+    # NULL v and NULL g rows gone; full grid per surviving group
+    assert got == {
+        ("a", 0): 1, ("a", 1): 1, ("a", 2): 0,
+        ("b", 0): 0, ("b", 1): 0, ("b", 2): 1,
+    }
+    ungrouped = {
+        r.bucket: r.cnt for r in build_histogram(df, "v", edges).collect()
+    }
+    assert ungrouped == {0: 2, 1: 1, 2: 1}  # NULL v excluded, NULL g counted
