@@ -323,6 +323,54 @@ def write_jsonl(
     w.json(path)
 
 
+def write_es_bulk(
+    df: DataFrame,
+    path: str,
+    index: str,
+    id_col: str,
+    compression: str | None = "gzip",
+    num_files: int | None = None,
+) -> None:
+    """Search-engine bulk-index export (S10): the reference syncs rows
+    into Elasticsearch with a driver-side batch loop — 500 rows per bulk
+    call, ``meta.id`` = row id (``A/management/commands/
+    sync_data_to_es.py:18-50``, mapping ``A/mappings.py:26-64``). The
+    Spark-first re-expression is a DISTRIBUTED export in the bulk API's
+    wire format — per document an action line
+    ``{"index": {"_index": ..., "_id": ...}}`` followed by the source
+    JSON — so any indexer (``curl --data-binary @file /_bulk``, or a
+    fleet of them, one per file) loads it with no driver bottleneck:
+    the reference's loop streams the whole corpus through ONE Python
+    process; this writes every partition in parallel and the consumer
+    parallelizes by file (``num_files`` caps via coalesce, same contract
+    as ``write_jsonl``).
+
+    Everything stays JVM-side: ``to_json(struct(...))`` for the source
+    doc, literal concat for the action line, one ``text`` write. The id
+    column is excluded from the source doc (it rides in ``_id``, the
+    reference's ``meta.id`` convention)."""
+    from pyspark.sql import functions as F
+
+    if id_col not in df.columns:
+        raise ValueError(f"id_col {id_col!r} not in {df.columns}")
+    doc_cols = [c for c in df.columns if c != id_col]
+    action = F.concat(
+        F.lit('{"index": {"_index": "' + index + '", "_id": "'),
+        F.col(id_col).cast("string"),
+        F.lit('"}}'),
+    )
+    lines = df.select(
+        F.concat_ws(
+            "\n", action, F.to_json(F.struct(*doc_cols))
+        ).alias("value")
+    )
+    out = lines.coalesce(num_files) if num_files else lines
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
 def read_csv_documents(
     spark: SparkSession,
     path: str,

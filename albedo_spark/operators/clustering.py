@@ -1,0 +1,153 @@
+"""Deterministic integer k-means over embedding columns — the semantic
+clustering stage of a training-data pipeline (SemDeDup-style semantic
+dedup buckets, corpus domain discovery, IVF coarse quantizers all start
+with "k-means the embeddings").
+
+The reference has no clustering surface (its ML stays in ALS/W2V/LR —
+``S/ALSRecommenderBuilder.scala``, ``S/Word2VecCorpusBuilder.scala``);
+this module is north-star extension surface built on the package's
+exact-integer discipline so the whole trainer is ORACLE-ABLE: classic
+Lloyd's k-means is float-nondeterministic (reduction order changes the
+centroids), but on ``floor(x·scale + 0.5)`` integerized vectors with
+integer-mean centroid updates (``sum div count`` — Spark ``div`` and
+DuckDB ``//`` both truncate toward zero, verified) every assignment,
+every centroid, and every inertia value is a bit-exact BIGINT in any
+engine and any partitioning. The trade is quantization of the input
+space (scale 1000 ≈ 3 decimal digits), which for corpus bucketing is
+noise-level; determinism is what a reproducible data pipeline needs.
+
+Scale posture (100 TB): centroids are model state — k·dim longs — and
+ride a broadcast; each round is ONE pass over the vectors (broadcast
+nested-loop against k rows, dot/diff folds inside whole-stage codegen)
+plus ONE map-side-combinable mean aggregation over (cluster, dim) keys
+(k·dim groups, constant-size reduce state). Rounds are unrolled by the
+caller (same idiom as q121 PageRank); no driver collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def integerize_embeddings(
+    emb: DataFrame,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, q array<long>)`` — per-component ``floor(x·scale + 0.5)``,
+    the q144 fixed-IEEE-op-sequence idiom (float→double is exact, one
+    multiply, one floor), so both engines hold identical integers."""
+    arr = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            arr, lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+        ).alias("q"),
+    )
+
+
+def seed_centroids(vectors: DataFrame, k: int, stride: int = 29) -> DataFrame:
+    """Deterministic init: the ``k`` smallest vec_ids among
+    ``vec_id % stride == 0`` become clusters 0..k-1 (a fixed, engine-
+    replayable rule — the k-means++ randomized init trades determinism
+    for convergence speed; with unrolled fixed rounds the trade goes the
+    other way). Returns ``(cluster_id, c array<long>)``."""
+    from pyspark.sql import Window
+
+    seeds = (
+        vectors.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(k)
+    )
+    return seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster_id"),
+        F.col("q").alias("c"),
+    )
+
+
+def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector under squared L2 (BIGINT-exact):
+    broadcast the k-row centroid frame, fold ``Σ(q_d − c_d)²`` JVM-side
+    (``zip_with`` over two plain column arrays — no computed-array HOF
+    capture), pick ``min(struct(dist, cluster_id))`` so ties break to
+    the smallest cluster id. One wide pass, no shuffle on the vectors
+    beyond the final per-vector min (map-side combinable)."""
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cluster_id", dist.alias("dist")
+    )
+    best = (
+        cand.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cluster_id").alias("cluster_id"),
+            F.col("m.dist").alias("dist"),
+        )
+    )
+    return best
+
+
+def update_centroids(
+    vectors: DataFrame, assignment: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Integer-mean centroid update: posexplode members to
+    ``(cluster, dim, val)``, per-dim ``sum(val) div count(*)`` (truncates
+    toward zero in BOTH engines — exact), rebuild arrays with an
+    ``array_sort`` on (dim, mean) structs. A cluster that lost every
+    member KEEPS its previous centroid (left-join + coalesce) — the
+    deterministic empty-cluster contract."""
+    members = assignment.select("vec_id", "cluster_id").join(vectors, "vec_id")
+    means = (
+        members.select("cluster_id", F.posexplode("q").alias("d", "val"))
+        .groupBy("cluster_id", "d")
+        .agg(F.expr("sum(val) div count(*)").alias("m"))
+    )
+    rebuilt = means.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("c_new")
+    )
+    return centroids.join(rebuilt, "cluster_id", "left").select(
+        "cluster_id", F.coalesce("c_new", "c").alias("c")
+    )
+
+
+def kmeans_cluster_stats(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    scale: int = 1000,
+    stride: int = 29,
+) -> DataFrame:
+    """Unrolled k-means → per-cluster ``(cluster_id, n, inertia,
+    min_vec_id)``: ``rounds`` (assign, update) cycles from the seeded
+    centroids, then one final assignment aggregated per cluster. All
+    BIGINT; empty clusters appear with n=0 (full k-row grid). inertia =
+    Σ min-dist — the convergence scalar a pipeline monitors; min_vec_id
+    is a cheap membership witness so the oracle hash moves if ANY vector
+    switches clusters, not only when counts change."""
+    vectors = integerize_embeddings(emb, scale=scale)
+    cents = seed_centroids(vectors, k, stride=stride)
+    for _ in range(rounds):
+        assignment = assign_clusters(vectors, cents)
+        cents = update_centroids(vectors, assignment, cents)
+    final = assign_clusters(vectors, cents)
+    stats = final.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        F.sum("dist").alias("inertia"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+    grid = cents.select("cluster_id")
+    return grid.join(stats, "cluster_id", "left").select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("inertia", F.lit(0)).cast("long").alias("inertia"),
+        F.coalesce("min_vec_id", F.lit(-1)).cast("long").alias("min_vec_id"),
+    )

@@ -7695,6 +7695,121 @@ def q148_als_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_topk(uf, itf, k=5)
 
 
+def _kmeans_oracle_sql(
+    k: int = 8, rounds: int = 2, scale: int = 1000, stride: int = 29
+) -> str:
+    """DuckDB replay of operators/clustering.py: flattened (vec_id, d,
+    val) representation, the same seeded init, unrolled (assign, update)
+    rounds, final per-cluster stats. Every aggregate is CAST BIGINT (the
+    q127 HUGEINT lesson); dist ties break (dist, cluster_id) exactly as
+    Spark's min(struct)."""
+    parts = [
+        f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, i AS d, q[i + 1] AS val
+        FROM qv, unnest(range(len(q))) AS r(i)
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id
+        FROM qv WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {k}
+    ),
+    c0 AS (
+        SELECT s.cluster_id, f.d, f.val AS c
+        FROM seeds s JOIN flat f USING (vec_id)
+    )"""
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS (
+        SELECT f.vec_id, c.cluster_id,
+               CAST(sum((f.val - c.c) * (f.val - c.c)) AS BIGINT) AS dist
+        FROM flat f JOIN {prev} c USING (d)
+        GROUP BY f.vec_id, c.cluster_id
+    ),
+    a{r} AS (
+        SELECT vec_id, cluster_id, dist FROM (
+            SELECT vec_id, cluster_id, dist,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC
+                   ) AS rn
+            FROM d{r}
+        ) WHERE rn = 1
+    ),
+    m{r} AS (
+        SELECT a.cluster_id, f.d,
+               CAST(sum(f.val) AS BIGINT) // count(*) AS m
+        FROM a{r} a JOIN flat f USING (vec_id)
+        GROUP BY a.cluster_id, f.d
+    ),
+    c{r} AS (
+        SELECT p.cluster_id, p.d, coalesce(m{r}.m, p.c) AS c
+        FROM {prev} p
+        LEFT JOIN m{r} ON p.cluster_id = m{r}.cluster_id AND p.d = m{r}.d
+    )""")
+        prev = f"c{r}"
+    fr = rounds + 1
+    parts.append(f""",
+    d{fr} AS (
+        SELECT f.vec_id, c.cluster_id,
+               CAST(sum((f.val - c.c) * (f.val - c.c)) AS BIGINT) AS dist
+        FROM flat f JOIN {prev} c USING (d)
+        GROUP BY f.vec_id, c.cluster_id
+    ),
+    a{fr} AS (
+        SELECT vec_id, cluster_id, dist FROM (
+            SELECT vec_id, cluster_id, dist,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC
+                   ) AS rn
+            FROM d{fr}
+        ) WHERE rn = 1
+    )
+    SELECT CAST(g.cluster_id AS BIGINT) AS cluster_id,
+           CAST(coalesce(t.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(t.inertia, 0) AS BIGINT) AS inertia,
+           CAST(coalesce(t.min_vec_id, -1) AS BIGINT) AS min_vec_id
+    FROM (SELECT DISTINCT cluster_id FROM seeds) g
+    LEFT JOIN (
+        SELECT cluster_id, count(*) AS n,
+               CAST(sum(dist) AS BIGINT) AS inertia,
+               min(vec_id) AS min_vec_id
+        FROM a{fr} GROUP BY cluster_id
+    ) t USING (cluster_id)""")
+    return "".join(parts)
+
+
+@query("q149_kmeans_clusters", _kmeans_oracle_sql())
+def q149_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer k-means over the embedding corpus
+    (operators/clustering.py) — the semantic-clustering stage
+    (SemDeDup buckets / corpus domain discovery / IVF coarse quantizer)
+    made HASH-GATEABLE: Lloyd's on float centroids is
+    reduction-order-nondeterministic, but on ``floor(x·1000 + 0.5)``
+    integerized vectors with ``sum div count`` centroid means (both
+    engines truncate toward zero — verified) every assignment and every
+    inertia is a bit-exact BIGINT. Two unrolled (assign, update) rounds
+    from a fixed seeded init (k smallest vec_ids ≡ 0 mod 29), then the
+    final assignment's per-cluster (n, inertia, min_vec_id) — the
+    membership witness makes the hash move if ANY vector switches
+    cluster. Plan per round: broadcast the k×64-long centroid frame,
+    ONE vector pass (zip_with/aggregate squared-L2 inside codegen,
+    min(struct) per vector), ONE (cluster, dim)-keyed mean agg with
+    k·dim reduce groups — at 100 TB the vectors never shuffle; only
+    constant-size model state moves. The reference has no clustering
+    surface (extension, like the sketch family)."""
+    from albedo_spark.operators.clustering import kmeans_cluster_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster_stats(emb, k=8, rounds=2, scale=1000, stride=29)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -7804,7 +7919,14 @@ _DEMOTED = [
 #        (similarity keeps q71 exact GEMM kNN + q144 quantized in-window;
 #        the LSH probe scheme stays gated via q33 post-window and the
 #        q93/q102 vector-store family)
-# Round-10 window swap: q148 ALS-serving (hash-gated, fixed literal
+# Round-10 window swaps:
+#   q149 deterministic k-means IN (NEW family — clustering; the
+#        new-family promotion rule, as rounds 6-9); q22 lang×quality OUT
+#        to post-window — the text-stats family keeps FOUR in-window reps
+#        (q19 token stats, q67 repetition, q70 corpus profile — which IS
+#        a lang×quality aggregate — q116 blocklist) and lang-ID/quality
+#        scoring stay gated post-window via q22 itself plus q29/q131.
+#   q148 ALS-serving (hash-gated, fixed literal
 # factors) IN; q35 ALS trainer OUT to post-window — q35 has been the
 # artifact's one structural `no_oracle` row since round 5 because ALS
 # TRAINING is statistically un-oracle-able, but SERVING is exactly
@@ -7812,6 +7934,7 @@ _DEMOTED = [
 # gateable half. q35 keeps its seeded pytest + NDCG floor + the no-cap
 # local gate unchanged.
 _POST_WINDOW = [
+    "q22_lang_quality",
     "q35_als_recommend",
     "q33_ann_lsh",
     "q128_prefix_filter_jaccard",

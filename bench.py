@@ -139,6 +139,7 @@ HEADLINE2 = [
     # tier2_total without breaking the cross-round regression series).
     "q147_multimodal_ahash",
     "q148_als_serve_topk",
+    "q149_kmeans_clusters",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -402,3 +402,42 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "id" in plan  # filter reaches the scan
     assert "ReadSchema: struct<id:bigint>" in plan  # column pruning
+
+
+def test_write_es_bulk_format(spark, tmp_path):
+    """S10: the bulk export emits alternating action/source lines in the
+    search bulk wire format — _id from the id column (excluded from the
+    source doc), valid JSON on every line, num_files respected."""
+    import glob
+    import gzip
+    import json
+
+    from albedo_spark.io import write_es_bulk
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30)],
+        "repo_id long, name string, stars int",
+    )
+    p = str(tmp_path / "bulk")
+    write_es_bulk(df, p, index="repo", id_col="repo_id", num_files=1)
+    files = glob.glob(p + "/part-*.txt.gz")
+    assert len(files) == 1
+    with gzip.open(files[0], "rt") as fh:
+        lines = [l for l in fh.read().splitlines() if l]
+    assert len(lines) == 6  # 3 docs x (action + source)
+    seen = {}
+    for a, s in zip(lines[0::2], lines[1::2]):
+        act, src = json.loads(a), json.loads(s)
+        assert act["index"]["_index"] == "repo"
+        assert "repo_id" not in src  # id rides in _id only
+        seen[act["index"]["_id"]] = src
+    assert seen == {
+        "1": {"name": "alpha", "stars": 10},
+        "2": {"name": "beta", "stars": 20},
+        "3": {"name": "gamma", "stars": 30},
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_es_bulk(df, p, index="repo", id_col="nope")

@@ -223,9 +223,12 @@ def test_driver_record_window_contains_flagships():
         # the in-window similarity reps)
         "q141_rrf_fusion",
         "q144_quantized_ann",
-        # round-10 swap: ALS serving (hash-gated) replaces the rows-only
-        # q35 trainer as the M3 family's in-window representative
+        # round-10 swaps: ALS serving (hash-gated) replaces the rows-only
+        # q35 trainer as the M3 family's in-window representative; the
+        # new clustering family takes q22's slot (lang×quality stays
+        # covered in-window by q70's corpus profile)
         "q148_als_serve_topk",
+        "q149_kmeans_clusters",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
@@ -640,3 +643,49 @@ def test_oracle_sql_output_types_are_hashable():
             if any(b in t_s for b in banned):
                 offenders.append(f"{name}.{col}: {t_s}")
     assert not offenders, offenders
+
+
+def test_kmeans_deterministic_and_converging(spark):
+    """clustering.py semantics: (a) well-separated blobs are recovered
+    exactly; (b) the result is partitioning-invariant (1 vs 8
+    partitions — integer math has no reduction-order term); (c) an
+    empty cluster keeps its previous centroid instead of NaN-ing."""
+    from albedo_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_cluster_stats,
+        seed_centroids,
+        update_centroids,
+    )
+
+    # two tight blobs around (0,0) and (100,100); seeds stride 1 picks
+    # vec_id 0 (blob A) and 1 (blob A!) — round 1 must still split them
+    rows = [(i, [float(i % 3), float((i * 2) % 3)]) for i in range(6)] + [
+        (i, [100.0 + i % 3, 100.0 + (i * 2) % 3]) for i in range(6, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = kmeans_cluster_stats(emb, k=2, rounds=2, scale=10, stride=6)
+    got = {r.cluster_id: (r.n, r.min_vec_id) for r in stats.collect()}
+    # stride 6 seeds vec_id 0 (blob A) and 6 (blob B) → perfect split
+    assert got == {0: (6, 0), 1: (6, 6)}
+
+    rep = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+    got8 = {
+        r.cluster_id: (r.n, r.inertia, r.min_vec_id)
+        for r in kmeans_cluster_stats(rep, k=2, rounds=2, scale=10, stride=6).collect()
+    }
+    got1 = {
+        r.cluster_id: (r.n, r.inertia, r.min_vec_id)
+        for r in kmeans_cluster_stats(emb.coalesce(1), k=2, rounds=2, scale=10, stride=6).collect()
+    }
+    assert got8 == got1
+
+    # empty-cluster contract: both seeds in blob A, all points nearer
+    # seed 0 after update → cluster 1 may empty out; its centroid must
+    # survive (coalesce), so assign still returns k-grid stats
+    from albedo_spark.operators.clustering import integerize_embeddings
+
+    vecs = integerize_embeddings(emb, scale=10)
+    cents = seed_centroids(vecs, k=2, stride=1)  # vec_ids 0 and 1: both blob A
+    a = assign_clusters(vecs, cents)
+    c2 = update_centroids(vecs, a, cents)
+    assert c2.count() == 2  # no cluster row lost, empty or not
