@@ -1,0 +1,187 @@
+"""Product quantization (PQ) ANN — the compressed-corpus scale path for
+similarity search (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+Where q144's int8 scalar quantization shrinks each vector 4×, PQ shrinks
+it to ``m`` small code ids — at m=4 subspaces × 8 codes a 64-dim float32
+vector (256 B) becomes 4 × 3 bits of code (~2 B with packing; 4 B as
+plain bytes): the whole corpus fits in RAM orders of magnitude earlier,
+and query scoring never touches the original vectors. Scoring is ADC
+(asymmetric distance computation): per query build the m×ncodes table of
+exact subvector→centroid distances, then every candidate's approximate
+distance is m TABLE LOOKUPS summed — no per-pair vector math at all.
+
+Exactness discipline: vectors ride the package's ``floor(x·1000 + 0.5)``
+integerization, codebooks are integer literals, so every encode decision
+(min dist, tie → smallest code) and every ADC score is a bit-exact
+BIGINT — the whole index build AND query path is hash-gateable (q150),
+unlike any float PQ implementation. Codebooks can come from anywhere
+that yields integer centroids; ``formula_codebooks`` gives a fixed
+auditable default, and training them per-subspace with
+``operators/clustering.py`` k-means is the production path (same
+determinism contract end to end).
+
+Scale posture (100 TB): codebooks are m·ncodes·subdim longs — model
+state on a broadcast. Encoding is one pass over the vectors (broadcast
+join, codegen integer folds, per-(vec, subspace) min). The ADC query
+table is |queries|·m·ncodes rows — broadcast — so the scoring join
+never shuffles the code table; scoring reads the 4-ints-per-row code
+table, not the 64-float vectors. The reference has no ANN surface at
+all (its similarity path is ES more-like-this, ``app/mappings.py``);
+this module extends the q23/q33/q71/q93/q144 family."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.clustering import integerize_embeddings
+from albedo_spark.operators.topk import top_k_per_group
+
+
+def formula_codebooks(
+    m: int = 4, ncodes: int = 8, subdim: int = 16, spread: int = 400
+) -> list[tuple[int, int, list[int]]]:
+    """Fixed integer codebooks ``(s, code, centroid)`` from a small
+    formula spanning [-spread, spread] (the sf fixture's integerized
+    components sit in ~[-525, 458]) — deterministic, auditable, shared
+    verbatim with the SQL oracle (the q148 literal-fixture technique).
+    Production trains per-subspace codebooks with the clustering
+    module's k-means instead; the encode/ADC path is identical."""
+    mod = 2 * spread + 1
+    return [
+        (
+            s,
+            code,
+            [((code * 131 + s * 37 + d * 53) % mod) - spread for d in range(subdim)],
+        )
+        for s in range(m)
+        for code in range(ncodes)
+    ]
+
+
+def _subvectors(vectors: DataFrame, m: int, subdim: int) -> DataFrame:
+    """``(vec_id, s, sub array<long>)`` — slice each integerized vector
+    into m contiguous subspaces (slices built in the projection, then
+    posexploded: no computed-array HOF capture)."""
+    slices = F.array(
+        *[F.slice("q", s * subdim + 1, subdim) for s in range(m)]
+    )
+    return vectors.select(
+        "vec_id", F.posexplode(slices).alias("s", "sub")
+    )
+
+
+def pq_all_dists(
+    emb: DataFrame,
+    codebooks: list[tuple[int, int, list[int]]],
+    m: int = 4,
+    subdim: int = 16,
+    scale: int = 1000,
+) -> DataFrame:
+    """``(vec_id, s, code, dist)`` — squared-L2 of every vector subspace
+    against every codebook centroid (|V|·m·ncodes rows). This one frame
+    is BOTH halves of PQ: per-(vec_id, s) argmin is the encoder, and the
+    query-id slice of it is the ADC distance table."""
+    spark = emb.sparkSession
+    cb = spark.createDataFrame(
+        codebooks, "s int, code int, c array<long>"
+    )
+    vectors = integerize_embeddings(emb, scale=scale)
+    sub = _subvectors(vectors, m, subdim)
+    dist = F.aggregate(
+        F.zip_with("sub", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return sub.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "code", dist.alias("dist")
+    )
+
+
+def pq_encode(dists: DataFrame) -> DataFrame:
+    """``(vec_id, s, code)`` — nearest centroid per subspace, ties to the
+    smallest code id (min over (dist, code) structs)."""
+    return (
+        dists.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "code")).alias("mm"))
+        .select("vec_id", "s", F.col("mm.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    codebooks: list[tuple[int, int, list[int]]] | None = None,
+    m: int = 4,
+    subdim: int = 16,
+    scale: int = 1000,
+) -> DataFrame:
+    """PQ index build + ADC top-k in one plan: encode the corpus, slice
+    the query rows' exact distance table out of the same frame,
+    broadcast it, and score candidates by m table-lookup sums —
+    ``(query_id, neighbor_id, adist, rank)``, self excluded, ranked
+    (adist asc, neighbor_id asc)."""
+    if codebooks is None:
+        codebooks = formula_codebooks(m=m, subdim=subdim)
+    dists = pq_all_dists(emb, codebooks, m=m, subdim=subdim, scale=scale)
+    # Two consumers (encoder + query table) of one |V|·m·ncodes frame:
+    # lazy localCheckpoint so the broadcast-join scan isn't recomputed
+    # (leak-free, unlike persist — the bench-cache lesson).
+    dists = dists.localCheckpoint(eager=False)
+    codes = pq_encode(dists)
+    qt = dists.where(query_pred(F.col("vec_id"))).select(
+        F.col("vec_id").alias("query_id"), "s", "code",
+        F.col("dist").alias("tdist"),
+    )
+    scored = (
+        codes.join(F.broadcast(qt), ["s", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("tdist").alias("adist"))
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adist").asc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", "adist", "rank")
+
+
+def train_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ncodes: int = 8,
+    subdim: int = 16,
+    scale: int = 1000,
+    rounds: int = 2,
+    stride: int = 29,
+) -> list[tuple[int, int, list[int]]]:
+    """Per-subspace k-means codebooks via operators/clustering.py — the
+    production alternative to ``formula_codebooks`` with the SAME
+    determinism contract (integer centroids, fixed seeded init, unrolled
+    rounds), so a trained index is as replayable as the formula one.
+    Returns driver-side ``(s, code, centroid)`` tuples — m·ncodes·subdim
+    longs of MODEL STATE (the ALS-factor analog; at any corpus scale
+    this is a few KB destined for a broadcast, not data)."""
+    from albedo_spark.operators.clustering import (
+        assign_clusters,
+        seed_centroids,
+        update_centroids,
+    )
+
+    vectors = integerize_embeddings(emb, scale=scale)
+    sub = _subvectors(vectors, m, subdim)
+    out: list[tuple[int, int, list[int]]] = []
+    for s in range(m):
+        vs = sub.where(F.col("s") == s).select("vec_id", F.col("sub").alias("q"))
+        cents = seed_centroids(vs, ncodes, stride=stride)
+        for _ in range(rounds):
+            assignment = assign_clusters(vs, cents)
+            cents = update_centroids(vs, assignment, cents)
+        for r in sorted(cents.collect(), key=lambda r: r.cluster_id):
+            out.append((s, int(r.cluster_id), [int(x) for x in r.c]))
+    return out

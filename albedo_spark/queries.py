@@ -7785,6 +7785,90 @@ def _kmeans_oracle_sql(
     return "".join(parts)
 
 
+def _pq_oracle_sql(
+    m: int = 4, ncodes: int = 8, subdim: int = 16, qmod: int = 100, k: int = 5
+) -> str:
+    """DuckDB replay of operators/pq.py: the same flattened codebook as
+    a VALUES literal (formula_codebooks shared verbatim), encode argmin
+    per (vec, subspace), ADC table = the query slice of the same
+    distance frame, score = m lookup sums. All BIGINT."""
+    from albedo_spark.operators.pq import formula_codebooks
+
+    cb_values = ", ".join(
+        f"({s}, {code}, {d}, {val})"
+        for s, code, cvec in formula_codebooks(m=m, ncodes=ncodes, subdim=subdim)
+        for d, val in enumerate(cvec)
+    )
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, s, d, q[s * {subdim} + d + 1] AS val
+        FROM qv, unnest(range({m})) r(s), unnest(range({subdim})) r2(d)
+    ),
+    cb(s, code, d, val) AS (VALUES {cb_values}),
+    dists AS (
+        SELECT v.vec_id, v.s, c.code,
+               CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
+        FROM sub v JOIN cb c ON v.s = c.s AND v.d = c.d
+        GROUP BY v.vec_id, v.s, c.code
+    ),
+    enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist ASC, code ASC
+                   ) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    qt AS (
+        SELECT vec_id AS query_id, s, code, dist AS tdist
+        FROM dists WHERE vec_id % {qmod} = 0
+    ),
+    sc AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id,
+               CAST(sum(t.tdist) AS BIGINT) AS adist
+        FROM enc e
+        JOIN qt t ON e.s = t.s AND e.code = t.code AND e.vec_id <> t.query_id
+        GROUP BY t.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+        SELECT query_id, neighbor_id, adist,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+               ) AS rank
+        FROM sc
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q150_pq_ann", _pq_oracle_sql())
+def q150_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring (operators/pq.py —
+    Jégou et al. 2011): the compressed-corpus member of the similarity
+    family (q71 exact GEMM, q33 LSH, q144 int8; PQ is the path where the
+    corpus itself is 4 code ids per vector, ~100× smaller than float32,
+    and query scoring is table lookups, never vector math). Integer
+    codebooks + integerized vectors make the ENTIRE index build and
+    query path hash-exact — encode argmin (tie → smallest code), ADC
+    sums, final (adist asc, neighbor asc) ranking — which no float PQ
+    can claim. One |V|·m·ncodes distance frame serves as both encoder
+    input and query table (lazily checkpointed, two consumers);
+    codebooks and the query table ride broadcasts, so the only shuffles
+    are the per-(vec,s) argmin and the per-(query,neighbor) ADC sum —
+    both map-side combinable. Queries: every 100th vector, k=5, self
+    excluded."""
+    from albedo_spark.operators.pq import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, lambda vid: vid % 100 == 0, k=5)
+
+
 @query("q149_kmeans_clusters", _kmeans_oracle_sql())
 def q149_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer k-means over the embedding corpus
@@ -7937,6 +8021,7 @@ _POST_WINDOW = [
     "q22_lang_quality",
     "q35_als_recommend",
     "q33_ann_lsh",
+    "q150_pq_ann",
     "q128_prefix_filter_jaccard",
     "q145_sketch_overlap",
     "q146_containment_pairs",

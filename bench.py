@@ -140,6 +140,7 @@ HEADLINE2 = [
     "q147_multimodal_ahash",
     "q148_als_serve_topk",
     "q149_kmeans_clusters",
+    "q150_pq_ann",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -656,3 +656,75 @@ def test_quantized_vector_store_matches_float_store(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS vecstore_f")
         spark.sql("DROP TABLE IF EXISTS vecstore_q")
+
+
+def test_pq_encode_hand_example(spark):
+    """Encoder picks the nearest centroid per subspace, ties to the
+    smallest code id."""
+    from albedo_spark.operators.pq import pq_all_dists, pq_encode
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 1.0, 1.0]), (1, [0.01, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # scale 1: vec0 = [0,0 | 1,1], vec1 = [0,0 | 0,0]
+    cb = [(0, 0, [0, 0]), (0, 1, [0, 0]), (1, 0, [1, 1]), (1, 1, [0, 0])]
+    codes = {
+        (r.vec_id, r.s): r.code
+        for r in pq_encode(pq_all_dists(emb, cb, m=2, subdim=2, scale=1)).collect()
+    }
+    # subspace 0: both centroids identical → tie → code 0 for both vecs
+    # subspace 1: vec0 nearest (1,1)=code0, vec1 nearest (0,0)=code1
+    assert codes == {(0, 0): 0, (0, 1): 0, (1, 0): 0, (1, 1): 1}
+
+
+def test_pq_trained_codebooks_beat_formula(spark):
+    """train_codebooks (per-subspace integer k-means) must clearly beat
+    the fixed formula codebooks on recall@5 vs exact integer L2 —
+    measured 0.22 vs 0.04 at m=8/ncodes=16 on the sf0.001 embeddings
+    (synthetic near-random vectors are PQ's hardest case; the operator's
+    claim is the compression/determinism trade, not magic recall)."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.clustering import integerize_embeddings
+    from albedo_spark.operators.pq import (
+        formula_codebooks,
+        pq_adc_topk,
+        train_codebooks,
+    )
+    from albedo_spark.operators.topk import top_k_per_group
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    vecs = integerize_embeddings(emb).localCheckpoint(eager=False)
+    q = vecs.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    d = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        vecs.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d.alias("dist"))
+    )
+    exact = top_k_per_group(
+        pairs, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 5
+    )
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    denom = sum(len(v) for v in ex.values())
+
+    def recall(cb):
+        got = {}
+        for r in pq_adc_topk(
+            emb, lambda vid: vid % 10 == 0, k=5, codebooks=cb, m=8, subdim=8
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(k, set()) & v) for k, v in ex.items()) / denom
+
+    r_formula = recall(formula_codebooks(m=8, ncodes=16, subdim=8))
+    r_trained = recall(train_codebooks(emb, m=8, ncodes=16, subdim=8))
+    assert r_trained >= 2 * r_formula
+    assert r_trained >= 0.15
