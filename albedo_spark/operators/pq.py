@@ -185,3 +185,150 @@ def train_codebooks(
         for r in sorted(cents.collect(), key=lambda r: r.cluster_id):
             out.append((s, int(r.cluster_id), [int(x) for x in r.c]))
     return out
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    kc: int = 8,
+    nprobe: int = 2,
+    rounds: int = 2,
+    codebooks: list[tuple[int, int, list[int]]] | None = None,
+    m: int = 4,
+    subdim: int = 16,
+    scale: int = 1000,
+    stride: int = 29,
+) -> DataFrame:
+    """IVF-PQ: the full billion-scale ANN recipe (Jégou et al. 2011 §V;
+    the FAISS IVFPQ layout) — a k-means coarse quantizer partitions the
+    corpus into kc cells, each vector stores only its PQ-coded RESIDUAL
+    (vector − cell centroid), and a query scores candidates in its
+    ``nprobe`` nearest cells only. Compared to q150's flat PQ scan this
+    cuts the scored fraction to ~nprobe/kc of the corpus, and residual
+    coding concentrates what the codebook must represent around the
+    cell centroid — the standard recall-per-bit win.
+
+    All stages inherit the package's integer discipline (coarse k-means
+    from operators/clustering.py, integer residuals, integer codebooks)
+    so the ENTIRE pipeline — train, assign, encode, probe, ADC — is
+    hash-exact (q151). Plan: centroids and codebooks are broadcast model
+    state; the corpus makes ONE assignment pass and ONE encode pass
+    (both codegen folds + map-side-combinable argmins); the query table
+    is |Q|·nprobe·m·ncodes rows on a broadcast; the scoring join touches
+    only code rows whose cell is probed — the inverted-list pruning,
+    expressed relationally as the (cell, s, code) equi-join.
+
+    Returns ``(query_id, neighbor_id, cell_id, adist, rank)``, self
+    excluded, ranked (adist asc, neighbor_id asc)."""
+    from albedo_spark.operators.clustering import (
+        assign_clusters,
+        seed_centroids,
+        update_centroids,
+    )
+
+    if codebooks is None:
+        codebooks = formula_codebooks(m=m, subdim=subdim)
+    spark = emb.sparkSession
+    cb = spark.createDataFrame(codebooks, "s int, code int, c array<long>")
+
+    vectors = integerize_embeddings(emb, scale=scale).localCheckpoint(
+        eager=False
+    )
+    cents = seed_centroids(vectors, kc, stride=stride)
+    for _ in range(rounds):
+        assignment = assign_clusters(vectors, cents)
+        cents = update_centroids(vectors, assignment, cents)
+    cents = cents.localCheckpoint(eager=False)  # consumers: assign, resid, probe
+
+    assign = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
+    resid = (
+        vectors.join(assign, "vec_id")
+        .join(F.broadcast(cents), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.zip_with("q", "c", lambda a, b: a - b).alias("q"),
+        )
+    )
+    rsub = resid.select(
+        "vec_id",
+        "cluster_id",
+        F.posexplode(
+            F.array(*[F.slice("q", s * subdim + 1, subdim) for s in range(m)])
+        ).alias("s", "sub"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rdists = rsub.join(F.broadcast(cb), "s").select(
+        "vec_id", "cluster_id", "s", "code", dist.alias("dist")
+    )
+    codes = (
+        rdists.groupBy("vec_id", "cluster_id", "s")
+        .agg(F.min(F.struct("dist", "code")).alias("mm"))
+        .select("vec_id", "cluster_id", "s", F.col("mm.code").alias("code"))
+    )
+
+    # query side: nprobe nearest cells by exact centroid distance
+    qv = vectors.where(query_pred(F.col("vec_id"))).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    cdist = F.aggregate(
+        F.zip_with("qq", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qcells = top_k_per_group(
+        qv.crossJoin(F.broadcast(cents)).select(
+            "query_id", "cluster_id", "qq", "c", cdist.alias("cdist")
+        ),
+        ["query_id"],
+        [F.col("cdist").asc(), F.col("cluster_id").asc()],
+        nprobe,
+    ).select(
+        "query_id",
+        F.col("cluster_id").alias("cell"),
+        F.zip_with("qq", "c", lambda a, b: a - b).alias("q"),
+    )
+    qrsub = qcells.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice("q", s * subdim + 1, subdim) for s in range(m)])
+        ).alias("s", "sub"),
+    )
+    qtable = qrsub.join(F.broadcast(cb), "s").select(
+        "query_id", "cell", "s", "code", dist.alias("tdist")
+    )
+    scored = (
+        codes.join(
+            F.broadcast(qtable),
+            (F.col("cluster_id") == F.col("cell"))
+            & (codes["s"] == qtable["s"])
+            & (codes["code"] == qtable["code"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cluster_id").alias("cell_id"),
+        )
+        .agg(F.sum("tdist").alias("adist"))
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adist").asc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        "adist",
+        "rank",
+    )

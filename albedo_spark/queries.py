@@ -7695,14 +7695,16 @@ def q148_als_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_topk(uf, itf, k=5)
 
 
-def _kmeans_oracle_sql(
+def _kmeans_cte_chain(
     k: int = 8, rounds: int = 2, scale: int = 1000, stride: int = 29
-) -> str:
-    """DuckDB replay of operators/clustering.py: flattened (vec_id, d,
-    val) representation, the same seeded init, unrolled (assign, update)
-    rounds, final per-cluster stats. Every aggregate is CAST BIGINT (the
-    q127 HUGEINT lesson); dist ties break (dist, cluster_id) exactly as
-    Spark's min(struct)."""
+) -> tuple[str, str, str]:
+    """Shared DuckDB CTE chain replaying operators/clustering.py:
+    flattened (vec_id, d, val) representation, the same seeded init,
+    unrolled (assign, update) rounds. Returns ``(chain_sql,
+    final_centroids_cte, final_assign_cte)`` so q149 appends its stats
+    SELECT and q151 appends the IVF-PQ stages on top of the same
+    trainer. Every aggregate is CAST BIGINT (the q127 HUGEINT lesson);
+    dist ties break (dist, cluster_id) exactly as Spark's min(struct)."""
     parts = [
         f"""
     WITH qv AS (
@@ -7770,7 +7772,15 @@ def _kmeans_oracle_sql(
                    ) AS rn
             FROM d{fr}
         ) WHERE rn = 1
-    )
+    )""")
+    return "".join(parts), prev, f"a{fr}"
+
+
+def _kmeans_oracle_sql(
+    k: int = 8, rounds: int = 2, scale: int = 1000, stride: int = 29
+) -> str:
+    chain, _cents, assign = _kmeans_cte_chain(k, rounds, scale, stride)
+    return f"""{chain}
     SELECT CAST(g.cluster_id AS BIGINT) AS cluster_id,
            CAST(coalesce(t.n, 0) AS BIGINT) AS n,
            CAST(coalesce(t.inertia, 0) AS BIGINT) AS inertia,
@@ -7780,9 +7790,8 @@ def _kmeans_oracle_sql(
         SELECT cluster_id, count(*) AS n,
                CAST(sum(dist) AS BIGINT) AS inertia,
                min(vec_id) AS min_vec_id
-        FROM a{fr} GROUP BY cluster_id
-    ) t USING (cluster_id)""")
-    return "".join(parts)
+        FROM {assign} GROUP BY cluster_id
+    ) t USING (cluster_id)"""
 
 
 def _pq_oracle_sql(
@@ -7867,6 +7876,118 @@ def q150_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, lambda vid: vid % 100 == 0, k=5)
+
+
+def _ivfpq_oracle_sql(
+    kc: int = 8,
+    rounds: int = 2,
+    m: int = 4,
+    ncodes: int = 8,
+    subdim: int = 16,
+    qmod: int = 100,
+    nprobe: int = 2,
+    k: int = 5,
+) -> str:
+    """DuckDB replay of operators/pq.py ivf_pq_topk: the shared k-means
+    CTE chain trains the coarse quantizer, then residual flatten → PQ
+    encode → nprobe probe (reusing the chain's final candidate-distance
+    CTE) → ADC over probed cells only. All BIGINT."""
+    from albedo_spark.operators.pq import formula_codebooks
+
+    cb_values = ", ".join(
+        f"({s}, {code}, {sd}, {val})"
+        for s, code, cvec in formula_codebooks(m=m, ncodes=ncodes, subdim=subdim)
+        for sd, val in enumerate(cvec)
+    )
+    chain, cents, assign = _kmeans_cte_chain(k=kc, rounds=rounds)
+    dcand = f"d{rounds + 1}"
+    return f"""{chain},
+    rflat AS (
+        SELECT f.vec_id, a.cluster_id, f.d, f.val - c.c AS val
+        FROM flat f
+        JOIN {assign} a USING (vec_id)
+        JOIN {cents} c ON c.cluster_id = a.cluster_id AND c.d = f.d
+    ),
+    rsub AS (
+        SELECT vec_id, cluster_id, d // {subdim} AS s, d % {subdim} AS sd, val
+        FROM rflat
+    ),
+    cb(s, code, sd, val) AS (VALUES {cb_values}),
+    rdists AS (
+        SELECT v.vec_id, v.cluster_id, v.s, c.code,
+               CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
+        FROM rsub v JOIN cb c ON v.s = c.s AND v.sd = c.sd
+        GROUP BY v.vec_id, v.cluster_id, v.s, c.code
+    ),
+    enc AS (
+        SELECT vec_id, cluster_id, s, code FROM (
+            SELECT vec_id, cluster_id, s, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist ASC, code ASC
+                   ) AS rn
+            FROM rdists
+        ) WHERE rn = 1
+    ),
+    qcells AS (
+        SELECT vec_id AS query_id, cluster_id AS cell FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC
+                   ) AS rn
+            FROM {dcand} WHERE vec_id % {qmod} = 0
+        ) WHERE rn <= {nprobe}
+    ),
+    qrsub AS (
+        SELECT qc.query_id, qc.cell,
+               f.d // {subdim} AS s, f.d % {subdim} AS sd,
+               f.val - c.c AS val
+        FROM qcells qc
+        JOIN flat f ON f.vec_id = qc.query_id
+        JOIN {cents} c ON c.cluster_id = qc.cell AND c.d = f.d
+    ),
+    qtable AS (
+        SELECT v.query_id, v.cell, v.s, c.code,
+               CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS tdist
+        FROM qrsub v JOIN cb c ON v.s = c.s AND v.sd = c.sd
+        GROUP BY v.query_id, v.cell, v.s, c.code
+    ),
+    sc AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id,
+               CAST(e.cluster_id AS BIGINT) AS cell_id,
+               CAST(sum(t.tdist) AS BIGINT) AS adist
+        FROM enc e
+        JOIN qtable t ON t.cell = e.cluster_id AND t.s = e.s
+                     AND t.code = e.code AND e.vec_id <> t.query_id
+        GROUP BY t.query_id, e.vec_id, e.cluster_id
+    )
+    SELECT query_id, neighbor_id, cell_id, adist, rank FROM (
+        SELECT query_id, neighbor_id, cell_id, adist,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+               ) AS rank
+        FROM sc
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q151_ivf_pq_ann", _ivfpq_oracle_sql())
+def q151_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py ivf_pq_topk — Jégou et al. 2011 §V,
+    the FAISS-style billion-scale recipe): k-means coarse cells (q149's
+    trainer), PQ-coded RESIDUALS per cell (recall-per-bit win), queries
+    probe nprobe=2 of kc=8 cells and ADC-score only those cells'
+    candidates — the inverted-list pruning expressed as a (cell, s,
+    code) equi-join against a broadcast query table. Every stage is
+    integer-exact, so the complete train→assign→encode→probe→score
+    pipeline hash-gates in both engines — the composition gate on top
+    of q149 (trainer) and q150 (flat PQ). At 100 TB: centroids +
+    codebooks are broadcast model state, the corpus is touched by ONE
+    assignment and ONE encode pass, and query work scales with
+    nprobe/kc of the code table, never the vectors."""
+    from albedo_spark.operators.pq import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, lambda vid: vid % 100 == 0, k=5)
 
 
 @query("q149_kmeans_clusters", _kmeans_oracle_sql())
@@ -8022,6 +8143,7 @@ _POST_WINDOW = [
     "q35_als_recommend",
     "q33_ann_lsh",
     "q150_pq_ann",
+    "q151_ivf_pq_ann",
     "q128_prefix_filter_jaccard",
     "q145_sketch_overlap",
     "q146_containment_pairs",

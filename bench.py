@@ -141,6 +141,7 @@ HEADLINE2 = [
     "q148_als_serve_topk",
     "q149_kmeans_clusters",
     "q150_pq_ann",
+    "q151_ivf_pq_ann",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -728,3 +728,56 @@ def test_pq_trained_codebooks_beat_formula(spark):
     r_trained = recall(train_codebooks(emb, m=8, ncodes=16, subdim=8))
     assert r_trained >= 2 * r_formula
     assert r_trained >= 0.15
+
+
+def test_ivf_pq_probe_contract_and_determinism(spark):
+    """IVF-PQ semantics: every returned neighbor lives in one of the
+    query's nprobe nearest cells (the inverted-list pruning contract),
+    self is excluded, and the result is partitioning-invariant."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.clustering import (
+        assign_clusters,
+        integerize_embeddings,
+        seed_centroids,
+        update_centroids,
+    )
+    from albedo_spark.operators.pq import ivf_pq_topk
+    from albedo_spark.operators.topk import top_k_per_group
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pred = lambda vid: vid % 10 == 0
+    out = ivf_pq_topk(emb, pred, k=5, kc=4, nprobe=2).collect()
+    assert out and all(r.neighbor_id != r.query_id for r in out)
+
+    # recompute the coarse trainer independently to check the probe set
+    vecs = integerize_embeddings(emb)
+    cents = seed_centroids(vecs, 4)
+    for _ in range(2):
+        a = assign_clusters(vecs, cents)
+        cents = update_centroids(vecs, a, cents)
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        vecs.where(pred(F.col("vec_id")))
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id").alias("query_id"), "cluster_id", dist.alias("d"))
+    )
+    probes = {}
+    for r in top_k_per_group(
+        cand, ["query_id"], [F.col("d").asc(), F.col("cluster_id").asc()], 2
+    ).collect():
+        probes.setdefault(r.query_id, set()).add(r.cluster_id)
+    assert all(r.cell_id in probes[r.query_id] for r in out)
+
+    rep = emb.repartition(16)
+    out16 = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cell_id, r.adist)
+        for r in ivf_pq_topk(rep, pred, k=5, kc=4, nprobe=2).collect()
+    }
+    base = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cell_id, r.adist) for r in out
+    }
+    assert out16 == base
