@@ -7696,7 +7696,11 @@ def q148_als_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_cte_chain(
-    k: int = 8, rounds: int = 2, scale: int = 1000, stride: int = 29
+    k: int = 8,
+    rounds: int = 2,
+    scale: int = 1000,
+    stride: int = 29,
+    source: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> tuple[str, str, str]:
     """Shared DuckDB CTE chain replaying operators/clustering.py:
     flattened (vec_id, d, val) representation, the same seeded init,
@@ -7711,7 +7715,7 @@ def _kmeans_cte_chain(
         SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
                               x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
-        FROM embeddings
+        FROM ({source})
     ),
     flat AS (
         SELECT vec_id, i AS d, q[i + 1] AS val
