@@ -346,18 +346,36 @@ def write_es_bulk(
     as ``write_jsonl``).
 
     Everything stays JVM-side: ``to_json(struct(...))`` for the source
-    doc, literal concat for the action line, one ``text`` write. The id
-    column is excluded from the source doc (it rides in ``_id``, the
-    reference's ``meta.id`` convention)."""
+    doc AND for the action line, one ``text`` write. The id column is
+    excluded from the source doc (it rides in ``_id``, the reference's
+    ``meta.id`` convention).
+
+    Robustness contract (ADVICE r10 #1): the action line is built with
+    ``to_json`` so ids/index names containing quotes, backslashes, or
+    newlines are JSON-escaped by the engine — hand-concatenation produced
+    invalid action JSON for adversarial ids. NULL ids are REJECTED
+    loudly before writing: a NULL would otherwise drop the action line
+    and desync the strict action/source line pairing of the bulk wire
+    format for every subsequent document in the file."""
     from pyspark.sql import functions as F
 
     if id_col not in df.columns:
         raise ValueError(f"id_col {id_col!r} not in {df.columns}")
     doc_cols = [c for c in df.columns if c != id_col]
-    action = F.concat(
-        F.lit('{"index": {"_index": "' + index + '", "_id": "'),
-        F.col(id_col).cast("string"),
-        F.lit('"}}'),
+    n_null = df.where(F.col(id_col).isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(
+            f"write_es_bulk: NULL values in id column {id_col!r} — a NULL id "
+            "would desync the bulk action/source line pairing; filter or "
+            "impute ids upstream"
+        )
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index).alias("_index"),
+                F.col(id_col).cast("string").alias("_id"),
+            ).alias("index")
+        )
     )
     lines = df.select(
         F.concat_ws(

@@ -53,7 +53,16 @@ def seed_centroids(vectors: DataFrame, k: int, stride: int = 29) -> DataFrame:
     ``vec_id % stride == 0`` become clusters 0..k-1 (a fixed, engine-
     replayable rule — the k-means++ randomized init trades determinism
     for convergence speed; with unrolled fixed rounds the trade goes the
-    other way). Returns ``(cluster_id, c array<long>)``."""
+    other way). Returns ``(cluster_id, c array<long>)``.
+
+    Seed-shortfall guard (ADVICE r10 #2): if fewer than ``k`` vec_ids
+    satisfy the stride filter (small fixtures, sparse id spaces), the
+    trainer used to degrade SILENTLY to a smaller k — both engines
+    identically, so the oracle still passed. Now a lazy ``raise_error``
+    over a global count window fires at execution time (no extra driver
+    action — the frame is ≤k rows). The one remaining silent shape is
+    ZERO matching seeds, which yields an empty — visibly broken —
+    centroid frame rather than a plausible smaller k."""
     from pyspark.sql import Window
 
     seeds = (
@@ -61,9 +70,24 @@ def seed_centroids(vectors: DataFrame, k: int, stride: int = 29) -> DataFrame:
         .orderBy("vec_id")
         .limit(k)
     )
+    n_match = F.count("*").over(Window.partitionBy())
     return seeds.select(
         (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster_id"),
-        F.col("q").alias("c"),
+        F.when(
+            n_match < k,
+            F.raise_error(
+                F.concat(
+                    F.lit("seed_centroids: only "),
+                    n_match.cast("string"),
+                    F.lit(
+                        f" seed(s) satisfy vec_id % {stride} == 0 — need "
+                        f"k={k}; lower stride or k"
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.col("q"))
+        .alias("c"),
     )
 
 
@@ -73,11 +97,28 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     (``zip_with`` over two plain column arrays — no computed-array HOF
     capture), pick ``min(struct(dist, cluster_id))`` so ties break to
     the smallest cluster id. One wide pass, no shuffle on the vectors
-    beyond the final per-vector min (map-side combinable)."""
-    dist = F.aggregate(
-        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    beyond the final per-vector min (map-side combinable).
+
+    Ragged-vector guard (ADVICE r10 #2): ``zip_with`` silently truncates
+    to the SHORTER array, so a ragged vector (63-dim plant in a 64-dim
+    corpus) used to produce a plausible-but-wrong distance; now it
+    raises at execution time via a lazy ``raise_error`` branch."""
+    dist = F.when(
+        F.size("q") != F.size("c"),
+        F.raise_error(
+            F.concat(
+                F.lit("assign_clusters: ragged vector dim "),
+                F.size("q").cast("string"),
+                F.lit(" != centroid dim "),
+                F.size("c").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.aggregate(
+            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
     )
     cand = vectors.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "cluster_id", dist.alias("dist")

@@ -60,12 +60,30 @@ def formula_codebooks(
     ]
 
 
+def _dim_checked(m: int, subdim: int, ctx: str):
+    """Lazy dimension guard (ADVICE r10 #2): ``slice`` silently yields a
+    SHORT subarray on a 63-dim vector in a 64-dim corpus and downstream
+    ``zip_with`` then NULL-pads — a plausible-but-wrong code. Raise at
+    execution time instead (no extra driver action)."""
+    return F.when(
+        F.size("q") != m * subdim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{ctx}: vector dim "),
+                F.size("q").cast("string"),
+                F.lit(f" != m*subdim = {m * subdim}"),
+            )
+        ).cast("array<long>"),
+    ).otherwise(F.col("q"))
+
+
 def _subvectors(vectors: DataFrame, m: int, subdim: int) -> DataFrame:
     """``(vec_id, s, sub array<long>)`` — slice each integerized vector
     into m contiguous subspaces (slices built in the projection, then
-    posexploded: no computed-array HOF capture)."""
+    posexploded: no computed-array HOF capture). Dimension-guarded."""
+    q = _dim_checked(m, subdim, "pq")
     slices = F.array(
-        *[F.slice("q", s * subdim + 1, subdim) for s in range(m)]
+        *[F.slice(q, s * subdim + 1, subdim) for s in range(m)]
     )
     return vectors.select(
         "vec_id", F.posexplode(slices).alias("s", "sub")
@@ -251,11 +269,12 @@ def ivf_pq_topk(
             F.zip_with("q", "c", lambda a, b: a - b).alias("q"),
         )
     )
+    _rq = _dim_checked(m, subdim, "ivf_pq residual")
     rsub = resid.select(
         "vec_id",
         "cluster_id",
         F.posexplode(
-            F.array(*[F.slice("q", s * subdim + 1, subdim) for s in range(m)])
+            F.array(*[F.slice(_rq, s * subdim + 1, subdim) for s in range(m)])
         ).alias("s", "sub"),
     )
     dist = F.aggregate(
@@ -297,7 +316,7 @@ def ivf_pq_topk(
         "query_id",
         "cell",
         F.posexplode(
-            F.array(*[F.slice("q", s * subdim + 1, subdim) for s in range(m)])
+            F.array(*[F.slice(_rq, s * subdim + 1, subdim) for s in range(m)])
         ).alias("s", "sub"),
     )
     qtable = qrsub.join(F.broadcast(cb), "s").select(

@@ -58,19 +58,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _assert_plant_offset(df: DataFrame, id_col: str, offset: int) -> None:
+_PLANT_OFFSET_OK: set[tuple] = set()
+
+
+def _assert_plant_offset(
+    df: DataFrame, id_col: str, offset: int, memo_key: str | None = None
+) -> None:
     """Gate-integrity tripwire for planted-document queries (ADVICE r9):
     plants get ``id + offset``; if the fixture ever grows past ``offset``
     ids, plants would silently ALIAS real ids identically in both engines
     and the oracle could no longer detect the corruption. Fail loudly
     instead. One max() over a single column (parquet stats make this a
-    metadata-cheap scan at any SF; today's sf0.1 max doc_id is 4999)."""
+    metadata-cheap scan at any SF; today's sf0.1 max doc_id is 4999).
+
+    Memoized per ``(memo_key, id_col, offset)`` (ADVICE r10 #3): the
+    check is a ``.collect()`` ACTION inside plan construction, so every
+    timed bench run of a planted query was paying an extra scan job;
+    with the sf_dir as memo_key the scan runs once per process per
+    fixture, and only a PASSING check is cached (a failing fixture keeps
+    failing loudly)."""
+    key = (memo_key, id_col, offset)
+    if memo_key is not None and key in _PLANT_OFFSET_OK:
+        return
     mx = df.agg(F.max(id_col)).collect()[0][0]
     if mx is not None and mx >= offset:
         raise ValueError(
             f"plant offset {offset} no longer clears the fixture id space "
             f"(max {id_col} = {mx}); raise the offset in BOTH engines"
         )
+    if memo_key is not None:
+        _PLANT_OFFSET_OK.add(key)
 
 
 # ---------------------------------------------------------------------------
@@ -7519,7 +7536,7 @@ def q146_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from albedo_spark.operators.dedup import containment_pairs, normalize_text
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    _assert_plant_offset(d, "doc_id", 100000)
+    _assert_plant_offset(d, "doc_id", 100000, memo_key=sf_dir)
     snippets = (
         d.where((F.col("doc_id") % 97 == 0) & F.col("text").isNotNull())
         .select(
@@ -7613,7 +7630,7 @@ def q147_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_id").alias("media_id"), F.col("text").alias("t"))
     )
-    _assert_plant_offset(d, "media_id", 200000)
+    _assert_plant_offset(d, "media_id", 200000, memo_key=sf_dir)
     planted = d.where((F.col("media_id") % 61 == 0) & (F.length("t") >= 2)).select(
         (F.col("media_id") + 200000).alias("media_id"),
         F.expr(

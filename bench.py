@@ -286,6 +286,18 @@ def repeat_main(n: int, names: list[str]) -> None:
     from albedo_spark.queries import QUERIES
     from albedo_spark.session import get_spark
 
+    # ADVICE r10 #4: `--repeat N` with no names silently printed an empty
+    # result, and an unknown name raised a bare KeyError mid-session.
+    # Validate up front with readable errors.
+    if not names:
+        raise SystemExit("usage: bench.py --repeat N QUERY [QUERY ...]")
+    unknown = [q for q in names if q not in QUERIES]
+    if unknown:
+        raise SystemExit(
+            f"unknown queries: {', '.join(unknown)} "
+            f"(valid names are the {len(QUERIES)} keys of albedo_spark.queries.QUERIES)"
+        )
+
     spark = get_spark("bench-repeat")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
@@ -315,24 +327,44 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
-    def run_tier(names: list[str]) -> dict[str, float]:
+    import statistics
+
+    def run_tier(names: list[str], repeats: int = 1) -> tuple[dict[str, float], dict]:
         # Per-query isolation (VERDICT r3 ask #4): one broken query must not
         # zero the whole artifact — record its error, keep timing the rest.
+        # With repeats>1 the recorded value is the MEDIAN of `repeats` timed
+        # runs (after the one untimed warm-up) — VERDICT r10 ask #1: a single
+        # contended run printed a +41% phantom headline regression; the
+        # median makes the artifact self-adjudicating.
         tier: dict[str, float] = {}
+        raw_runs: dict[str, list[float]] = {}
         for name in names:
             try:
                 fn = QUERIES[name]
                 # untimed warm-up: compile/JIT the plan once (steady-state)
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                tier[name] = round(time.perf_counter() - t0, 3)
+                runs = []
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                tier[name] = round(statistics.median(runs), 3)
+                raw_runs[name] = runs
             except Exception as exc:  # noqa: BLE001 — isolation is the point
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        return tier
+        return tier, raw_runs
 
-    timings = run_tier(HEADLINE)
-    timings2 = run_tier(HEADLINE2)
+    # Calibration pair at tier boundaries (VERDICT r10 ask #1): one sample
+    # BEFORE the headline tier and one AFTER everything, so contention drift
+    # across the run is visible inside the artifact itself.
+    try:
+        calibration_start = bench_calibration(spark)
+    except Exception as exc:  # noqa: BLE001
+        calibration_start = {}
+        errors["calibration_start"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    timings, headline_runs = run_tier(HEADLINE, repeats=3)
+    timings2, _ = run_tier(HEADLINE2)
 
     try:
         calibration = bench_calibration(spark)
@@ -368,7 +400,15 @@ def main() -> None:
     # re-expressed in r4-host-equivalent seconds, directly comparable
     # across rounds regardless of host.
     REF_CPU_SINGLE = 0.351
-    cpu_single = calibration.get("cpu_single")
+    # Normalize by the MEAN of the boundary calibration pair when both are
+    # present — a single post-run sample caught mid-contention-spike skews
+    # the whole normalized series (the r10 adjudication).
+    _cpu_samples = [
+        c["cpu_single"]
+        for c in (calibration_start, calibration)
+        if c.get("cpu_single")
+    ]
+    cpu_single = round(sum(_cpu_samples) / len(_cpu_samples), 3) if _cpu_samples else None
     headline_normalized = (
         round(total * REF_CPU_SINGLE / cpu_single, 3) if cpu_single else None
     )
@@ -389,7 +429,14 @@ def main() -> None:
     # brackets the host effect from the other side; read the pair
     # together — the truth lies between when they disagree.
     REF_SPARK_PARALLEL = 0.111
-    spark_parallel = calibration.get("spark_parallel")
+    _par_samples = [
+        c["spark_parallel"]
+        for c in (calibration_start, calibration)
+        if c.get("spark_parallel")
+    ]
+    spark_parallel = (
+        round(sum(_par_samples) / len(_par_samples), 3) if _par_samples else None
+    )
     headline_normalized_parallel = (
         round(total * REF_SPARK_PARALLEL / spark_parallel, 3)
         if spark_parallel
@@ -402,6 +449,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "headline_runs": headline_runs,
+                "headline_repeats": 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries_tier2": timings2,
                 "tier2_total": round(sum(timings2.values()), 3),
@@ -413,6 +462,12 @@ def main() -> None:
                     round(spark_on_oracle_set / oracle_total, 2) if oracle_total else None
                 ),
                 "calibration": calibration,
+                "calibration_start": calibration_start,
+                "calibration_used": {
+                    "cpu_single": cpu_single,
+                    "spark_parallel": spark_parallel,
+                    "policy": "mean of start/end boundary samples",
+                },
                 "headline_normalized": headline_normalized,
                 "headline_normalized_parallel": headline_normalized_parallel,
                 "tier2_normalized": tier2_normalized,

@@ -441,3 +441,56 @@ def test_write_es_bulk_format(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_es_bulk(df, p, index="repo", id_col="nope")
+
+
+def test_write_es_bulk_adversarial_ids(spark, tmp_path):
+    """ADVICE r10 #1: string ids containing quotes, backslashes, and other
+    JSON-hostile characters must still yield a VALID action line (to_json
+    escapes them), and the action/source pairing must survive — every odd
+    line parses as an action, every even line as the matching source."""
+    import glob
+    import gzip
+    import json
+
+    from albedo_spark.io import write_es_bulk
+
+    df = spark.createDataFrame(
+        [
+            ('has"quote', "a"),
+            ("back\\slash", "b"),
+            ("tab\there", "c"),
+            ("plain", "d"),
+        ],
+        "doc_id string, text string",
+    )
+    p = str(tmp_path / "bulk_adv")
+    write_es_bulk(df, p, index='idx"weird', id_col="doc_id", num_files=1)
+    files = glob.glob(p + "/part-*.txt.gz")
+    with gzip.open(files[0], "rt") as fh:
+        lines = [l for l in fh.read().splitlines() if l]
+    assert len(lines) == 8
+    seen = {}
+    for a, s in zip(lines[0::2], lines[1::2]):
+        act, src = json.loads(a), json.loads(s)  # every line parses
+        assert act["index"]["_index"] == 'idx"weird'
+        seen[act["index"]["_id"]] = src["text"]
+    assert seen == {
+        'has"quote': "a",
+        "back\\slash": "b",
+        "tab\there": "c",
+        "plain": "d",
+    }
+
+
+def test_write_es_bulk_null_id_raises(spark, tmp_path):
+    """A NULL id would silently desync the bulk action/source pairing —
+    the sink must refuse loudly instead."""
+    import pytest
+
+    from albedo_spark.io import write_es_bulk
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (None, "poison")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        write_es_bulk(df, str(tmp_path / "bulk_null"), index="x", id_col="doc_id")

@@ -781,3 +781,47 @@ def test_ivf_pq_probe_contract_and_determinism(spark):
         (r.query_id, r.rank): (r.neighbor_id, r.cell_id, r.adist) for r in out
     }
     assert out16 == base
+
+
+def test_dimension_guards_raise_loudly(spark):
+    """ADVICE r10 #2: a 63-dim plant in a 64-dim corpus (pq) / a ragged
+    vector or a seed shortfall (clustering) must raise at execution time
+    instead of silently NULL-padding / degrading to a smaller k."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from albedo_spark.operators.clustering import (
+        assign_clusters,
+        integerize_embeddings,
+        seed_centroids,
+    )
+    from albedo_spark.operators.pq import pq_adc_topk
+
+    errs = (SparkRuntimeException, Py4JJavaError, Exception)
+
+    # ragged vector -> assign_clusters raises
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 4), (29, [2.0] * 4), (58, [3.0] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    v = integerize_embeddings(emb)
+    c = seed_centroids(v, 2)
+    with pytest.raises(errs, match="ragged vector dim 3"):
+        assign_clusters(v, c).collect()
+
+    # seed shortfall -> seed_centroids raises (only vec_id=0 matches %29)
+    emb2 = spark.createDataFrame(
+        [(0, [1.0] * 4), (1, [2.0] * 4), (2, [3.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(errs, match="only 1 seed"):
+        seed_centroids(integerize_embeddings(emb2), 3).collect()
+
+    # 63-dim plant -> pq raises
+    emb3 = spark.createDataFrame(
+        [(i, [float(i % 9)] * (63 if i == 5 else 64)) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(errs, match="vector dim 63 != m\\*subdim"):
+        pq_adc_topk(emb3, lambda col: col % 50 == 0, k=3).collect()
