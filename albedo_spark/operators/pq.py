@@ -169,6 +169,36 @@ def pq_adc_topk(
     ).select("query_id", "neighbor_id", "adist", "rank")
 
 
+def _train_subspace_codebooks(
+    vectors: DataFrame,
+    m: int,
+    ncodes: int,
+    subdim: int,
+    rounds: int,
+    stride: int,
+) -> list[tuple[int, int, list[int]]]:
+    """Per-subspace k-means over an integerized ``(vec_id, q)`` frame —
+    the shared trainer core of ``train_codebooks`` (raw vectors) and
+    ``train_residual_codebooks`` (IVF residuals)."""
+    from albedo_spark.operators.clustering import (
+        assign_clusters,
+        seed_centroids,
+        update_centroids,
+    )
+
+    sub = _subvectors(vectors, m, subdim)
+    out: list[tuple[int, int, list[int]]] = []
+    for s in range(m):
+        vs = sub.where(F.col("s") == s).select("vec_id", F.col("sub").alias("q"))
+        cents = seed_centroids(vs, ncodes, stride=stride)
+        for _ in range(rounds):
+            assignment = assign_clusters(vs, cents)
+            cents = update_centroids(vs, assignment, cents)
+        for r in sorted(cents.collect(), key=lambda r: r.cluster_id):
+            out.append((s, int(r.cluster_id), [int(x) for x in r.c]))
+    return out
+
+
 def train_codebooks(
     emb: DataFrame,
     m: int = 4,
@@ -185,24 +215,114 @@ def train_codebooks(
     Returns driver-side ``(s, code, centroid)`` tuples — m·ncodes·subdim
     longs of MODEL STATE (the ALS-factor analog; at any corpus scale
     this is a few KB destined for a broadcast, not data)."""
+    vectors = integerize_embeddings(emb, scale=scale)
+    return _train_subspace_codebooks(vectors, m, ncodes, subdim, rounds, stride)
+
+
+def _coarse_quantizer(vectors: DataFrame, kc: int, rounds: int, stride: int):
+    """The IVF coarse k-means (cluster_id, c) — factored out so
+    ``train_residual_codebooks`` and ``ivf_pq_topk`` derive the
+    IDENTICAL quantizer from identical (kc, rounds, stride): the
+    integer-determinism contract is what makes training and serving
+    agree without shipping the centroids between them."""
     from albedo_spark.operators.clustering import (
         assign_clusters,
         seed_centroids,
         update_centroids,
     )
 
-    vectors = integerize_embeddings(emb, scale=scale)
-    sub = _subvectors(vectors, m, subdim)
-    out: list[tuple[int, int, list[int]]] = []
-    for s in range(m):
-        vs = sub.where(F.col("s") == s).select("vec_id", F.col("sub").alias("q"))
-        cents = seed_centroids(vs, ncodes, stride=stride)
-        for _ in range(rounds):
-            assignment = assign_clusters(vs, cents)
-            cents = update_centroids(vs, assignment, cents)
-        for r in sorted(cents.collect(), key=lambda r: r.cluster_id):
-            out.append((s, int(r.cluster_id), [int(x) for x in r.c]))
-    return out
+    cents = seed_centroids(vectors, kc, stride=stride)
+    for _ in range(rounds):
+        assignment = assign_clusters(vectors, cents)
+        cents = update_centroids(vectors, assignment, cents)
+    return cents
+
+
+def train_residual_codebooks(
+    emb: DataFrame,
+    kc: int = 8,
+    m: int = 4,
+    ncodes: int = 8,
+    subdim: int = 16,
+    scale: int = 1000,
+    coarse_rounds: int = 2,
+    rounds: int = 2,
+    stride: int = 29,
+) -> list[tuple[int, int, list[int]]]:
+    """Codebooks trained on IVF RESIDUALS (vector − its coarse-cell
+    centroid) — the codebooks ``ivf_pq_topk`` actually quantizes with
+    (Jégou et al. 2011 §V: the residual distribution is concentrated
+    around zero, so the same code budget buys far finer resolution than
+    raw-vector training; tools/scale_pq.py measures the recall gap).
+    MUST be paired with an ``ivf_pq_topk`` call using the same
+    (kc, coarse_rounds→rounds, stride, scale): the integer coarse
+    quantizer is bit-replayable, so training and serving rebuild the
+    identical cells without shipping centroids."""
+    from albedo_spark.operators.clustering import assign_clusters
+
+    vectors = integerize_embeddings(emb, scale=scale).localCheckpoint(
+        eager=False
+    )
+    cents = _coarse_quantizer(vectors, kc, coarse_rounds, stride)
+    assign = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
+    resid = (
+        vectors.join(assign, "vec_id")
+        .join(F.broadcast(cents), "cluster_id")
+        .select(
+            "vec_id",
+            F.zip_with("q", "c", lambda a, b: a - b).alias("q"),
+        )
+    )
+    return _train_subspace_codebooks(resid, m, ncodes, subdim, rounds, stride)
+
+
+def encode_residual_codes(
+    vectors: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    m: int,
+    subdim: int,
+) -> DataFrame:
+    """IVF-PQ encode core, shared by ``ivf_pq_topk`` and the persisted
+    ``vector_store.build_pq_store``/``append_pq_vectors`` pair:
+    integerized ``(vec_id, q)`` vectors → nearest coarse cell →
+    PQ-coded residual per subspace. Returns ``(vec_id, cluster_id, s,
+    code)`` — the m-rows-per-vector code table, the at-rest shape of a
+    compressed vector store (m small ints instead of dim floats).
+    ``cents`` and ``cb`` are broadcast model state; one vector pass."""
+    from albedo_spark.operators.clustering import assign_clusters
+
+    assign = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
+    resid = (
+        vectors.join(assign, "vec_id")
+        .join(F.broadcast(cents), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.zip_with("q", "c", lambda a, b: a - b).alias("q"),
+        )
+    )
+    _rq = _dim_checked(m, subdim, "ivf_pq residual")
+    rsub = resid.select(
+        "vec_id",
+        "cluster_id",
+        F.posexplode(
+            F.array(*[F.slice(_rq, s * subdim + 1, subdim) for s in range(m)])
+        ).alias("s", "sub"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rdists = rsub.join(F.broadcast(cb), "s").select(
+        "vec_id", "cluster_id", "s", "code", dist.alias("dist")
+    )
+    return (
+        rdists.groupBy("vec_id", "cluster_id", "s")
+        .agg(F.min(F.struct("dist", "code")).alias("mm"))
+        .select("vec_id", "cluster_id", "s", F.col("mm.code").alias("code"))
+    )
 
 
 def ivf_pq_topk(
@@ -253,48 +373,30 @@ def ivf_pq_topk(
     vectors = integerize_embeddings(emb, scale=scale).localCheckpoint(
         eager=False
     )
-    cents = seed_centroids(vectors, kc, stride=stride)
-    for _ in range(rounds):
-        assignment = assign_clusters(vectors, cents)
-        cents = update_centroids(vectors, assignment, cents)
+    cents = _coarse_quantizer(vectors, kc, rounds, stride)
     cents = cents.localCheckpoint(eager=False)  # consumers: assign, resid, probe
 
-    assign = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
-    resid = (
-        vectors.join(assign, "vec_id")
-        .join(F.broadcast(cents), "cluster_id")
-        .select(
-            "vec_id",
-            "cluster_id",
-            F.zip_with("q", "c", lambda a, b: a - b).alias("q"),
-        )
-    )
-    _rq = _dim_checked(m, subdim, "ivf_pq residual")
-    rsub = resid.select(
-        "vec_id",
-        "cluster_id",
-        F.posexplode(
-            F.array(*[F.slice(_rq, s * subdim + 1, subdim) for s in range(m)])
-        ).alias("s", "sub"),
-    )
-    dist = F.aggregate(
-        F.zip_with("sub", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    rdists = rsub.join(F.broadcast(cb), "s").select(
-        "vec_id", "cluster_id", "s", "code", dist.alias("dist")
-    )
-    codes = (
-        rdists.groupBy("vec_id", "cluster_id", "s")
-        .agg(F.min(F.struct("dist", "code")).alias("mm"))
-        .select("vec_id", "cluster_id", "s", F.col("mm.code").alias("code"))
-    )
-
-    # query side: nprobe nearest cells by exact centroid distance
+    codes = encode_residual_codes(vectors, cents, cb, m, subdim)
     qv = vectors.where(query_pred(F.col("vec_id"))).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
+    qtable = probe_query_table(qv, cents, cb, m, subdim, nprobe)
+    return adc_score_codes(codes, qtable, k)
+
+
+def probe_query_table(
+    qv: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    m: int,
+    subdim: int,
+    nprobe: int,
+) -> DataFrame:
+    """IVF-PQ probe side, shared by ``ivf_pq_topk`` and the persisted
+    store's ``pq_store_topk``: integerized queries ``(query_id, qq)`` →
+    nprobe nearest coarse cells by EXACT centroid distance → per probed
+    cell the residual ADC distance table ``(query_id, cell, s, code,
+    tdist)`` — |Q|·nprobe·m·ncodes rows of broadcast-sized state."""
     cdist = F.aggregate(
         F.zip_with("qq", "c", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -312,6 +414,7 @@ def ivf_pq_topk(
         F.col("cluster_id").alias("cell"),
         F.zip_with("qq", "c", lambda a, b: a - b).alias("q"),
     )
+    _rq = _dim_checked(m, subdim, "ivf_pq query")
     qrsub = qcells.select(
         "query_id",
         "cell",
@@ -319,9 +422,23 @@ def ivf_pq_topk(
             F.array(*[F.slice(_rq, s * subdim + 1, subdim) for s in range(m)])
         ).alias("s", "sub"),
     )
-    qtable = qrsub.join(F.broadcast(cb), "s").select(
+    dist = F.aggregate(
+        F.zip_with("sub", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qrsub.join(F.broadcast(cb), "s").select(
         "query_id", "cell", "s", "code", dist.alias("tdist")
     )
+
+
+def adc_score_codes(codes: DataFrame, qtable: DataFrame, k: int) -> DataFrame:
+    """ADC scoring + final ranking over an IVF-PQ code table: the
+    (cell, s, code) equi-join IS the inverted-list pruning — only code
+    rows in probed cells match; the code side NEVER shuffles (qtable
+    rides a broadcast) and the per-(query, neighbor) sum is map-side
+    combinable. Returns ``(query_id, neighbor_id, cell_id, adist,
+    rank)``, self excluded."""
     scored = (
         codes.join(
             F.broadcast(qtable),

@@ -1,0 +1,323 @@
+"""Unigram-LM (SentencePiece-style) subword tokenization — the OTHER
+production tokenizer family next to BPE (Kudo 2018, "Subword
+Regularization"; the SentencePiece default). No reference twin (the
+reference's only tokenizer is HanLP word segmentation,
+``A/utils.py:5-11``); this extends the q75/q103/q126 BPE surface with
+the segmentation-by-optimization family.
+
+Where BPE builds words bottom-up from learned merges, unigram-LM picks,
+among ALL decompositions of a word into vocabulary pieces, the one that
+maximizes the product of piece probabilities — Viterbi DP over word
+positions. This module keeps the package's exact-integer discipline so
+the entire surface is ORACLE-ABLE (q152): piece probabilities become
+integer COSTS ``(10^6 · T) div pf`` (T = total vocab frequency mass,
+pf = piece frequency) — a monotone integer surrogate for the −log p
+Viterbi weight (additive, frequent pieces cheap, rare pieces dear;
+trades the literature's float log-probs for bit-exact BIGINT arithmetic
+in any engine, the q105 bigram-LM bargain). The DP minimizes the
+combined metric ``cost·32 + n_pieces`` (path length ≤ word_cap < 32),
+so "min cost, tie → fewer pieces" is ONE BIGINT min — portable to any
+SQL engine without struct comparators.
+
+Scale posture (100 TB): the ONLY corpus-sized pass is the word-frequency
+groupBy (the classic tokenizer-training optimization — identical to
+BPE's); pieces, vocabulary, Viterbi edges, and the unrolled DP all live
+on |distinct words|-bounded frames. The DP is ``word_cap`` unrolled
+tiny join+min rounds (the q121 PageRank iterative idiom); the per-doc
+scoring join brings |distinct words| stats back to the corpus with one
+shuffle (AQE broadcasts it when small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from albedo_spark.operators.bpe import word_frequencies
+
+#: cost scale — (MULT · T) div pf stays far from BIGINT overflow even at
+#: T ~ 10^9 piece-mass corpora (cost ≤ 10^6·T ≤ 10^15; ·32 and summed
+#: over ≤ word_cap pieces and |doc| words keeps headroom).
+MULT = 1_000_000
+
+#: combined-metric packing: v = cost·32 + n_pieces. Requires
+#: word_cap < 32.
+_PACK = 32
+
+
+def word_pieces(words: DataFrame, max_len: int = 4) -> DataFrame:
+    """``(word, freq, i, j, piece)`` — every substring of length
+    1..max_len of every distinct word, with [i, j) positions: the
+    candidate-piece grid AND the Viterbi edge list in one frame.
+    Runs on the |distinct words| frame, never the corpus."""
+    starts = F.sequence(F.lit(0), F.length("word") - 1)
+    grid = F.flatten(
+        F.transform(
+            starts,
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_len), F.length("word") - i)
+                ),
+                lambda l: F.struct(
+                    i.alias("i"),
+                    (i + l).alias("j"),
+                    F.substring(F.col("word"), i + 1, l).alias("piece"),
+                ),
+            ),
+        )
+    )
+    return words.select("word", "freq", F.explode(grid).alias("g")).select(
+        "word", "freq", "g.i", "g.j", "g.piece"
+    )
+
+
+def seed_vocab(
+    pieces: DataFrame, vocab_size: int = 24
+) -> DataFrame:
+    """``(piece, pf)`` — the seed vocabulary: ALL single characters (the
+    coverage guarantee — every word stays segmentable) plus the
+    ``vocab_size`` most frequent multi-char pieces (pf desc, piece asc —
+    a deterministic total order, the q120 vocabulary idiom). pf counts
+    occurrence-weighted frequency: every start position in every word,
+    weighted by word frequency (the suffix-array seeding of the
+    SentencePiece trainer, expressed as one groupBy)."""
+    pf = pieces.groupBy("piece").agg(F.sum("freq").alias("pf"))
+    singles = pf.where(F.length("piece") == 1)
+    multis = (
+        pf.where(F.length("piece") >= 2)
+        .orderBy(F.col("pf").desc(), F.col("piece").asc())
+        .limit(vocab_size)
+    )
+    return singles.unionByName(multis)
+
+
+def vocab_costs(vocab: DataFrame) -> DataFrame:
+    """``(piece, cost)`` — integer Viterbi weight ``(MULT · T) div pf``
+    over the vocabulary's total mass T (scalar cross join; both engines
+    truncate the div identically)."""
+    t = vocab.agg(F.sum("pf").alias("t"))
+    return vocab.crossJoin(F.broadcast(t)).select(
+        "piece", F.expr(f"({MULT} * t) div pf").alias("cost")
+    )
+
+
+def viterbi_word_stats(
+    words: DataFrame,
+    costed_vocab: DataFrame,
+    max_len: int = 4,
+    word_cap: int = 12,
+) -> DataFrame:
+    """``(word, freq, n_pieces, cost)`` — the optimal unigram-LM
+    segmentation of every distinct word of length ≤ word_cap (longer
+    words are excluded by BOTH engines — the deterministic cap that
+    bounds the DP unroll; cap < 32 so the packed metric is exact).
+
+    DP: dp[0] = 0; dp[j] = min over vocab pieces word[i:j] of
+    dp[i] + cost·32 + 1, as ``word_cap`` unrolled rounds of
+    (carry-over ∪ transitions) → groupBy min — every round a tiny
+    |words|·positions frame (the q121 unrolled-iteration idiom)."""
+    assert word_cap < _PACK, "packed metric requires word_cap < 32"
+    capped = words.where(F.length("word") <= word_cap)
+    edges = (
+        word_pieces(capped, max_len=max_len)
+        .join(F.broadcast(costed_vocab), "piece")
+        .select("word", "i", "j", "cost")
+        .localCheckpoint(eager=False)
+    )
+    dp = capped.select(
+        "word", F.lit(0).alias("pos"), F.lit(0).cast("long").alias("v")
+    )
+    for _ in range(word_cap):
+        trans = (
+            dp.join(edges, ["word"])
+            .where(F.col("pos") == F.col("i"))
+            .select(
+                "word",
+                F.col("j").alias("pos"),
+                (F.col("v") + F.col("cost") * _PACK + 1).alias("v"),
+            )
+        )
+        dp = (
+            dp.unionByName(trans)
+            .groupBy("word", "pos")
+            .agg(F.min("v").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        capped.join(dp, "word")
+        .where(F.col("pos") == F.length("word"))
+        .select(
+            "word",
+            "freq",
+            (F.col("v") % _PACK).alias("n_pieces"),
+            F.expr(f"v div {_PACK}").alias("cost"),
+        )
+    )
+
+
+def unigram_doc_stats(
+    docs: DataFrame,
+    vocab_size: int = 24,
+    max_len: int = 4,
+    word_cap: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram-LM segmentation stats ``(doc_id, n_words,
+    n_pieces, cost)`` under the corpus-self-trained seed vocabulary:
+    n_pieces is the document's subword token count (what a context-
+    length budget consumes), cost the total integer Viterbi weight (the
+    −log-likelihood surrogate: gibberish segments into rare pieces and
+    scores high — the same quality axis as q105, measured by a
+    TOKENIZER instead of a bigram LM). Documents with no in-cap words
+    report zeros (left join, q105's contract)."""
+    from albedo_spark.operators.textstats import tokens
+
+    words = word_frequencies(docs, text_col)
+    vc = vocab_costs(seed_vocab(word_pieces(words, max_len), vocab_size))
+    ws = viterbi_word_stats(words, vc, max_len=max_len, word_cap=word_cap)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("word")
+    ).where(F.col("word") != "")
+    agg = (
+        toks.join(ws.drop("freq"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("cost").alias("cost"),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        agg, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+        F.coalesce("cost", F.lit(0)).cast("long").alias("cost"),
+    )
+
+
+def viterbi_piece_usage(
+    words: DataFrame,
+    costed_vocab: DataFrame,
+    max_len: int = 4,
+    word_cap: int = 12,
+) -> DataFrame:
+    """E-step of the unigram-LM trainer: ``(piece, usage)`` — how often
+    each vocabulary piece appears in the OPTIMAL segmentations, weighted
+    by word frequency. Backtracks the Viterbi DP relationally: from each
+    word's final state, repeatedly pick the predecessor edge whose
+    dp-value difference matches exactly (the additive metric makes the
+    test exact), tie → smallest start i then piece — ``word_cap``
+    unrolled rounds emitting one piece per word per round."""
+    capped = words.where(F.length("word") <= word_cap)
+    edges = (
+        word_pieces(capped, max_len=max_len)
+        .join(F.broadcast(costed_vocab), "piece")
+        .select("word", "i", "j", "piece", "cost")
+        .localCheckpoint(eager=False)
+    )
+    dp = capped.select(
+        "word", F.lit(0).alias("pos"), F.lit(0).cast("long").alias("v")
+    )
+    for _ in range(word_cap):
+        trans = (
+            dp.join(edges, ["word"])
+            .where(F.col("pos") == F.col("i"))
+            .select(
+                "word",
+                F.col("j").alias("pos"),
+                (F.col("v") + F.col("cost") * _PACK + 1).alias("v"),
+            )
+        )
+        dp = (
+            dp.unionByName(trans)
+            .groupBy("word", "pos")
+            .agg(F.min("v").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    cur = (
+        capped.join(dp, "word")
+        .where(F.col("pos") == F.length("word"))
+        .select("word", "freq", "pos", "v")
+    )
+    used = []
+    for _ in range(word_cap):
+        # predecessor edges whose dp value explains cur exactly
+        step = (
+            cur.where(F.col("pos") > 0)
+            .join(edges, ["word"])
+            .where(F.col("j") == F.col("pos"))
+            .join(
+                dp.select("word", F.col("pos").alias("i2"), F.col("v").alias("pv")),
+                ["word"],
+            )
+            .where(
+                (F.col("i2") == F.col("i"))
+                & (F.col("pv") + F.col("cost") * _PACK + 1 == F.col("v"))
+            )
+            .groupBy("word", "freq", "pos", "v")
+            .agg(F.min(F.struct("i", "piece", "pv")).alias("b"))
+        )
+        emitted = step.select("word", "freq", F.col("b.piece").alias("piece"))
+        used.append(emitted)
+        cur = step.select(
+            "word",
+            "freq",
+            F.col("b.i").alias("pos"),
+            F.col("b.pv").alias("v"),
+        ).localCheckpoint(eager=False)
+    all_used = used[0]
+    for u in used[1:]:
+        all_used = all_used.unionByName(u)
+    return all_used.groupBy("piece").agg(F.sum("freq").alias("usage"))
+
+
+def train_unigram(
+    docs: DataFrame,
+    seed_size: int = 24,
+    prune_to: int = 12,
+    em_rounds: int = 1,
+    max_len: int = 4,
+    word_cap: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM trainer (Kudo 2018 §3 structure, integer discipline):
+    seed a large candidate vocabulary, then ``em_rounds`` of E-step
+    (Viterbi-segment the distinct-words frame, count piece usage) and
+    M-step (PRUNE to the ``prune_to`` most-used multi-char pieces —
+    singles always survive for coverage — and re-estimate costs from
+    usage mass instead of raw frequency). Returns the final
+    ``(piece, cost)`` vocabulary — model state, |vocab| rows.
+
+    Relational throughout: the E-step is the backtracking pass above,
+    the M-step a sort-limit + cost rebuild — no driver-side collect, so
+    the trainer composes into one lazy plan per round."""
+    words = word_frequencies(docs, text_col)
+    vc = vocab_costs(seed_vocab(word_pieces(words, max_len), seed_size))
+    for _ in range(em_rounds):
+        usage = viterbi_piece_usage(
+            words, vc, max_len=max_len, word_cap=word_cap
+        )
+        # Character coverage (Kudo 2018 §3.2): EVERY single-char piece of
+        # the current vocab survives the prune — usage floor 1 when the
+        # optimal segmentations never used it — otherwise pruning a
+        # multi-char piece could orphan words whose fallback chars were
+        # also unused this round.
+        singles = (
+            vc.where(F.length("piece") == 1)
+            .select("piece")
+            .join(usage, "piece", "left")
+            .select("piece", F.coalesce("usage", F.lit(1)).alias("usage"))
+        )
+        multis = (
+            usage.where(F.length("piece") >= 2)
+            .orderBy(F.col("usage").desc(), F.col("piece").asc())
+            .limit(prune_to)
+        )
+        kept = singles.unionByName(multis).select(
+            "piece", F.col("usage").alias("pf")
+        )
+        vc = vocab_costs(kept)
+    return vc

@@ -234,6 +234,148 @@ def ann_store_knn(
     )
 
 
+def build_pq_store(
+    corpus: DataFrame,
+    table: str,
+    kc: int = 8,
+    m: int = 4,
+    subdim: int = 16,
+    scale: int = 1000,
+    rounds: int = 2,
+    stride: int = 29,
+    codebooks: list | None = None,
+    num_buckets: int = 8,
+) -> None:
+    """The PQ rung of the persisted vector store (the at-rest ladder:
+    float32 → int8 (~3.3× measured) → PQ codes, m small ints + a cell id
+    per vector — ~100× vs float32 before parquet encoding; see
+    tools/scale_pq.py for the compression/recall curve). Trains the
+    integer coarse quantizer on the corpus, persists it as
+    ``{table}_cents`` (the FROZEN model appended batches must encode
+    against — the store's cells may not drift as the corpus grows), and
+    persists the IVF-PQ code rows ``(vec_id, cluster_id, s, code)``
+    bucketed on ``cluster_id`` — the probe join's key, so the store side
+    keeps the family's never-shuffle contract. Codebooks are
+    ``formula_codebooks`` by default (parameter-derived — nothing to
+    persist); pass trained ones and keep them with the model."""
+    from albedo_spark.io import write_bucketed
+    from albedo_spark.operators.clustering import integerize_embeddings
+    from albedo_spark.operators.pq import (
+        _coarse_quantizer,
+        encode_residual_codes,
+        formula_codebooks,
+    )
+
+    spark = corpus.sparkSession
+    if codebooks is None:
+        codebooks = formula_codebooks(m=m, subdim=subdim)
+    cb = spark.createDataFrame(codebooks, "s int, code int, c array<long>")
+    vectors = integerize_embeddings(corpus, scale=scale).localCheckpoint(
+        eager=False
+    )
+    from albedo_spark.io import drop_orphan_table_location
+
+    cents = _coarse_quantizer(vectors, kc, rounds, stride)
+    spark.sql(f"DROP TABLE IF EXISTS `{table}_cents`")
+    drop_orphan_table_location(spark, table + "_cents")
+    cents.write.mode("overwrite").format("parquet").saveAsTable(
+        table + "_cents"
+    )
+    frozen = spark.table(table + "_cents")
+    write_bucketed(
+        encode_residual_codes(vectors, frozen, cb, m, subdim),
+        table,
+        "cluster_id",
+        num_buckets=num_buckets,
+    )
+
+
+def append_pq_vectors(
+    batch: DataFrame,
+    table: str,
+    m: int = 4,
+    subdim: int = 16,
+    scale: int = 1000,
+    codebooks: list | None = None,
+    num_buckets: int = 8,
+    replay_guard: bool = True,
+) -> None:
+    """Admit/append core of the PQ store (shared with the streaming sink
+    twin ``streaming.events.run_to_pq_store``): encode the batch against
+    the FROZEN ``{table}_cents`` model (never retrain — cells must match
+    the store) and append its code rows. ``replay_guard`` makes the
+    append idempotent the way ``run_to_dedup_store`` is: probe the store
+    for ids IN THIS BATCH (broadcast semi — the store scan streams,
+    never exchanges), anti-join the hit list back, so a re-delivered
+    batch admits nothing the first attempt already wrote."""
+    from albedo_spark.operators.clustering import integerize_embeddings
+    from albedo_spark.operators.pq import encode_residual_codes, formula_codebooks
+
+    spark = batch.sparkSession
+    if codebooks is None:
+        codebooks = formula_codebooks(m=m, subdim=subdim)
+    cb = spark.createDataFrame(codebooks, "s int, code int, c array<long>")
+    cents = spark.table(table + "_cents")
+    vectors = integerize_embeddings(batch, scale=scale)
+    if replay_guard:
+        present = (
+            spark.table(table)
+            .select("vec_id")
+            .join(
+                F.broadcast(vectors.select("vec_id")), "vec_id", "left_semi"
+            )
+            .distinct()
+        )
+        vectors = vectors.join(F.broadcast(present), "vec_id", "left_anti")
+    (
+        encode_residual_codes(vectors, cents, cb, m, subdim)
+        .write.mode("append")
+        .bucketBy(num_buckets, "cluster_id")
+        .sortBy("cluster_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def pq_store_topk(
+    queries: DataFrame,
+    table: str,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    subdim: int = 16,
+    scale: int = 1000,
+    codebooks: list | None = None,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe the persisted PQ store: queries pick their nprobe nearest
+    FROZEN cells by exact centroid distance, build the residual ADC
+    table (broadcast), and score ONLY the stored code rows of probed
+    cells via the (cell, s, code) equi-join — the store never shuffles
+    and the scan reads m ints per candidate, never vectors. Returns
+    ``(query_id, neighbor_id, cell_id, adist, rank)`` — identical
+    semantics (and oracle) to ``ivf_pq_topk`` restricted to the stored
+    corpus."""
+    from albedo_spark.operators.clustering import integerize_embeddings
+    from albedo_spark.operators.pq import (
+        adc_score_codes,
+        formula_codebooks,
+        probe_query_table,
+    )
+
+    spark = queries.sparkSession
+    if codebooks is None:
+        codebooks = formula_codebooks(m=m, subdim=subdim)
+    cb = spark.createDataFrame(codebooks, "s int, code int, c array<long>")
+    cents = spark.table(table + "_cents")
+    qv = integerize_embeddings(
+        queries, scale=scale, id_col=query_id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+    qtable = probe_query_table(qv, cents, cb, m, subdim, nprobe)
+    return adc_score_codes(spark.table(table), qtable, k)
+
+
 def near_dup_vs_store(
     queries: DataFrame,
     table: str,

@@ -635,6 +635,64 @@ def _run_near_dup_ingest(
     return q
 
 
+def run_to_pq_store(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint: str,
+    kc: int = 8,
+    m: int = 4,
+    subdim: int = 16,
+    scale: int = 1000,
+    rounds: int = 2,
+    stride: int = 29,
+    num_buckets: int = 8,
+):
+    """Streaming maintenance of the persisted PQ vector store — the
+    compressed-index sink twin of ``vector_store.build_pq_store`` /
+    ``append_pq_vectors`` (one shared admit/append core): each
+    micro-batch's vectors are encoded against the FROZEN
+    ``{table}_cents`` coarse model and their m-int code rows appended.
+    The first non-empty batch BOOTSTRAPS the store (trains the integer
+    coarse quantizer on itself and freezes it) — after that the model
+    never drifts, so codes written in different batches stay mutually
+    comparable under ADC, which is the whole point of a persisted index.
+
+    Replay idempotence: ``append_pq_vectors``'s replay guard (broadcast
+    id probe + anti-join) admits nothing a crashed prior attempt already
+    wrote, so foreachBatch's at-least-once delivery converges to
+    exactly-once store contents (the ``run_to_dedup_store``
+    discipline)."""
+    from albedo_spark.operators.vector_store import (
+        append_pq_vectors,
+        build_pq_store,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.where(F.col("embedding").isNotNull())
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if not spark.catalog.tableExists(table):
+            build_pq_store(
+                batch, table, kc=kc, m=m, subdim=subdim, scale=scale,
+                rounds=rounds, stride=stride, num_buckets=num_buckets,
+            )
+            return
+        append_pq_vectors(
+            batch, table, m=m, subdim=subdim, scale=scale,
+            num_buckets=num_buckets, replay_guard=True,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_cms_store(
     stream_df: DataFrame,
     out_path: str,

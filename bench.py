@@ -142,6 +142,8 @@ HEADLINE2 = [
     "q149_kmeans_clusters",
     "q150_pq_ann",
     "q151_ivf_pq_ann",
+    # round 11: unigram-LM tokenizer family
+    "q152_unigram_segment",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -204,7 +204,8 @@ def test_driver_record_window_contains_flagships():
         "q71_cosine_knn_blas",
         "q73_sequence_packing",
         "q74_corpus_mixture",
-        "q75_bpe_pair_counts",
+        # q75 moved post-window r11: q152 unigram-LM is the tokenizer
+        # family's in-window rep
         # round-5 new families
         "q79_quality_checks",
         "q82_snapshot_diff",
@@ -229,6 +230,10 @@ def test_driver_record_window_contains_flagships():
         # covered in-window by q70's corpus profile)
         "q148_als_serve_topk",
         "q149_kmeans_clusters",
+        # round-11 swap: unigram-LM segmentation (new tokenizer
+        # sub-family) takes q75's slot; the BPE merge half stays gated
+        # post-window via q75/q103/q126
+        "q152_unigram_segment",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
