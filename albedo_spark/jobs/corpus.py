@@ -87,6 +87,16 @@ def main(argv: list[str] | None = None) -> dict:
                         "documents' UTF-8 bytes stand in for media content "
                         "(the stub byte-grid path); a real corpus supplies "
                         "a binary content column and the PIL path")
+    p.add_argument("--semdedup", type=int, default=None, metavar="K",
+                   help="semantic dedup (SemDeDup): k-means the surviving "
+                        "documents' embeddings into K clusters (q149's "
+                        "integer trainer; needs K seed ids ≡ 0 mod 29 among "
+                        "survivors — raises loudly otherwise), compare only "
+                        "within-cluster pairs by exact cosine, and keep one "
+                        "highest-quality member per near-dup component "
+                        "(q113's keeper rule)")
+    p.add_argument("--semdedup-cosine", type=float, default=0.95,
+                   help="within-cluster cosine threshold for --semdedup")
     p.add_argument("--span-dedup", type=int, default=None, metavar="MIN_DF",
                    help="remove 4-token spans duplicated across >= MIN_DF "
                         "distinct docs (ExactSubstr-style) and rewrite the "
@@ -370,6 +380,83 @@ def main(argv: list[str] | None = None) -> dict:
             "max_hamming": args.ahash_dedup,
             "n_components": int(a_stats["n_components"] or 0),
             "n_dropped": int(a_stats["n_dropped"] or 0),
+        }
+
+    if args.semdedup is not None:
+        # Semantic dedup (SemDeDup — cluster-then-compare over document
+        # embeddings): the q149 integer k-means buckets the survivors'
+        # embeddings, pairs are compared by exact cosine ONLY within a
+        # cluster (the Σ n_c² bound that replaces the |corpus|² scan —
+        # the whole point of clustering first), pairs close into
+        # components and each keeps its highest-quality member (the
+        # --keeper-quality / --ahash-dedup election, q113's rule).
+        # Docs without an embedding row are not judged and survive.
+        from albedo_spark.functions.vectors import dot
+        from albedo_spark.operators.clustering import (
+            assign_clusters,
+            integerize_embeddings,
+            seed_centroids,
+            update_centroids,
+        )
+        from albedo_spark.operators.dedup import (
+            connected_components,
+            keeper_by_quality,
+        )
+        from albedo_spark.operators.similarity import _with_norm
+
+        emb = load_table(spark, args.sf_dir, "embeddings").join(
+            survivors.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        vectors = integerize_embeddings(emb).localCheckpoint(eager=False)
+        cents = seed_centroids(vectors, args.semdedup)
+        for _ in range(2):
+            cents = update_centroids(
+                vectors, assign_clusters(vectors, cents), cents
+            )
+        assign = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
+        side = _with_norm(emb, "embedding", "_n").join(assign, "vec_id")
+        sa = side.select(
+            "cluster_id", F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("_va"), F.col("_n").alias("_na"),
+        )
+        sb = side.select(
+            "cluster_id", F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("_vb"), F.col("_n").alias("_nb"),
+        )
+        s_pairs = (
+            sa.join(sb, "cluster_id")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine",
+                F.when(
+                    (F.col("_na") > 0) & (F.col("_nb") > 0),
+                    dot(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .where(F.col("cosine") >= args.semdedup_cosine)
+            .select("id_a", "id_b")
+        )
+        s_comps = connected_components(s_pairs)
+        s_elected = keeper_by_quality(
+            s_comps, per_doc.select("doc_id", "quality_x10k")
+        )
+        s_stats = s_elected.agg(
+            F.countDistinct("component_id").alias("n_components"),
+            F.sum(F.when(~F.col("is_kept"), 1).otherwise(0)).alias("n_dropped"),
+        ).collect()[0]
+        survivors = survivors.join(
+            s_elected.where(~F.col("is_kept")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        summary["semdedup"] = {
+            "k": args.semdedup,
+            "cosine": args.semdedup_cosine,
+            "n_components": int(s_stats["n_components"] or 0),
+            "n_dropped": int(s_stats["n_dropped"] or 0),
         }
 
     if args.span_dedup:

@@ -336,3 +336,48 @@ def test_corpus_job_ahash_dedup(tmp_path, spark):
     assert sum(summary["shards"]["per_shard"].values()) == (
         summary["n_docs"] - summary["n_contaminated"] - stage["n_dropped"]
     )
+
+
+def test_corpus_job_semdedup_stage(tmp_path, spark):
+    """--semdedup K clusters the survivors' embeddings (integer k-means),
+    finds within-cluster cosine near-dups, and keeps one member per
+    component. Planted vectors: ids 40..45 carry EXACTLY the vectors of
+    ids 10..15 (cosine 1.0, same cluster by construction); all other
+    vectors are two-hot constructions whose pairwise cosine stays below
+    0.92 < the 0.95 threshold — so exactly six 2-member components."""
+    from albedo_spark.io import load_table
+    from albedo_spark.jobs.corpus import main
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    sf_dir = str(tmp_path)
+
+    def v(i):
+        out = [0.0] * 8
+        out[i % 8] += 10.0
+        out[(i // 8) % 8] += 5.0
+        return out
+
+    emb_rows = [
+        (i, v(i - 30) if 40 <= i <= 45 else v(i)) for i in range(60)
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+
+    import glob
+    import shutil
+
+    for name, df in (("documents", docs), ("embeddings", emb)):
+        df.coalesce(1).write.parquet(f"{sf_dir}/{name}")
+        part = glob.glob(f"{sf_dir}/{name}/part-*.parquet")[0]
+        shutil.move(part, f"{sf_dir}/{name}.parquet.tmp")
+        shutil.rmtree(f"{sf_dir}/{name}")
+        shutil.move(f"{sf_dir}/{name}.parquet.tmp", f"{sf_dir}/{name}.parquet")
+
+    summary = main(["--sf-dir", sf_dir, "--semdedup", "2"])
+    stage = summary["semdedup"]
+    assert stage["k"] == 2 and stage["cosine"] == 0.95
+    assert stage["n_components"] == 6
+    assert stage["n_dropped"] == 6
+    # drop accounting reconciles with the final survivor count
+    assert summary["n_docs"] - summary["n_contaminated"] - 6 == summary.get(
+        "n_survivors", summary["n_docs"] - summary["n_contaminated"] - 6
+    )
