@@ -186,14 +186,22 @@ def _train_subspace_codebooks(
         update_centroids,
     )
 
-    sub = _subvectors(vectors, m, subdim)
+    # Lineage discipline: the subspace frame is re-scanned ncodes·rounds
+    # times per subspace, and per-round centroids are re-derived by every
+    # later round — without truncation the plan re-executes the ENTIRE
+    # upstream (for residual training: the whole coarse k-means) once per
+    # re-reference, which is quadratic in rounds and was measured as a
+    # stall at kc=16/ncodes=64. localCheckpoint caps both.
+    sub = _subvectors(vectors, m, subdim).localCheckpoint(eager=False)
     out: list[tuple[int, int, list[int]]] = []
     for s in range(m):
         vs = sub.where(F.col("s") == s).select("vec_id", F.col("sub").alias("q"))
         cents = seed_centroids(vs, ncodes, stride=stride)
         for _ in range(rounds):
             assignment = assign_clusters(vs, cents)
-            cents = update_centroids(vs, assignment, cents)
+            cents = update_centroids(vs, assignment, cents).localCheckpoint(
+                eager=False
+            )
         for r in sorted(cents.collect(), key=lambda r: r.cluster_id):
             out.append((s, int(r.cluster_id), [int(x) for x in r.c]))
     return out
@@ -234,7 +242,9 @@ def _coarse_quantizer(vectors: DataFrame, kc: int, rounds: int, stride: int):
     cents = seed_centroids(vectors, kc, stride=stride)
     for _ in range(rounds):
         assignment = assign_clusters(vectors, cents)
-        cents = update_centroids(vectors, assignment, cents)
+        cents = update_centroids(vectors, assignment, cents).localCheckpoint(
+            eager=False
+        )
     return cents
 
 
@@ -263,7 +273,9 @@ def train_residual_codebooks(
     vectors = integerize_embeddings(emb, scale=scale).localCheckpoint(
         eager=False
     )
-    cents = _coarse_quantizer(vectors, kc, coarse_rounds, stride)
+    cents = _coarse_quantizer(vectors, kc, coarse_rounds, stride).localCheckpoint(
+        eager=False
+    )
     assign = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
     resid = (
         vectors.join(assign, "vec_id")
@@ -272,6 +284,7 @@ def train_residual_codebooks(
             "vec_id",
             F.zip_with("q", "c", lambda a, b: a - b).alias("q"),
         )
+        .localCheckpoint(eager=False)
     )
     return _train_subspace_codebooks(resid, m, ncodes, subdim, rounds, stride)
 

