@@ -142,8 +142,11 @@ HEADLINE2 = [
     "q149_kmeans_clusters",
     "q150_pq_ann",
     "q151_ivf_pq_ann",
-    # round 11: unigram-LM tokenizer family
+    # round 11: unigram-LM tokenizer family + persisted PQ store +
+    # exact-rerank ANN
     "q152_unigram_segment",
+    "q153_pq_vector_store",
+    "q154_ivf_pq_rerank",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

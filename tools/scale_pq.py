@@ -151,16 +151,31 @@ def main() -> None:
             truth,
             k,
         )
-        curve.append(
-            {
-                "m": m,
-                "ncodes": ncodes,
-                "bytes_per_vec": m,  # one byte per code at ncodes<=256
-                "compression_vs_f32": round(DIM * 4 / m, 1),
-                "recall_formula_flat": formula,
-                "recall_ivf_resid_trained": ivf,
-            }
-        )
+        entry = {
+            "m": m,
+            "ncodes": ncodes,
+            "bytes_per_vec": m,  # one byte per code at ncodes<=256
+            "compression_vs_f32": round(DIM * 4 / m, 1),
+            "recall_formula_flat": formula,
+            "recall_ivf_resid_trained": ivf,
+        }
+        if (m, ncodes) == (8, 16):
+            # exact-rerank rung (q154): same 4-bit codes, shortlist-R
+            # exact integer L2 on top — measured 0.86 (R=20) / 0.99
+            # (R=50) vs 0.59 raw ADC
+            from albedo_spark.operators.pq import ivf_pq_rerank_topk
+
+            for r_short in (20, 50):
+                entry[f"recall_rerank_r{r_short}"] = recall(
+                    ivf_pq_rerank_topk(
+                        emb, pred, k=k, shortlist=r_short, kc=KC,
+                        nprobe=NPROBE, rounds=3, codebooks=trained,
+                        m=m, subdim=subdim, stride=STRIDE,
+                    ).collect(),
+                    truth,
+                    k,
+                )
+        curve.append(entry)
         print(json.dumps(curve[-1]), file=sys.stderr)
 
     print(
