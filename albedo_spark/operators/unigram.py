@@ -198,19 +198,22 @@ def unigram_doc_stats(
     )
 
 
-def viterbi_piece_usage(
+def _viterbi_backtrack(
     words: DataFrame,
     costed_vocab: DataFrame,
     max_len: int = 4,
     word_cap: int = 12,
 ) -> DataFrame:
-    """E-step of the unigram-LM trainer: ``(piece, usage)`` — how often
-    each vocabulary piece appears in the OPTIMAL segmentations, weighted
-    by word frequency. Backtracks the Viterbi DP relationally: from each
-    word's final state, repeatedly pick the predecessor edge whose
-    dp-value difference matches exactly (the additive metric makes the
-    test exact), tie → smallest start i then piece — ``word_cap``
-    unrolled rounds emitting one piece per word per round."""
+    """Relational Viterbi backtrack: ``(word, freq, step, piece)`` —
+    the pieces of every word's OPTIMAL segmentation, emitted back to
+    front (step 0 = last piece). From each word's final state,
+    repeatedly pick the predecessor edge whose dp-value difference
+    matches exactly (the additive metric makes the test exact), tie →
+    smallest start i (the (word, i, pos) edge is unique, so this is a
+    total order) — ``word_cap`` unrolled rounds emitting one piece per
+    word per round. Shared core of the E-step usage counts
+    (``viterbi_piece_usage``) and the encode surface
+    (``viterbi_segment_words``, q155)."""
     capped = words.where(F.length("word") <= word_cap)
     edges = (
         word_pieces(capped, max_len=max_len)
@@ -243,7 +246,7 @@ def viterbi_piece_usage(
         .select("word", "freq", "pos", "v")
     )
     used = []
-    for _ in range(word_cap):
+    for n_step in range(word_cap):
         # predecessor edges whose dp value explains cur exactly
         step = (
             cur.where(F.col("pos") > 0)
@@ -260,7 +263,12 @@ def viterbi_piece_usage(
             .groupBy("word", "freq", "pos", "v")
             .agg(F.min(F.struct("i", "piece", "pv")).alias("b"))
         )
-        emitted = step.select("word", "freq", F.col("b.piece").alias("piece"))
+        emitted = step.select(
+            "word",
+            "freq",
+            F.lit(n_step).alias("step"),
+            F.col("b.piece").alias("piece"),
+        )
         used.append(emitted)
         cur = step.select(
             "word",
@@ -271,7 +279,50 @@ def viterbi_piece_usage(
     all_used = used[0]
     for u in used[1:]:
         all_used = all_used.unionByName(u)
-    return all_used.groupBy("piece").agg(F.sum("freq").alias("usage"))
+    return all_used
+
+
+def viterbi_piece_usage(
+    words: DataFrame,
+    costed_vocab: DataFrame,
+    max_len: int = 4,
+    word_cap: int = 12,
+) -> DataFrame:
+    """E-step of the unigram-LM trainer: ``(piece, usage)`` — how often
+    each vocabulary piece appears in the OPTIMAL segmentations, weighted
+    by word frequency (one groupBy over the backtrack emissions)."""
+    return (
+        _viterbi_backtrack(words, costed_vocab, max_len, word_cap)
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("usage"))
+    )
+
+
+def viterbi_segment_words(
+    words: DataFrame,
+    costed_vocab: DataFrame,
+    max_len: int = 4,
+    word_cap: int = 12,
+) -> DataFrame:
+    """The ENCODE surface (q155 — the unigram twin of BPE's q126):
+    ``(word, freq, n_pieces, seg)`` where ``seg`` is the optimal
+    segmentation joined with ``|`` (pieces were emitted back-to-front,
+    so the join orders step DESC). Everything downstream of the
+    backtrack is one tiny per-word aggregate — the corpus never
+    reappears."""
+    bt = _viterbi_backtrack(words, costed_vocab, max_len, word_cap)
+    return bt.groupBy("word", "freq").agg(
+        F.count("*").cast("long").alias("n_pieces"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("step")).alias("o"), "piece"))
+                ),
+                lambda s: s["piece"],
+            ),
+            "|",
+        ).alias("seg"),
+    )
 
 
 def train_unigram(

@@ -8104,9 +8104,11 @@ _UNIGRAM_DP_ROUNDS = "".join(
 )
 
 
-@query(
-    "q152_unigram_segment",
-    f"""
+# Shared unigram-LM WITH-prefix (q152 per-doc stats + q155 encode): word
+# frequencies → candidate pieces → seed vocab → integer costs → edges →
+# the unrolled DP. Edges carry the piece text (q155's backtrack needs it;
+# q152 ignores the column).
+_UNIGRAM_CHAIN = f"""
     WITH norm AS (
         SELECT doc_id,
                trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
@@ -8149,11 +8151,16 @@ _UNIGRAM_DP_ROUNDS = "".join(
         SELECT word, freq FROM words WHERE length(word) <= 12
     ),
     edges AS MATERIALIZED (
-        SELECT p.word, p.i, p.fin, vc.cost
+        SELECT p.word, p.i, p.fin, p.piece, vc.cost
         FROM pieces p JOIN vc USING (piece) JOIN wcap USING (word)
     ),
     d0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS v FROM wcap)
-    {_UNIGRAM_DP_ROUNDS},
+    {_UNIGRAM_DP_ROUNDS}"""
+
+
+@query(
+    "q152_unigram_segment",
+    f"""{_UNIGRAM_CHAIN},
     ws AS (
         SELECT w.word, d.v // 32 AS wcost, d.v % 32 AS np
         FROM wcap w JOIN d12 d
@@ -8379,6 +8386,81 @@ def q153_pq_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_store_topk(queries, table, k=5, nprobe=2, m=4, subdim=16)
 
 
+# q155 backtrack rounds: from each word's final DP state walk one edge
+# back per round — the predecessor is the edge whose dp-value difference
+# matches exactly (additive metric → exact test), tie → smallest start i
+# (the (word, i, pos) edge is unique, so a total order). b{s} emits the
+# piece at step s-1 (back-to-front); c{s} carries the walker.
+_UNIGRAM_BACKTRACK_ROUNDS = "".join(
+    f""",
+    b{s} AS MATERIALIZED (
+        SELECT word, freq, pos, v, i, piece, pv FROM (
+            SELECT c.word, c.freq, c.pos, c.v, e.i, e.piece, d.v AS pv,
+                   row_number() OVER (
+                       PARTITION BY c.word ORDER BY e.i ASC
+                   ) AS rn
+            FROM c{s - 1} c
+            JOIN edges e ON e.word = c.word AND e.fin = c.pos
+            JOIN d12 d ON d.word = c.word AND d.pos = e.i
+            WHERE c.pos > 0 AND d.v + e.cost * 32 + 1 = c.v
+        ) WHERE rn = 1
+    ),
+    c{s} AS (SELECT word, freq, i AS pos, pv AS v FROM b{s})"""
+    for s in range(1, 13)
+)
+
+_UNIGRAM_BACKTRACK_UNION = "\n        UNION ALL\n".join(
+    f"        SELECT word, freq, {s - 1} AS step, piece FROM b{s}"
+    for s in range(1, 13)
+)
+
+
+@query(
+    "q155_unigram_encode",
+    f"""{_UNIGRAM_CHAIN},
+    c0 AS (
+        SELECT w.word, w.freq, length(w.word) AS pos, d.v
+        FROM wcap w JOIN d12 d
+          ON d.word = w.word AND d.pos = length(w.word)
+    )
+    {_UNIGRAM_BACKTRACK_ROUNDS},
+    em AS (
+{_UNIGRAM_BACKTRACK_UNION}
+    )
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(count(*) AS BIGINT) AS n_pieces,
+           string_agg(piece, '|' ORDER BY step DESC) AS seg
+    FROM em GROUP BY word, freq
+    """,
+)
+def q155_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODE (operators/unigram.py viterbi_segment_words —
+    the unigram twin of BPE's q126 apply surface): the actual optimal
+    piece sequence per distinct corpus word under the q152 seed
+    vocabulary, as ``(word, freq, n_pieces, seg)`` with ``seg`` the
+    ``|``-joined segmentation. Gates the relational Viterbi BACKTRACK —
+    the argmin-path recovery the trainer's E-step runs — not just the
+    DP cost: per round the predecessor edge is the one whose dp-value
+    difference matches exactly (additive metric → exact test), ties to
+    the smallest start position (a total order; the (word, start, end)
+    edge is unique). The corpus appears ONLY in the word-frequency
+    pass; backtrack frames are |distinct words| rows per round. Oracle:
+    the shared q152 chain + 12 MATERIALIZED backtrack CTEs + an ordered
+    string_agg."""
+    from albedo_spark.operators.bpe import word_frequencies
+    from albedo_spark.operators.unigram import (
+        seed_vocab,
+        viterbi_segment_words,
+        vocab_costs,
+        word_pieces,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_frequencies(d)
+    vc = vocab_costs(seed_vocab(word_pieces(words, 4), 24))
+    return viterbi_segment_words(words, vc, max_len=4, word_cap=12)
+
+
 @query("q154_ivf_pq_rerank", _ivfpq_oracle_sql(rerank=20))
 def q154_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with exact rerank (operators/pq.py ivf_pq_rerank_topk —
@@ -8539,6 +8621,7 @@ _POST_WINDOW = [
     "q150_pq_ann",
     "q151_ivf_pq_ann",
     "q154_ivf_pq_rerank",
+    "q155_unigram_encode",
     "q128_prefix_filter_jaccard",
     "q145_sketch_overlap",
     "q146_containment_pairs",

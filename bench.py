@@ -147,6 +147,7 @@ HEADLINE2 = [
     "q152_unigram_segment",
     "q153_pq_vector_store",
     "q154_ivf_pq_rerank",
+    "q155_unigram_encode",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

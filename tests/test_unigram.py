@@ -119,3 +119,30 @@ def test_doc_stats_scale_invariance_partitioning(spark):
         for r in unigram_doc_stats(docs.repartition(16), vocab_size=8).collect()
     }
     assert a == b
+
+
+def test_segment_words_emits_piece_sequences(spark):
+    """viterbi_segment_words (q155's operator): seg strings are the
+    actual optimal segmentations, in reading order. Hand example: with
+    the full seed vocab 'ab'->[ab], 'abc'->[abc]; after pruning 'abc'
+    from the vocab, 'abc' must segment as ab|c."""
+    from albedo_spark.operators.unigram import viterbi_segment_words
+
+    docs = _docs(spark)
+    words = word_frequencies(docs)
+    vc = vocab_costs(seed_vocab(word_pieces(words), 2))
+    segs = {r.word: (r.n_pieces, r.seg)
+            for r in viterbi_segment_words(words, vc).collect()}
+    assert segs == {"ab": (1, "ab"), "abc": (1, "abc")}
+
+    trained = train_unigram(docs, seed_size=2, prune_to=1)
+    segs2 = {r.word: (r.n_pieces, r.seg)
+             for r in viterbi_segment_words(words, trained).collect()}
+    assert segs2 == {"ab": (1, "ab"), "abc": (2, "ab|c")}
+
+    # multi-piece reading order on a longer word: only singles in vocab
+    docs3 = spark.createDataFrame([(1, "dcba")], "doc_id long, text string")
+    w3 = word_frequencies(docs3)
+    vc3 = vocab_costs(seed_vocab(word_pieces(w3, 1), 0))
+    segs3 = {r.word: r.seg for r in viterbi_segment_words(w3, vc3).collect()}
+    assert segs3 == {"dcba": "d|c|b|a"}
