@@ -118,6 +118,12 @@ def main(argv: list[str] | None = None) -> dict:
                         "survivors (pair-delta trainer) and tokenize the "
                         "survivor corpus with them; with --out, the merge "
                         "table and per-doc token counts land as parquet")
+    p.add_argument("--unigram-vocab", type=int, default=None, metavar="K",
+                   help="train a unigram-LM (SentencePiece-style) vocab on "
+                        "the survivors (seed 2K multi-char pieces, EM-prune "
+                        "to K) and report per-corpus subword piece counts; "
+                        "with --out, writes the vocab and the per-word "
+                        "segmentation table")
     p.add_argument("--quality-model-dim", type=int, default=None,
                    help="train a fasttext-style quality classifier at this "
                         "hashed-TF dimension (weak labels bootstrapped from "
@@ -607,6 +613,46 @@ def main(argv: list[str] | None = None) -> dict:
                 "overwrite"
             ).parquet(os.path.join(args.out, "bpe_token_counts"))
         encoded.unpersist()
+
+    if args.unigram_vocab:
+        # The OTHER tokenizer family (q152/q155's operators): train a
+        # unigram-LM vocabulary on the survivors (seed → one EM prune
+        # round) and charge each surviving document its subword piece
+        # count — the context-budget number a pre-training pipeline
+        # plans with, next to --bpe-merges' merge-table equivalent.
+        from albedo_spark.operators.bpe import word_frequencies
+        from albedo_spark.operators.unigram import (
+            train_unigram,
+            viterbi_segment_words,
+        )
+
+        trained = train_unigram(
+            survivors, seed_size=args.unigram_vocab * 2,
+            prune_to=args.unigram_vocab,
+        ).persist()
+        seg = viterbi_segment_words(
+            word_frequencies(survivors), trained
+        ).persist()
+        summary["unigram"] = {
+            "vocab_size": trained.count(),
+            "n_words_segmented": seg.count(),
+            # corpus token budget under the TRAINED vocab: each distinct
+            # word's piece count weighted by its corpus frequency
+            "total_pieces": int(
+                seg.agg(F.sum(F.col("n_pieces") * F.col("freq")))
+                .collect()[0][0]
+                or 0
+            ),
+        }
+        if args.out:
+            trained.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(args.out, "unigram_vocab")
+            )
+            seg.write.mode("overwrite").parquet(
+                os.path.join(args.out, "unigram_segmentations")
+            )
+        seg.unpersist()
+        trained.unpersist()
 
     if args.shards:
         # Final output layout (q108's operator): reproducible randomized

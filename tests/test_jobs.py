@@ -381,3 +381,25 @@ def test_corpus_job_semdedup_stage(tmp_path, spark):
     assert summary["n_docs"] - summary["n_contaminated"] - 6 == summary.get(
         "n_survivors", summary["n_docs"] - summary["n_contaminated"] - 6
     )
+
+
+def test_corpus_job_unigram_stage(tmp_path):
+    """--unigram-vocab K trains the unigram-LM vocabulary on survivors
+    and reports the corpus subword budget; with --out, the vocab and the
+    per-word segmentation table land as parquet."""
+    import glob
+
+    from albedo_spark.jobs.corpus import main
+
+    out = str(tmp_path / "out")
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--unigram-vocab", "8",
+        "--out", out,
+    ])
+    stage = summary["unigram"]
+    # vocab = singles + <= 8 multis; this corpus has 26-ish chars
+    assert stage["vocab_size"] > 8
+    assert stage["n_words_segmented"] > 0
+    assert stage["total_pieces"] >= stage["n_words_segmented"]
+    assert glob.glob(out + "/unigram_vocab/*.parquet")
+    assert glob.glob(out + "/unigram_segmentations/*.parquet")
