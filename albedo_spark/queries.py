@@ -8483,6 +8483,72 @@ def q154_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Personalized-PageRank oracle rounds: q121's unrolled chain with the
+# reset mass CONDITIONAL on seed membership (node % 40 = 1 ⟺ partkey
+# ≡ 0 mod 20 under the *2+1 id mapping) instead of uniform.
+_PPR_ROUNDS = "".join(
+    f""",
+    r{i} AS (
+        SELECT d.src AS node,
+               CAST(CASE WHEN d.src % 40 = 1 THEN 150000000 ELSE 0 END
+                    + coalesce(c.s, 0) AS BIGINT) AS rank
+        FROM deg d LEFT JOIN (
+            SELECT ed.dst AS node, sum((r.rank * 85) // (ed.outdeg * 100)) AS s
+            FROM ed JOIN r{i - 1} r ON ed.src = r.node
+            GROUP BY ed.dst
+        ) c ON d.src = c.node
+    )"""
+    for i in range(1, 6)
+)
+
+
+@query(
+    "q156_personalized_pagerank",
+    """
+    WITH inc AS (
+        SELECT DISTINCT l_orderkey * 2 AS u, l_partkey * 2 + 1 AS v
+        FROM lineitem
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM inc
+        UNION ALL
+        SELECT v AS src, u AS dst FROM inc
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg)
+    """
+    + _PPR_ROUNDS
+    + """
+    SELECT node, rank FROM r5
+    """,
+)
+def q156_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py pagerank(seeds=...)) —
+    the "recommend around THIS basket" form of q121: the reset mass
+    lands only on seed nodes (every 20th part, via the arithmetic
+    node-id rule node % 40 = 1 — no driver-side seed list), so ranks
+    measure proximity to the seed set instead of global centrality; the
+    canonical graph-walk recommender signal (random-walk-with-restart).
+    Identical BIGINT power-iteration machinery, plan, and per-round
+    shuffle shape as q121 (one edge-join + partial-agg sum per round,
+    localCheckpoint per round); the ONLY change is the conditional
+    reset column — which is exactly what the oracle's unrolled CTEs
+    vary. Seeds ride a broadcast."""
+    from albedo_spark.operators.graph import bipartite_edges, pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = bipartite_edges(li, "l_orderkey", "l_partkey")
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where("node % 40 = 1")
+        .distinct()
+    )
+    with _scoped_shuffle_partitions(spark):
+        ranks = pagerank(edges, iterations=5, seeds=seeds)
+    return ranks
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -8629,6 +8695,7 @@ _POST_WINDOW = [
     "q142_lang_hll",
     "q143_histogram_quantiles",
     "q126_bpe_encode",
+    "q156_personalized_pagerank",
     "q129_label_propagation",
     "q131_adaptive_quality_filter",
     "q132_content_defined_chunks",

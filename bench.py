@@ -148,6 +148,7 @@ HEADLINE2 = [
     "q153_pq_vector_store",
     "q154_ivf_pq_rerank",
     "q155_unigram_encode",
+    "q156_personalized_pagerank",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

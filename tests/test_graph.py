@@ -235,3 +235,32 @@ def test_label_propagation_disjoint_cliques_converge_to_min_id(spark):
     df = spark.createDataFrame(sym, "src long, dst long")
     got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_personalized_pagerank_biases_toward_seeds(spark):
+    """With the reset mass confined to seed nodes, the seed side of the
+    graph must hold a strictly larger rank share than under uniform
+    PageRank, and far-from-seed nodes must rank lower than they do
+    globally (the random-walk-with-restart property q156 gates)."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.graph import pagerank
+
+    # two loosely-connected communities: 0-4 (seeded) and 10-14, one bridge
+    pairs = (
+        [(i, j) for i in range(5) for j in range(5) if i != j]
+        + [(i, j) for i in range(10, 15) for j in range(10, 15) if i != j]
+        + [(4, 10), (10, 4)]
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    seeds = spark.createDataFrame([(i,) for i in range(5)], "node long")
+
+    def share(ranks_df):
+        rows = {r.node: r.rank for r in ranks_df.collect()}
+        seeded = sum(v for k, v in rows.items() if k < 5)
+        return seeded / sum(rows.values())
+
+    s_uniform = share(pagerank(edges, iterations=5))
+    s_ppr = share(pagerank(edges, iterations=5, seeds=seeds))
+    assert s_ppr > s_uniform
+    assert s_ppr > 0.6  # most mass stays in the seeded community

@@ -240,3 +240,21 @@ def test_q122_zorder_key_no_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line:
             raise AssertionError(f"zorder key grew a shuffle: {line}")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q152_unigram_segment",
+        "q153_pq_vector_store",
+        "q154_ivf_pq_rerank",
+        "q155_unigram_encode",
+    ],
+)
+def test_round11_plans_stay_jvm_side(spark, name):
+    """Round-11 additions: no cartesian products, no Python in the data
+    path. (The nested-loop joins that DO appear are the intended tiny
+    broadcast crossJoins against k-row centroid frames.)"""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
