@@ -761,3 +761,71 @@ def test_run_to_histogram_store_equals_batch_and_replays(spark, tmp_path):
         for r in histogram_quantiles(live, edges, [50, 99], group_col="g").collect()
     }
     assert qs[("a", 50)] in edges and qs[("b", 99)] == 200
+
+
+def test_run_to_pq_store_bootstrap_append_replay(spark, tmp_path):
+    """PQ-store sink twin: the first non-empty batch bootstraps the store
+    (trains + freezes the coarse model), later batches append codes
+    encoded against the FROZEN cells, and a full replay from a fresh
+    checkpoint admits nothing new (the replay guard)."""
+    from albedo_spark.streaming.events import run_to_pq_store
+
+    def vec(i):
+        return [float((i * 31 + d * 7) % 13 - 6) for d in range(64)]
+
+    src = str(tmp_path / "src")
+    ck1, ck2, ck3 = (str(tmp_path / c) for c in ("ck1", "ck2", "ck3"))
+    tbl = "t_stream_pqstore"
+    schema = "vec_id long, embedding array<double>"
+    try:
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(10)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        def run(ck):
+            run_to_pq_store(
+                stream(), tbl, ck, kc=2, m=4, subdim=16,
+                stride=1, num_buckets=2,
+            )
+
+        run(ck1)  # bootstrap
+        assert spark.table(tbl).count() == 10 * 4  # m rows per vector
+        cells = {r.cluster_id for r in spark.table(tbl + "_cents").collect()}
+        assert len(cells) == 2
+
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(10, 15)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run(ck2)  # fresh checkpoint -> replays file 1 (guarded) + file 2
+        # appends happened in micro-batch session clones: refresh the
+        # outer session's cached relation before re-reading (standard
+        # external-append semantics, not a sink defect)
+        spark.catalog.refreshTable(tbl)
+        assert spark.table(tbl).count() == 15 * 4
+        # frozen model: appended codes reference only bootstrap cells
+        used = {r.cluster_id
+                for r in spark.table(tbl).select("cluster_id").distinct().collect()}
+        assert used <= cells
+
+        run(ck3)  # full replay: nothing admitted
+        spark.catalog.refreshTable(tbl)
+        assert spark.table(tbl).count() == 15 * 4
+        # every vector has exactly m distinct subspace codes
+        from pyspark.sql import functions as F
+        bad = (
+            spark.table(tbl).groupBy("vec_id")
+            .agg(F.countDistinct("s").alias("ns"), F.count("*").alias("n"))
+            .where("ns != 4 OR n != 4")
+            .count()
+        )
+        assert bad == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_cents")
