@@ -124,6 +124,12 @@ def main(argv: list[str] | None = None) -> dict:
                         "to K) and report per-corpus subword piece counts; "
                         "with --out, writes the vocab and the per-word "
                         "segmentation table")
+    p.add_argument("--pq-index", default=None, metavar="TABLE",
+                   help="persist an IVF-PQ ANN index (vector_store."
+                        "build_pq_store: frozen coarse cells + m-int code "
+                        "rows, bucketed by cell) of the SURVIVING documents' "
+                        "embeddings under this managed-table name — the "
+                        "retrieval-ready sidecar of a cleaned corpus")
     p.add_argument("--quality-model-dim", type=int, default=None,
                    help="train a fasttext-style quality classifier at this "
                         "hashed-TF dimension (weak labels bootstrapped from "
@@ -653,6 +659,29 @@ def main(argv: list[str] | None = None) -> dict:
             )
         seg.unpersist()
         trained.unpersist()
+
+    if args.pq_index:
+        # Retrieval-ready sidecar (q153's operator): the cleaned corpus's
+        # embeddings as a persisted IVF-PQ index — frozen coarse cells +
+        # m-int code rows, probed later with pq_store_topk. Built AFTER
+        # all drops so the index holds exactly the survivors.
+        from albedo_spark.operators.vector_store import build_pq_store
+
+        s_emb = load_table(spark, args.sf_dir, "embeddings").join(
+            survivors.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        build_pq_store(s_emb, args.pq_index, kc=8, m=4, subdim=16,
+                       num_buckets=8)
+        spark.catalog.refreshTable(args.pq_index)
+        summary["pq_index"] = {
+            "table": args.pq_index,
+            "n_vectors": spark.table(args.pq_index)
+            .select("vec_id").distinct().count(),
+            "kc": 8,
+            "m": 4,
+        }
 
     if args.shards:
         # Final output layout (q108's operator): reproducible randomized

@@ -403,3 +403,29 @@ def test_corpus_job_unigram_stage(tmp_path):
     assert stage["total_pieces"] >= stage["n_words_segmented"]
     assert glob.glob(out + "/unigram_vocab/*.parquet")
     assert glob.glob(out + "/unigram_segmentations/*.parquet")
+
+
+def test_corpus_job_pq_index_stage(spark):
+    """--pq-index persists the survivors' IVF-PQ index; it is probe-able
+    with pq_store_topk and holds only surviving doc ids."""
+    from albedo_spark.jobs.corpus import main
+    from albedo_spark.operators.vector_store import pq_store_topk
+    from pyspark.sql import functions as F
+
+    tbl = "t_corpus_pq_index"
+    try:
+        summary = main(["--sf-dir", "/root/testdata/sf0.001",
+                        "--pq-index", tbl])
+        stage = summary["pq_index"]
+        assert stage["table"] == tbl and stage["n_vectors"] > 0
+        from albedo_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = pq_store_topk(queries, tbl, k=3, nprobe=2, m=4, subdim=16)
+        assert out.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_cents")
