@@ -372,12 +372,6 @@ def ivf_pq_topk(
 
     Returns ``(query_id, neighbor_id, cell_id, adist, rank)``, self
     excluded, ranked (adist asc, neighbor_id asc)."""
-    from albedo_spark.operators.clustering import (
-        assign_clusters,
-        seed_centroids,
-        update_centroids,
-    )
-
     if codebooks is None:
         codebooks = formula_codebooks(m=m, subdim=subdim)
     spark = emb.sparkSession
