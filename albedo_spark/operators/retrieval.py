@@ -184,3 +184,90 @@ def rrf_fuse(
         .where(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "n_legs", "rrf_x1e6", "rank")
     )
+
+
+def corpus_phrase_dictionary(
+    docs: DataFrame,
+    bigrams: int = 8,
+    trigrams: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(phrase_id, pt array<string>)`` — a deterministic self-derived
+    phrase dictionary: the top-``bigrams`` 2-grams (ids 0..) and
+    top-``trigrams`` 3-grams (ids 100..) by (count desc, tokens asc).
+    Exists so the matcher below is gateable against a corpus-derived
+    dictionary; production passes its own blocklist/phrase frame in the
+    same ``(phrase_id, pt)`` shape."""
+    from albedo_spark.operators.textstats import tokens
+
+    toks = docs.select(tokens(F.col(text_col)).alias("w")).where(
+        F.size("w") >= 2
+    )
+
+    def top_ngrams(n: int, k: int, id_base: int) -> DataFrame:
+        from pyspark.sql import Window
+
+        grams = toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.slice("w", i + 1, n),
+                )
+            ).alias("pt")
+        )
+        counted = grams.groupBy("pt").agg(F.count("*").alias("c"))
+        w = Window.orderBy(F.col("c").desc(), F.col("pt").asc())
+        return (
+            counted.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select((F.col("rk") - 1 + id_base).alias("phrase_id"), "pt")
+        )
+
+    return top_ngrams(2, bigrams, 0).unionByName(top_ngrams(3, trigrams, 100))
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Big-dictionary multi-phrase matcher — the scale path when the
+    blocklist/phrase set is too large to fold into one regex (q116's
+    OR-fold is the small-dictionary case; a 10⁶-phrase dictionary as a
+    regex is neither compilable nor pushable). Relational matching
+    instead: every dictionary phrase posts on its FIRST token, document
+    token positions equi-join the postings (candidates are bounded by
+    the posting frequency of first tokens — in production key on each
+    phrase's RAREST corpus token for the tightest candidate set; first
+    token keeps the oracle replay trivial), and a slice-equality verify
+    against the document's token array confirms the full phrase.
+    Returns ``(doc_id, phrase_id, n_occurrences, first_pos)`` —
+    positions 0-based; overlapping occurrences all count.
+
+    Plan: the phrase frame is model-state-sized → broadcast both the
+    posting join and nothing else; candidates shuffle ONCE on doc_id to
+    meet the token arrays; the per-(doc, phrase) count is map-side
+    combinable. No regex, no UDF, no |docs|×|phrases| product."""
+    from albedo_spark.operators.textstats import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).where(F.size("w") >= 1)
+    pos_toks = toks.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    ph = phrases.select(
+        "phrase_id",
+        "pt",
+        F.element_at("pt", 1).alias("tok"),
+        F.size("pt").alias("n"),
+    )
+    cand = pos_toks.join(F.broadcast(ph), "tok").select(
+        "doc_id", "pos", "phrase_id", "n", "pt"
+    )
+    verified = cand.join(toks, "doc_id").where(
+        F.slice("w", F.col("pos") + 1, F.col("n")) == F.col("pt")
+    )
+    return verified.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

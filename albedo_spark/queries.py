@@ -8549,6 +8549,80 @@ def q156_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks
 
 
+@query(
+    "q157_phrase_match",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, string_split(nt, ' ') AS w
+        FROM norm WHERE nt <> ''
+    ),
+    bg AS (
+        SELECT doc_id, i, w[i + 1] AS w1, w[i + 2] AS w2
+        FROM t, unnest(range(len(w) - 1)) r(i)
+    ),
+    bgd AS (
+        SELECT CAST(rk - 1 AS BIGINT) AS phrase_id, w1, w2 FROM (
+            SELECT w1, w2, row_number() OVER (
+                ORDER BY count(*) DESC, w1 ASC, w2 ASC
+            ) AS rk
+            FROM bg GROUP BY w1, w2
+        ) WHERE rk <= 8
+    ),
+    tg AS (
+        SELECT doc_id, i, w[i + 1] AS w1, w[i + 2] AS w2, w[i + 3] AS w3
+        FROM t, unnest(range(len(w) - 2)) r(i)
+    ),
+    tgd AS (
+        SELECT CAST(100 + rk - 1 AS BIGINT) AS phrase_id, w1, w2, w3 FROM (
+            SELECT w1, w2, w3, row_number() OVER (
+                ORDER BY count(*) DESC, w1 ASC, w2 ASC, w3 ASC
+            ) AS rk
+            FROM tg GROUP BY w1, w2, w3
+        ) WHERE rk <= 4
+    ),
+    m AS (
+        SELECT b.doc_id, d.phrase_id, b.i
+        FROM bg b JOIN bgd d USING (w1, w2)
+        UNION ALL
+        SELECT g.doc_id, d.phrase_id, g.i
+        FROM tg g JOIN tgd d USING (w1, w2, w3)
+    )
+    SELECT doc_id, phrase_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(i) AS BIGINT) AS first_pos
+    FROM m GROUP BY doc_id, phrase_id
+    """,
+)
+def q157_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-dictionary phrase matching (operators/retrieval.py
+    phrase_match): every occurrence of every dictionary phrase via a
+    first-token POSTING JOIN + slice-equality verify — the scale path
+    when the blocklist is too large for q116's regex OR-fold (a 10⁶-
+    phrase dictionary is neither compilable nor pushable as a pattern).
+    The dictionary here is corpus-self-derived for gateability (top-8
+    bigrams, ids 0.., + top-4 trigrams, ids 100.., count desc then
+    lexicographic — corpus_phrase_dictionary); production passes its own
+    ``(phrase_id, pt)`` frame. Output per (doc, phrase): occurrence
+    count + first 0-based position; overlaps all count. Plan: phrases
+    broadcast, one candidate shuffle on doc_id to meet token arrays,
+    map-side-combinable counts — no regex, no UDF, no cross product.
+    Oracle replays the n-gram joins directly (slice-verify ≡ the
+    consecutive-token equi-join for a consistent dictionary)."""
+    from albedo_spark.operators.retrieval import (
+        corpus_phrase_dictionary,
+        phrase_match,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    phrases = corpus_phrase_dictionary(d, bigrams=8, trigrams=4)
+    return phrase_match(d, phrases)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -8688,6 +8762,7 @@ _POST_WINDOW = [
     "q151_ivf_pq_ann",
     "q154_ivf_pq_rerank",
     "q155_unigram_encode",
+    "q157_phrase_match",
     "q128_prefix_filter_jaccard",
     "q145_sketch_overlap",
     "q146_containment_pairs",

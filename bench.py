@@ -149,6 +149,7 @@ HEADLINE2 = [
     "q154_ivf_pq_rerank",
     "q155_unigram_encode",
     "q156_personalized_pagerank",
+    "q157_phrase_match",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -127,3 +127,54 @@ def test_rrf_fuse_tie_breaks_on_doc_id(spark):
     )
     rows = rrf_fuse([leg], top_k=2).collect()
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [3, 7]
+
+
+def test_phrase_match_planted_and_overlapping(spark):
+    """phrase_match (q157's operator): hand-planted occurrences — counts,
+    0-based first positions, OVERLAPPING matches all counted, and a
+    phrase absent from a doc yields no row for that pair."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.retrieval import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox red fox jumps"),
+            (2, "a a a"),          # overlapping "a a": positions 0 and 1
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, ["red", "fox"]), (1, ["a", "a"]), (2, ["fox", "jumps"]),
+         (3, ["red", "fox", "jumps"])],
+        "phrase_id long, pt array<string>",
+    )
+    out = {
+        (r.doc_id, r.phrase_id): (r.n_occurrences, r.first_pos)
+        for r in phrase_match(docs, phrases).collect()
+    }
+    assert out == {
+        (1, 0): (2, 0),   # "red fox" at 0 and 2
+        (1, 2): (1, 3),   # "fox jumps" at 3
+        (1, 3): (1, 2),   # trigram at 2
+        (2, 1): (2, 0),   # overlapping "a a"
+    }
+
+
+def test_phrase_match_plan_has_no_regex_or_cross(spark):
+    """The matcher must stay a broadcast posting join + one doc_id
+    shuffle: no cartesian product, no Python, and the phrase side rides
+    a BroadcastExchange."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        corpus_phrase_dictionary,
+        phrase_match,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = phrase_match(d, corpus_phrase_dictionary(d))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan
