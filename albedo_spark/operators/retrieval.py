@@ -231,6 +231,7 @@ def phrase_match(
     phrases: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key: str = "first",
 ) -> DataFrame:
     """Big-dictionary multi-phrase matcher — the scale path when the
     blocklist/phrase set is too large to fold into one regex (q116's
@@ -248,22 +249,68 @@ def phrase_match(
     Plan: the phrase frame is model-state-sized → broadcast both the
     posting join and nothing else; candidates shuffle ONCE on doc_id to
     meet the token arrays; the per-(doc, phrase) count is map-side
-    combinable. No regex, no UDF, no |docs|×|phrases| product."""
+    combinable. No regex, no UDF, no |docs|×|phrases| product.
+
+    ``key="rarest"`` posts each phrase on its RAREST corpus token (df
+    asc, token asc — deterministic) at a fixed in-phrase offset instead
+    of token 1: one extra df pass over the corpus buys the tightest
+    candidate set when phrases lead with stopwords ("of the", "in a" —
+    first-token postings explode on exactly those). Results are
+    IDENTICAL either way (pinned by a pytest equivalence property) —
+    the keying only moves candidate-set size."""
     from albedo_spark.operators.textstats import tokens
 
+    if key not in ("first", "rarest"):
+        raise ValueError(f"key must be 'first' or 'rarest', got {key!r}")
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
     ).where(F.size("w") >= 1)
     pos_toks = toks.select("doc_id", F.posexplode("w").alias("pos", "tok"))
-    ph = phrases.select(
-        "phrase_id",
-        "pt",
-        F.element_at("pt", 1).alias("tok"),
-        F.size("pt").alias("n"),
-    )
+    if key == "first":
+        ph = phrases.select(
+            "phrase_id",
+            "pt",
+            F.element_at("pt", 1).alias("tok"),
+            F.lit(0).alias("off"),
+            F.size("pt").alias("n"),
+        )
+    else:
+        df_tbl = (
+            pos_toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+        )
+        ptoks = phrases.select(
+            "phrase_id", "pt", F.posexplode("pt").alias("off", "tok")
+        )
+        # unseen tokens get df = +inf surrogate so a phrase containing one
+        # still posts on a SEEN token when it has any (an all-unseen
+        # phrase can never match anyway)
+        scored = ptoks.join(df_tbl, "tok", "left").select(
+            "phrase_id",
+            "pt",
+            "off",
+            "tok",
+            F.coalesce("df", F.lit(2**62)).alias("df"),
+        )
+        ph = (
+            scored.groupBy("phrase_id")
+            .agg(
+                F.min(F.struct("df", "tok", "off", "pt")).alias("b"),
+            )
+            .select(
+                "phrase_id",
+                F.col("b.pt").alias("pt"),
+                F.col("b.tok").alias("tok"),
+                F.col("b.off").alias("off"),
+                F.size("b.pt").alias("n"),
+            )
+        )
     cand = pos_toks.join(F.broadcast(ph), "tok").select(
-        "doc_id", "pos", "phrase_id", "n", "pt"
-    )
+        "doc_id",
+        (F.col("pos") - F.col("off")).alias("pos"),
+        "phrase_id",
+        "n",
+        "pt",
+    ).where(F.col("pos") >= 0)
     verified = cand.join(toks, "doc_id").where(
         F.slice("w", F.col("pos") + 1, F.col("n")) == F.col("pt")
     )

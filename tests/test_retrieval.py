@@ -178,3 +178,37 @@ def test_phrase_match_plan_has_no_regex_or_cross(spark):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_phrase_match_rarest_keying_equivalence(spark):
+    """key='rarest' must return IDENTICAL matches to key='first' on the
+    same corpus + dictionary (the keying only moves candidate-set size),
+    including phrases whose rarest token is mid-phrase and phrases
+    containing corpus-unseen tokens."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        corpus_phrase_dictionary,
+        phrase_match,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    phrases = corpus_phrase_dictionary(d, bigrams=8, trigrams=4)
+    a = {tuple(r) for r in phrase_match(d, phrases, key="first").collect()}
+    b = {tuple(r) for r in phrase_match(d, phrases, key="rarest").collect()}
+    assert a == b and a
+
+    docs = spark.createDataFrame(
+        [(1, "the rare word the common the")], "doc_id long, text string"
+    )
+    ph = spark.createDataFrame(
+        [(0, ["the", "rare"]), (1, ["the", "unseen_tok"]),
+         (2, ["unseen_a", "unseen_b"])],
+        "phrase_id long, pt array<string>",
+    )
+    fa = {tuple(r) for r in phrase_match(docs, ph, key="first").collect()}
+    fb = {tuple(r) for r in phrase_match(docs, ph, key="rarest").collect()}
+    assert fa == fb == {(1, 0, 1, 0)}
+
+    import pytest
+    with pytest.raises(ValueError):
+        phrase_match(docs, ph, key="nope")
