@@ -354,7 +354,13 @@ def write_es_bulk(
     ``to_json`` so ids/index names containing quotes, backslashes, or
     newlines are JSON-escaped by the engine — hand-concatenation produced
     invalid action JSON for adversarial ids. NULL ids are REJECTED
-    loudly before writing: a NULL would otherwise drop the action line
+    loudly — and LAZILY, inside the write's own projection (ADVICE r11
+    #3): the previous eager precheck ran an extra job AND evaluated the
+    input twice, so a non-deterministic upstream (sample/rand/uuid ids)
+    could pass validation yet emit a NULL in the written pass. A
+    ``raise_error`` branch in the ``_id`` expression (the ``_dim_checked``
+    pattern) fails the single write job itself — one evaluation, no
+    window for divergence. A NULL would otherwise drop the action line
     and desync the strict action/source line pairing of the bulk wire
     format for every subsequent document in the file."""
     from pyspark.sql import functions as F
@@ -362,18 +368,21 @@ def write_es_bulk(
     if id_col not in df.columns:
         raise ValueError(f"id_col {id_col!r} not in {df.columns}")
     doc_cols = [c for c in df.columns if c != id_col]
-    n_null = df.where(F.col(id_col).isNull()).limit(1).count()
-    if n_null:
-        raise ValueError(
-            f"write_es_bulk: NULL values in id column {id_col!r} — a NULL id "
-            "would desync the bulk action/source line pairing; filter or "
-            "impute ids upstream"
-        )
+    guarded_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"write_es_bulk: NULL id in column {id_col!r} — a NULL id "
+                "would desync the bulk action/source line pairing; filter "
+                "or impute ids upstream"
+            )
+        ).cast("string"),
+    ).otherwise(F.col(id_col).cast("string"))
     action = F.to_json(
         F.struct(
             F.struct(
                 F.lit(index).alias("_index"),
-                F.col(id_col).cast("string").alias("_id"),
+                guarded_id.alias("_id"),
             ).alias("index")
         )
     )

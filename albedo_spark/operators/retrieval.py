@@ -207,7 +207,14 @@ def corpus_phrase_dictionary(
     def top_ngrams(n: int, k: int, id_base: int) -> DataFrame:
         from pyspark.sql import Window
 
-        grams = toks.select(
+        # Filter per n-gram length HERE, not only at the shared `toks`
+        # level: a doc with exactly 2 tokens must not reach n=3, where
+        # sequence(0, size(w)-3) = sequence(0, -1) DESCENDS in Spark and
+        # slice(w, 0, 3) then throws INVALID_PARAMETER_VALUE.START. The
+        # SQL-oracle twin (range(len(w)-n+1)) yields empty rows for the
+        # same doc, so without this guard the engines diverge (crash vs
+        # results) on legitimate corpora.
+        grams = toks.where(F.size("w") >= n).select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size("w") - n),

@@ -44,6 +44,17 @@ MULT = 1_000_000
 #: word_cap < 32.
 _PACK = 32
 
+#: loud BIGINT-headroom ceiling on the vocabulary mass T. The worst
+#: packed path value is ≈ word_cap · _PACK · MULT · T (a pf=1 rare piece
+#: costs MULT·T; a path holds ≤ word_cap of them), and per-doc sums add
+#: up to ~2^16 words on extreme fixtures — so require
+#: MULT·T·_PACK·word_cap·2^16 < 2^63, i.e. T < 2^63/(10^6·32·16·2^16)
+#: ≈ 2.7·10^8 per-word-safe, and T ≤ _T_CEIL ≈ 4.4·10^9 with the doc
+#: factor relaxed to the tested 2^4 (the guard is deliberately loud and
+#: conservative: both engines would overflow IDENTICALLY past it, so the
+#: oracle could never catch the wrap — the raise is the only tripwire).
+_T_CEIL = (1 << 63) // (MULT * _PACK * 16 * 16)
+
 
 def word_pieces(words: DataFrame, max_len: int = 4) -> DataFrame:
     """``(word, freq, i, j, piece)`` — every substring of length
@@ -96,7 +107,31 @@ def vocab_costs(vocab: DataFrame) -> DataFrame:
     over the vocabulary's total mass T (scalar cross join; both engines
     truncate the div identically)."""
     t = vocab.agg(F.sum("pf").alias("t"))
-    return vocab.crossJoin(F.broadcast(t)).select(
+    # Lazy BIGINT-headroom tripwire (the r10 raise_error discipline):
+    # past _T_CEIL the packed Viterbi metric can wrap, and it wraps
+    # IDENTICALLY in Spark and the SQL oracle — the hash gate would stay
+    # green on garbage — so the only honest behavior is a loud raise at
+    # execution time, with no extra driver action on the happy path.
+    guarded = t.select(
+        F.when(
+            F.col("t") > F.lit(_T_CEIL),
+            F.raise_error(
+                F.concat(
+                    F.lit("vocab_costs: vocabulary mass T="),
+                    F.col("t").cast("string"),
+                    F.lit(
+                        " exceeds the packed-metric BIGINT headroom"
+                        f" ceiling {_T_CEIL} (cost*{_PACK} path sums"
+                        " would overflow int64 undetectably in BOTH"
+                        " engines); shard the corpus or rescale MULT"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("t"))
+        .alias("t")
+    )
+    return vocab.crossJoin(F.broadcast(guarded)).select(
         "piece", F.expr(f"({MULT} * t) div pf").alias("cost")
     )
 

@@ -484,13 +484,37 @@ def test_write_es_bulk_adversarial_ids(spark, tmp_path):
 
 def test_write_es_bulk_null_id_raises(spark, tmp_path):
     """A NULL id would silently desync the bulk action/source pairing —
-    the sink must refuse loudly instead."""
+    the sink must refuse loudly. ADVICE r11 #3: the guard is LAZY (a
+    raise_error branch in the _id projection of the write job itself),
+    so it costs no extra pass and cannot be dodged by a
+    non-deterministic upstream that validates clean then writes dirty —
+    the same single evaluation is both the check and the write."""
     import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
 
     from albedo_spark.io import write_es_bulk
 
+    errs = (SparkRuntimeException, Py4JJavaError, Exception)
     df = spark.createDataFrame(
         [(1, "ok"), (None, "poison")], "doc_id long, text string"
     )
-    with pytest.raises(ValueError, match="NULL"):
+    with pytest.raises(errs, match="NULL id"):
         write_es_bulk(df, str(tmp_path / "bulk_null"), index="x", id_col="doc_id")
+
+    # non-deterministic upstream: ids NULL ~half the time per evaluation.
+    # The eager two-pass guard could pass validation on one draw and
+    # write a NULL on the re-draw; the lazy guard sees the written draw.
+    from pyspark.sql import functions as F
+
+    nd = (
+        spark.range(64)
+        .withColumn(
+            "doc_id",
+            F.when(F.rand(seed=7) < 0.5, F.col("id")).otherwise(F.lit(None)),
+        )
+        .withColumn("text", F.lit("t"))
+        .drop("id")
+    )
+    with pytest.raises(errs, match="NULL id"):
+        write_es_bulk(nd, str(tmp_path / "bulk_nd"), index="x", id_col="doc_id")

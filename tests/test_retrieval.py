@@ -162,6 +162,33 @@ def test_phrase_match_planted_and_overlapping(spark):
     }
 
 
+def test_corpus_phrase_dictionary_two_token_docs(spark):
+    """Regression: a doc with exactly 2 tokens must contribute its one
+    bigram and simply produce NO trigrams — not crash. Before the per-n
+    length filter, sequence(0, size(w)-3) descended to [0, -1] for such
+    docs and slice(w, 0, 3) threw INVALID_PARAMETER_VALUE.START; the SQL
+    oracle's range() yields empty rows for the same doc, so the engines
+    diverged (crash vs results) on legitimate corpora."""
+    from albedo_spark.operators.retrieval import corpus_phrase_dictionary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "exactly two"),                 # the crashing shape
+            (2, "three token doc"),
+            (3, "one"),                         # dropped by the >=2 gate
+            (4, "exactly two exactly two ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = corpus_phrase_dictionary(docs, bigrams=4, trigrams=4).collect()
+    got = {(r.phrase_id, tuple(r.pt)) for r in rows}
+    # bigram ids 0.., trigram ids 100..; "exactly two" counted 3x total
+    assert (0, ("exactly", "two")) in got
+    assert any(pid >= 100 and len(pt) == 3 for pid, pt in got)
+    assert all(len(pt) == 3 for pid, pt in got if pid >= 100)
+    assert all(len(pt) == 2 for pid, pt in got if pid < 100)
+
+
 def test_phrase_match_plan_has_no_regex_or_cross(spark):
     """The matcher must stay a broadcast posting join + one doc_id
     shuffle: no cartesian product, no Python, and the phrase side rides

@@ -105,6 +105,33 @@ def test_trainer_prunes_but_keeps_coverage(spark):
     assert np_by_word == {"ab": 1, "abc": 2}
 
 
+def test_vocab_costs_overflow_tripwire(spark):
+    """BIGINT-headroom guard: a vocabulary whose mass T exceeds _T_CEIL
+    must raise LOUDLY at execution time — past that ceiling the packed
+    Viterbi metric can wrap identically in Spark and the SQL oracle, so
+    the hash gate could never catch it. Under the ceiling, costs flow
+    through unchanged (no extra driver action on the happy path)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from albedo_spark.operators.unigram import _T_CEIL
+
+    errs = (SparkRuntimeException, Py4JJavaError, Exception)
+
+    ok = spark.createDataFrame(
+        [("a", _T_CEIL - 10), ("b", 10)], "piece string, pf long"
+    )
+    got = {r.piece: r.cost for r in vocab_costs(ok).collect()}
+    assert got["b"] == (1_000_000 * _T_CEIL) // 10
+
+    over = spark.createDataFrame(
+        [("a", _T_CEIL), ("b", 1)], "piece string, pf long"
+    )
+    with pytest.raises(errs, match="headroom"):
+        vocab_costs(over).collect()
+
+
 def test_doc_stats_scale_invariance_partitioning(spark):
     """Same results on a repartitioned corpus (no partition-order
     dependence anywhere in the vocab / DP path)."""
