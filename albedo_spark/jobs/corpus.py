@@ -127,9 +127,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--pq-index", default=None, metavar="TABLE",
                    help="persist an IVF-PQ ANN index (vector_store."
                         "build_pq_store: frozen coarse cells + m-int code "
-                        "rows, bucketed by cell) of the SURVIVING documents' "
-                        "embeddings under this managed-table name — the "
-                        "retrieval-ready sidecar of a cleaned corpus")
+                        "rows, bucketed by cell; codebooks TRAINED on the "
+                        "survivors' residuals and persisted as TABLE_cb) of "
+                        "the SURVIVING documents' embeddings under this "
+                        "managed-table name — the retrieval-ready sidecar "
+                        "of a cleaned corpus")
     p.add_argument("--quality-model-dim", type=int, default=None,
                    help="train a fasttext-style quality classifier at this "
                         "hashed-TF dimension (weak labels bootstrapped from "
@@ -664,7 +666,12 @@ def main(argv: list[str] | None = None) -> dict:
         # Retrieval-ready sidecar (q153's operator): the cleaned corpus's
         # embeddings as a persisted IVF-PQ index — frozen coarse cells +
         # m-int code rows, probed later with pq_store_topk. Built AFTER
-        # all drops so the index holds exactly the survivors.
+        # all drops so the index holds exactly the survivors. Codebooks
+        # are TRAINED on the survivors' residuals by default (VERDICT r11
+        # #1: the formula codebooks plateau at 0.16-0.44 recall@10 on the
+        # builder's own probe while trained-residual reaches ~0.81 at the
+        # same bit budget) and persist as the {table}_cb companion, so
+        # every later probe/append picks them up automatically.
         from albedo_spark.operators.vector_store import build_pq_store
 
         s_emb = load_table(spark, args.sf_dir, "embeddings").join(
@@ -673,7 +680,7 @@ def main(argv: list[str] | None = None) -> dict:
             "left_semi",
         )
         build_pq_store(s_emb, args.pq_index, kc=8, m=4, subdim=16,
-                       num_buckets=8)
+                       num_buckets=8, codebooks="train")
         spark.catalog.refreshTable(args.pq_index)
         summary["pq_index"] = {
             "table": args.pq_index,
@@ -681,6 +688,8 @@ def main(argv: list[str] | None = None) -> dict:
             .select("vec_id").distinct().count(),
             "kc": 8,
             "m": 4,
+            "codebooks": "trained_residual",
+            "codebook_table": args.pq_index + "_cb",
         }
 
     if args.shards:

@@ -234,6 +234,46 @@ def ann_store_knn(
     )
 
 
+def _load_codebooks(
+    spark, table: str, m: int, subdim: int, codebooks: list | None
+) -> DataFrame:
+    """Resolve the codebook frame a PQ-store call must encode/score
+    with (ADVICE r11 #4 — the silent-wrong-ADC hazard): the store's own
+    persisted ``{table}_cb`` companion is the source of truth, so
+    probing/appending with ``codebooks=None`` picks up EXACTLY the
+    codebooks the store was built with (trained or formula — the caller
+    no longer has to re-pass trained ones). An explicitly passed list is
+    VERIFIED against the companion when one exists — a mismatch raises
+    instead of returning plausible but wrong ADC distances. Only a store
+    with no companion at all (pre-persistence builds) falls back to
+    ``formula_codebooks``, the old behavior those stores were built
+    under."""
+    from albedo_spark.operators.pq import formula_codebooks
+
+    cb_table = table + "_cb"
+    persisted = spark.catalog.tableExists(cb_table)
+    if codebooks is None:
+        if persisted:
+            return spark.table(cb_table)
+        return spark.createDataFrame(
+            formula_codebooks(m=m, subdim=subdim),
+            "s int, code int, c array<long>",
+        )
+    if persisted:
+        stored = sorted(
+            (r.s, r.code, tuple(r.c)) for r in spark.table(cb_table).collect()
+        )
+        given = sorted((s, c, tuple(v)) for s, c, v in codebooks)
+        if stored != given:
+            raise ValueError(
+                f"codebooks passed to a PQ-store call differ from the "
+                f"persisted {cb_table} companion the store was encoded "
+                "with — ADC distances would be plausible but wrong; pass "
+                "codebooks=None to use the store's own"
+            )
+    return spark.createDataFrame(codebooks, "s int, code int, c array<long>")
+
+
 def build_pq_store(
     corpus: DataFrame,
     table: str,
@@ -243,8 +283,9 @@ def build_pq_store(
     scale: int = 1000,
     rounds: int = 2,
     stride: int = 29,
-    codebooks: list | None = None,
+    codebooks: list | str | None = None,
     num_buckets: int = 8,
+    ncodes: int = 8,
 ) -> None:
     """The PQ rung of the persisted vector store (the at-rest ladder:
     float32 → int8 (~3.3× measured) → PQ codes, m small ints + a cell id
@@ -255,20 +296,34 @@ def build_pq_store(
     against — the store's cells may not drift as the corpus grows), and
     persists the IVF-PQ code rows ``(vec_id, cluster_id, s, code)``
     bucketed on ``cluster_id`` — the probe join's key, so the store side
-    keeps the family's never-shuffle contract. Codebooks are
-    ``formula_codebooks`` by default (parameter-derived — nothing to
-    persist); pass trained ones and keep them with the model."""
+    keeps the family's never-shuffle contract.
+
+    ``codebooks``: ``"train"`` trains residual codebooks on the corpus
+    (``pq.train_residual_codebooks`` — the production default the
+    repo's own probe measures at ~2× the formula recall at the same bit
+    budget); ``None`` keeps the parameter-derived ``formula_codebooks``
+    (the auditable/oracle-replayable default); or pass a list. WHICHEVER
+    is used is persisted as the ``{table}_cb`` companion under the same
+    frozen-model contract as ``_cents`` — appends and probes load it
+    back, so a trained store can never be silently probed with the
+    wrong codebooks (ADVICE r11 #4)."""
     from albedo_spark.io import write_bucketed
     from albedo_spark.operators.clustering import integerize_embeddings
     from albedo_spark.operators.pq import (
         _coarse_quantizer,
         encode_residual_codes,
         formula_codebooks,
+        train_residual_codebooks,
     )
 
     spark = corpus.sparkSession
-    if codebooks is None:
-        codebooks = formula_codebooks(m=m, subdim=subdim)
+    if codebooks == "train":
+        codebooks = train_residual_codebooks(
+            corpus, kc=kc, m=m, ncodes=ncodes, subdim=subdim, scale=scale,
+            coarse_rounds=rounds, rounds=rounds, stride=stride,
+        )
+    elif codebooks is None:
+        codebooks = formula_codebooks(m=m, ncodes=ncodes, subdim=subdim)
     cb = spark.createDataFrame(codebooks, "s int, code int, c array<long>")
     vectors = integerize_embeddings(corpus, scale=scale).localCheckpoint(
         eager=False
@@ -276,14 +331,17 @@ def build_pq_store(
     from albedo_spark.io import drop_orphan_table_location
 
     cents = _coarse_quantizer(vectors, kc, rounds, stride)
-    spark.sql(f"DROP TABLE IF EXISTS `{table}_cents`")
-    drop_orphan_table_location(spark, table + "_cents")
-    cents.write.mode("overwrite").format("parquet").saveAsTable(
-        table + "_cents"
-    )
+    for suffix, frame in (("_cents", cents), ("_cb", cb)):
+        spark.sql(f"DROP TABLE IF EXISTS `{table}{suffix}`")
+        drop_orphan_table_location(spark, table + suffix)
+        frame.write.mode("overwrite").format("parquet").saveAsTable(
+            table + suffix
+        )
     frozen = spark.table(table + "_cents")
     write_bucketed(
-        encode_residual_codes(vectors, frozen, cb, m, subdim),
+        encode_residual_codes(
+            vectors, frozen, spark.table(table + "_cb"), m, subdim
+        ),
         table,
         "cluster_id",
         num_buckets=num_buckets,
@@ -303,18 +361,19 @@ def append_pq_vectors(
     """Admit/append core of the PQ store (shared with the streaming sink
     twin ``streaming.events.run_to_pq_store``): encode the batch against
     the FROZEN ``{table}_cents`` model (never retrain — cells must match
-    the store) and append its code rows. ``replay_guard`` makes the
-    append idempotent the way ``run_to_dedup_store`` is: probe the store
-    for ids IN THIS BATCH (broadcast semi — the store scan streams,
-    never exchanges), anti-join the hit list back, so a re-delivered
-    batch admits nothing the first attempt already wrote."""
+    the store) and append its code rows. Codebooks load from the
+    ``{table}_cb`` companion by default — the batch is encoded with
+    EXACTLY the codebooks the store was built with, trained or formula
+    (ADVICE r11 #4). ``replay_guard`` makes the append idempotent the
+    way ``run_to_dedup_store`` is: probe the store for ids IN THIS BATCH
+    (broadcast semi — the store scan streams, never exchanges),
+    anti-join the hit list back, so a re-delivered batch admits nothing
+    the first attempt already wrote."""
     from albedo_spark.operators.clustering import integerize_embeddings
-    from albedo_spark.operators.pq import encode_residual_codes, formula_codebooks
+    from albedo_spark.operators.pq import encode_residual_codes
 
     spark = batch.sparkSession
-    if codebooks is None:
-        codebooks = formula_codebooks(m=m, subdim=subdim)
-    cb = spark.createDataFrame(codebooks, "s int, code int, c array<long>")
+    cb = _load_codebooks(spark, table, m, subdim, codebooks)
     cents = spark.table(table + "_cents")
     vectors = integerize_embeddings(batch, scale=scale)
     if replay_guard:
@@ -353,21 +412,17 @@ def pq_store_topk(
     FROZEN cells by exact centroid distance, build the residual ADC
     table (broadcast), and score ONLY the stored code rows of probed
     cells via the (cell, s, code) equi-join — the store never shuffles
-    and the scan reads m ints per candidate, never vectors. Returns
-    ``(query_id, neighbor_id, cell_id, adist, rank)`` — identical
-    semantics (and oracle) to ``ivf_pq_topk`` restricted to the stored
-    corpus."""
+    and the scan reads m ints per candidate, never vectors. Codebooks
+    load from the ``{table}_cb`` companion by default, so a store built
+    with trained codebooks is probed with those same codebooks — no
+    silent formula fallback (ADVICE r11 #4). Returns ``(query_id,
+    neighbor_id, cell_id, adist, rank)`` — identical semantics (and
+    oracle) to ``ivf_pq_topk`` restricted to the stored corpus."""
     from albedo_spark.operators.clustering import integerize_embeddings
-    from albedo_spark.operators.pq import (
-        adc_score_codes,
-        formula_codebooks,
-        probe_query_table,
-    )
+    from albedo_spark.operators.pq import adc_score_codes, probe_query_table
 
     spark = queries.sparkSession
-    if codebooks is None:
-        codebooks = formula_codebooks(m=m, subdim=subdim)
-    cb = spark.createDataFrame(codebooks, "s int, code int, c array<long>")
+    cb = _load_codebooks(spark, table, m, subdim, codebooks)
     cents = spark.table(table + "_cents")
     qv = integerize_embeddings(
         queries, scale=scale, id_col=query_id_col, vec_col=vec_col

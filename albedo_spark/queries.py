@@ -8365,7 +8365,8 @@ def q153_pq_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = "pqstore_q153_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    # tag bumped r12: builds now persist the {table}_cb codebook companion
+    tag = "pqstore2_q153_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
 
     def _build(t: str) -> None:
         build_pq_store(
@@ -8378,7 +8379,7 @@ def q153_pq_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     table = _memo_store(
-        spark, sf_dir, "embeddings", tag, _build, companions=("_cents",)
+        spark, sf_dir, "embeddings", tag, _build, companions=("_cents", "_cb")
     )
     queries = emb.where("vec_id % 10 = 0").select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -8623,6 +8624,259 @@ def q157_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(d, phrases)
 
 
+def _subspace_kmeans_cte_chain(
+    rsub: str,
+    ncodes: int = 8,
+    rounds: int = 2,
+    stride: int = 29,
+) -> tuple[str, str]:
+    """CTE chain replaying pq._train_subspace_codebooks in DuckDB: ALL m
+    subspaces train in ONE chain with ``s`` as an extra key (the seeded
+    init picks the same vec_ids in every subspace, so the per-s trainers
+    share rounds). ``rsub`` is the name of a ``(vec_id, s, sd, val)``
+    TRAINING-residual CTE. Emits seeds → cb0 → per-round (assign by
+    (dist, code) argmin / per-(s, code, sd) ``sum // count`` mean /
+    carry-empty-codes) — the exact integer semantics of
+    clustering.seed_centroids/assign_clusters/update_centroids applied
+    per subspace. Returns ``(chain_sql_fragment, final_cb_cte)`` where
+    the final CTE has columns (s, code, sd, cval). MATERIALIZED on the
+    reused CTEs per the q155 DuckDB-inlining lesson."""
+    parts = [
+        f""",
+    cbseeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT DISTINCT vec_id FROM {rsub} WHERE vec_id % {stride} = 0)
+        ORDER BY vec_id LIMIT {ncodes}
+    ),
+    cb0 AS MATERIALIZED (
+        SELECT r.s, sd.code, r.sd, r.val AS cval
+        FROM cbseeds sd JOIN {rsub} r ON r.vec_id = sd.vec_id
+    )"""
+    ]
+    prev = "cb0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    cbd{r} AS (
+        SELECT v.vec_id, v.s, b.code,
+               CAST(sum((v.val - b.cval) * (v.val - b.cval)) AS BIGINT)
+                   AS dist
+        FROM {rsub} v JOIN {prev} b ON v.s = b.s AND v.sd = b.sd
+        GROUP BY v.vec_id, v.s, b.code
+    ),
+    cba{r} AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist ASC, code ASC
+                   ) AS rn
+            FROM cbd{r}
+        ) WHERE rn = 1
+    ),
+    cbm{r} AS (
+        SELECT a.s, a.code, v.sd,
+               CAST(sum(v.val) AS BIGINT) // count(*) AS m
+        FROM cba{r} a JOIN {rsub} v ON v.vec_id = a.vec_id AND v.s = a.s
+        GROUP BY a.s, a.code, v.sd
+    ),
+    cb{r} AS MATERIALIZED (
+        SELECT p.s, p.code, p.sd, coalesce(m.m, p.cval) AS cval
+        FROM {prev} p
+        LEFT JOIN cbm{r} m
+            ON p.s = m.s AND p.code = m.code AND p.sd = m.sd
+    )""")
+        prev = f"cb{r}"
+    return "".join(parts), prev
+
+
+def _pq_store_trained_oracle_sql(
+    kc: int = 8,
+    rounds: int = 2,
+    m: int = 4,
+    ncodes: int = 8,
+    subdim: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    stride: int = 29,
+) -> str:
+    """q158's oracle: q153's persisted-store replay with the codebook
+    VALUES literal replaced by the full TRAINED-residual-codebook chain
+    — coarse k-means on the build base, base residuals, per-subspace
+    k-means on those residuals (``_subspace_kmeans_cte_chain``), then
+    frozen-model encode of the stored side and the probe, all with the
+    trained codebooks. The build base is also the codebook training set
+    (exactly what build_pq_store(codebooks="train") does); the appended
+    batch is encoded with the FROZEN trained codebooks, never retrained.
+    All BIGINT; DuckDB ``//`` and Spark ``div`` both truncate toward
+    zero (verified on negative residual sums)."""
+    chain, cents, assign = _kmeans_cte_chain(
+        k=kc,
+        rounds=rounds,
+        source=(
+            "SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id % 10 != 0 AND vec_id % 7 != 3"
+        ),
+    )
+    cb_chain, cb = _subspace_kmeans_cte_chain(
+        "trsub", ncodes=ncodes, rounds=rounds, stride=stride
+    )
+    return f"""{chain},
+    sqv AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings WHERE vec_id % 10 != 0
+    ),
+    sflat AS (
+        SELECT vec_id, i AS d, q[i + 1] AS val
+        FROM sqv, unnest(range(len(q))) AS r(i)
+    ),
+    sdist AS (
+        SELECT f.vec_id, c.cluster_id,
+               CAST(sum((f.val - c.c) * (f.val - c.c)) AS BIGINT) AS dist
+        FROM sflat f JOIN {cents} c USING (d)
+        GROUP BY f.vec_id, c.cluster_id
+    ),
+    sassign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC
+                   ) AS rn
+            FROM sdist
+        ) WHERE rn = 1
+    ),
+    rflat AS (
+        SELECT f.vec_id, a.cluster_id, f.d, f.val - c.c AS val
+        FROM sflat f
+        JOIN sassign a USING (vec_id)
+        JOIN {cents} c ON c.cluster_id = a.cluster_id AND c.d = f.d
+    ),
+    rsub AS MATERIALIZED (
+        SELECT vec_id, cluster_id, d // {subdim} AS s, d % {subdim} AS sd, val
+        FROM rflat
+    ),
+    trsub AS MATERIALIZED (
+        SELECT vec_id, s, sd, val FROM rsub WHERE vec_id % 7 != 3
+    )
+    {cb_chain},
+    rdists AS (
+        SELECT v.vec_id, v.cluster_id, v.s, c.code,
+               CAST(sum((v.val - c.cval) * (v.val - c.cval)) AS BIGINT) AS dist
+        FROM rsub v JOIN {cb} c ON v.s = c.s AND v.sd = c.sd
+        GROUP BY v.vec_id, v.cluster_id, v.s, c.code
+    ),
+    enc AS (
+        SELECT vec_id, cluster_id, s, code FROM (
+            SELECT vec_id, cluster_id, s, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist ASC, code ASC
+                   ) AS rn
+            FROM rdists
+        ) WHERE rn = 1
+    ),
+    qqv AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    qflat AS (
+        SELECT vec_id, i AS d, q[i + 1] AS val
+        FROM qqv, unnest(range(len(q))) AS r(i)
+    ),
+    qdist AS (
+        SELECT f.vec_id, c.cluster_id,
+               CAST(sum((f.val - c.c) * (f.val - c.c)) AS BIGINT) AS dist
+        FROM qflat f JOIN {cents} c USING (d)
+        GROUP BY f.vec_id, c.cluster_id
+    ),
+    qcells AS (
+        SELECT vec_id AS query_id, cluster_id AS cell FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC
+                   ) AS rn
+            FROM qdist
+        ) WHERE rn <= {nprobe}
+    ),
+    qrsub AS (
+        SELECT qc.query_id, qc.cell,
+               f.d // {subdim} AS s, f.d % {subdim} AS sd,
+               f.val - c.c AS val
+        FROM qcells qc
+        JOIN qflat f ON f.vec_id = qc.query_id
+        JOIN {cents} c ON c.cluster_id = qc.cell AND c.d = f.d
+    ),
+    qtable AS (
+        SELECT v.query_id, v.cell, v.s, c.code,
+               CAST(sum((v.val - c.cval) * (v.val - c.cval)) AS BIGINT) AS tdist
+        FROM qrsub v JOIN {cb} c ON v.s = c.s AND v.sd = c.sd
+        GROUP BY v.query_id, v.cell, v.s, c.code
+    ),
+    sc AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id,
+               CAST(e.cluster_id AS BIGINT) AS cell_id,
+               CAST(sum(t.tdist) AS BIGINT) AS adist
+        FROM enc e
+        JOIN qtable t ON t.cell = e.cluster_id AND t.s = e.s
+                     AND t.code = e.code AND e.vec_id <> t.query_id
+        GROUP BY t.query_id, e.vec_id, e.cluster_id
+    )
+    SELECT query_id, neighbor_id, cell_id, adist, rank FROM (
+        SELECT query_id, neighbor_id, cell_id, adist,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+               ) AS rank
+        FROM sc
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q158_pq_store_trained", _pq_store_trained_oracle_sql())
+def q158_pq_store_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted PQ store on TRAINED residual codebooks — q153's
+    exact store lifecycle (build → frozen-model append → probe) with
+    ``codebooks="train"`` (pq.train_residual_codebooks — the production
+    default the CLI's --pq-index now ships, measured ~0.53 vs 0.37
+    formula recall@10 through the store path on the manifold fixture):
+    the per-subspace integer k-means runs once on the build base's
+    residuals, freezes as the ``{table}_cb`` companion next to
+    ``_cents``, and every append/probe loads it back — the ADVICE r11
+    #4 silent-wrong-ADC hazard is structurally closed because the store
+    is self-describing. The integer discipline makes even the TRAINER
+    replayable: the oracle re-derives coarse cells, residuals, and the
+    per-subspace codebook EM rounds in pure SQL, then encodes and
+    probes with them — the deepest composition gate in the PQ family
+    (q149 trainer ∘ q151 IVF-PQ ∘ q153 store, now with trained
+    codebooks end to end)."""
+    from albedo_spark.operators.vector_store import (
+        append_pq_vectors,
+        build_pq_store,
+        pq_store_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = "pqstoretr_q158_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+
+    def _build(t: str) -> None:
+        build_pq_store(
+            emb.where("vec_id % 10 != 0 AND vec_id % 7 != 3"), t,
+            kc=8, m=4, subdim=16, num_buckets=8, codebooks="train",
+        )
+        append_pq_vectors(
+            emb.where("vec_id % 10 != 0 AND vec_id % 7 = 3"), t,
+            m=4, subdim=16, num_buckets=8,
+        )
+
+    table = _memo_store(
+        spark, sf_dir, "embeddings", tag, _build, companions=("_cents", "_cb")
+    )
+    queries = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_store_topk(queries, table, k=5, nprobe=2, m=4, subdim=16)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -8794,6 +9048,7 @@ _POST_WINDOW = [
     "q111_temperature_mixture",
     "q93_ann_vector_store",
     "q153_pq_vector_store",
+    "q158_pq_store_trained",
     "q94_group_sample",
     "q95_merge_intervals",
     "q96_copurchase_topk",

@@ -646,6 +646,7 @@ def run_to_pq_store(
     rounds: int = 2,
     stride: int = 29,
     num_buckets: int = 8,
+    codebooks: list | str | None = None,
 ):
     """Streaming maintenance of the persisted PQ vector store — the
     compressed-index sink twin of ``vector_store.build_pq_store`` /
@@ -653,9 +654,14 @@ def run_to_pq_store(
     micro-batch's vectors are encoded against the FROZEN
     ``{table}_cents`` coarse model and their m-int code rows appended.
     The first non-empty batch BOOTSTRAPS the store (trains the integer
-    coarse quantizer on itself and freezes it) — after that the model
-    never drifts, so codes written in different batches stay mutually
-    comparable under ADC, which is the whole point of a persisted index.
+    coarse quantizer — and, with ``codebooks="train"``, the residual
+    codebooks — on itself and freezes both as the ``_cents``/``_cb``
+    companions) — after that the model never drifts, so codes written
+    in different batches stay mutually comparable under ADC, which is
+    the whole point of a persisted index. Appends always encode with
+    the store's own persisted codebooks (``vector_store._load_codebooks``
+    — ADVICE r11 #4), so the ``codebooks`` argument only shapes the
+    bootstrap.
 
     Replay idempotence: ``append_pq_vectors``'s replay guard (broadcast
     id probe + anti-join) admits nothing a crashed prior attempt already
@@ -676,6 +682,7 @@ def run_to_pq_store(
             build_pq_store(
                 batch, table, kc=kc, m=m, subdim=subdim, scale=scale,
                 rounds=rounds, stride=stride, num_buckets=num_buckets,
+                codebooks=codebooks,
             )
             return
         append_pq_vectors(

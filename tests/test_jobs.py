@@ -418,6 +418,10 @@ def test_corpus_job_pq_index_stage(spark):
                         "--pq-index", tbl])
         stage = summary["pq_index"]
         assert stage["table"] == tbl and stage["n_vectors"] > 0
+        # VERDICT r11 #1: the CLI path ships TRAINED residual codebooks
+        # and records their source + companion table in the summary
+        assert stage["codebooks"] == "trained_residual"
+        assert spark.catalog.tableExists(stage["codebook_table"])
         from albedo_spark.io import load_table
 
         emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
@@ -427,5 +431,5 @@ def test_corpus_job_pq_index_stage(spark):
         out = pq_store_topk(queries, tbl, k=3, nprobe=2, m=4, subdim=16)
         assert out.count() > 0
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}_cents")
+        for suf in ("", "_cents", "_cb"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")

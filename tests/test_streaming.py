@@ -827,5 +827,5 @@ def test_run_to_pq_store_bootstrap_append_replay(spark, tmp_path):
         )
         assert bad == 0
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}_cents")
+        for suf in ("", "_cents", "_cb"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
