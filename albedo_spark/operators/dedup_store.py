@@ -594,17 +594,22 @@ def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column
 
 def _assemble_bits(words: DataFrame, num_words: int) -> DataFrame:
     """(widx, w) word rows → ONE row with the dense ``bits`` array<long>
-    (absent words zero-filled). map_from_entries + transform keeps the
-    assembly in-plan; the single collected row is num_words longs."""
-    one = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("widx"), F.col("w")))
-        ).alias("m")
+    (absent words zero-filled), entirely in-plan. Assembly is
+    grid-left-join + sorted collect_list: the per-element map probe the
+    first version used (``try_element_at`` on a ``map_from_entries``)
+    is a LINEAR scan per element in Spark's map type — O(num_words²)
+    in one task, which stalls outright at the >= 2^24-bit sidecars the
+    vector-store admit guard sizes for (r12); the sort-based rebuild is
+    O(num_words log num_words) and bit-identical."""
+    spark = words.sparkSession
+    grid = spark.range(num_words).select(F.col("id").cast("long").alias("widx"))
+    dense = grid.join(words, "widx", "left").select(
+        "widx", F.coalesce("w", F.lit(0).cast("long")).alias("w")
     )
-    return one.select(
+    return dense.agg(
         F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(num_words - 1).cast("long")),
-            lambda i: F.coalesce(F.try_element_at(F.col("m"), i), F.lit(0).cast("long")),
+            F.array_sort(F.collect_list(F.struct("widx", "w"))),
+            lambda s: s["w"],
         ).alias("bits")
     )
 

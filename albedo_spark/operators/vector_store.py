@@ -234,6 +234,115 @@ def ann_store_knn(
     )
 
 
+def admit_novel(
+    frame: DataFrame, table: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Replay-guard admit core shared by the vector/PQ store appenders
+    and their streaming twins: rows of ``frame`` whose ``id_col`` is NOT
+    already in ``table``. Without a sidecar this is the classic probe —
+    broadcast-semi the store's id column against the batch ids (the
+    store streams, never exchanges) and anti-join the hit list back —
+    whose cost grows linearly with the store (VERDICT r11 #2). When the
+    ``{table}_bloom`` sidecar exists (q110's machinery via
+    ``dedup_store.build_bloom_sidecar(key_col=id_col)``), the batch is
+    split MAP-SIDE first: definite-novel ids skip the store entirely,
+    and the store probe runs ONLY when some id is maybe-seen — on a
+    fresh batch (the common case) the store is never scanned, so
+    per-batch cost is O(batch) regardless of store size; on a replay
+    every id is maybe-seen and the exact probe resolves it correctly.
+    False positives only route a few rows through the exact probe, so
+    the admitted set is byte-identical with or without the sidecar
+    (pinned in tests). Lockstep contract: every append mirrored through
+    ``mirror_bloom`` BEFORE the row write — a store id absent from every
+    generation would be a false negative, the one error class that
+    re-admits (duplicates) on replay."""
+    from albedo_spark.operators.dedup_store import bloom_might_contain
+
+    spark = frame.sparkSession
+    bloom_table = table + "_bloom"
+    if spark.catalog.tableExists(bloom_table):
+        side = spark.table(bloom_table)
+        params = side.select("num_bits", "num_hashes").distinct().collect()
+        if len(params) != 1:
+            raise ValueError(
+                f"sidecar {bloom_table} mixes bloom parameters: {params}"
+            )
+        num_bits, num_hashes = params[0].num_bits, params[0].num_hashes
+        gens = side.agg(F.collect_list("bits").alias("_gens"))
+        flagged = (
+            frame.crossJoin(F.broadcast(gens))
+            .withColumn(
+                "_maybe",
+                F.coalesce(
+                    bloom_might_contain(
+                        F.col(id_col), F.col("_gens"), num_bits, num_hashes
+                    ),
+                    F.lit(False),
+                ),
+            )
+            .drop("_gens")
+            .localCheckpoint(eager=False)  # consumers: isEmpty + both splits
+        )
+        maybe = flagged.where(F.col("_maybe")).drop("_maybe")
+        novel = flagged.where(~F.col("_maybe")).drop("_maybe")
+        if maybe.isEmpty():
+            return novel
+        present = (
+            spark.table(table)
+            .select(id_col)
+            .join(F.broadcast(maybe.select(id_col)), id_col, "left_semi")
+            .distinct()
+        )
+        return novel.unionByName(
+            maybe.join(F.broadcast(present), id_col, "left_anti")
+        )
+    present = (
+        spark.table(table)
+        .select(id_col)
+        .join(F.broadcast(frame.select(id_col)), id_col, "left_semi")
+        .distinct()
+    )
+    return frame.join(F.broadcast(present), id_col, "left_anti")
+
+
+def build_id_bloom(
+    spark,
+    table: str,
+    id_col: str = "vec_id",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> None:
+    """Build the ``{table}_bloom`` replay-guard sidecar over the store's
+    CURRENT ids — q110's ``dedup_store.build_bloom_sidecar`` keyed on
+    the vector id instead of a digest. Derived data: losing it never
+    loses information (rebuild from the store); compact generations with
+    ``dedup_store.merge_bloom_generations(spark, table + "_bloom")``.
+    Size ``num_bits`` ≈ 10× expected distinct ids for ~1% false
+    positives at 5 hashes."""
+    from albedo_spark.operators.dedup_store import build_bloom_sidecar
+
+    build_bloom_sidecar(
+        spark, table, table + "_bloom",
+        key_col=id_col, num_bits=num_bits, num_hashes=num_hashes,
+    )
+
+
+def mirror_bloom(
+    admitted: DataFrame, table: str, id_col: str = "vec_id"
+) -> None:
+    """Keep the ``{table}_bloom`` sidecar in lockstep with an append:
+    one generation row covering the batch's ADMITTED ids (no-op when no
+    sidecar exists). Call BEFORE writing the rows — bloom-first ordering
+    keeps the sidecar a SUPERSET of the store across crash windows
+    (bloom-without-rows is a harmless false-positive trickle;
+    rows-without-bloom would be a re-admitting false negative)."""
+    from albedo_spark.operators.dedup_store import append_bloom
+
+    spark = admitted.sparkSession
+    if spark.catalog.tableExists(table + "_bloom"):
+        append_bloom(admitted.select(id_col), table + "_bloom", key_col=id_col)
+
+
 def _load_codebooks(
     spark, table: str, m: int, subdim: int, codebooks: list | None
 ) -> DataFrame:
@@ -365,10 +474,12 @@ def append_pq_vectors(
     ``{table}_cb`` companion by default — the batch is encoded with
     EXACTLY the codebooks the store was built with, trained or formula
     (ADVICE r11 #4). ``replay_guard`` makes the append idempotent the
-    way ``run_to_dedup_store`` is: probe the store for ids IN THIS BATCH
-    (broadcast semi — the store scan streams, never exchanges),
-    anti-join the hit list back, so a re-delivered batch admits nothing
-    the first attempt already wrote."""
+    way ``run_to_dedup_store`` is, via the shared ``admit_novel`` core:
+    with a ``{table}_bloom`` sidecar the batch splits map-side and a
+    fresh batch never scans the store (O(batch) per append — VERDICT
+    r11 #2); without one it falls back to the broadcast-semi store
+    probe. The sidecar is kept in lockstep automatically
+    (``mirror_bloom`` before the row write)."""
     from albedo_spark.operators.clustering import integerize_embeddings
     from albedo_spark.operators.pq import encode_residual_codes
 
@@ -377,15 +488,11 @@ def append_pq_vectors(
     cents = spark.table(table + "_cents")
     vectors = integerize_embeddings(batch, scale=scale)
     if replay_guard:
-        present = (
-            spark.table(table)
-            .select("vec_id")
-            .join(
-                F.broadcast(vectors.select("vec_id")), "vec_id", "left_semi"
-            )
-            .distinct()
-        )
-        vectors = vectors.join(F.broadcast(present), "vec_id", "left_anti")
+        vectors = admit_novel(vectors, table).localCheckpoint(eager=False)
+    # lockstep even on unguarded appends: extra ids in the bloom are a
+    # harmless false-positive trickle; store rows MISSING from it would
+    # re-admit on replay
+    mirror_bloom(vectors, table)
     (
         encode_residual_codes(vectors, cents, cb, m, subdim)
         .write.mode("append")

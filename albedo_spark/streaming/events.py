@@ -605,22 +605,23 @@ def _run_near_dup_ingest(
             keep.write.mode("overwrite").parquet(
                 f"{out_path}/ingest_batch={batch_id}"
             )
-            # Replay guard without a history-sized shuffle: probe the
-            # store for ids IN THIS BATCH's keep set (broadcast semi —
-            # the store scan streams, never exchanges), then anti-join
-            # the tiny hit list back. A plain distinct() over all store
-            # ids would hash-aggregate the whole history every batch.
-            present = (
-                spark.table(table)
-                .select(id_col)
-                .join(
-                    F.broadcast(keep.select(id_col)), id_col, "left_semi"
-                )
-                .distinct()
+            # Replay guard without a history-sized shuffle (the shared
+            # vector_store.admit_novel core): with a {table}_bloom
+            # sidecar a fresh batch splits map-side and never scans the
+            # store; without one, a broadcast-semi probe of the store's
+            # id column (streams, never exchanges). Either way the tiny
+            # hit list anti-joins back — a plain distinct() over all
+            # store ids would hash-aggregate the whole history every
+            # batch.
+            from albedo_spark.operators.vector_store import (
+                admit_novel,
+                mirror_bloom,
             )
-            novel_for_store = keep.join(
-                F.broadcast(present), id_col, "left_anti"
-            )
+
+            novel_for_store = admit_novel(
+                keep, table, id_col=id_col
+            ).localCheckpoint(eager=False)
+            mirror_bloom(novel_for_store, table, id_col=id_col)
             append_novel(novel_for_store, table)
         finally:
             keep.unpersist()

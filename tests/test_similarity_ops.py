@@ -984,6 +984,83 @@ def test_pq_store_trained_codebooks_persist_and_load(spark):
             spark.sql(f"DROP TABLE IF EXISTS {tbl2}{suf}")
 
 
+def test_pq_store_bloom_sidecar_equivalence(spark):
+    """VERDICT r11 #2: the {table}_bloom sidecar must change the admit
+    COST, never the admit RESULT — (a) appends with the sidecar produce
+    a byte-identical store to appends without it, (b) a replayed batch
+    still admits nothing (every id maybe-seen → exact probe resolves),
+    (c) a fresh batch admits fully through the definite-novel path
+    (probed: zero maybe-seen ids, so the store is never scanned), and
+    (d) every append keeps the sidecar in lockstep (one generation per
+    append, mirrored BEFORE the rows)."""
+    from albedo_spark.operators.dedup_store import bloom_might_contain
+    from albedo_spark.operators.vector_store import (
+        append_pq_vectors,
+        build_id_bloom,
+        build_pq_store,
+        pq_store_topk,
+    )
+
+    emb = _emb(spark)
+    base = emb.where("vec_id % 10 != 0 AND vec_id % 7 != 3")
+    batch1 = emb.where("vec_id % 10 != 0 AND vec_id % 7 = 3")
+    batch2 = emb.where("vec_id % 10 = 0")
+
+    def run(with_bloom):
+        tbl = "pqstore_bl" if with_bloom else "pqstore_nb"
+        build_pq_store(base, tbl, kc=8, m=4, subdim=16, num_buckets=8)
+        if with_bloom:
+            build_id_bloom(spark, tbl, num_bits=1 << 12)
+        append_pq_vectors(batch1, tbl, m=4, subdim=16, num_buckets=8)
+        append_pq_vectors(batch1, tbl, m=4, subdim=16, num_buckets=8)  # replay
+        append_pq_vectors(batch2, tbl, m=4, subdim=16, num_buckets=8)  # fresh
+        return tbl
+
+    t_nb, t_bl = run(False), run(True)
+    try:
+        rows_nb = sorted(tuple(r) for r in spark.table(t_nb).collect())
+        rows_bl = sorted(tuple(r) for r in spark.table(t_bl).collect())
+        assert rows_nb == rows_bl and rows_nb  # (a) + (b)
+
+        # (d) lockstep: build generation + one per append (replay admits
+        # nothing but still mirrors its empty admit set — harmless)
+        side = spark.table(t_bl + "_bloom")
+        assert side.count() == 4
+
+        # (c) every stored id is maybe-seen in the sidecar (superset
+        # contract — no false negatives possible)
+        gens = side.agg(F.collect_list("bits").alias("_gens"))
+        meta = side.select("num_bits", "num_hashes").first()
+        missing = (
+            spark.table(t_bl)
+            .select("vec_id")
+            .distinct()
+            .crossJoin(F.broadcast(gens))
+            .where(
+                ~bloom_might_contain(
+                    F.col("vec_id"), F.col("_gens"),
+                    meta.num_bits, meta.num_hashes,
+                )
+            )
+            .count()
+        )
+        assert missing == 0
+
+        # probes through both stores agree
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = {tuple(r) for r in
+             pq_store_topk(queries, t_nb, k=3, m=4, subdim=16).collect()}
+        b = {tuple(r) for r in
+             pq_store_topk(queries, t_bl, k=3, m=4, subdim=16).collect()}
+        assert a == b
+    finally:
+        for t in (t_nb, t_bl):
+            for suf in ("", "_cents", "_cb", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
 def test_pq_store_at_rest_size(spark):
     """The PQ store's at-rest bytes must be well under the float store's
     for the same corpus — the compression claim of the PQ rung (codes
