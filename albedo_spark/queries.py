@@ -8462,6 +8462,67 @@ def q155_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viterbi_segment_words(words, vc, max_len=4, word_cap=12)
 
 
+@query(
+    "q159_unigram_trained_vocab",
+    f"""{_UNIGRAM_CHAIN},
+    c0 AS (
+        SELECT w.word, w.freq, length(w.word) AS pos, d.v
+        FROM wcap w JOIN d12 d
+          ON d.word = w.word AND d.pos = length(w.word)
+    )
+    {_UNIGRAM_BACKTRACK_ROUNDS},
+    em AS (
+{_UNIGRAM_BACKTRACK_UNION}
+    ),
+    usage0 AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS usage
+        FROM em GROUP BY piece
+    ),
+    singles AS (
+        SELECT vc.piece, CAST(coalesce(u.usage, 1) AS BIGINT) AS pf
+        FROM vc LEFT JOIN usage0 u USING (piece)
+        WHERE length(vc.piece) = 1
+    ),
+    multis AS (
+        SELECT piece, CAST(usage AS BIGINT) AS pf FROM (
+            SELECT piece, usage,
+                   row_number() OVER (ORDER BY usage DESC, piece ASC) AS rk
+            FROM usage0 WHERE length(piece) >= 2
+        ) WHERE rk <= 12
+    ),
+    kept AS (
+        SELECT piece, pf FROM singles UNION ALL SELECT piece, pf FROM multis
+    ),
+    tt2 AS (SELECT CAST(sum(pf) AS BIGINT) AS t FROM kept)
+    SELECT piece, (1000000 * tt2.t) // pf AS cost
+    FROM kept CROSS JOIN tt2
+    """,
+)
+def q159_unigram_trained_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM TRAINED vocabulary (operators/unigram.py
+    train_unigram — Kudo 2018 §3, one EM round), hash-gated end to end
+    (VERDICT r11 #4: q152/q155 gated the seed-vocab path only; the EM
+    round was pytest-pinned but never oracle-replayed). E-step: Viterbi-
+    segment the distinct-words frame under the 24-piece seed vocabulary
+    and count occurrence-weighted piece usage (the q155 backtrack chain
+    + one groupBy). M-step: prune to the 12 most-used multi-char pieces
+    (usage desc, piece asc — deterministic), keep EVERY single char with
+    usage floor 1 (the coverage guarantee — no word becomes
+    unsegmentable), and re-estimate integer costs from USAGE MASS
+    instead of raw frequency — the same ``(10^6·T) div pf`` BIGINT
+    arithmetic, so the entire trainer round is one more unrolled-CTE
+    oracle on top of the q155 chain. Output: the |vocab|-row
+    ``(piece, cost)`` model — at 100 TB the corpus is touched only by
+    the word-frequency pass, everything else is |distinct words| frames
+    and model-state aggregates."""
+    from albedo_spark.operators.unigram import train_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    return train_unigram(
+        d, seed_size=24, prune_to=12, em_rounds=1, max_len=4, word_cap=12
+    )
+
+
 @query("q154_ivf_pq_rerank", _ivfpq_oracle_sql(rerank=20))
 def q154_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with exact rerank (operators/pq.py ivf_pq_rerank_topk —
@@ -9016,6 +9077,7 @@ _POST_WINDOW = [
     "q151_ivf_pq_ann",
     "q154_ivf_pq_rerank",
     "q155_unigram_encode",
+    "q159_unigram_trained_vocab",
     "q157_phrase_match",
     "q128_prefix_filter_jaccard",
     "q145_sketch_overlap",

@@ -150,6 +150,11 @@ HEADLINE2 = [
     "q155_unigram_encode",
     "q156_personalized_pagerank",
     "q157_phrase_match",
+    # round 12: trained-codebook PQ store + trained unigram vocab (same
+    # tier2_normalized note — appends widen tier2_total, never the
+    # frozen r5 normalized set)
+    "q158_pq_store_trained",
+    "q159_unigram_trained_vocab",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
@@ -337,20 +342,25 @@ def main() -> None:
 
     import statistics
 
-    def run_tier(names: list[str], repeats: int = 1) -> tuple[dict[str, float], dict]:
+    def run_tier(
+        names: list[str], repeats: int = 1, warmup: bool = True
+    ) -> tuple[dict[str, float], dict]:
         # Per-query isolation (VERDICT r3 ask #4): one broken query must not
         # zero the whole artifact — record its error, keep timing the rest.
         # With repeats>1 the recorded value is the MEDIAN of `repeats` timed
         # runs (after the one untimed warm-up) — VERDICT r10 ask #1: a single
         # contended run printed a +41% phantom headline regression; the
-        # median makes the artifact self-adjudicating.
+        # median makes the artifact self-adjudicating. ``warmup=False``
+        # skips the untimed priming run for queries this process already
+        # executed (the tier-2 top-10 re-timing pass).
         tier: dict[str, float] = {}
         raw_runs: dict[str, list[float]] = {}
         for name in names:
             try:
                 fn = QUERIES[name]
-                # untimed warm-up: compile/JIT the plan once (steady-state)
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                if warmup:
+                    # untimed warm-up: compile/JIT the plan once (steady-state)
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs = []
                 for _ in range(repeats):
                     t0 = time.perf_counter()
@@ -373,6 +383,21 @@ def main() -> None:
 
     timings, headline_runs = run_tier(HEADLINE, repeats=3)
     timings2, _ = run_tier(HEADLINE2)
+    # Median-of-3 for the priciest tier-2 entries (VERDICT r11 #3): the
+    # top-10 by THIS run's own cost get two more timed runs (no second
+    # warm-up — their plans are hot), and the recorded value becomes the
+    # median of all three samples, so cross-round tier-2 statements on
+    # exactly the entries that move the total stop needing manual
+    # adjudication (r11's q149 +12% took a git-diff to clear). Adaptive
+    # top-10 beats a frozen list: whatever is expensive THIS round is
+    # what gets the variance treatment. Wall cost ~2x the top-10 sum.
+    tier2_top10 = sorted(timings2, key=timings2.get, reverse=True)[:10]
+    _, _extra_runs = run_tier(tier2_top10, repeats=2, warmup=False)
+    tier2_runs = {
+        n: [timings2[n]] + _extra_runs[n] for n in tier2_top10 if n in _extra_runs
+    }
+    for n, runs in tier2_runs.items():
+        timings2[n] = round(statistics.median(runs), 3)
 
     try:
         calibration = bench_calibration(spark)
@@ -462,6 +487,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries_tier2": timings2,
                 "tier2_total": round(sum(timings2.values()), 3),
+                "tier2_runs": tier2_runs,
+                "tier2_repeats_top": {"top_n": 10, "samples": 3},
                 "pipelines": pipelines,
                 "pipeline_fixture": {"n_users": PIPE_USERS, "n_repos": PIPE_REPOS},
                 "oracle_queries": oracle,

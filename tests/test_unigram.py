@@ -94,8 +94,14 @@ def test_trainer_prunes_but_keeps_coverage(spark):
     the trained vocab."""
     docs = _docs(spark)
     trained = train_unigram(docs, seed_size=2, prune_to=1)
-    pieces = {r.piece for r in trained.collect()}
+    got = {r.piece: r.cost for r in trained.collect()}
+    pieces = set(got)
     assert pieces == {"a", "b", "c", "ab"}
+    # hand-computed trained COSTS (q159's arithmetic): usage ab=2,
+    # abc=1 (pruned); singles floor 1 each -> kept pf {a:1, b:1, c:1,
+    # ab:2}, T=5, cost = (10^6*5) // pf
+    assert got == {"a": 5_000_000, "b": 5_000_000, "c": 5_000_000,
+                   "ab": 2_500_000}
     words = word_frequencies(docs)
     ws = viterbi_word_stats(words, trained)
     # both words still reach a final state
