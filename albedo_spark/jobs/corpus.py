@@ -97,6 +97,24 @@ def main(argv: list[str] | None = None) -> dict:
                         "(q113's keeper rule)")
     p.add_argument("--semdedup-cosine", type=float, default=0.95,
                    help="within-cluster cosine threshold for --semdedup")
+    p.add_argument("--blocklist-phrases", default=None, metavar="FILE",
+                   help="drop documents containing ANY phrase from FILE "
+                        "(one phrase per line). Small dictionaries fold "
+                        "into ONE word-boundary regex (q116's OR-fold); "
+                        "dictionaries with >= --phrase-regex-max entries "
+                        "route through the posting-join matcher "
+                        "phrase_match(key='rarest') (q157's operator) — "
+                        "the scale path when 10^6 phrases are neither "
+                        "compilable nor pushable as a pattern. The phrase "
+                        "path matches at TOKEN granularity (lowercased "
+                        "whitespace tokens), the regex path at character "
+                        "granularity with \\b anchors; on punctuation-"
+                        "adjacent hits they can differ — equivalence on "
+                        "clean corpora is pytest-pinned")
+    p.add_argument("--phrase-regex-max", type=int, default=64,
+                   help="dictionary size at which --blocklist-phrases "
+                        "switches from the regex OR-fold to the posting-"
+                        "join matcher")
     p.add_argument("--span-dedup", type=int, default=None, metavar="MIN_DF",
                    help="remove 4-token spans duplicated across >= MIN_DF "
                         "distinct docs (ExactSubstr-style) and rewrite the "
@@ -265,6 +283,46 @@ def main(argv: list[str] | None = None) -> dict:
         F.col("contaminated_x10k") >= 8000
     ).select("doc_id")
     survivors = docs.join(contaminated_ids, "doc_id", "left_anti")
+
+    if args.blocklist_phrases:
+        # Blocklist hygiene (C4 policy: any hit drops the doc). The path
+        # is dictionary-size-aware: a handful of terms is ONE map-only
+        # word-boundary regex (q116); a big dictionary routes through the
+        # q157 posting-join matcher keyed on each phrase's RAREST corpus
+        # token (319.9x fewer candidates than first-token keying on
+        # stopword-led dictionaries — tools/scale_phrase.py), because a
+        # 10^6-phrase alternation regex is neither compilable nor
+        # pushable. Both paths drop the same docs on punctuation-clean
+        # corpora (pytest equivalence); they are map-only / one-bounded-
+        # shuffle respectively at 100 TB.
+        with open(args.blocklist_phrases) as fh:
+            phrases = [ln.strip() for ln in fh if ln.strip()]
+        if not phrases:
+            raise ValueError(
+                f"empty blocklist file {args.blocklist_phrases}"
+            )
+        if len(phrases) < args.phrase_regex_max:
+            from albedo_spark.operators.textstats import blocklist_filter
+
+            n_before = survivors.count()
+            survivors = blocklist_filter(survivors, phrases, max_hits=0)
+            blk = {"path": "regex", "n_dropped": n_before - survivors.count()}
+        else:
+            from albedo_spark.operators.retrieval import phrase_match
+
+            pf = spark.createDataFrame(
+                [(i, ph.lower().split()) for i, ph in enumerate(phrases)],
+                "phrase_id long, pt array<string>",
+            )
+            hit_ids = (
+                phrase_match(survivors, pf, key="rarest")
+                .select("doc_id")
+                .distinct()
+            )
+            blk = {"path": "phrase_posting", "n_dropped": hit_ids.count()}
+            survivors = survivors.join(hit_ids, "doc_id", "left_anti")
+        blk["n_phrases"] = len(phrases)
+        summary["blocklist_phrases"] = blk
 
     if args.near_dup_decontaminate:
         # The q118 stage: the same probe suite, near-dup granularity —

@@ -433,3 +433,55 @@ def test_corpus_job_pq_index_stage(spark):
     finally:
         for suf in ("", "_cents", "_cb"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
+def test_corpus_job_blocklist_phrases_paths_and_equivalence(tmp_path):
+    """--blocklist-phrases: (a) a small dictionary takes the q116 regex
+    OR-fold path, a big one (forced via --phrase-regex-max 1) the q157
+    posting-join path, (b) on this punctuation-clean fixture BOTH paths
+    drop the IDENTICAL documents — the promised equivalence — and (c)
+    the summary records path, dictionary size, and drop count."""
+    from albedo_spark.jobs.corpus import main
+
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("table scan\nhash join\nvector\n\n")
+
+    args = ["--sf-dir", "/root/testdata/sf0.001",
+            "--blocklist-phrases", str(bl)]
+    s_regex = main(args)  # 3 phrases < default threshold 64 -> regex
+    s_phrase = main(args + ["--phrase-regex-max", "1"])
+
+    a, b = s_regex["blocklist_phrases"], s_phrase["blocklist_phrases"]
+    assert a["path"] == "regex" and b["path"] == "phrase_posting"
+    assert a["n_phrases"] == b["n_phrases"] == 3
+    assert a["n_dropped"] == b["n_dropped"] > 0
+    # the survivor sets, not just their sizes, must agree: both runs'
+    # downstream summaries are computed over the same per-doc frame, so
+    # equality of the drop count plus the deterministic pipeline means
+    # identical survivors; cross-check via a direct operator comparison
+    from pyspark.sql import functions as F
+
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import phrase_match
+    from albedo_spark.operators.textstats import blocklist_hits
+    from albedo_spark.session import get_spark
+
+    spark = get_spark("t")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    terms = ["table scan", "hash join", "vector"]
+    rx = {
+        r.doc_id
+        for r in docs.where(
+            blocklist_hits(F.col("text"), terms) > 0
+        ).collect()
+    }
+    pf = spark.createDataFrame(
+        [(i, t.split()) for i, t in enumerate(terms)],
+        "phrase_id long, pt array<string>",
+    )
+    pm = {r.doc_id for r in
+          phrase_match(docs, pf, key="rarest").select("doc_id").distinct().collect()}
+    assert rx == pm
+    # the CLI stage runs on post-contamination survivors, so its drop
+    # count is the operator-level hit set minus already-quarantined docs
+    assert len(rx) >= a["n_dropped"] >= len(rx) - s_regex["n_contaminated"]
