@@ -131,6 +131,117 @@ def bm25_search(
     )
 
 
+def build_bm25_store(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> None:
+    """Persist the BM25 inverted index — the lexical member of the
+    persisted-store family (digest q92 / MinHash q90 / vector q93 / PQ
+    q153; this is the store the reference keeps in Elasticsearch).
+    One corpus pass builds the posting list and DENORMALIZES everything
+    scoring needs onto each row — ``(w, doc_id, tf, dl, df)`` — so a
+    probe is ONE equi-join, no star schema: doc length and document
+    frequency are per-row integers, and the two corpus scalars
+    ``(n_docs, avgdl_x100)`` freeze as the ``{table}_stats`` companion
+    (the ``_cents`` frozen-model contract: scoring statistics are part
+    of the index and may not drift under a reader). Bucketed on ``w`` —
+    the probe key — so the store side of every search has ZERO Exchange.
+    Rebuild to refresh; the classic index-maintenance posture."""
+    from albedo_spark.io import drop_orphan_table_location, write_bucketed
+
+    spark = docs.sparkSession
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)  # consumers: dl, df, stats, rows
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("_t")
+    ).select("n_docs", F.expr("(100 * _t) div n_docs").alias("avgdl_x100"))
+    spark.sql(f"DROP TABLE IF EXISTS `{table}_stats`")
+    drop_orphan_table_location(spark, table + "_stats")
+    stats.write.mode("overwrite").format("parquet").saveAsTable(
+        table + "_stats"
+    )
+    write_bucketed(
+        tf.join(dl, "doc_id").join(dfreq, "w").select(
+            "w", "doc_id", "tf", "dl", "df"
+        ),
+        table,
+        "w",
+        num_buckets=num_buckets,
+    )
+
+
+def bm25_store_search(
+    queries: DataFrame,
+    table: str,
+    top_k: int = 5,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 over the PERSISTED index (``build_bm25_store``) for a
+    query FRAME ``(query_id, text)`` — the serving half of the lexical
+    store, same integer scoring chain as ``bm25_search`` (k1=6/5,
+    b=3/4, RSJ rational idf — see the module docstring). Query texts
+    tokenize with the index's tokenizer, distinct terms per query (the
+    usual BM25 practice). Plan: query terms BROADCAST into the bucketed
+    posting table (zero store-side Exchange — only postings of queried
+    terms flow), the frozen ``{table}_stats`` scalars ride a broadcast
+    cross join, the per-(query, doc) sum partial-aggregates map-side,
+    ranking is the pinned row_number idiom."""
+    spark = queries.sparkSession
+    post = spark.table(table)
+    stats = spark.table(table + "_stats")
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.array_distinct(tokens(F.col(text_col)))
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    idf_x10k = F.expr("(10000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")
+    tfpart_x10k = F.expr(
+        "(10000 * 22 * tf * avgdl_x100)"
+        " div (10*tf*avgdl_x100 + 3*avgdl_x100 + 900*dl)"
+    )
+    scored = (
+        post.join(F.broadcast(qterms), "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_idf_x10k", idf_x10k)
+        .withColumn("_tfpart_x10k", tfpart_x10k)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr("(_idf_x10k * _tfpart_x10k) div 10000")
+            ).alias("bm25_x10k")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_x10k").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "rank", "bm25_x10k")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     top_k: int = 10,

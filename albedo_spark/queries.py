@@ -8358,13 +8358,25 @@ def q153_pq_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested in tests/test_similarity_ops.py. Oracle replays trainer,
     frozen-model encode of base+batch, and probe with identical integer
     literals."""
+    from albedo_spark.operators.vector_store import pq_store_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    table = _q153_pq_store(spark, sf_dir, emb)
+    queries = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_store_topk(queries, table, k=5, nprobe=2, m=4, subdim=16)
+
+
+def _q153_pq_store(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """The q153 store lifecycle (build on the %10!=0 ∧ %7!=3 base,
+    frozen-model append of the %7=3 batch), memoized — SHARED with q160,
+    whose dense leg probes this exact persisted store."""
     from albedo_spark.operators.vector_store import (
         append_pq_vectors,
         build_pq_store,
-        pq_store_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
     # tag bumped r12: builds now persist the {table}_cb codebook companion
     tag = "pqstore2_q153_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
 
@@ -8378,13 +8390,9 @@ def q153_pq_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=4, subdim=16, num_buckets=8,
         )
 
-    table = _memo_store(
+    return _memo_store(
         spark, sf_dir, "embeddings", tag, _build, companions=("_cents", "_cb")
     )
-    queries = emb.where("vec_id % 10 = 0").select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return pq_store_topk(queries, table, k=5, nprobe=2, m=4, subdim=16)
 
 
 # q155 backtrack rounds: from each word's final DP state walk one edge
@@ -8938,6 +8946,139 @@ def q158_pq_store_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_store_topk(queries, table, k=5, nprobe=2, m=4, subdim=16)
 
 
+def _hybrid_store_oracle_sql(leg_k: int = 10, k: int = 5) -> str:
+    """q160's oracle: the full hybrid serving path over BOTH persisted
+    stores — the q153 PQ-store replay (as a nested-WITH subquery, k=10
+    per leg) for the dense leg, the q127 BM25 integer chain restricted
+    to the stored corpus (doc_id % 10 != 0) with the % 10 = 0 documents'
+    own texts as queries for the lexical leg, fused by q141's exact-
+    integer RRF (10^6 // (60 + rank), count + sum, rank <= 5)."""
+    dense_sql = _pq_store_oracle_sql(k=leg_k)
+    return f"""
+    WITH dense AS (
+        SELECT * FROM ({dense_sql})
+    ),
+    stoks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL AND doc_id % 10 != 0
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM stoks WHERE w <> '' GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    stats AS (
+        SELECT count(*) AS n_docs, (100 * sum(dl)) // count(*) AS avgdl_x100
+        FROM dl
+    ),
+    q AS (
+        SELECT DISTINCT doc_id AS query_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+            FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+        ) WHERE w <> ''
+    ),
+    lscored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum((((10000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+                    * ((10000 * 22 * tf.tf * s.avgdl_x100)
+                       // (10*tf.tf*s.avgdl_x100 + 3*s.avgdl_x100 + 900*dl.dl)))
+                   // 10000) AS BIGINT) AS bm25_x10k
+        FROM tf
+        JOIN q USING (w)
+        JOIN dfreq d USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY bm25_x10k DESC, doc_id ASC
+                   ) AS rank
+            FROM lscored
+        ) WHERE rank <= {leg_k}
+    ),
+    legs AS (
+        SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM lex
+        UNION ALL
+        SELECT query_id, neighbor_id AS doc_id, 1000000 // (60 + rank) AS c
+        FROM dense
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               CAST(count(*) AS BIGINT) AS n_legs,
+               CAST(sum(c) AS BIGINT) AS rrf_x1e6
+        FROM legs GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_legs, rrf_x1e6, rank FROM (
+        SELECT query_id, doc_id, n_legs, rrf_x1e6,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_x1e6 DESC, doc_id ASC
+               ) AS rank
+        FROM fused
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q160_hybrid_store_serve", _hybrid_store_oracle_sql())
+def q160_hybrid_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval served FROM THE PERSISTED STORES
+    end to end (VERDICT r11 #6) — the production serving topology: the
+    % 10 = 0 documents act as queries ("more like this", exactly the
+    reference's ES use case) against (a) the persisted BM25 inverted
+    index of the stored corpus (build_bm25_store — postings bucketed on
+    the term, scoring stats frozen as ``{table}_stats``, probed by
+    bm25_store_search with broadcast query terms) and (b) q153's exact
+    persisted PQ store (frozen ``_cents``/``_cb`` model, bucketed on
+    cluster_id, probed by pq_store_topk — the memoized store is SHARED
+    with q153, not rebuilt), with q141's exact-integer RRF fusing the
+    two top-10 legs into the final top-5. Store sides of BOTH probes
+    have zero Exchange (plan-pinned in tests/test_retrieval.py); fusion
+    input is |queries|·k rows regardless of corpus size. Oracle replays
+    both stores' full lifecycles + the fusion in one SQL statement."""
+    from albedo_spark.operators.retrieval import (
+        bm25_store_search,
+        build_bm25_store,
+        rrf_fuse,
+    )
+    from albedo_spark.operators.vector_store import pq_store_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    pq_table = _q153_pq_store(spark, sf_dir, emb)
+    lex_tag = "bm25store_q160_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+
+    def _build_lex(t: str) -> None:
+        build_bm25_store(docs.where("doc_id % 10 != 0"), t)
+
+    lex_table = _memo_store(
+        spark, sf_dir, "documents", lex_tag, _build_lex, companions=("_stats",)
+    )
+    lex = bm25_store_search(
+        docs.where("doc_id % 10 = 0").select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        lex_table,
+        top_k=10,
+    )
+    dense = pq_store_topk(
+        emb.where("vec_id % 10 = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        pq_table,
+        k=10,
+        nprobe=2,
+        m=4,
+        subdim=16,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], top_k=5)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9111,6 +9252,7 @@ _POST_WINDOW = [
     "q93_ann_vector_store",
     "q153_pq_vector_store",
     "q158_pq_store_trained",
+    "q160_hybrid_store_serve",
     "q94_group_sample",
     "q95_merge_intervals",
     "q96_copurchase_topk",

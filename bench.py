@@ -155,6 +155,7 @@ HEADLINE2 = [
     # frozen r5 normalized set)
     "q158_pq_store_trained",
     "q159_unigram_trained_vocab",
+    "q160_hybrid_store_serve",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

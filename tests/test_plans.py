@@ -249,12 +249,15 @@ def test_q122_zorder_key_no_shuffle(spark):
         "q153_pq_vector_store",
         "q154_ivf_pq_rerank",
         "q155_unigram_encode",
+        "q158_pq_store_trained",
+        "q159_unigram_trained_vocab",
+        "q160_hybrid_store_serve",
     ],
 )
 def test_round11_plans_stay_jvm_side(spark, name):
-    """Round-11 additions: no cartesian products, no Python in the data
-    path. (The nested-loop joins that DO appear are the intended tiny
-    broadcast crossJoins against k-row centroid frames.)"""
+    """Round-11/12 additions: no cartesian products, no Python in the
+    data path. (The nested-loop joins that DO appear are the intended
+    tiny broadcast crossJoins against k-row centroid frames.)"""
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan

@@ -162,6 +162,49 @@ def test_phrase_match_planted_and_overlapping(spark):
     }
 
 
+def test_bm25_store_matches_inflight_and_never_shuffles(spark):
+    """Persisted BM25 index (q160's lexical store): (a) probing the
+    store reproduces bm25_search's scores/ranks EXACTLY on the same
+    corpus and queries (the denormalized (tf, dl, df) rows + frozen
+    stats are the same integers the in-flight path derives), and (b)
+    the store side of the probe plan has ZERO Exchange — the posting
+    table is bucketed on the term and query terms ride a broadcast."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        bm25_search,
+        bm25_store_search,
+        build_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    queries = [("alpha", "fast hash join"), ("beta", "slow table scan")]
+    tbl = "t_bm25_store"
+    try:
+        build_bm25_store(d, tbl)
+        qdf = spark.createDataFrame(queries, "query_id string, text string")
+        got = bm25_store_search(qdf, tbl, top_k=5)
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # zero store-side Exchange: query terms ride a BroadcastExchange
+        # into the bucketed posting scan, so every hash Exchange left in
+        # the plan is a post-join aggregate/window keyed by query_id —
+        # a shuffle on the bare posting columns (w / doc_id without
+        # query_id) would mean the store itself moved
+        assert f"default.{tbl}" in plan
+        assert "BroadcastHashJoin" in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "query_id" in line, f"store side shuffled: {line}"
+
+        ref = bm25_search(spark, d, queries, top_k=5)
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in ref.collect()
+        }
+    finally:
+        for suf in ("", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
 def test_corpus_phrase_dictionary_two_token_docs(spark):
     """Regression: a doc with exactly 2 tokens must contribute its one
     bigram and simply produce NO trigrams — not crash. Before the per-n
