@@ -762,6 +762,226 @@ def merge_bloom_generations(spark: SparkSession, sidecar_table: str) -> int:
     return int(generations)
 
 
+# --- Sharded Bloom sidecar (r12) -------------------------------------------
+#
+# The monolithic sidecar assembles ONE (num_bits/64)-long array row and
+# broadcasts it into the batch — which stops working twice at scale: the
+# single-row assembly + broadcast goes heap-bound past ~4M keys at honest
+# bits/key (measured: OOM at 2^29 bits in tools/scale_store_admit.py),
+# and a 1B-key sidecar would be a multi-GB broadcast no matter how it is
+# assembled. The sharded form fixes both by INVERTING the probe:
+#
+# - the key space splits into ``num_shards`` by an independent hash
+#   (xxhash64 with member index ``num_hashes`` — disjoint from the
+#   position hash family 0..num_hashes-1);
+# - each shard keeps its OWN (num_bits-per-shard) bitmap rows, so no
+#   single assembly row exceeds num_bits/64 longs regardless of total
+#   key count;
+# - the probe broadcasts the BATCH's (key, shard) pairs into a scan of
+#   the sidecar table and evaluates membership sidecar-side, per
+#   (key, generation-row) then max per key — per-batch cost is
+#   O(batch × generations + sidecar scan), independent of the store,
+#   and nothing bitmap-sized is ever broadcast.
+#
+# Same no-false-negative lockstep contract as the monolithic form; the
+# two are interchangeable under ``vector_store.admit_novel`` (schema-
+# dispatched), and admit results are byte-identical (pytest-pinned).
+
+
+def _shard_of(key: Column, num_shards: int, num_hashes: int) -> Column:
+    """Shard of ``key``: one more xxhash64 member (index ``num_hashes``,
+    disjoint from the 0..num_hashes-1 position family)."""
+    return F.pmod(F.xxhash64(key, F.lit(num_hashes)), F.lit(num_shards)).cast(
+        "int"
+    )
+
+
+def sharded_bloom_rows(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """One generation of the sharded sidecar: ``(shard, num_shards,
+    num_bits, num_hashes, bits)`` — ``num_shards`` rows (empty shards
+    included, zero-filled), each bitmap ``num_bits`` (PER SHARD) wide.
+    Declarative throughout; the per-shard assembly is the grid-join +
+    sorted collect_list of ``_assemble_bits`` with shard as an extra
+    key, so no aggregation row ever exceeds num_bits/64 longs."""
+    if num_bits % 64 != 0 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    spark = df.sparkSession
+    key = F.col(key_col)
+    keyed = df.where(key.isNotNull()).select(
+        key.alias("_k"), _shard_of(key, num_shards, num_hashes).alias("shard")
+    )
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col("_k"), num_bits, num_hashes))
+    ).alias("pos")
+    words = (
+        keyed.select("shard", pos)
+        .select(
+            "shard",
+            F.floor(F.col("pos") / F.lit(64)).alias("widx"),
+            F.try_element_at(
+                _bit_masks(), (F.pmod(F.col("pos"), F.lit(64)) + 1).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("shard", "widx")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    num_words = num_bits // 64
+    grid = (
+        spark.range(num_shards)
+        .select(F.col("id").cast("int").alias("shard"))
+        .crossJoin(
+            spark.range(num_words).select(F.col("id").cast("long").alias("widx"))
+        )
+    )
+    dense = grid.join(words, ["shard", "widx"], "left").select(
+        "shard", "widx", F.coalesce("w", F.lit(0).cast("long")).alias("w")
+    )
+    return dense.groupBy("shard").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("widx", "w"))),
+            lambda s: s["w"],
+        ).alias("bits")
+    ).select(
+        "shard",
+        F.lit(num_shards).alias("num_shards"),
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(num_hashes).alias("num_hashes"),
+        "bits",
+    )
+
+
+def build_sharded_bloom_sidecar(
+    spark: SparkSession,
+    store_table: str,
+    sidecar_table: str,
+    key_col: str = "digest",
+    num_shards: int = 16,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> None:
+    """One-time sharded sidecar build from the CURRENT store contents —
+    the scale form of ``build_bloom_sidecar`` (``num_bits`` is PER
+    SHARD: total capacity = num_shards × num_bits, so size num_shards
+    for ~10 bits/key per shard and grow shards, not bitmap width, as
+    the store grows). Derived data; rebuild from the store on loss."""
+    from albedo_spark.io import drop_orphan_table_location
+
+    rows = sharded_bloom_rows(
+        spark.table(store_table), key_col, num_shards, num_bits, num_hashes
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{sidecar_table}`")
+    drop_orphan_table_location(spark, sidecar_table)
+    rows.write.mode("overwrite").format("parquet").saveAsTable(sidecar_table)
+
+
+def append_sharded_bloom(
+    novel: DataFrame,
+    sidecar_table: str,
+    key_col: str = "digest",
+) -> None:
+    """Mirror of an append on the sharded sidecar: one generation
+    (num_shards rows) covering the batch's novel keys, parameters
+    inherited from the existing sidecar. Same lockstep contract as
+    ``append_bloom``."""
+    spark = novel.sparkSession
+    meta = spark.table(sidecar_table).select(
+        "num_shards", "num_bits", "num_hashes"
+    ).first()
+    rows = sharded_bloom_rows(
+        novel, key_col, meta.num_shards, meta.num_bits, meta.num_hashes
+    )
+    rows.write.mode("append").format("parquet").saveAsTable(sidecar_table)
+
+
+def sharded_bloom_maybe(
+    frame: DataFrame,
+    sidecar_table: str,
+    key_col: str,
+) -> DataFrame:
+    """``frame`` + a ``_maybe`` boolean: is each row's key maybe-seen in
+    its shard's generations? The INVERTED probe — the (key, shard)
+    pairs broadcast INTO the sidecar scan (nothing bitmap-sized ever
+    broadcasts), membership evaluates sidecar-side per (key,
+    generation-row), then ``max`` per key. A key whose shard has no
+    generation rows is definitely novel (left join → coalesce False)."""
+    spark = frame.sparkSession
+    side = spark.table(sidecar_table)
+    params = side.select("num_shards", "num_bits", "num_hashes").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"sidecar {sidecar_table} mixes bloom parameters: {params}"
+        )
+    ns, nb, nh = params[0].num_shards, params[0].num_bits, params[0].num_hashes
+    keys = frame.select(F.col(key_col).alias("_k")).where(
+        F.col("_k").isNotNull()
+    ).distinct().withColumn("shard", _shard_of(F.col("_k"), ns, nh))
+    hit = F.coalesce(
+        bloom_might_contain(F.col("_k"), F.array(F.col("bits")), nb, nh),
+        F.lit(False),
+    )
+    maybe = (
+        F.broadcast(keys)
+        .join(side.select("shard", "bits"), "shard")
+        .withColumn("_hit", hit)
+        .groupBy("_k")
+        .agg(F.max("_hit").alias("_maybe"))
+    )
+    return frame.join(
+        F.broadcast(maybe),
+        F.col(key_col) == F.col("_k"),
+        "left",
+    ).drop("_k").withColumn("_maybe", F.coalesce("_maybe", F.lit(False)))
+
+
+def merge_sharded_bloom_generations(
+    spark: SparkSession, sidecar_table: str
+) -> int:
+    """Collapse a sharded sidecar's generations to one per shard by
+    element-wise OR (the ``merge_bloom_generations`` discipline at shard
+    granularity — same private-table + RENAME publish). Returns the
+    generation count merged (rows // num_shards)."""
+    import os as _os
+
+    side = spark.table(sidecar_table)
+    params = side.select("num_shards", "num_bits", "num_hashes").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"sidecar {sidecar_table} mixes bloom parameters: {params}"
+        )
+    ns, nb, nh = params[0].num_shards, params[0].num_bits, params[0].num_hashes
+    generations = side.count() // ns
+    if generations <= 1:
+        return int(generations)
+    words = (
+        side.select("shard", F.posexplode("bits").alias("widx", "w"))
+        .groupBy("shard", "widx")
+        .agg(F.bit_or("w").alias("w"))
+    )
+    merged = words.groupBy("shard").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("widx", "w"))),
+            lambda s: s["w"],
+        ).alias("bits")
+    ).select(
+        "shard",
+        F.lit(ns).alias("num_shards"),
+        F.lit(nb).alias("num_bits"),
+        F.lit(nh).alias("num_hashes"),
+        "bits",
+    )
+    tmp = f"{sidecar_table}__m{_os.getpid()}"
+    merged.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE IF EXISTS `{sidecar_table}`")
+    spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{sidecar_table}`")
+    return int(generations)
+
+
 def near_dup_decontaminate(
     corpus: DataFrame,
     probes: DataFrame,

@@ -256,33 +256,44 @@ def admit_novel(
     ``mirror_bloom`` BEFORE the row write — a store id absent from every
     generation would be a false negative, the one error class that
     re-admits (duplicates) on replay."""
-    from albedo_spark.operators.dedup_store import bloom_might_contain
+    from albedo_spark.operators.dedup_store import (
+        bloom_might_contain,
+        sharded_bloom_maybe,
+    )
 
     spark = frame.sparkSession
     bloom_table = table + "_bloom"
     if spark.catalog.tableExists(bloom_table):
         side = spark.table(bloom_table)
-        params = side.select("num_bits", "num_hashes").distinct().collect()
-        if len(params) != 1:
-            raise ValueError(
-                f"sidecar {bloom_table} mixes bloom parameters: {params}"
-            )
-        num_bits, num_hashes = params[0].num_bits, params[0].num_hashes
-        gens = side.agg(F.collect_list("bits").alias("_gens"))
-        flagged = (
-            frame.crossJoin(F.broadcast(gens))
-            .withColumn(
-                "_maybe",
-                F.coalesce(
-                    bloom_might_contain(
-                        F.col(id_col), F.col("_gens"), num_bits, num_hashes
+        if "shard" in side.columns:
+            # sharded sidecar (the >4M-key form): the batch's (key,
+            # shard) pairs broadcast INTO the sidecar scan — nothing
+            # bitmap-sized ever broadcasts
+            flagged = sharded_bloom_maybe(
+                frame, bloom_table, id_col
+            ).localCheckpoint(eager=False)
+        else:
+            params = side.select("num_bits", "num_hashes").distinct().collect()
+            if len(params) != 1:
+                raise ValueError(
+                    f"sidecar {bloom_table} mixes bloom parameters: {params}"
+                )
+            num_bits, num_hashes = params[0].num_bits, params[0].num_hashes
+            gens = side.agg(F.collect_list("bits").alias("_gens"))
+            flagged = (
+                frame.crossJoin(F.broadcast(gens))
+                .withColumn(
+                    "_maybe",
+                    F.coalesce(
+                        bloom_might_contain(
+                            F.col(id_col), F.col("_gens"), num_bits, num_hashes
+                        ),
+                        F.lit(False),
                     ),
-                    F.lit(False),
-                ),
+                )
+                .drop("_gens")
+                .localCheckpoint(eager=False)  # consumers: isEmpty + splits
             )
-            .drop("_gens")
-            .localCheckpoint(eager=False)  # consumers: isEmpty + both splits
-        )
         maybe = flagged.where(F.col("_maybe")).drop("_maybe")
         novel = flagged.where(~F.col("_maybe")).drop("_maybe")
         if maybe.isEmpty():
@@ -311,14 +322,30 @@ def build_id_bloom(
     id_col: str = "vec_id",
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    num_shards: int | None = None,
 ) -> None:
     """Build the ``{table}_bloom`` replay-guard sidecar over the store's
     CURRENT ids — q110's ``dedup_store.build_bloom_sidecar`` keyed on
-    the vector id instead of a digest. Derived data: losing it never
-    loses information (rebuild from the store); compact generations with
-    ``dedup_store.merge_bloom_generations(spark, table + "_bloom")``.
-    Size ``num_bits`` ≈ 10× expected distinct ids for ~1% false
-    positives at 5 hashes."""
+    the vector id instead of a digest. ``num_shards`` picks the SHARDED
+    form (``num_bits`` then per shard) — required past ~4M keys, where
+    the monolithic single-row bitmap goes heap-bound and its broadcast
+    stops being free; the two forms are interchangeable under
+    ``admit_novel`` (schema-dispatched) with byte-identical admits.
+    Derived data: losing it never loses information (rebuild from the
+    store); compact generations with ``dedup_store.
+    merge_bloom_generations`` / ``merge_sharded_bloom_generations``.
+    Size ≈ 10 bits per expected distinct id for ~1% false positives at
+    5 hashes — grow SHARDS, not bitmap width, as the store grows."""
+    if num_shards:
+        from albedo_spark.operators.dedup_store import (
+            build_sharded_bloom_sidecar,
+        )
+
+        build_sharded_bloom_sidecar(
+            spark, table, table + "_bloom", key_col=id_col,
+            num_shards=num_shards, num_bits=num_bits, num_hashes=num_hashes,
+        )
+        return
     from albedo_spark.operators.dedup_store import build_bloom_sidecar
 
     build_bloom_sidecar(
@@ -331,16 +358,27 @@ def mirror_bloom(
     admitted: DataFrame, table: str, id_col: str = "vec_id"
 ) -> None:
     """Keep the ``{table}_bloom`` sidecar in lockstep with an append:
-    one generation row covering the batch's ADMITTED ids (no-op when no
-    sidecar exists). Call BEFORE writing the rows — bloom-first ordering
+    one generation (one row monolithic, num_shards rows sharded —
+    schema-dispatched) covering the batch's ADMITTED ids; no-op when no
+    sidecar exists. Call BEFORE writing the rows — bloom-first ordering
     keeps the sidecar a SUPERSET of the store across crash windows
     (bloom-without-rows is a harmless false-positive trickle;
     rows-without-bloom would be a re-admitting false negative)."""
-    from albedo_spark.operators.dedup_store import append_bloom
+    from albedo_spark.operators.dedup_store import (
+        append_bloom,
+        append_sharded_bloom,
+    )
 
     spark = admitted.sparkSession
     if spark.catalog.tableExists(table + "_bloom"):
-        append_bloom(admitted.select(id_col), table + "_bloom", key_col=id_col)
+        if "shard" in spark.table(table + "_bloom").columns:
+            append_sharded_bloom(
+                admitted.select(id_col), table + "_bloom", key_col=id_col
+            )
+        else:
+            append_bloom(
+                admitted.select(id_col), table + "_bloom", key_col=id_col
+            )
 
 
 def _load_codebooks(

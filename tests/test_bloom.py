@@ -246,3 +246,108 @@ def test_novel_branch_bypasses_store(spark):
         assert plain == bloomed
     finally:
         _drop(spark, "blq_store4", "blq_side4")
+
+
+def test_sharded_sidecar_equivalence_lockstep_and_merge(spark):
+    """Sharded Bloom sidecar (r12 — the >4M-key form): (a) admit
+    decisions through a SHARDED sidecar are byte-identical to the
+    monolithic sidecar AND to no sidecar at all on the PQ store, (b)
+    sharded probes have NO false negatives (every stored id maybe-seen),
+    (c) append keeps one generation (num_shards rows) in lockstep, (d)
+    merge collapses generations per shard and leaves probe answers
+    unchanged, and (e) nothing bitmap-sized broadcasts — the batch side
+    is the build side of the probe join."""
+    from albedo_spark.operators.dedup_store import (
+        merge_sharded_bloom_generations,
+        sharded_bloom_maybe,
+    )
+    from albedo_spark.operators.vector_store import admit_novel, build_id_bloom
+
+    def vec(i):
+        return [float((i * 31 + d * 7) % 13 - 6) for d in range(64)]
+
+    schema = "vec_id long, embedding array<double>"
+    from albedo_spark.operators.vector_store import (
+        append_pq_vectors,
+        build_pq_store,
+    )
+
+    base = spark.createDataFrame([(i, vec(i)) for i in range(300)], schema)
+    batch = spark.createDataFrame(
+        [(i, vec(i)) for i in range(250, 400)], schema  # 50 replayed, 100 new
+    )
+
+    def run(shards):
+        tbl = f"shb_{shards if shards else 'none'}"
+        for suf in ("", "_cents", "_cb", "_bloom"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+        build_pq_store(base, tbl, kc=4, m=4, subdim=16, num_buckets=4,
+                       stride=7)
+        if shards is not None:
+            build_id_bloom(spark, tbl, num_bits=1 << 10, num_shards=shards)
+        append_pq_vectors(batch, tbl, m=4, subdim=16, num_buckets=4)
+        rows = sorted(tuple(r) for r in spark.table(tbl).collect())
+        return tbl, rows
+
+    t_none, r_none = run(None)
+    t_mono, r_mono = run(0)   # num_shards falsy -> monolithic
+    t_shrd, r_shrd = run(4)
+    try:
+        assert r_none == r_mono == r_shrd and r_none  # (a)
+
+        # (b) no false negatives through the sharded probe
+        stored = spark.table(t_shrd).select(
+            F.col("vec_id").alias("k")
+        ).distinct()
+        flags = sharded_bloom_maybe(stored, t_shrd + "_bloom", "k")
+        assert flags.where(~F.col("_maybe")).count() == 0
+
+        # (c) lockstep: build + one append generation = 2 * num_shards rows
+        side = spark.table(t_shrd + "_bloom")
+        assert side.count() == 2 * 4
+
+        # (d) merge collapses to one generation per shard, answers equal
+        before = {
+            r.k: r._maybe
+            for r in sharded_bloom_maybe(
+                stored, t_shrd + "_bloom", "k"
+            ).collect()
+        }
+        n_gen = merge_sharded_bloom_generations(spark, t_shrd + "_bloom")
+        assert n_gen == 2
+        assert spark.table(t_shrd + "_bloom").count() == 4
+        after = {
+            r.k: r._maybe
+            for r in sharded_bloom_maybe(
+                stored, t_shrd + "_bloom", "k"
+            ).collect()
+        }
+        assert before == after
+
+        # (e) the probe join's build side is the BATCH, not the sidecar:
+        # fresh-batch admit plan has no store relation and broadcasts the
+        # key frame (BroadcastHashJoin with the sidecar as stream side)
+        fresh = spark.range(10**9, 10**9 + 50).select(
+            F.col("id").alias("vec_id"),
+            F.lit([0.0] * 64).cast("array<double>").alias("embedding"),
+        )
+        from albedo_spark.operators.clustering import integerize_embeddings
+
+        iv = integerize_embeddings(fresh)
+        adm = admit_novel(iv, t_shrd)
+        assert adm.count() == 50  # all fresh ids admitted
+        # plan shape on the PROBE frame itself (admit_novel's returned
+        # frame sits behind a materialized localCheckpoint): the batch
+        # keys are the BROADCAST build side, the sidecar streams, and
+        # the store relation never appears
+        probe = sharded_bloom_maybe(iv, t_shrd + "_bloom", "vec_id")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        n_store_refs = plan.count(f"default.{t_shrd}") - plan.count(
+            f"default.{t_shrd}_bloom"
+        )
+        assert n_store_refs == 0, "sharded probe touched the store"
+        assert "BroadcastHashJoin" in plan
+    finally:
+        for t in (t_none, t_mono, t_shrd):
+            for suf in ("", "_cents", "_cb", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")

@@ -39,17 +39,21 @@ tests/test_similarity_ops.py::test_pq_store_bloom_sidecar_equivalence).
 
 Measured on this host (local[32], 1000-id batch, 32 bits/key):
 
-    code_rows   plain    bloom_fresh   bloom_replay   store in fresh plan
-    1M          2.2s*    1.3s          1.6s           no (0 FPs)
-    4M          0.4s     1.6s          1.7s           no (0 FPs)
-    10M         0.4s     2.4s          1.9s           no (0 FPs)
-    (* first point carries JVM warm-up)
+    keys    code_rows  plain  mono_fresh  sharded_fresh  sharded_replay
+    250k    1M         2.2s*  1.3s        2.0s (4 sh)    1.3s
+    2.5M    10M        0.4s   10.0s       2.0s (9 sh)    1.9s
+    10M     40M        0.4s   OOM         2.2s (38 sh)   1.7s
+    (* first point carries JVM warm-up; store never in any fresh plan)
 
-Monolithic-sidecar boundary: at 32 bits/key the one-row bitmap is
-num_keys*4 bytes; past ~4M keys (~0.5 GB heap transient during the
-single-row assembly + broadcast) shard the sidecar by an id prefix and
-probe each shard's generations — the build_bloom_sidecar docstring's
-standing guidance; the admit semantics are unchanged.
+Monolithic-sidecar boundary — and its cure: at 32 bits/key the one-row
+bitmap is num_keys*4 bytes; past ~4M keys the single-row assembly +
+broadcast goes heap-bound (measured OOM at 2^29 bits) and already at
+2.5M keys the 64 MB bitmap broadcast costs 5x the sharded probe. The
+SHARDED sidecar (dedup_store.sharded_bloom_rows — per-shard bitmaps,
+batch keys broadcast INTO the sidecar scan, nothing bitmap-sized ever
+broadcast) stays ~2 s flat from 250k to 10M keys and is the form
+`build_id_bloom(num_shards=...)` selects; admit results are
+byte-identical across none/monolithic/sharded (pytest-pinned).
 
 Usage::
 
@@ -129,48 +133,80 @@ def main() -> None:
         # P(zero FPs per batch) ~ 1 rather than the classic ~1% FP.
         # 32 bits/key at 5 hashes gives per-id FP ~ 6e-5 -> a 1000-id
         # batch is scan-free ~94% of the time (here: deterministic,
-        # since ids and xxhash64 are fixed).
+        # since ids and xxhash64 are fixed). The MONOLITHIC form is
+        # skipped past 4M keys — its single-row assembly + broadcast
+        # goes heap-bound there (measured OOM at 2^29 bits), which is
+        # exactly the boundary the SHARDED form below exists for.
         num_bits = 1 << max(21, (32 * n - 1).bit_length())
-        t0 = time.time()
-        build_id_bloom(spark, tbl, num_bits=num_bits)
-        out["sidecar_build_sec"] = round(time.time() - t0, 3)
-        out["num_bits"] = num_bits
+        if n <= 4_000_000:
+            t0 = time.time()
+            build_id_bloom(spark, tbl, num_bits=num_bits)
+            out["sidecar_build_sec"] = round(time.time() - t0, 3)
+            out["num_bits"] = num_bits
 
-        t0 = time.time()
-        admitted_fresh = admit_novel(fresh, tbl)
-        out["n_admitted_fresh"] = admitted_fresh.count()
-        out["admit_bloom_fresh_sec"] = round(time.time() - t0, 3)
-        assert out["n_admitted_fresh"] == n_plain == 1000
-        # the 100 TB signal: a fully-novel batch's admit plan never
-        # references the store relation at all
-        fresh_plan = (
-            admitted_fresh._jdf.queryExecution().executedPlan().toString()
-        )
-        n_store_refs = fresh_plan.count(f"default.{tbl}") - fresh_plan.count(
-            f"default.{tbl}_bloom"  # the sidecar scan is the point
-        )
-        out["store_scanned_fresh"] = n_store_refs > 0
-        # deterministic FP count for THIS batch (fixed ids + xxhash64):
-        # the store scan appears in the plan iff any id is maybe-seen
-        from albedo_spark.operators.dedup_store import bloom_might_contain
-
-        side = spark.table(tbl + "_bloom")
-        gens = side.agg(F.collect_list("bits").alias("_gens"))
-        out["n_fp_fresh"] = (
-            fresh.crossJoin(F.broadcast(gens))
-            .where(
-                bloom_might_contain(
-                    F.col("vec_id"), F.col("_gens"), num_bits, 5
-                )
+            t0 = time.time()
+            admitted_fresh = admit_novel(fresh, tbl)
+            out["n_admitted_fresh"] = admitted_fresh.count()
+            out["admit_bloom_fresh_sec"] = round(time.time() - t0, 3)
+            assert out["n_admitted_fresh"] == n_plain == 1000
+            # the 100 TB signal: a fully-novel batch's admit plan never
+            # references the store relation at all
+            fresh_plan = (
+                admitted_fresh._jdf.queryExecution().executedPlan().toString()
             )
-            .count()
-        )
-        assert out["store_scanned_fresh"] == (out["n_fp_fresh"] > 0)
+            n_store_refs = fresh_plan.count(
+                f"default.{tbl}"
+            ) - fresh_plan.count(
+                f"default.{tbl}_bloom"  # the sidecar scan is the point
+            )
+            out["store_scanned_fresh"] = n_store_refs > 0
+            # deterministic FP count for THIS batch (fixed ids +
+            # xxhash64): the store scan appears in the plan iff any id
+            # is maybe-seen
+            from albedo_spark.operators.dedup_store import bloom_might_contain
 
+            side = spark.table(tbl + "_bloom")
+            gens = side.agg(F.collect_list("bits").alias("_gens"))
+            out["n_fp_fresh"] = (
+                fresh.crossJoin(F.broadcast(gens))
+                .where(
+                    bloom_might_contain(
+                        F.col("vec_id"), F.col("_gens"), num_bits, 5
+                    )
+                )
+                .count()
+            )
+            assert out["store_scanned_fresh"] == (out["n_fp_fresh"] > 0)
+
+            t0 = time.time()
+            n_rep = admit_novel(replay, tbl).count()
+            out["admit_bloom_replay_sec"] = round(time.time() - t0, 3)
+            assert n_rep == 0
+        else:
+            out["monolithic"] = "skipped: single-row assembly OOMs past ~4M keys"
+
+        # SHARDED sidecar at the same sizing (r12): past ~4M keys the
+        # monolithic single-row assembly OOMs, and its bitmap broadcast
+        # stops being free; the sharded form bounds every assembly row
+        # AND broadcasts only the batch's (key, shard) pairs into the
+        # sidecar scan. Shards sized for ~num_bits per 2^18 keys/shard.
+        num_shards = max(4, n // (1 << 18))
+        per_shard_bits = 1 << max(21, (32 * n // num_shards - 1).bit_length())
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bloom")
         t0 = time.time()
-        n_rep = admit_novel(replay, tbl).count()
-        out["admit_bloom_replay_sec"] = round(time.time() - t0, 3)
-        assert n_rep == 0
+        build_id_bloom(
+            spark, tbl, num_bits=per_shard_bits, num_shards=num_shards,
+        )
+        out["sharded_build_sec"] = round(time.time() - t0, 3)
+        out["num_shards"] = num_shards
+        t0 = time.time()
+        n_sh = admit_novel(fresh, tbl).count()
+        out["admit_sharded_fresh_sec"] = round(time.time() - t0, 3)
+        assert n_sh == 1000
+        t0 = time.time()
+        n_shr = admit_novel(replay, tbl).count()
+        out["admit_sharded_replay_sec"] = round(time.time() - t0, 3)
+        assert n_shr == 0
 
         for suf in ("", "_bloom"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
