@@ -168,6 +168,12 @@ def main(argv: list[str] | None = None) -> dict:
                         "for ~1%% fp) next to the digest store, so each "
                         "batch's definite-novel rows skip the store join "
                         "map-side; appended in lockstep with the digests")
+    p.add_argument("--bloom-shards", type=int, default=None,
+                   help="with --bloom-bits: build/maintain the SHARDED "
+                        "sidecar form with this many shards (--bloom-bits "
+                        "then per shard) — the >4M-key posture where the "
+                        "monolithic one-row bitmap goes heap-bound; admit "
+                        "decisions are byte-identical either way")
     p.add_argument("--compact-stores", action="store_true",
                    help="after appending, compact the stores back to one "
                         "file per bucket (run periodically — every append "
@@ -788,9 +794,11 @@ def main(argv: list[str] | None = None) -> dict:
         from albedo_spark.operators.dedup_store import (
             append_bloom,
             append_digests,
+            append_sharded_bloom,
             append_signatures,
             build_bloom_sidecar,
             build_digest_store,
+            build_sharded_bloom_sidecar,
             build_signature_store,
             dedup_incremental,
             exact_dedup_incremental,
@@ -810,9 +818,15 @@ def main(argv: list[str] | None = None) -> dict:
         if blm_tbl and not spark.catalog.tableExists(blm_tbl):
             # Rebuildable independently (derived from the digest store),
             # so a sidecar enabled mid-loop starts covering full history.
-            build_bloom_sidecar(
-                spark, dig_tbl, blm_tbl, num_bits=args.bloom_bits
-            )
+            if args.bloom_shards:
+                build_sharded_bloom_sidecar(
+                    spark, dig_tbl, blm_tbl,
+                    num_shards=args.bloom_shards, num_bits=args.bloom_bits,
+                )
+            else:
+                build_bloom_sidecar(
+                    spark, dig_tbl, blm_tbl, num_bits=args.bloom_bits
+                )
 
         resolved = exact_dedup_incremental(
             batch, dig_tbl, bloom_table=blm_tbl
@@ -830,12 +844,17 @@ def main(argv: list[str] | None = None) -> dict:
         append_signatures(novel, sig_tbl)
         if blm_tbl:
             # Lockstep with append_digests — same novel slice; skipping
-            # this would plant false NEGATIVES for the next batch.
-            append_bloom(
-                resolved.where("NOT is_dup AND digest IS NOT NULL")
-                .select("digest"),
-                blm_tbl,
-            )
+            # this would plant false NEGATIVES for the next batch. The
+            # append form follows the EXISTING sidecar's schema, not the
+            # flag, so a loop that toggles --bloom-shards mid-history
+            # cannot mix forms.
+            novel_digests = resolved.where(
+                "NOT is_dup AND digest IS NOT NULL"
+            ).select("digest")
+            if "shard" in spark.table(blm_tbl).columns:
+                append_sharded_bloom(novel_digests, blm_tbl)
+            else:
+                append_bloom(novel_digests, blm_tbl)
         if args.out:
             near_pairs.write.mode("overwrite").parquet(
                 os.path.join(args.out, "incremental_near_dup_pairs")
@@ -855,10 +874,16 @@ def main(argv: list[str] | None = None) -> dict:
             if blm_tbl:
                 from albedo_spark.operators.dedup_store import (
                     merge_bloom_generations,
+                    merge_sharded_bloom_generations,
                 )
 
+                merge_fn = (
+                    merge_sharded_bloom_generations
+                    if "shard" in spark.table(blm_tbl).columns
+                    else merge_bloom_generations
+                )
                 summary["incremental"]["compaction"]["bloom_generations"] = (
-                    merge_bloom_generations(spark, blm_tbl)
+                    merge_fn(spark, blm_tbl)
                 )
 
     if args.quality_model_dim:

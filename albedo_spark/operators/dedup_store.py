@@ -306,18 +306,27 @@ def exact_dedup_incremental(
         )
 
     side = spark.table(bloom_table)
-    params = side.select("num_bits", "num_hashes").distinct().collect()
-    if len(params) != 1:
-        raise ValueError(f"sidecar {bloom_table} mixes bloom parameters: {params}")
-    num_bits, num_hashes = params[0].num_bits, params[0].num_hashes
-    gens = side.agg(F.collect_list("bits").alias("_gens"))
-    flagged = hashed.crossJoin(F.broadcast(gens)).withColumn(
-        "_maybe",
-        F.coalesce(
-            bloom_might_contain(F.col("digest"), F.col("_gens"), num_bits, num_hashes),
-            F.lit(False),
-        ),
-    ).drop("_gens")
+    if "shard" in side.columns:
+        # sharded sidecar (r12, the >4M-key form): batch digests
+        # broadcast INTO the sidecar scan — see sharded_bloom_maybe
+        flagged = sharded_bloom_maybe(hashed, bloom_table, "digest")
+    else:
+        params = side.select("num_bits", "num_hashes").distinct().collect()
+        if len(params) != 1:
+            raise ValueError(
+                f"sidecar {bloom_table} mixes bloom parameters: {params}"
+            )
+        num_bits, num_hashes = params[0].num_bits, params[0].num_hashes
+        gens = side.agg(F.collect_list("bits").alias("_gens"))
+        flagged = hashed.crossJoin(F.broadcast(gens)).withColumn(
+            "_maybe",
+            F.coalesce(
+                bloom_might_contain(
+                    F.col("digest"), F.col("_gens"), num_bits, num_hashes
+                ),
+                F.lit(False),
+            ),
+        ).drop("_gens")
     # The split is digest-consistent (the flag is a function of the
     # digest alone), so _bmin — computed over the WHOLE batch — is the
     # same keeper either branch would elect.

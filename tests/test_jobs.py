@@ -485,3 +485,40 @@ def test_corpus_job_blocklist_phrases_paths_and_equivalence(tmp_path):
     # the CLI stage runs on post-contamination survivors, so its drop
     # count is the operator-level hit set minus already-quarantined docs
     assert len(rx) >= a["n_dropped"] >= len(rx) - s_regex["n_contaminated"]
+
+
+def test_corpus_job_incremental_sharded_bloom(spark, tmp_path):
+    """--bloom-shards: the incremental store loop builds/maintains the
+    SHARDED sidecar form (one generation = num_shards rows, lockstep
+    appends follow the sidecar's schema), resolves batches identically
+    to the monolithic run, and compaction merges per shard."""
+    from albedo_spark.jobs.corpus import main
+
+    def run(prefix, extra):
+        s1 = main(["--sf-dir", "/root/testdata/sf0.001",
+                   "--incremental-filter", "doc_id % 5 = 0",
+                   "--store-prefix", prefix,
+                   "--bloom-bits", "65536"] + extra)
+        s2 = main(["--sf-dir", "/root/testdata/sf0.001",
+                   "--incremental-filter", "doc_id % 5 = 1",
+                   "--store-prefix", prefix,
+                   "--bloom-bits", "65536",
+                   "--compact-stores"] + extra)
+        return s1["incremental"], s2["incremental"]
+
+    try:
+        m1, m2 = run("t_shblmono", [])
+        s1, s2 = run("t_shblshrd", ["--bloom-shards", "4"])
+        # identical resolution either form
+        for a, b in ((m1, s1), (m2, s2)):
+            assert (a["n_batch"], a["n_exact_dups"], a["n_near_dup_pairs"]) \
+                == (b["n_batch"], b["n_exact_dups"], b["n_near_dup_pairs"])
+        side = spark.table("t_shblshrd_bloom")
+        assert "shard" in side.columns
+        # after compaction: one generation per shard
+        assert side.count() == 4
+        assert s2["compaction"]["bloom_generations"] >= 2
+    finally:
+        for t in ("t_shblmono", "t_shblshrd"):
+            for suf in ("_digests", "_minhash", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
