@@ -1207,6 +1207,11 @@ def _ann_oracle_sql(dim: int = 64, num_planes: int = 6, seed: int = 42) -> str:
 # the inherent in-memory-catalog limit, documented at _memo_store.)
 _ORPHAN_WATERMARK_MS = int(_time.time() * 1000) - 3_600_000
 
+#: in-process memo of the name _memo_store actually SERVED per logical
+#: table — the repeat-call fast path, and the only thing that makes the
+#: private-copy fallback a memo rather than a rebuild-per-call.
+_MEMO_SERVED: dict[str, str] = {}
+
 
 def _memo_store(
     spark: SparkSession, sf_dir: str, src: str, tag: str, build,
@@ -1231,7 +1236,17 @@ def _memo_store(
     process started (an hour of grace) — a directory published during or
     shortly before our lifetime may be a live concurrent session's table
     mid-scan, so it is left alone and we keep serving from our private
-    copy instead.)"""
+    copy instead.)
+
+    The SERVED name is memoized in-process (r12): when the publish is
+    blocked by a live foreign warehouse directory, the fallback serves
+    the private pid-suffixed copy — and before this memo, every LATER
+    call in the same process saw ``tableExists(table)`` false and
+    REBUILT that private copy from scratch (a bench run shortly after a
+    correctness sweep paid a full store rebuild — for q158, a full
+    codebook TRAINING — per timed invocation; measured q153 5.9 s vs
+    1.1 s probe-only). One dict lookup now makes every repeat call a
+    true memo hit regardless of which name was served."""
     import hashlib as _hashlib
     import json as _json
     import os as _os
@@ -1241,6 +1256,9 @@ def _memo_store(
         _json.dumps([sf_dir, src, tag, st.st_size, st.st_mtime_ns]).encode()
     ).hexdigest()[:10]
     table = f"{tag}_{ident}"
+    served = _MEMO_SERVED.get(table)
+    if served is not None and spark.catalog.tableExists(served):
+        return served
     if not spark.catalog.tableExists(table):
         from albedo_spark.io import drop_orphan_table_location
 
@@ -1259,6 +1277,7 @@ def _memo_store(
             # Location written during our lifetime: a live session's
             # publish. Their table is invisible to our catalog, so serve
             # from the private copy (fully built, same recipe).
+            _MEMO_SERVED[table] = tmp
             return tmp
         try:
             # ``companions`` (e.g. the PQ store's frozen "_cents" model)
@@ -1279,7 +1298,9 @@ def _memo_store(
                 for suf in ("",) + companions:
                     spark.sql(f"DROP TABLE IF EXISTS `{tmp}{suf}`")
             else:
+                _MEMO_SERVED[table] = tmp
                 return tmp
+    _MEMO_SERVED[table] = table
     return table
 
 
