@@ -9100,6 +9100,59 @@ def q160_hybrid_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, dense], top_k=5)
 
 
+@query(
+    "q161_wordpiece_scores",
+    """
+    WITH words AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    wf AS (
+        SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word
+    ),
+    syms AS (
+        SELECT word, freq, i,
+               CASE WHEN i = 1 THEN substr(word, CAST(i AS INTEGER), 1)
+                    ELSE '##' || substr(word, CAST(i AS INTEGER), 1) END AS sym
+        FROM wf, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) t
+    ),
+    symc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM syms GROUP BY sym),
+    pc AS (
+        SELECT a.sym AS left_sym, b.sym AS right_sym,
+               CAST(sum(a.freq) AS BIGINT) AS pair_n
+        FROM syms a JOIN syms b ON a.word = b.word AND b.i = a.i + 1
+        GROUP BY 1, 2
+    )
+    SELECT pc.left_sym, pc.right_sym, pc.pair_n,
+           sl.n AS left_n, sr.n AS right_n,
+           pc.pair_n * 1000000000 // (sl.n * sr.n) AS score_ppb
+    FROM pc
+    JOIN symc sl ON pc.left_sym = sl.sym
+    JOIN symc sr ON pc.right_sym = sr.sym
+    ORDER BY score_ppb DESC, left_sym, right_sym LIMIT 20
+    """,
+)
+def q161_wordpiece_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One WordPiece tokenizer-training statistics step
+    (operators/wordpiece.py — Schuster & Nakajima 2012, the BERT
+    tokenizer; third rung of the tokenizer family next to BPE q75/q103
+    and unigram-LM q152/q155/q159): the 20 adjacent symbol pairs of
+    iteration 0 ranked by the LIKELIHOOD criterion ``score_ppb =
+    pair_n·10^9 div (left_n·right_n)`` — exact scaled-BIGINT floor
+    division on both engines, never a double — over ``##``-marked
+    symbols (first char bare, continuations prefixed). The corpus is
+    touched only by the word-frequency groupBy; pair and symbol
+    aggregates explode the |vocab| frame JVM-side and the two
+    denominator joins hit the tiny broadcast symbol-count frame. A lazy
+    ``raise_error`` tripwire rejects symbol masses past the BIGINT
+    headroom (both engines would wrap identically, so the gate could
+    never catch it)."""
+    from albedo_spark.operators.wordpiece import wp_pair_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return wp_pair_scores(d, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9232,6 +9285,7 @@ _DEMOTED = [
 # gated post-window via q75/q103/q126 themselves.
 _POST_WINDOW = [
     "q75_bpe_pair_counts",
+    "q161_wordpiece_scores",
     "q22_lang_quality",
     "q35_als_recommend",
     "q33_ann_lsh",

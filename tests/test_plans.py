@@ -252,6 +252,7 @@ def test_q122_zorder_key_no_shuffle(spark):
         "q158_pq_store_trained",
         "q159_unigram_trained_vocab",
         "q160_hybrid_store_serve",
+        "q161_wordpiece_scores",
     ],
 )
 def test_round11_plans_stay_jvm_side(spark, name):
