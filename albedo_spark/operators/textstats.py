@@ -593,3 +593,112 @@ def oov_rate(
             F.expr("n_oov * 10000 DIV n_tokens"),
         )
     )
+
+
+#: BIGINT-headroom ceiling for the Kneser–Ney scaled arithmetic: the
+#: discounted-mass numerator is ``(4·c12 − 3)·10^6`` and ``c12 ≤ c1``, so
+#: every count must stay below 2^63 / (4·10^6) ≈ 2.3·10^12. Past it both
+#: engines wrap IDENTICALLY (Spark non-ANSI and DuckDB ``//`` on BIGINT),
+#: so the hash gate could never catch the overflow — the lazy raise is
+#: the only honest tripwire (the unigram ``_T_CEIL`` discipline).
+_KN_CEIL = (1 << 63) // 4_000_000 - 1
+
+
+def kneser_ney_bigrams(
+    docs: DataFrame,
+    k: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model statistics (Kneser & Ney
+    1995; Chen & Goodman 1999 — the standard n-gram smoothing) trained
+    on the corpus, reported for the ``k`` most frequent bigrams: the
+    stronger sibling of ``bigram_lm_scores``'s add-one model, and the
+    model whose CONTINUATION counts are the genuinely distributed part —
+    ``n_prec = N1+(·w2)`` (distinct left contexts of w2) is what
+    distinguishes KN from every count-ratio smoother, and it is one more
+    distinct-aggregate over the bigram-type frame.
+
+    Columns per bigram: ``w1, w2, c12`` (bigram count), ``c1`` (w1's
+    left-context mass = Σ_y c(w1,y)), ``n_follow = N1+(w1·)`` (distinct
+    followers — the interpolation weight's numerator), ``n_prec``,
+    ``bigram_types`` (corpus scalar B), and the absolute-discount d=3/4
+    interpolated probability as an exact scaled integer::
+
+        p_kn_ppm = (4·c12 − 3)·10^6 div (4·c1)
+                 + ((3·10^6·n_follow) div (4·c1) · n_prec) div B
+
+    i.e. ``max(c12 − 0.75, 0)/c1 + 0.75·(n_follow/c1)·(n_prec/B)`` with
+    a FIXED floor-division order both engines replay bit-for-bit
+    (truncation order is part of the contract; c12 ≥ 1 makes the max
+    vacuous). No float enters the gated surface.
+
+    Plan at 100 TB: one bigram explode (zip-of-slices HOF) + ONE shuffle
+    to the bigram-TYPE frame; c1/n_follow and n_prec are two further
+    aggregates OF that type frame (|bigram types| rows, not corpus), the
+    scalar B rides a broadcast one-row cross join, and the two stat
+    joins are AQE-broadcastable. One TakeOrderedAndProject tail.
+    """
+    base = docs.select(tokens(F.col(text_col)).alias("_t"))
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    cb = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .select(
+            "w1",
+            "w2",
+            F.when(
+                F.col("c12") > F.lit(_KN_CEIL),
+                F.raise_error(
+                    F.concat(
+                        F.lit("kneser_ney_bigrams: count "),
+                        F.col("c12").cast("string"),
+                        F.lit(
+                            f" exceeds the scaled-integer BIGINT headroom"
+                            f" ceiling {_KN_CEIL} (both engines would wrap"
+                            " identically); shard the corpus"
+                        ),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("c12"))
+            .alias("c12"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lc = cb.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_follow")
+    )
+    pc = cb.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    bt = cb.agg(F.count("*").alias("bigram_types"))
+    scored = (
+        cb.join(lc, "w1")
+        .join(pc, "w2")
+        .crossJoin(F.broadcast(bt))
+        .withColumn(
+            "p_kn_ppm",
+            F.expr(
+                "(4 * c12 - 3) * 1000000L div (4 * c1)"
+                " + ((3000000L * n_follow) div (4 * c1) * n_prec)"
+                "   div bigram_types"
+            ),
+        )
+    )
+    from albedo_spark.operators.topk import global_top_k
+
+    return global_top_k(
+        scored.select(
+            "w1", "w2", "c12", "c1", "n_follow", "n_prec",
+            "bigram_types", "p_kn_ppm",
+        ),
+        [F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc()],
+        k,
+    )

@@ -9153,6 +9153,54 @@ def q161_wordpiece_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wp_pair_scores(d, k=20)
 
 
+@query(
+    "q162_kneser_ney_bigrams",
+    """
+    WITH norm AS (
+        SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    t AS (SELECT string_split(nt, ' ') AS w FROM norm WHERE nt != ''),
+    bg AS (
+        SELECT w[i + 1] AS w1, w[i + 2] AS w2
+        FROM t, unnest(range(len(w) - 1)) r(i)
+    ),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    lc AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n_follow
+        FROM cb GROUP BY 1
+    ),
+    pc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM cb GROUP BY 1),
+    bt AS (SELECT CAST(count(*) AS BIGINT) AS bigram_types FROM cb)
+    SELECT cb.w1, cb.w2, cb.c12, lc.c1, lc.n_follow, pc.n_prec, bt.bigram_types,
+           (4 * cb.c12 - 3) * 1000000 // (4 * lc.c1)
+           + ((3000000 * lc.n_follow) // (4 * lc.c1) * pc.n_prec)
+             // bt.bigram_types AS p_kn_ppm
+    FROM cb JOIN lc USING (w1) JOIN pc USING (w2) CROSS JOIN bt
+    ORDER BY c12 DESC, w1, w2 LIMIT 30
+    """,
+)
+def q162_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model trained on the corpus
+    (operators/textstats.py kneser_ney_bigrams — Kneser & Ney 1995, the
+    standard n-gram smoothing; the stronger sibling of q105's add-one
+    model): the 30 most frequent bigrams with the full KN sufficient
+    statistics — left-context mass c1, follower diversity N1+(w1·),
+    CONTINUATION count N1+(·w2) (the genuinely distributed distinct
+    aggregate that distinguishes KN), the bigram-type scalar B riding a
+    broadcast — and the d=3/4 absolute-discount interpolated probability
+    as an exact scaled BIGINT with a pinned floor-division order both
+    engines replay bit-for-bit. One corpus-sized bigram explode + one
+    shuffle to the bigram-TYPE frame; everything after runs on |types|
+    rows. A lazy raise_error tripwire rejects counts past the scaled-
+    integer headroom (both engines would wrap identically past it)."""
+    from albedo_spark.operators.textstats import kneser_ney_bigrams
+
+    d = _t(spark, sf_dir, "documents")
+    return kneser_ney_bigrams(d, k=30)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9286,6 +9334,7 @@ _DEMOTED = [
 _POST_WINDOW = [
     "q75_bpe_pair_counts",
     "q161_wordpiece_scores",
+    "q162_kneser_ney_bigrams",
     "q22_lang_quality",
     "q35_als_recommend",
     "q33_ann_lsh",

@@ -694,3 +694,38 @@ def test_kmeans_deterministic_and_converging(spark):
     a = assign_clusters(vecs, cents)
     c2 = update_centroids(vecs, a, cents)
     assert c2.count() == 2  # no cluster row lost, empty or not
+
+
+def test_kneser_ney_bigrams_hand_example(spark):
+    """KN statistics on a 2-doc corpus are fully hand-checkable,
+    including the continuation counts and the pinned floor-division
+    order of the scaled interpolated probability: for (a,b) with c12=3,
+    c1=3, N1+(a·)=1, N1+(·b)=1, B=3 →
+    (4·3−3)·10^6 div 12 + ((3·10^6·1) div 12 · 1) div 3 = 750000+83333."""
+    from albedo_spark.operators.textstats import kneser_ney_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in kneser_ney_bigrams(docs, k=10).collect()]
+    assert rows == [
+        ("a", "b", 3, 3, 1, 1, 3, 833333),
+        ("b", "a", 1, 2, 2, 1, 3, 375000),
+        ("b", "c", 1, 2, 2, 1, 3, 375000),
+    ]
+
+
+def test_kneser_ney_headroom_tripwire(spark, monkeypatch):
+    """Past the scaled-integer ceiling both engines wrap identically —
+    the lazy raise is the only honest behavior."""
+    import pytest as _pytest
+
+    from albedo_spark.operators import textstats
+
+    monkeypatch.setattr(textstats, "_KN_CEIL", 2)
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="headroom"):
+        textstats.kneser_ney_bigrams(docs, k=5).collect()

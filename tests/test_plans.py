@@ -253,6 +253,7 @@ def test_q122_zorder_key_no_shuffle(spark):
         "q159_unigram_trained_vocab",
         "q160_hybrid_store_serve",
         "q161_wordpiece_scores",
+        "q162_kneser_ney_bigrams",
     ],
 )
 def test_round11_plans_stay_jvm_side(spark, name):
