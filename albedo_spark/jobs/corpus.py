@@ -142,6 +142,13 @@ def main(argv: list[str] | None = None) -> dict:
                         "to K) and report per-corpus subword piece counts; "
                         "with --out, writes the vocab and the per-word "
                         "segmentation table")
+    p.add_argument("--wordpiece-merges", type=int, default=None, metavar="N",
+                   help="learn N WordPiece merges on the post-hygiene "
+                        "survivors (likelihood-criterion pair-delta "
+                        "trainer) and tokenize the survivor corpus by "
+                        "greedy longest-match against the learned "
+                        "vocabulary; with --out, the vocab and per-doc "
+                        "token counts land as parquet")
     p.add_argument("--pq-index", default=None, metavar="TABLE",
                    help="persist an IVF-PQ ANN index (vector_store."
                         "build_pq_store: frozen coarse cells + m-int code "
@@ -725,6 +732,42 @@ def main(argv: list[str] | None = None) -> dict:
             )
         seg.unpersist()
         trained.unpersist()
+
+    if args.wordpiece_merges:
+        # The THIRD tokenizer family (q161's operator — BERT's trainer):
+        # likelihood-criterion merges + greedy longest-match encoding,
+        # shipping the same artifact pair as --bpe-merges (vocabulary +
+        # per-doc token budget) so pipelines can compare tokenizers on
+        # identical survivors.
+        from albedo_spark.operators.wordpiece import (
+            encode_corpus_wp,
+            learn_wordpiece,
+            wp_vocab,
+        )
+
+        wp_merges = learn_wordpiece(survivors, n_merges=args.wordpiece_merges)
+        vocab = wp_vocab(survivors, wp_merges)
+        wp_encoded = encode_corpus_wp(survivors, vocab).persist()
+        summary["wordpiece"] = {
+            "n_merges": len(wp_merges),
+            "vocab_size": len(vocab),
+            "top_merges": [m[2] for m in wp_merges[:5]],
+            "n_docs_encoded": wp_encoded.count(),
+            "total_tokens": int(
+                wp_encoded.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            ),
+        }
+        if args.out:
+            spark.createDataFrame(
+                [(i, tok) for i, tok in enumerate(vocab)],
+                "piece_id int, piece string",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(args.out, "wordpiece_vocab")
+            )
+            wp_encoded.select("doc_id", "n_tokens").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(args.out, "wordpiece_token_counts"))
+        wp_encoded.unpersist()
 
     if args.pq_index:
         # Retrieval-ready sidecar (q153's operator): the cleaned corpus's

@@ -393,3 +393,48 @@ def wordpiece_encode_vocab(
     return words.select(
         F.col(word_col).alias("word"), _enc(F.col(word_col)).alias("pieces")
     )
+
+
+def encode_corpus_wp(
+    docs: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Tokenize a corpus with a WordPiece vocabulary: ``(id, tokens
+    array<string>, n_tokens)`` per document, words in original order,
+    each segmented by greedy longest-match (``wordpiece_encode_vocab``).
+    Plan shape is ``bpe.encode_corpus``'s: the Python matcher touches
+    only the DISTINCT word vocabulary; the corpus side is posexplode +
+    equi-join (AQE-broadcast when the segmented vocab is small) + one
+    per-doc ordered reassembly aggregate."""
+    from albedo_spark.operators.textstats import tokens
+
+    exploded = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("_pos", "word"),
+        )
+        .where(F.col("word") != "")
+        .localCheckpoint(eager=False)
+    )
+    seg = wordpiece_encode_vocab(
+        exploded.select("word").distinct(), vocab, unk=unk
+    )
+    return (
+        exploded.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("pieces")))
+                    ),
+                    lambda s: s["pieces"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )

@@ -522,3 +522,29 @@ def test_corpus_job_incremental_sharded_bloom(spark, tmp_path):
         for t in ("t_shblmono", "t_shblshrd"):
             for suf in ("_digests", "_minhash", "_bloom"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
+def test_corpus_job_wordpiece_stage(tmp_path):
+    """--wordpiece-merges N learns likelihood-criterion merges on the
+    survivors and tokenizes them by greedy longest-match; with --out the
+    vocabulary and per-doc token counts land as parquet. Token budget
+    sanity: every doc's pieces >= its word count is NOT guaranteed
+    ([UNK] collapses a word), but the total must be positive and the
+    vocabulary must contain every merge spelling."""
+    import glob
+
+    from albedo_spark.jobs.corpus import main
+
+    out = str(tmp_path / "out")
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--wordpiece-merges", "6",
+        "--out", out,
+    ])
+    stage = summary["wordpiece"]
+    assert stage["n_merges"] == 6
+    assert stage["vocab_size"] > 6  # alphabet + merges
+    assert len(stage["top_merges"]) == 5
+    assert stage["n_docs_encoded"] > 0
+    assert stage["total_tokens"] > 0
+    assert glob.glob(out + "/wordpiece_vocab/*.parquet")
+    assert glob.glob(out + "/wordpiece_token_counts/*.parquet")
