@@ -156,6 +156,9 @@ HEADLINE2 = [
     "q158_pq_store_trained",
     "q159_unigram_trained_vocab",
     "q160_hybrid_store_serve",
+    # round 12 (continued): WordPiece + Kneser-Ney statistics
+    "q161_wordpiece_scores",
+    "q162_kneser_ney_bigrams",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
