@@ -702,3 +702,60 @@ def kneser_ney_bigrams(
         [F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc()],
         k,
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 30,
+    iterations: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004 —
+    public algorithm): PageRank over the word co-occurrence graph, here
+    the UNWEIGHTED symmetric graph of distinct adjacent-token pairs
+    (window = 2, the paper's default), reusing ``operators/graph.py
+    pagerank``'s exact-BIGINT power iteration — rank sums are
+    order-independent floor divisions, so the DuckDB oracle's unrolled
+    CTEs derive identical integers (the q121 discipline). Output: the
+    ``k`` highest-centrality words ``(word, rank)``.
+
+    Plan at 100 TB: one bigram explode over the corpus collapses to the
+    DISTINCT co-occurrence EDGE set (|edges| ≪ corpus — bounded by
+    vocab², in practice near-linear in vocab); the undirected edge is
+    canonicalized (least, greatest) BEFORE the distinct so symmetric
+    duplicates collapse in the same shuffle, then mirrored. PageRank
+    persists the degree-attached edge frame once; per-round cost is one
+    join + one partial-agg sum with localCheckpoint lineage truncation.
+    Hub words (stopwords) are the AQE skew-join case — production
+    callers typically drop stopwords first, which only shrinks the
+    graph.
+    """
+    base = docs.select(tokens(F.col(text_col)).alias("_t"))
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    und = (
+        pairs.where(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("u"), F.greatest("w1", "w2").alias("v")
+        )
+        .distinct()
+    )
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    from albedo_spark.operators.graph import pagerank
+    from albedo_spark.operators.topk import global_top_k
+
+    ranks = pagerank(edges, iterations=iterations)
+    return global_top_k(
+        ranks.select(F.col("node").alias("word"), "rank"),
+        [F.col("rank").desc(), F.col("word").asc()],
+        k,
+    )

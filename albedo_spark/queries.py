@@ -9201,6 +9201,57 @@ def q162_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigrams(d, k=30)
 
 
+@query(
+    "q163_textrank_keywords",
+    """
+    WITH norm AS (
+        SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    t AS (SELECT string_split(nt, ' ') AS w FROM norm WHERE nt != ''),
+    bg AS (
+        SELECT w[i + 1] AS w1, w[i + 2] AS w2
+        FROM t, unnest(range(len(w) - 1)) r(i)
+    ),
+    und AS (
+        SELECT DISTINCT least(w1, w2) AS u, greatest(w1, w2) AS v
+        FROM bg WHERE w1 <> w2
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst FROM und
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg)
+    """
+    + _PAGERANK_ROUNDS
+    + """
+    SELECT node AS word, rank FROM r5
+    ORDER BY rank DESC, word LIMIT 30
+    """,
+)
+def q163_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (operators/textstats.py
+    textrank_keywords — Mihalcea & Tarau 2004): exact-BIGINT PageRank
+    (q121's operator, q105's integer discipline) over the symmetric
+    distinct adjacent-token co-occurrence graph, top-30 words by
+    centrality. The composition gate: the bigram explode collapses to
+    the distinct EDGE set in one shuffle (canonicalized (least,
+    greatest) before the distinct so mirror duplicates merge), the
+    degree-attached edge frame persists once, and the 5 unrolled rounds
+    are each one join + one partial-agg sum with localCheckpoint lineage
+    truncation — identical integers from Spark's shuffles and the
+    oracle's unrolled CTEs."""
+    from albedo_spark.operators.textstats import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    with _scoped_shuffle_partitions(spark):
+        out = textrank_keywords(d, k=30, iterations=5)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9335,6 +9386,7 @@ _POST_WINDOW = [
     "q75_bpe_pair_counts",
     "q161_wordpiece_scores",
     "q162_kneser_ney_bigrams",
+    "q163_textrank_keywords",
     "q22_lang_quality",
     "q35_als_recommend",
     "q33_ann_lsh",

@@ -159,6 +159,7 @@ HEADLINE2 = [
     # round 12 (continued): WordPiece + Kneser-Ney statistics
     "q161_wordpiece_scores",
     "q162_kneser_ney_bigrams",
+    "q163_textrank_keywords",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -729,3 +729,43 @@ def test_kneser_ney_headroom_tripwire(spark, monkeypatch):
     )
     with _pytest.raises(Exception, match="headroom"):
         textstats.kneser_ney_bigrams(docs, k=5).collect()
+
+
+def test_textrank_keywords_hand_example(spark):
+    """One and two exact-BIGINT PageRank rounds over the co-occurrence
+    graph of 'a b c' + 'b a' are hand-checkable: edges a-b and b-c,
+    rank(v) = 15e7 + sum((rank_u*85) div (outdeg_u*100))."""
+    from albedo_spark.operators.textstats import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b a")], "doc_id long, text string"
+    )
+    r1 = {
+        r.word: r.rank
+        for r in textrank_keywords(docs, k=10, iterations=1).collect()
+    }
+    # b collects 85% of a and c (outdeg 1 each); a and c each get half
+    # of b's damped mass (outdeg 2)
+    assert r1 == {"b": 1_850_000_000, "a": 575_000_000, "c": 575_000_000}
+    r2 = {
+        r.word: r.rank
+        for r in textrank_keywords(docs, k=10, iterations=2).collect()
+    }
+    assert r2 == {"b": 1_127_500_000, "a": 936_250_000, "c": 936_250_000}
+
+
+def test_textrank_self_loops_and_mirror_dups_collapse(spark):
+    """Repeated and reversed co-occurrences must collapse to ONE
+    undirected edge (canonicalize-then-distinct), and self-adjacent
+    tokens ('x x') must not create self-loops."""
+    from albedo_spark.operators.textstats import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "y x"), (3, "x y")], "doc_id long, text string"
+    )
+    got = {
+        r.word: r.rank
+        for r in textrank_keywords(docs, k=10, iterations=1).collect()
+    }
+    # graph is exactly x-y: both nodes outdeg 1, symmetric ranks
+    assert got == {"x": 1_000_000_000, "y": 1_000_000_000}
