@@ -552,6 +552,7 @@ def pq_store_topk(
     codebooks: list | None = None,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    allow: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the persisted PQ store: queries pick their nprobe nearest
     FROZEN cells by exact centroid distance, build the residual ADC
@@ -562,7 +563,18 @@ def pq_store_topk(
     with trained codebooks is probed with those same codebooks — no
     silent formula fallback (ADVICE r11 #4). Returns ``(query_id,
     neighbor_id, cell_id, adist, rank)`` — identical semantics (and
-    oracle) to ``ivf_pq_topk`` restricted to the stored corpus."""
+    oracle) to ``ivf_pq_topk`` restricted to the stored corpus.
+
+    ``allow``: optional one-column ``(vec_id)`` frame restricting the
+    search to a metadata slice — PRE-filter semantics (every returned
+    neighbor satisfies the predicate and each query still gets up to k
+    results — NOT post-filtering an unfiltered top-k, which starves
+    queries whose true neighbors fail the predicate). Applied as a
+    broadcast semi-join on the code scan, so the store side STILL has
+    zero Exchange. Sized for selective slices (an id set that fits a
+    broadcast); a predicate matching most of a 100 TB store should
+    instead be baked into the store as a partition/bucket column at
+    build time so the scan prunes it for free."""
     from albedo_spark.operators.clustering import integerize_embeddings
     from albedo_spark.operators.pq import adc_score_codes, probe_query_table
 
@@ -573,7 +585,14 @@ def pq_store_topk(
         queries, scale=scale, id_col=query_id_col, vec_col=vec_col
     ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
     qtable = probe_query_table(qv, cents, cb, m, subdim, nprobe)
-    return adc_score_codes(spark.table(table), qtable, k)
+    codes = spark.table(table)
+    if allow is not None:
+        codes = codes.join(
+            F.broadcast(allow.selectExpr(f"{allow.columns[0]} AS vec_id")),
+            "vec_id",
+            "semi",
+        )
+    return adc_score_codes(codes, qtable, k)
 
 
 def near_dup_vs_store(

@@ -8230,6 +8230,7 @@ def _pq_store_oracle_sql(
     subdim: int = 16,
     nprobe: int = 2,
     k: int = 5,
+    neighbor_filter: str = "",
 ) -> str:
     """q153's oracle: the q151 IVF-PQ replay split into the persisted
     store's THREE populations — the coarse model trains on the BUILD
@@ -8237,7 +8238,9 @@ def _pq_store_oracle_sql(
     side (% 10 != 0: base + the appended batch, both encoded against the
     frozen base-trained cells), and queries are the % 10 = 0 slice
     probing nprobe cells. Same codebook literals, ties, and BIGINT
-    casts as q151."""
+    casts as q151. ``neighbor_filter``: extra join/predicate SQL spliced
+    into the scoring CTE before ranking — q164's PRE-filter semantics
+    (the metadata slice restricts candidates, not the ranked output)."""
     from albedo_spark.operators.pq import formula_codebooks
 
     cb_values = ", ".join(
@@ -8348,7 +8351,7 @@ def _pq_store_oracle_sql(
         SELECT t.query_id, e.vec_id AS neighbor_id,
                CAST(e.cluster_id AS BIGINT) AS cell_id,
                CAST(sum(t.tdist) AS BIGINT) AS adist
-        FROM enc e
+        FROM enc e{neighbor_filter}
         JOIN qtable t ON t.cell = e.cluster_id AND t.s = e.s
                      AND t.code = e.code AND e.vec_id <> t.query_id
         GROUP BY t.query_id, e.vec_id, e.cluster_id
@@ -9252,6 +9255,43 @@ def q163_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q164_filtered_pq_search",
+    _pq_store_oracle_sql(
+        neighbor_filter=(
+            "\n        JOIN documents fd"
+            " ON fd.doc_id = e.vec_id AND fd.lang = 'en'"
+        )
+    ),
+)
+def q164_filtered_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED dense retrieval from the persisted PQ store (the
+    production "search within a metadata slice" path — every vector DB's
+    filtered-ANN feature): q153's store (SHARED memo, not rebuilt)
+    probed with ``allow`` = the English documents, PRE-filter semantics
+    — the slice restricts the CANDIDATES before ranking, so every query
+    still gets up to k results all satisfying the predicate (post-
+    filtering an unfiltered top-k instead silently starves queries whose
+    true neighbors are off-slice — the classic filtered-ANN bug). The
+    allow set rides a broadcast SEMI-join on the code scan: store side
+    still ZERO Exchange, and the ADC join then scores only surviving
+    code rows. Oracle splices the same predicate into the scoring CTE
+    before the rank window. Slices too big to broadcast belong as store
+    partition columns at build time (documented in pq_store_topk)."""
+    from albedo_spark.operators.vector_store import pq_store_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    table = _q153_pq_store(spark, sf_dir, emb)
+    queries = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allow = docs.where("lang = 'en'").select("doc_id")
+    return pq_store_topk(
+        queries, table, k=5, nprobe=2, m=4, subdim=16, allow=allow
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9429,6 +9469,7 @@ _POST_WINDOW = [
     "q153_pq_vector_store",
     "q158_pq_store_trained",
     "q160_hybrid_store_serve",
+    "q164_filtered_pq_search",
     "q94_group_sample",
     "q95_merge_intervals",
     "q96_copurchase_topk",

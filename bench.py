@@ -160,6 +160,7 @@ HEADLINE2 = [
     "q161_wordpiece_scores",
     "q162_kneser_ney_bigrams",
     "q163_textrank_keywords",
+    "q164_filtered_pq_search",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

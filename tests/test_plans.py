@@ -254,6 +254,7 @@ def test_q122_zorder_key_no_shuffle(spark):
         "q160_hybrid_store_serve",
         "q161_wordpiece_scores",
         "q162_kneser_ney_bigrams",
+        "q164_filtered_pq_search",
     ],
 )
 def test_round11_plans_stay_jvm_side(spark, name):

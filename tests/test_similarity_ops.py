@@ -1233,3 +1233,54 @@ def test_ivf_pq_rerank_improves_adc_recall(spark):
     )
     assert r_rr > r_adc, (r_rr, r_adc)
     assert r_rr >= 0.6, (r_rr, r_adc)
+
+
+def test_pq_store_topk_allow_filter(spark):
+    """q164's filtered probe: (a) allow = ALL stored ids is byte-
+    identical to the unfiltered probe (the filter is a pure candidate
+    restriction, not a scoring change), (b) a selective allow set
+    returns ONLY allowed neighbors while every query still ranks up to
+    k survivors (PRE-filter semantics), (c) the allow set rides a
+    broadcast — the code-scan side gains no Exchange."""
+    from albedo_spark.operators.vector_store import (
+        build_pq_store,
+        pq_store_topk,
+    )
+
+    emb = _emb(spark)
+    tbl = "pqstore_allow_t"
+    try:
+        base = emb.where("vec_id % 10 != 0")
+        build_pq_store(base, tbl, kc=8, m=4, subdim=16, num_buckets=8)
+        queries = emb.where("vec_id % 10 = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plain = pq_store_topk(queries, tbl, k=5, nprobe=2, m=4, subdim=16)
+        all_ids = base.select("vec_id")
+        same = pq_store_topk(
+            queries, tbl, k=5, nprobe=2, m=4, subdim=16, allow=all_ids
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, same.collect())
+        )
+
+        allowed = base.where("vec_id % 3 = 1").select("vec_id")
+        filt = pq_store_topk(
+            queries, tbl, k=5, nprobe=2, m=4, subdim=16, allow=allowed
+        )
+        rows = filt.collect()
+        assert rows and all(r.neighbor_id % 3 == 1 for r in rows)
+        # pre-filter: per-query ranks are dense 1..n over SURVIVORS, so
+        # a query keeps k results as long as k allowed candidates exist
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+        plan = filt._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        tail = plan[plan.index(f"default.{tbl}"):]
+        assert "Exchange hashpartitioning" not in tail.split("Exchange", 1)[0]
+    finally:
+        for suf in ("", "_cents", "_cb"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
