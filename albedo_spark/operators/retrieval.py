@@ -192,6 +192,7 @@ def bm25_store_search(
     top_k: int = 5,
     query_id_col: str = "query_id",
     text_col: str = "text",
+    allow: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the PERSISTED index (``build_bm25_store``) for a
     query FRAME ``(query_id, text)`` — the serving half of the lexical
@@ -202,9 +203,23 @@ def bm25_store_search(
     posting table (zero store-side Exchange — only postings of queried
     terms flow), the frozen ``{table}_stats`` scalars ride a broadcast
     cross join, the per-(query, doc) sum partial-aggregates map-side,
-    ranking is the pinned row_number idiom."""
+    ranking is the pinned row_number idiom.
+
+    ``allow``: optional one-column ``(doc_id)`` frame restricting
+    results to a metadata slice — PRE-filter semantics (q164's
+    contract: candidates are restricted before ranking, every query
+    still fills top_k from survivors). Applied as a broadcast semi-join
+    on the posting scan, store side still zero Exchange. idf/avgdl stay
+    the INDEX's frozen corpus-level stats (standard filtered-retrieval
+    practice — the slice narrows candidates, not the model)."""
     spark = queries.sparkSession
     post = spark.table(table)
+    if allow is not None:
+        post = post.join(
+            F.broadcast(allow.selectExpr(f"{allow.columns[0]} AS doc_id")),
+            "doc_id",
+            "semi",
+        )
     stats = spark.table(table + "_stats")
     qterms = (
         queries.select(
@@ -435,4 +450,90 @@ def phrase_match(
     return verified.groupBy("doc_id", "phrase_id").agg(
         F.count("*").cast("long").alias("n_occurrences"),
         F.min("pos").cast("long").alias("first_pos"),
+    )
+
+
+def bm25_store_prf_search(
+    queries: DataFrame,
+    table: str,
+    top_k: int = 5,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    orig_weight: int = 2,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 over the persisted index — the
+    RM3-style query-expansion rung (Lavrenko & Croft 2001; Abdul-Jaleel
+    et al. 2004's RM3 — public method) of the lexical serving stack,
+    kept exact-integer: (1) a first BM25 pass retrieves each query's
+    ``fb_docs`` feedback documents; (2) the ``fb_terms`` heaviest terms
+    of the feedback set (by summed stored tf, ties on the term) that are
+    NOT already query terms become expansion terms; (3) the second pass
+    scores ``orig_weight``·original + 1·expansion per-term BM25 — the
+    weight multiplies INSIDE the sum, so the result is one BIGINT both
+    engines replay.
+
+    Plan: pass 1 is ``bm25_store_search`` (broadcast terms into the
+    bucketed posting scan, zero store-side Exchange). The feedback
+    fetch joins the |Q|·fb_docs doc ids (a broadcast, by construction)
+    against ONE posting-table scan — the documented RM3 price of
+    fetching feedback document vectors; at forward-index scale the next
+    rung is a ``{table}_fwd`` companion bucketed on doc_id so the fetch
+    prunes to the feedback buckets. Pass 2 re-runs the identical probe
+    shape with the (still tiny) expanded term set.
+    """
+    from albedo_spark.operators.topk import top_k_per_group
+
+    spark = queries.sparkSession
+    post = spark.table(table)
+    stats = spark.table(table + "_stats")
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .localCheckpoint(eager=False)  # consumed by pass 1, anti-join, pass 2
+    )
+    pass1 = bm25_store_search(
+        queries, table, top_k=fb_docs,
+        query_id_col=query_id_col, text_col=text_col,
+    )
+    fb = (
+        post.join(F.broadcast(pass1.select("query_id", "doc_id")), "doc_id")
+        .groupBy("query_id", "w")
+        .agg(F.sum("tf").alias("fbtf"))
+        .join(qterms, ["query_id", "w"], "left_anti")
+    )
+    fbtop = top_k_per_group(
+        fb, ["query_id"], [F.col("fbtf").desc(), F.col("w").asc()], fb_terms
+    )
+    expanded = qterms.withColumn("wt", F.lit(orig_weight)).unionByName(
+        fbtop.select("query_id", "w").withColumn("wt", F.lit(1))
+    )
+    idf_x10k = F.expr("(10000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")
+    tfpart_x10k = F.expr(
+        "(10000 * 22 * tf * avgdl_x100)"
+        " div (10*tf*avgdl_x100 + 3*avgdl_x100 + 900*dl)"
+    )
+    scored = (
+        post.join(F.broadcast(expanded), "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_idf_x10k", idf_x10k)
+        .withColumn("_tfpart_x10k", tfpart_x10k)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr("wt * ((_idf_x10k * _tfpart_x10k) div 10000)")
+            ).alias("prf_x10k")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("prf_x10k").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "rank", "prf_x10k")
     )

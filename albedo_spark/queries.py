@@ -9075,14 +9075,7 @@ def q160_hybrid_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
 
     pq_table = _q153_pq_store(spark, sf_dir, emb)
-    lex_tag = "bm25store_q160_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
-
-    def _build_lex(t: str) -> None:
-        build_bm25_store(docs.where("doc_id % 10 != 0"), t)
-
-    lex_table = _memo_store(
-        spark, sf_dir, "documents", lex_tag, _build_lex, companions=("_stats",)
-    )
+    lex_table = _q160_bm25_store(spark, sf_dir, docs)
     lex = bm25_store_search(
         docs.where("doc_id % 10 = 0").select(
             F.col("doc_id").alias("query_id"), "text"
@@ -9101,6 +9094,21 @@ def q160_hybrid_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         subdim=16,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, dense], top_k=5)
+
+
+def _q160_bm25_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
+    """The persisted BM25 index of the stored (%10 != 0) documents,
+    memoized — SHARED by q160's lexical leg and q165's PRF path."""
+    from albedo_spark.operators.retrieval import build_bm25_store
+
+    lex_tag = "bm25store_q160_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+
+    def _build_lex(t: str) -> None:
+        build_bm25_store(docs.where("doc_id % 10 != 0"), t)
+
+    return _memo_store(
+        spark, sf_dir, "documents", lex_tag, _build_lex, companions=("_stats",)
+    )
 
 
 @query(
@@ -9292,6 +9300,124 @@ def q164_filtered_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q165_bm25_prf_expansion",
+    """
+    WITH stoks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL AND doc_id % 10 != 0
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM stoks WHERE w <> '' GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    stats AS (
+        SELECT count(*) AS n_docs, (100 * sum(dl)) // count(*) AS avgdl_x100
+        FROM dl
+    ),
+    q AS (
+        SELECT DISTINCT doc_id AS query_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+            FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+        ) WHERE w <> ''
+    ),
+    l1 AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum((((10000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+                    * ((10000 * 22 * tf.tf * s.avgdl_x100)
+                       // (10*tf.tf*s.avgdl_x100 + 3*s.avgdl_x100 + 900*dl.dl)))
+                   // 10000) AS BIGINT) AS bm25_x10k
+        FROM tf
+        JOIN q USING (w)
+        JOIN dfreq d USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    lex1 AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY bm25_x10k DESC, doc_id ASC
+                   ) AS rank
+            FROM l1
+        ) WHERE rank <= 3
+    ),
+    fbt AS (
+        SELECT l.query_id, t.w, CAST(sum(t.tf) AS BIGINT) AS fbtf
+        FROM tf t JOIN lex1 l USING (doc_id)
+        GROUP BY l.query_id, t.w
+    ),
+    fbx AS (
+        SELECT f.query_id, f.w, f.fbtf FROM fbt f
+        WHERE NOT EXISTS (
+            SELECT 1 FROM q WHERE q.query_id = f.query_id AND q.w = f.w
+        )
+    ),
+    fbtop AS (
+        SELECT query_id, w FROM (
+            SELECT query_id, w,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY fbtf DESC, w ASC
+                   ) AS rn
+            FROM fbx
+        ) WHERE rn <= 5
+    ),
+    expq AS (
+        SELECT query_id, w, 2 AS wt FROM q
+        UNION ALL
+        SELECT query_id, w, 1 AS wt FROM fbtop
+    ),
+    scored2 AS (
+        SELECT e.query_id, tf.doc_id,
+               CAST(sum(e.wt * ((((10000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+                    * ((10000 * 22 * tf.tf * s.avgdl_x100)
+                       // (10*tf.tf*s.avgdl_x100 + 3*s.avgdl_x100 + 900*dl.dl)))
+                   // 10000)) AS BIGINT) AS prf_x10k
+        FROM tf
+        JOIN expq e USING (w)
+        JOIN dfreq d USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY e.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, rank, prf_x10k FROM (
+        SELECT query_id, doc_id, prf_x10k,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY prf_x10k DESC, doc_id ASC
+               ) AS rank
+        FROM scored2
+    ) WHERE rank <= 5
+    """,
+)
+def q165_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 from the PERSISTED index
+    (operators/retrieval.py bm25_store_prf_search — RM3-style expansion,
+    Lavrenko & Croft 2001, kept exact-integer): the %10 = 0 documents
+    query q160's SHARED memoized BM25 store; each query's top-3
+    feedback docs contribute their 5 heaviest non-query terms, and the
+    second pass scores 2·original + 1·expansion per-term BM25 with the
+    weight inside the BIGINT sum. Pass 1 and pass 2 are both broadcast
+    probes of the bucketed posting table (zero store-side Exchange);
+    the feedback fetch broadcasts the |Q|·3 doc ids against one posting
+    scan — the documented RM3 price. Oracle replays the index, both
+    passes, the NOT-EXISTS term exclusion, and the weighted sum."""
+    from albedo_spark.operators.retrieval import bm25_store_prf_search
+
+    docs = _t(spark, sf_dir, "documents")
+    lex_table = _q160_bm25_store(spark, sf_dir, docs)
+    queries = docs.where("doc_id % 10 = 0").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_store_prf_search(
+        queries, lex_table, top_k=5, fb_docs=3, fb_terms=5, orig_weight=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9470,6 +9596,7 @@ _POST_WINDOW = [
     "q158_pq_store_trained",
     "q160_hybrid_store_serve",
     "q164_filtered_pq_search",
+    "q165_bm25_prf_expansion",
     "q94_group_sample",
     "q95_merge_intervals",
     "q96_copurchase_topk",

@@ -161,6 +161,7 @@ HEADLINE2 = [
     "q162_kneser_ney_bigrams",
     "q163_textrank_keywords",
     "q164_filtered_pq_search",
+    "q165_bm25_prf_expansion",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

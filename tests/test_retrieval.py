@@ -282,3 +282,87 @@ def test_phrase_match_rarest_keying_equivalence(spark):
     import pytest
     with pytest.raises(ValueError):
         phrase_match(docs, ph, key="nope")
+
+
+def test_bm25_store_allow_filter(spark):
+    """q164's PRE-filter contract on the lexical store: allow = ALL
+    stored ids is byte-identical to the unfiltered probe; a selective
+    slice returns only allowed docs with dense per-query survivor ranks
+    and UNCHANGED corpus-level idf/avgdl (frozen stats — the slice
+    narrows candidates, not the model)."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        bm25_store_search,
+        build_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    qdf = spark.createDataFrame(
+        [("alpha", "fast hash join"), ("beta", "slow table scan")],
+        "query_id string, text string",
+    )
+    tbl = "t_bm25_allow"
+    try:
+        build_bm25_store(d, tbl)
+        plain = bm25_store_search(qdf, tbl, top_k=5)
+        same = bm25_store_search(
+            qdf, tbl, top_k=5, allow=d.select("doc_id")
+        )
+        assert {tuple(r) for r in plain.collect()} == {
+            tuple(r) for r in same.collect()
+        }
+        filt = bm25_store_search(
+            qdf, tbl, top_k=5,
+            allow=d.where("doc_id % 2 = 0").select("doc_id"),
+        ).collect()
+        assert filt and all(r.doc_id % 2 == 0 for r in filt)
+        # frozen stats: a surviving (query, doc) pair scores IDENTICALLY
+        # to its unfiltered twin — only the candidate set changed
+        plain_scores = {
+            (r.query_id, r.doc_id): r.bm25_x10k for r in plain.collect()
+        }
+        for r in filt:
+            if (r.query_id, r.doc_id) in plain_scores:
+                assert plain_scores[(r.query_id, r.doc_id)] == r.bm25_x10k
+    finally:
+        for suf in ("", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
+def test_bm25_prf_expansion_behavior(spark):
+    """PRF on a hand corpus: querying 'apple' retrieves the apple docs,
+    whose co-occurring term 'orchard' becomes an expansion term, which
+    pulls in the orchard-only doc that plain BM25 can never return (no
+    query-term overlap) — the RM3 signature. Determinism: weights are
+    integers inside the BIGINT sum; ranks dense."""
+    from albedo_spark.operators.retrieval import (
+        bm25_store_prf_search,
+        bm25_store_search,
+        build_bm25_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple orchard harvest"),
+            (2, "apple orchard pruning"),
+            (3, "apple pie recipe"),
+            (4, "orchard soil care"),        # no 'apple' — unreachable
+            (5, "database index scan"),      # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame([("q1", "apple")], "query_id string, text string")
+    tbl = "t_bm25_prf"
+    try:
+        build_bm25_store(docs, tbl)
+        plain = {r.doc_id for r in bm25_store_search(qdf, tbl, top_k=5).collect()}
+        assert 4 not in plain  # no term overlap -> unreachable
+        prf = bm25_store_prf_search(
+            qdf, tbl, top_k=5, fb_docs=2, fb_terms=2, orig_weight=2
+        ).collect()
+        got = {r.doc_id for r in prf}
+        assert 4 in got  # 'orchard' expansion reached it
+        assert sorted(r.rank for r in prf) == list(range(1, len(prf) + 1))
+    finally:
+        for suf in ("", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
