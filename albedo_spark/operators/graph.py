@@ -354,3 +354,110 @@ def k_core(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
     )
+
+
+#: BIGINT-headroom ceiling for the HITS rescale: raw scores are sums of
+#: ≤ unit-sized contributions over a node's in/out-degree, and the
+#: rescale multiplies by unit again — ``s * unit`` must stay inside
+#: int64, so any raw sum past this ceiling raises loudly (both engines
+#: would wrap identically; the q159/q161 tripwire discipline).
+_HITS_CEIL = (1 << 63) // 10**6 - 1
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    unit: int = 10**6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999 — public algorithm) →
+    ``(node, auth, hub)`` with exact-BIGINT scores: the mutually
+    recursive pair PageRank cannot express — a node is a good HUB if it
+    points at good authorities, a good AUTHORITY if good hubs point at
+    it (on a directed graph the two sides are different populations;
+    PageRank's single score conflates them).
+
+    Integer normalization replaces the paper's L2 norm: after each
+    half-step the raw sums rescale to ``raw · unit div max(raw)`` — the
+    max is a one-row lazy aggregate riding a broadcast cross join (the
+    fully-lazy scalar idiom), floor division keeps every score a BIGINT
+    both engines replay, and the fixed point is the same (scores are
+    ratio-meaningful; the max node pins at ``unit``). A lazy
+    ``raise_error`` tripwire rejects raw sums past the int64 rescale
+    headroom.
+
+    Scale: the edge frame persists once and serves BOTH half-steps;
+    each half-step is ONE shuffle join + one partial-agg sum, and every
+    rescaled frame is eagerly localCheckpoint-ed so 2·K rounds never
+    stack into one plan (the q121 iterative idiom). Hub skew is AQE's
+    skew-join case.
+    """
+    ed = edges.select(src, dst).persist()
+    nodes = (
+        ed.select(F.col(src).alias("node"))
+        .unionByName(ed.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _rescale(raw: DataFrame) -> DataFrame:
+        guarded = raw.select(
+            "node",
+            F.when(
+                F.col("_s") > F.lit(_HITS_CEIL),
+                F.raise_error(
+                    F.concat(
+                        F.lit("hits: raw score "),
+                        F.col("_s").cast("string"),
+                        F.lit(
+                            f" exceeds the rescale BIGINT headroom"
+                            f" {_HITS_CEIL}; lower unit or shard"
+                        ),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("_s"))
+            .alias("_s"),
+        )
+        m = guarded.agg(F.max("_s").alias("_m"))
+        return (
+            nodes.join(guarded, "node", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(f"(_s * {unit}L) div _m"), F.lit(0)
+                ).alias("score"),
+            )
+        )
+
+    hub = nodes.select("node", F.lit(unit).cast("long").alias("score"))
+    auth = None
+    try:
+        for _ in range(iterations):
+            araw = (
+                ed.join(hub.withColumnRenamed("node", src), src)
+                .select(F.col(dst).alias("node"), F.col("score").alias("_c"))
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_s"))
+            )
+            auth = _rescale(araw).localCheckpoint()
+            hraw = (
+                ed.join(auth.withColumnRenamed("node", dst), dst)
+                .select(F.col(src).alias("node"), F.col("score").alias("_c"))
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_s"))
+            )
+            hub = _rescale(hraw).localCheckpoint()
+    finally:
+        ed.unpersist()
+    return nodes.join(
+        auth.select("node", F.col("score").alias("auth")), "node", "left"
+    ).join(
+        hub.select("node", F.col("score").alias("hub")), "node", "left"
+    ).select(
+        "node",
+        F.coalesce("auth", F.lit(0)).alias("auth"),
+        F.coalesce("hub", F.lit(0)).alias("hub"),
+    )

@@ -9418,6 +9418,81 @@ def q165_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q166 HITS rounds: two mutually recursive half-steps per round, each a
+# join + sum + one-row max + floor-division rescale (max node pins at
+# unit) — the integer replacement for the paper's L2 norm.
+_HITS_ROUNDS = "".join(
+    f""",
+    a{i}r AS (
+        SELECT e.dst AS node, CAST(sum(h.score) AS BIGINT) AS s
+        FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+    ),
+    a{i}m AS (SELECT max(s) AS m FROM a{i}r),
+    a{i} AS (
+        SELECT n.node,
+               CAST(coalesce((r.s * 1000000) // m.m, 0) AS BIGINT) AS score
+        FROM nodes n LEFT JOIN a{i}r r ON r.node = n.node CROSS JOIN a{i}m m
+    ),
+    h{i}r AS (
+        SELECT e.src AS node, CAST(sum(a.score) AS BIGINT) AS s
+        FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    ),
+    h{i}m AS (SELECT max(s) AS m FROM h{i}r),
+    h{i} AS (
+        SELECT n.node,
+               CAST(coalesce((r.s * 1000000) // m.m, 0) AS BIGINT) AS score
+        FROM nodes n LEFT JOIN h{i}r r ON r.node = n.node CROSS JOIN h{i}m m
+    )"""
+    for i in range(1, 4)
+)
+
+
+@query(
+    "q166_hits_hubs_authorities",
+    """
+    WITH edges AS (
+        SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        FROM lineitem
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes)
+    """
+    + _HITS_ROUNDS
+    + """
+    SELECT n.node, a.score AS auth, h.score AS hub
+    FROM nodes n
+    JOIN a3 a USING (node)
+    JOIN h3 h USING (node)
+    """,
+)
+def q166_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py hits — Kleinberg
+    1999) over the DIRECTED order→part incidence graph: the mutually
+    recursive score pair PageRank conflates — orders are hubs (they
+    point at parts), parts are authorities (pointed at), and each side's
+    zero column on the other population is part of the contract. The
+    paper's L2 norm becomes an exact-integer rescale (raw · unit div
+    max — a one-row lazy aggregate riding a broadcast cross join), so 3
+    rounds of two half-steps each derive identical BIGINTs from Spark's
+    shuffles and the oracle's unrolled CTEs (the q121 discipline). Edge
+    frame persists once; every half-step is one join + one
+    map-side-combinable sum; rescaled frames localCheckpoint so rounds
+    never stack. A lazy raise_error tripwire guards the rescale's int64
+    headroom."""
+    from albedo_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    with _scoped_shuffle_partitions(spark):
+        out = hits(edges, iterations=3)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9570,6 +9645,7 @@ _POST_WINDOW = [
     "q143_histogram_quantiles",
     "q126_bpe_encode",
     "q156_personalized_pagerank",
+    "q166_hits_hubs_authorities",
     "q129_label_propagation",
     "q131_adaptive_quality_filter",
     "q132_content_defined_chunks",

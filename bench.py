@@ -162,6 +162,7 @@ HEADLINE2 = [
     "q163_textrank_keywords",
     "q164_filtered_pq_search",
     "q165_bm25_prf_expansion",
+    "q166_hits_hubs_authorities",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

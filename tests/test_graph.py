@@ -264,3 +264,36 @@ def test_personalized_pagerank_biases_toward_seeds(spark):
     s_ppr = share(pagerank(edges, iterations=5, seeds=seeds))
     assert s_ppr > s_uniform
     assert s_ppr > 0.6  # most mass stays in the seeded community
+
+
+def test_hits_hand_example(spark):
+    """One HITS round on 1->3, 2->3, 2->4 is hand-checkable: node 3
+    collects both hubs (auth pins at unit), node 4 half of one
+    (500000); hub side then pins node 2 (it reaches both authorities)
+    and gives node 1 floor(1e6*1e6/1.5e6) = 666666. Sources have auth 0
+    and sinks hub 0 — the two-population contract."""
+    from albedo_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (2, 4)], "src long, dst long"
+    )
+    got = {r.node: (r.auth, r.hub) for r in hits(edges, iterations=1).collect()}
+    assert got == {
+        1: (0, 666_666),
+        2: (0, 1_000_000),
+        3: (1_000_000, 0),
+        4: (500_000, 0),
+    }
+
+
+def test_hits_headroom_tripwire(spark, monkeypatch):
+    from albedo_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_HITS_CEIL", 10)
+    edges = spark.createDataFrame(
+        [(i, 99) for i in range(5)], "src long, dst long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="headroom"):
+        graph.hits(edges, iterations=1).collect()
