@@ -142,6 +142,11 @@ def main(argv: list[str] | None = None) -> dict:
                         "to K) and report per-corpus subword piece counts; "
                         "with --out, writes the vocab and the per-word "
                         "segmentation table")
+    p.add_argument("--textrank", type=int, default=None, metavar="K",
+                   help="report the K highest-centrality corpus keywords "
+                        "(TextRank over the survivors' co-occurrence "
+                        "graph, exact-integer PageRank); with --out, the "
+                        "keyword table lands as parquet")
     p.add_argument("--wordpiece-merges", type=int, default=None, metavar="N",
                    help="learn N WordPiece merges on the post-hygiene "
                         "survivors (likelihood-criterion pair-delta "
@@ -732,6 +737,25 @@ def main(argv: list[str] | None = None) -> dict:
             )
         seg.unpersist()
         trained.unpersist()
+
+    if args.textrank:
+        # Corpus keyword report (q163's operator): TextRank centrality
+        # over the SURVIVORS' co-occurrence graph — a human-auditable
+        # what-is-this-corpus-about artifact next to the profile stats.
+        from albedo_spark.operators.textstats import textrank_keywords
+
+        kw = textrank_keywords(survivors, k=args.textrank).persist()
+        rows = kw.collect()
+        summary["textrank"] = {
+            "k": args.textrank,
+            "n_keywords": len(rows),
+            "top": [r.word for r in rows[:10]],
+        }
+        if args.out:
+            kw.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(args.out, "textrank_keywords")
+            )
+        kw.unpersist()
 
     if args.wordpiece_merges:
         # The THIRD tokenizer family (q161's operator — BERT's trainer):

@@ -548,3 +548,21 @@ def test_corpus_job_wordpiece_stage(tmp_path):
     assert stage["total_tokens"] > 0
     assert glob.glob(out + "/wordpiece_vocab/*.parquet")
     assert glob.glob(out + "/wordpiece_token_counts/*.parquet")
+
+
+def test_corpus_job_textrank_stage(tmp_path):
+    """--textrank K reports the K highest-centrality survivor keywords
+    and lands them as parquet with --out."""
+    import glob
+
+    from albedo_spark.jobs.corpus import main
+
+    out = str(tmp_path / "out")
+    summary = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--textrank", "15",
+        "--out", out,
+    ])
+    stage = summary["textrank"]
+    assert stage["n_keywords"] == 15
+    assert len(stage["top"]) == 10 and all(isinstance(w, str) for w in stage["top"])
+    assert glob.glob(out + "/textrank_keywords/*.parquet")
