@@ -8970,14 +8970,22 @@ def q158_pq_store_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_store_topk(queries, table, k=5, nprobe=2, m=4, subdim=16)
 
 
-def _hybrid_store_oracle_sql(leg_k: int = 10, k: int = 5) -> str:
+def _hybrid_store_oracle_sql(
+    leg_k: int = 10,
+    k: int = 5,
+    dense_filter: str = "",
+    lex_filter: str = "",
+) -> str:
     """q160's oracle: the full hybrid serving path over BOTH persisted
     stores — the q153 PQ-store replay (as a nested-WITH subquery, k=10
     per leg) for the dense leg, the q127 BM25 integer chain restricted
     to the stored corpus (doc_id % 10 != 0) with the % 10 = 0 documents'
     own texts as queries for the lexical leg, fused by q141's exact-
-    integer RRF (10^6 // (60 + rank), count + sum, rank <= 5)."""
-    dense_sql = _pq_store_oracle_sql(k=leg_k)
+    integer RRF (10^6 // (60 + rank), count + sum, rank <= 5).
+    ``dense_filter``/``lex_filter``: q167's allow-list predicates spliced
+    into each leg's SCORING stage (candidates restricted before ranking;
+    index statistics stay corpus-level — the q164/q165 contract)."""
+    dense_sql = _pq_store_oracle_sql(k=leg_k, neighbor_filter=dense_filter)
     return f"""
     WITH dense AS (
         SELECT * FROM ({dense_sql})
@@ -9013,7 +9021,7 @@ def _hybrid_store_oracle_sql(leg_k: int = 10, k: int = 5) -> str:
         FROM tf
         JOIN q USING (w)
         JOIN dfreq d USING (w)
-        JOIN dl USING (doc_id)
+        JOIN dl USING (doc_id){lex_filter}
         CROSS JOIN stats s
         GROUP BY q.query_id, tf.doc_id
     ),
@@ -9493,6 +9501,60 @@ def q166_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q167_filtered_hybrid_serve",
+    _hybrid_store_oracle_sql(
+        dense_filter=(
+            "\n        JOIN documents fd"
+            " ON fd.doc_id = e.vec_id AND fd.lang = 'en'"
+        ),
+        lex_filter=(
+            "\n        JOIN documents fdoc"
+            " ON fdoc.doc_id = tf.doc_id AND fdoc.lang = 'en'"
+        ),
+    ),
+)
+def q167_filtered_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL filtered serving topology: q160's hybrid path with the
+    q164/q165 allow-list contract pushed through BOTH legs — the English
+    slice restricts each leg's CANDIDATES before its per-leg ranking
+    (so the RRF fusion sees k in-slice results per leg, never a starved
+    or contaminated leg), while both indexes keep their corpus-level
+    frozen statistics. Lexical leg: broadcast-semi allow on the bucketed
+    posting scan; dense leg: broadcast-semi allow on the PQ code scan —
+    both store sides still zero Exchange; fusion is q141's exact-integer
+    RRF. Stores are the SHARED q153/q160 memos (nothing rebuilt). Oracle
+    splices the same predicate into both legs' scoring CTEs."""
+    from albedo_spark.operators.retrieval import bm25_store_search, rrf_fuse
+    from albedo_spark.operators.vector_store import pq_store_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    pq_table = _q153_pq_store(spark, sf_dir, emb)
+    lex_table = _q160_bm25_store(spark, sf_dir, docs)
+    allow = docs.where("lang = 'en'").select("doc_id")
+    lex = bm25_store_search(
+        docs.where("doc_id % 10 = 0").select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        lex_table,
+        top_k=10,
+        allow=allow,
+    )
+    dense = pq_store_topk(
+        emb.where("vec_id % 10 = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        pq_table,
+        k=10,
+        nprobe=2,
+        m=4,
+        subdim=16,
+        allow=allow,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], top_k=5)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9673,6 +9735,7 @@ _POST_WINDOW = [
     "q160_hybrid_store_serve",
     "q164_filtered_pq_search",
     "q165_bm25_prf_expansion",
+    "q167_filtered_hybrid_serve",
     "q94_group_sample",
     "q95_merge_intervals",
     "q96_copurchase_topk",

@@ -163,6 +163,7 @@ HEADLINE2 = [
     "q164_filtered_pq_search",
     "q165_bm25_prf_expansion",
     "q166_hits_hubs_authorities",
+    "q167_filtered_hybrid_serve",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -256,6 +256,7 @@ def test_q122_zorder_key_no_shuffle(spark):
         "q162_kneser_ney_bigrams",
         "q164_filtered_pq_search",
         "q165_bm25_prf_expansion",
+        "q167_filtered_hybrid_serve",
     ],
 )
 def test_round11_plans_stay_jvm_side(spark, name):
