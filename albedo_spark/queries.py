@@ -9555,6 +9555,134 @@ def q167_filtered_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, dense], top_k=5)
 
 
+# q168 fixed WordPiece inference vocabulary (the q126 fixed-artifact
+# pattern): bare pieces match only at position 0, ##-continuations after.
+# Multi-char entries exercise longest-match-overrides-shorter on both
+# populations; words with any unmatchable character (digits, punctuation,
+# non-ASCII) collapse to [UNK] wholesale — the standard rule, exercised
+# naturally by the fixture's punctuation.
+_WP_APPLY_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["th", "the", "in", "re", "ha", "hash"]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##ing", "##ed", "##er", "##es", "##tion", "##ta", "##table"]
+)
+
+#: q168 word-length cap: 12 unrolled greedy steps complete any word of
+#: <= 12 codepoints (every step consumes >= 1 character) — the q121/q155
+#: bounded-unroll idiom; both engines filter identically.
+_WP_ENCODE_CAP = 12
+
+_WP_VOCAB_VALUES = ", ".join(
+    "('{p}', '{c}', {ic}, {cl})".format(
+        p=p,
+        c=(p[2:] if p.startswith("##") else p),
+        ic=(1 if p.startswith("##") else 0),
+        cl=len(p[2:] if p.startswith("##") else p),
+    )
+    for p in _WP_APPLY_VOCAB
+)
+
+# One greedy step: at the cursor, the LONGEST vocab piece of the correct
+# population (bare at pos 0, continuation after) that matches the word's
+# next characters; a word with no match at some cursor simply drops out
+# of the chain (→ [UNK] in the final assembly). Each word finishes (pos
+# reaches its length) in exactly one step, so the union is duplicate-free.
+_WP_ENCODE_STEPS = "".join(
+    f""",
+    s{i} AS (
+        SELECT word, pos, sig FROM (
+            SELECT s.word, s.pos + v.core_len AS pos,
+                   s.sig || v.piece || '|' AS sig,
+                   row_number() OVER (
+                       PARTITION BY s.word
+                       ORDER BY v.core_len DESC, v.piece ASC
+                   ) AS rn
+            FROM s{i - 1} s
+            JOIN wpvocab v
+              ON v.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+             AND substr(s.word, s.pos + 1, v.core_len) = v.core
+            WHERE s.pos < len(s.word)
+        ) WHERE rn = 1
+    )"""
+    for i in range(1, _WP_ENCODE_CAP + 1)
+)
+
+_WP_ENCODE_UNION = "\n        UNION ALL\n".join(
+    f"        SELECT word, pos, sig FROM s{i}"
+    for i in range(1, _WP_ENCODE_CAP + 1)
+)
+
+
+# Adversarial plants for q168 (the q126 anti-vacuity technique): the
+# fixture vocabulary is tiny and all-alphabetic, so without plants the
+# gate would never exercise [UNK] or the longest-match-overrides-shorter
+# cases. hashing → hash|##ing (longest BARE + longest CONT win), theta →
+# the|##ta (3-char bare beats th), retable → re|##table (6-char
+# continuation), intention → ...|##tion, x9 / a.b → [UNK] (digit /
+# punctuation), verylongwordx → dropped by the 12-codepoint cap on BOTH
+# sides (the cap itself is exercised, not assumed).
+_WP_PLANT = " hashing theta retable intention x9 a.b reedited verylongwordx"
+
+
+@query(
+    "q168_wordpiece_encode",
+    f"""
+    WITH words AS (
+        SELECT DISTINCT word FROM (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text || '{_WP_PLANT}'), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE word <> '' AND len(word) <= {_WP_ENCODE_CAP}
+    ),
+    wpvocab(piece, core, is_cont, core_len) AS (VALUES {_WP_VOCAB_VALUES}),
+    s0 AS (SELECT word, 0 AS pos, '' AS sig FROM words)
+    {_WP_ENCODE_STEPS},
+    un AS (
+{_WP_ENCODE_UNION}
+    ),
+    fin AS (SELECT word, sig FROM un WHERE pos = len(word))
+    SELECT w.word,
+           CAST(CASE WHEN f.word IS NULL THEN 1
+                ELSE len(string_split(trim(f.sig, '|'), '|')) END AS BIGINT)
+               AS n_pieces,
+           coalesce(trim(f.sig, '|'), '[UNK]') AS seg
+    FROM words w LEFT JOIN fin f ON f.word = w.word
+    """,
+)
+def q168_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece INFERENCE gated end to end (operators/wordpiece.py
+    wordpiece_encode_vocab — BERT's greedy longest-match-first against a
+    FIXED vocabulary artifact, the q126 fixed-merge pattern): every
+    distinct corpus word of ≤ 12 codepoints segments under
+    ``_WP_APPLY_VOCAB`` (bare pieces at position 0, ##-continuations
+    after; any unmatchable position collapses the word to [UNK]
+    wholesale). The Spark side is the package's justified Arrow-batched
+    pandas UDF over the DISTINCT word frame only; the oracle replays
+    greedy longest-match as 12 unrolled step-CTEs, each picking the
+    longest matching piece at the cursor (row_number on core_len desc —
+    the q155 bounded-unroll idiom; 12 steps complete any capped word
+    because every step consumes ≥ 1 character). The '|'-joined
+    segmentation string is the hashed value, so the gate certifies every
+    piece boundary, not just counts."""
+    from albedo_spark.operators.bpe import word_frequencies
+    from albedo_spark.operators.wordpiece import wordpiece_encode_vocab
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_WP_PLANT))
+    )
+    words = (
+        word_frequencies(d)
+        .where(F.length("word") <= _WP_ENCODE_CAP)
+        .select("word")
+    )
+    enc = wordpiece_encode_vocab(words, _WP_APPLY_VOCAB)
+    return enc.select(
+        "word",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.array_join("pieces", "|").alias("seg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9688,6 +9816,7 @@ _DEMOTED = [
 _POST_WINDOW = [
     "q75_bpe_pair_counts",
     "q161_wordpiece_scores",
+    "q168_wordpiece_encode",
     "q162_kneser_ney_bigrams",
     "q163_textrank_keywords",
     "q22_lang_quality",

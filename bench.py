@@ -164,6 +164,7 @@ HEADLINE2 = [
     "q165_bm25_prf_expansion",
     "q166_hits_hubs_authorities",
     "q167_filtered_hybrid_serve",
+    "q168_wordpiece_encode",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
