@@ -137,6 +137,7 @@ def build_bm25_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 16,
+    forward: bool = False,
 ) -> None:
     """Persist the BM25 inverted index — the lexical member of the
     persisted-store family (digest q92 / MinHash q90 / vector q93 / PQ
@@ -149,7 +150,15 @@ def build_bm25_store(
     (the ``_cents`` frozen-model contract: scoring statistics are part
     of the index and may not drift under a reader). Bucketed on ``w`` —
     the probe key — so the store side of every search has ZERO Exchange.
-    Rebuild to refresh; the classic index-maintenance posture."""
+    Rebuild to refresh; the classic index-maintenance posture.
+
+    ``forward=True`` additionally persists the SAME rows as the
+    ``{table}_fwd`` companion bucketed on ``doc_id`` — the forward
+    index. PRF's feedback fetch (``bm25_store_prf_search``) is keyed on
+    doc ids, so against the ``w``-bucketed postings it must scan the
+    whole table; the forward companion gives that fetch a
+    bucket-pruned path (the classic postings+forward dual every search
+    engine keeps). Costs one extra write of the index size."""
     from albedo_spark.io import drop_orphan_table_location, write_bucketed
 
     spark = docs.sparkSession
@@ -176,14 +185,14 @@ def build_bm25_store(
     stats.write.mode("overwrite").format("parquet").saveAsTable(
         table + "_stats"
     )
-    write_bucketed(
-        tf.join(dl, "doc_id").join(dfreq, "w").select(
-            "w", "doc_id", "tf", "dl", "df"
-        ),
-        table,
-        "w",
-        num_buckets=num_buckets,
-    )
+    rows = tf.join(dl, "doc_id").join(dfreq, "w").select(
+        "w", "doc_id", "tf", "dl", "df"
+    ).localCheckpoint(eager=False)
+    write_bucketed(rows, table, "w", num_buckets=num_buckets)
+    if forward:
+        write_bucketed(
+            rows, table + "_fwd", "doc_id", num_buckets=num_buckets
+        )
 
 
 def bm25_store_search(
@@ -477,16 +486,22 @@ def bm25_store_prf_search(
     Plan: pass 1 is ``bm25_store_search`` (broadcast terms into the
     bucketed posting scan, zero store-side Exchange). The feedback
     fetch joins the |Q|·fb_docs doc ids (a broadcast, by construction)
-    against ONE posting-table scan — the documented RM3 price of
-    fetching feedback document vectors; at forward-index scale the next
-    rung is a ``{table}_fwd`` companion bucketed on doc_id so the fetch
-    prunes to the feedback buckets. Pass 2 re-runs the identical probe
-    shape with the (still tiny) expanded term set.
+    against the ``{table}_fwd`` FORWARD companion when the store was
+    built with ``forward=True`` (doc_id-bucketed — the fetch's own
+    key), falling back to one scan of the posting table otherwise (the
+    documented RM3 price; both paths read the same rows, so results are
+    byte-identical — pinned in tests). Pass 2 re-runs the identical
+    probe shape with the (still tiny) expanded term set.
     """
     from albedo_spark.operators.topk import top_k_per_group
 
     spark = queries.sparkSession
     post = spark.table(table)
+    fwd = (
+        spark.table(table + "_fwd")
+        if spark.catalog.tableExists(table + "_fwd")
+        else post
+    )
     stats = spark.table(table + "_stats")
     qterms = (
         queries.select(
@@ -501,7 +516,7 @@ def bm25_store_prf_search(
         query_id_col=query_id_col, text_col=text_col,
     )
     fb = (
-        post.join(F.broadcast(pass1.select("query_id", "doc_id")), "doc_id")
+        fwd.join(F.broadcast(pass1.select("query_id", "doc_id")), "doc_id")
         .groupBy("query_id", "w")
         .agg(F.sum("tf").alias("fbtf"))
         .join(qterms, ["query_id", "w"], "left_anti")

@@ -366,3 +366,39 @@ def test_bm25_prf_expansion_behavior(spark):
     finally:
         for suf in ("", "_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
+def test_bm25_forward_index_prf_equivalence(spark):
+    """forward=True persists the doc_id-bucketed {table}_fwd companion
+    with the SAME rows as the postings, and PRF routed through it is
+    byte-identical to the posting-scan fallback (the q110 equivalence
+    discipline: the companion is an access path, never a semantic)."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        bm25_store_prf_search,
+        build_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    qdf = spark.createDataFrame(
+        [("alpha", "fast hash join"), ("beta", "slow table scan")],
+        "query_id string, text string",
+    )
+    t_plain, t_fwd = "t_bm25_nofwd", "t_bm25_fwd"
+    try:
+        build_bm25_store(d, t_plain)
+        build_bm25_store(d, t_fwd, forward=True)
+        assert spark.catalog.tableExists(t_fwd + "_fwd")
+        assert not spark.catalog.tableExists(t_plain + "_fwd")
+        # same rows in both companions of the forward store
+        assert (
+            spark.table(t_fwd).orderBy("w", "doc_id").collect()
+            == spark.table(t_fwd + "_fwd").orderBy("w", "doc_id").collect()
+        )
+        a = bm25_store_prf_search(qdf, t_plain, top_k=5, fb_docs=2, fb_terms=3)
+        b = bm25_store_prf_search(qdf, t_fwd, top_k=5, fb_docs=2, fb_terms=3)
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    finally:
+        for t in (t_plain, t_fwd):
+            for suf in ("", "_stats", "_fwd"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
