@@ -356,14 +356,6 @@ def k_core(
     )
 
 
-#: BIGINT-headroom ceiling for the HITS rescale: raw scores are sums of
-#: ≤ unit-sized contributions over a node's in/out-degree, and the
-#: rescale multiplies by unit again — ``s * unit`` must stay inside
-#: int64, so any raw sum past this ceiling raises loudly (both engines
-#: would wrap identically; the q159/q161 tripwire discipline).
-_HITS_CEIL = (1 << 63) // 10**6 - 1
-
-
 def hits(
     edges: DataFrame,
     src: str = "src",
@@ -393,6 +385,12 @@ def hits(
     stack into one plan (the q121 iterative idiom). Hub skew is AQE's
     skew-join case.
     """
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
+    # Rescale multiplies raw sums by the caller's unit, so the int64
+    # headroom guard must be computed from THAT unit — a fixed ceiling
+    # sized for the default would let larger units wrap undetected.
+    ceil = (1 << 63) // unit - 1
     ed = edges.select(src, dst).persist()
     nodes = (
         ed.select(F.col(src).alias("node"))
@@ -405,14 +403,14 @@ def hits(
         guarded = raw.select(
             "node",
             F.when(
-                F.col("_s") > F.lit(_HITS_CEIL),
+                F.col("_s") > F.lit(ceil),
                 F.raise_error(
                     F.concat(
                         F.lit("hits: raw score "),
                         F.col("_s").cast("string"),
                         F.lit(
                             f" exceeds the rescale BIGINT headroom"
-                            f" {_HITS_CEIL}; lower unit or shard"
+                            f" {ceil}; lower unit or shard"
                         ),
                     )
                 ).cast("long"),

@@ -193,6 +193,14 @@ def build_bm25_store(
         write_bucketed(
             rows, table + "_fwd", "doc_id", num_buckets=num_buckets
         )
+    else:
+        # A rebuild without the forward companion must never leave a
+        # STALE one behind: bm25_store_prf_search auto-prefers
+        # `{table}_fwd` when it exists, so an orphan from an earlier
+        # forward=True build would feed PRF feedback tf rows from the
+        # OLD corpus, breaking the byte-identical-fallback contract.
+        spark.sql(f"DROP TABLE IF EXISTS `{table}_fwd`")
+        drop_orphan_table_location(spark, table + "_fwd")
 
 
 def bm25_store_search(

@@ -9106,16 +9106,22 @@ def q160_hybrid_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q160_bm25_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     """The persisted BM25 index of the stored (%10 != 0) documents,
-    memoized — SHARED by q160's lexical leg and q165's PRF path."""
+    memoized — SHARED by q160's lexical leg and q165's PRF path. Built
+    with ``forward=True`` (r13): the doc_id-bucketed ``{table}_fwd``
+    companion gives q165's feedback fetch its bucket-pruned access path
+    instead of the posting-scan fallback — byte-identical results
+    (pinned in tests/test_retrieval.py), different plan. Tag bumped so
+    the memo identity reflects the new recipe."""
     from albedo_spark.operators.retrieval import build_bm25_store
 
-    lex_tag = "bm25store_q160_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    lex_tag = "bm25storef_q160_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
 
     def _build_lex(t: str) -> None:
-        build_bm25_store(docs.where("doc_id % 10 != 0"), t)
+        build_bm25_store(docs.where("doc_id % 10 != 0"), t, forward=True)
 
     return _memo_store(
-        spark, sf_dir, "documents", lex_tag, _build_lex, companions=("_stats",)
+        spark, sf_dir, "documents", lex_tag, _build_lex,
+        companions=("_stats", "_fwd"),
     )
 
 
@@ -9813,10 +9819,27 @@ _DEMOTED = [
 # seeding + integer Viterbi + per-doc stats, strictly more operator
 # surface than one pair-count step), while the BPE merge half stays
 # gated post-window via q75/q103/q126 themselves.
+# Round-13 window swaps (the standing new-family promotion rule):
+#   q160 hybrid store serve IN (the persisted-store SERVING family —
+#        BM25 inverted index + PQ codes fused by RRF with zero
+#        store-side Exchange — is a new family, not an extension of an
+#        in-window rep); q57 session-window streaming gate OUT to
+#        post-window — streaming keeps q56 (windowed agg) + q58
+#        (arbitrary stateful) + q65 (stream-stream join) in-window and
+#        the session_window surface stays covered by batch q17
+#        (equivalence-pinned) plus q57 itself in the no-cap gate.
+#   q168 WordPiece inference IN (the tokenizer trio's third member;
+#        in-window q152 covers unigram-LM only, and q168's oracle
+#        plants adversarial [UNK]/longest-match/length-cap cases);
+#        q65 stream-stream interval join OUT to post-window — its
+#        batch twin q45 (time-range join) stays in-window and the
+#        stream-side semantics remain pinned by pytest + the no-cap
+#        gate.
 _POST_WINDOW = [
+    "q57_stream_session_gate",
+    "q65_stream_interval_join",
     "q75_bpe_pair_counts",
     "q161_wordpiece_scores",
-    "q168_wordpiece_encode",
     "q162_kneser_ney_bigrams",
     "q163_textrank_keywords",
     "q22_lang_quality",
@@ -9861,7 +9884,6 @@ _POST_WINDOW = [
     "q93_ann_vector_store",
     "q153_pq_vector_store",
     "q158_pq_store_trained",
-    "q160_hybrid_store_serve",
     "q164_filtered_pq_search",
     "q165_bm25_prf_expansion",
     "q167_filtered_hybrid_serve",

@@ -286,14 +286,25 @@ def test_hits_hand_example(spark):
     }
 
 
-def test_hits_headroom_tripwire(spark, monkeypatch):
+def test_hits_headroom_tripwire(spark):
+    # The ceiling derives from the caller's unit ((1<<63) div unit - 1),
+    # so a near-int64 unit shrinks headroom to single digits and any
+    # multi-hub raw sum must raise instead of wrapping.
     from albedo_spark.operators import graph
 
-    monkeypatch.setattr(graph, "_HITS_CEIL", 10)
     edges = spark.createDataFrame(
         [(i, 99) for i in range(5)], "src long, dst long"
     )
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="headroom"):
-        graph.hits(edges, iterations=1).collect()
+        graph.hits(edges, iterations=1, unit=(1 << 63) // 8).collect()
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from albedo_spark.operators.graph import hits
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)

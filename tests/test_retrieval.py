@@ -398,6 +398,15 @@ def test_bm25_forward_index_prf_equivalence(spark):
         a = bm25_store_prf_search(qdf, t_plain, top_k=5, fb_docs=2, fb_terms=3)
         b = bm25_store_prf_search(qdf, t_fwd, top_k=5, fb_docs=2, fb_terms=3)
         assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+        # A rebuild WITHOUT forward must drop a pre-existing companion:
+        # PRF auto-prefers {table}_fwd, so an orphan from the earlier
+        # forward=True build would feed it stale feedback rows.
+        build_bm25_store(d.limit(60), t_fwd)
+        assert not spark.catalog.tableExists(t_fwd + "_fwd")
+        c = bm25_store_prf_search(qdf, t_fwd, top_k=5, fb_docs=2, fb_terms=3)
+        build_bm25_store(d.limit(60), t_plain, forward=True)
+        e = bm25_store_prf_search(qdf, t_plain, top_k=5, fb_docs=2, fb_terms=3)
+        assert {tuple(r) for r in c.collect()} == {tuple(r) for r in e.collect()}
     finally:
         for t in (t_plain, t_fwd):
             for suf in ("", "_stats", "_fwd"):
