@@ -264,11 +264,54 @@ def bench_calibration(spark) -> dict[str, float]:
         h.update(blob)
     cpu_single = round(time.perf_counter() - t0, 3)
 
+    # Min-of-3 for the JVM probe (r13): a single sample at the START
+    # boundary can catch a JIT-tiering or GC transient (observed 0.37 s
+    # vs the same session's mature 0.10 s) and spuriously trip the
+    # contention flag; the MIN of three post-warm samples is the host's
+    # attainable speed — genuine co-tenant contention slows ALL samples.
     spark.range(100_000_000).selectExpr("sum(id)").collect()  # warm
-    t0 = time.perf_counter()
-    spark.range(100_000_000).selectExpr("sum(id)").collect()
-    spark_parallel = round(time.perf_counter() - t0, 3)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id)").collect()
+        samples.append(time.perf_counter() - t0)
+    spark_parallel = round(min(samples), 3)
     return {"cpu_single": cpu_single, "spark_parallel": spark_parallel}
+
+
+#: Per-probe contention thresholds. cpu_single is a pure-Python probe
+#: with no engine warm-state, so 2x is unambiguous host movement. The
+#: JVM parallel probe carries an inherent start-vs-end JIT-maturity
+#: bias (a freshly-warmed session attains ~0.15 s where the same
+#: session attains ~0.10 s after hundreds of queries — measured r13),
+#: so its threshold is 3x: wide enough to never flag JIT maturity,
+#: tight enough to catch the 3.8x-class co-tenant spikes it exists for.
+_CONTENTION_FACTORS = {"cpu_single": 2.0, "spark_parallel": 3.0}
+
+
+def contention_flag(
+    start: dict, end: dict, factors: dict | None = None
+) -> tuple[bool, dict[str, float]]:
+    """Decide whether a bench run was CONTENDED from its boundary
+    calibration pair: if either hardware probe (cpu_single or
+    spark_parallel) moved by more than its threshold between the
+    before-headline and after-everything samples, the host's speed
+    changed mid-run and every timing in between is suspect (round 10's
+    57.3 s artifact was exactly this — a co-tenant spike the artifact
+    could not declare about itself). Pure function so the decision is
+    unit-testable without running the bench. Returns (contended,
+    per-probe max/min ratios); probes missing on either side are
+    skipped — no evidence is not evidence of contention."""
+    factors = factors if factors is not None else _CONTENTION_FACTORS
+    ratios: dict[str, float] = {}
+    for k, factor in factors.items():
+        a, b = start.get(k), end.get(k)
+        if a and b:
+            ratios[k] = round(max(a, b) / min(a, b), 3)
+    contended = any(
+        r > factors[k] for k, r in ratios.items()
+    )
+    return contended, ratios
 
 
 def bench_oracles(sf_dir: str) -> dict[str, float]:
@@ -485,6 +528,11 @@ def main() -> None:
         if spark_parallel
         else None
     )
+    # Auto-flag contended runs (VERDICT r12 ask #4): the artifact itself
+    # declares when its boundary calibration pair disagrees >2x, and the
+    # process exits nonzero AFTER printing the JSON line so an automated
+    # harness can rerun — the timings stay recorded either way.
+    contended, contention_ratios = contention_flag(calibration_start, calibration)
     print(
         json.dumps(
             {
@@ -522,10 +570,15 @@ def main() -> None:
                     "ref_spark_parallel": REF_SPARK_PARALLEL,
                     "round": 4,
                 },
+                "contended": contended,
+                "contention_ratios": contention_ratios,
+                "contention_factors": _CONTENTION_FACTORS,
                 "errors": errors,
             }
         )
     )
+    if contended:
+        raise SystemExit(3)
 
 
 if __name__ == "__main__":
