@@ -162,6 +162,20 @@ def main(argv: list[str] | None = None) -> dict:
                         "the SURVIVING documents' embeddings under this "
                         "managed-table name — the retrieval-ready sidecar "
                         "of a cleaned corpus")
+    p.add_argument("--pq-kc", type=int, default=8, metavar="KC",
+                   help="IVF-PQ geometry: number of coarse cells "
+                        "(default 8; rule of thumb ~sqrt(N) at scale)")
+    p.add_argument("--pq-m", type=int, default=4, metavar="M",
+                   help="IVF-PQ geometry: subvectors per code — m ints "
+                        "replace the float vector at rest (default 4)")
+    p.add_argument("--pq-subdim", type=int, default=16, metavar="D",
+                   help="IVF-PQ geometry: dimensions per subvector; "
+                        "m*subdim must equal the embedding dim "
+                        "(default 16, i.e. 4x16=64)")
+    p.add_argument("--pq-buckets", type=int, default=8, metavar="B",
+                   help="bucket count of the persisted code table on "
+                        "cluster_id — size so each bucket's postings fit "
+                        "an executor at the target corpus (default 8)")
     p.add_argument("--quality-model-dim", type=int, default=None,
                    help="train a fasttext-style quality classifier at this "
                         "hashed-TF dimension (weak labels bootstrapped from "
@@ -810,15 +824,18 @@ def main(argv: list[str] | None = None) -> dict:
             "vec_id",
             "left_semi",
         )
-        build_pq_store(s_emb, args.pq_index, kc=8, m=4, subdim=16,
-                       num_buckets=8, codebooks="train")
+        build_pq_store(s_emb, args.pq_index, kc=args.pq_kc, m=args.pq_m,
+                       subdim=args.pq_subdim, num_buckets=args.pq_buckets,
+                       codebooks="train")
         spark.catalog.refreshTable(args.pq_index)
         summary["pq_index"] = {
             "table": args.pq_index,
             "n_vectors": spark.table(args.pq_index)
             .select("vec_id").distinct().count(),
-            "kc": 8,
-            "m": 4,
+            "kc": args.pq_kc,
+            "m": args.pq_m,
+            "subdim": args.pq_subdim,
+            "num_buckets": args.pq_buckets,
             "codebooks": "trained_residual",
             "codebook_table": args.pq_index + "_cb",
         }
