@@ -177,9 +177,21 @@ def build_bm25_store(
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    # Stats are per-GENERATION rows (r13): (gen, n_docs, dl_total,
+    # avgdl_x100). A fresh build is generation 0; each
+    # append_bm25_postings adds one row. dl_total makes the corpus
+    # scalars MERGEABLE at read — merged avgdl_x100 =
+    # (100 * sum(dl_total)) div sum(n_docs) is exactly the value a
+    # from-scratch rebuild would freeze, which is what keeps
+    # multi-generation search byte-identical to a rebuilt store.
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("_t")
-    ).select("n_docs", F.expr("(100 * _t) div n_docs").alias("avgdl_x100"))
+    ).select(
+        F.lit(0).cast("long").alias("gen"),
+        "n_docs",
+        F.col("_t").alias("dl_total"),
+        F.expr("(100 * _t) div n_docs").alias("avgdl_x100"),
+    )
     spark.sql(f"DROP TABLE IF EXISTS `{table}_stats`")
     drop_orphan_table_location(spark, table + "_stats")
     stats.write.mode("overwrite").format("parquet").saveAsTable(
@@ -201,6 +213,215 @@ def build_bm25_store(
         # OLD corpus, breaking the byte-identical-fallback contract.
         spark.sql(f"DROP TABLE IF EXISTS `{table}_fwd`")
         drop_orphan_table_location(spark, table + "_fwd")
+
+
+def _table_num_buckets(spark: SparkSession, table: str) -> int:
+    """The bucket count a table was WRITTEN with, from the catalog — an
+    append that guessed a different count would silently break the
+    store's no-shuffle layout property."""
+    for r in spark.sql(f"DESCRIBE FORMATTED `{table}`").collect():
+        if r[0] and r[0].strip() == "Num Buckets":
+            return int(r[1])
+    raise ValueError(f"{table} is not a bucketed table")
+
+
+def append_bm25_postings(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Add a new document batch to a persisted BM25 store as one
+    GENERATION — the lexical store's member of the family's
+    append/streaming posture (digest q92 / MinHash q90 / vector q93 /
+    PQ q153 all had one; until r13 this store was rebuild-only because
+    df was denormalized per row). Lucene's segment model, DataFrame-
+    first: the batch's posting rows land as an append into the same
+    w-bucketed table (layout property survives), its corpus scalars as
+    one more ``{table}_stats`` row, and readers merge — summed n_docs /
+    dl_total reproduce the rebuilt store's scalars exactly, and
+    corpus-level df is recomputed over the (candidate-bounded) matched
+    postings, so search over build+append is BYTE-IDENTICAL to search
+    over a from-scratch rebuild (pinned in tests). The per-row df
+    written here is the segment-local count — correct while the store
+    has one generation, superseded by the read-side recompute once it
+    has more, folded back by ``compact_bm25_store``.
+
+    Replay-idempotent via the shared ``admit_novel`` core: only
+    never-seen doc ids contribute (the ``{table}_bloom`` sidecar, when
+    present, keeps that probe O(batch)); the bloom mirror advances
+    BEFORE the row write (bloom-without-rows is a harmless false
+    positive; the reverse would re-admit). The ``{table}_fwd`` forward
+    companion, when present, receives the same rows so PRF's
+    bucket-pruned fetch stays complete. Returns
+    ``{admitted, generation}``."""
+    from albedo_spark.operators.vector_store import admit_novel, mirror_bloom
+
+    spark = docs.sparkSession
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"BM25 store `{table}` does not exist — build_bm25_store first"
+        )
+    stats_raw = spark.table(table + "_stats")
+    if "gen" not in stats_raw.columns:
+        raise ValueError(
+            f"`{table}` predates the generation layout — rebuild with "
+            "build_bm25_store before appending"
+        )
+    batch = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    novel = admit_novel(batch, table, id_col="doc_id").localCheckpoint()
+    n_novel = novel.count()
+    if n_novel == 0:
+        return {"admitted": 0, "generation": None}
+    tf = (
+        novel.select(
+            "doc_id", F.explode(tokens(F.col("_text"))).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)  # consumers: dl, df, stats, rows
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    stats_row = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("_t")
+    ).first()
+    mirror_bloom(novel.select("doc_id"), table, id_col="doc_id")
+    if not stats_row["n_docs"]:
+        # Every admitted doc tokenized to nothing: no postings, no stats
+        # contribution — identical to a rebuild, which would not count
+        # token-free docs either. The bloom mirror above still records
+        # the ids so replays skip them.
+        return {"admitted": n_novel, "generation": None}
+    gen = stats_raw.agg(F.max("gen")).first()[0] + 1
+    nb = _table_num_buckets(spark, table)
+    rows = tf.join(dl, "doc_id").join(dfreq, "w").select(
+        "w", "doc_id", "tf", "dl", "df"
+    ).localCheckpoint(eager=False)
+    (
+        rows.write.mode("append")
+        .bucketBy(nb, "w")
+        .sortBy("w")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    if spark.catalog.tableExists(table + "_fwd"):
+        (
+            rows.write.mode("append")
+            .bucketBy(nb, "doc_id")
+            .sortBy("doc_id")
+            .format("parquet")
+            .saveAsTable(table + "_fwd")
+        )
+    spark.createDataFrame(
+        [(int(gen), int(stats_row["n_docs"]), int(stats_row["_t"]),
+          (100 * int(stats_row["_t"])) // int(stats_row["n_docs"]))],
+        "gen long, n_docs bigint, dl_total bigint, avgdl_x100 bigint",
+    ).write.mode("append").format("parquet").saveAsTable(table + "_stats")
+    return {"admitted": n_novel, "generation": int(gen)}
+
+
+def compact_bm25_store(spark: SparkSession, table: str) -> dict:
+    """Fold a multi-generation BM25 store back to single-generation —
+    the maintenance pass that retires the read-side df recompute and
+    the per-append small files in one rewrite (``io.compact_table``'s
+    role, plus the df fold that generic row-preserving compaction
+    cannot do). Corpus-level df is recomputed over the full posting set
+    (one bucketed-scan aggregate on w — no Exchange), stats rows merge
+    into one generation-0 row with the exact summed scalars, and the
+    ``{table}_fwd`` companion (when present) is rewritten from the same
+    frame. Rewritten frames are eagerly checkpointed before the
+    overwrite, so the source tables are no longer load-bearing when
+    they drop; as with ``compact_table``, the non-transactional swap
+    window is the documented price of a plain-parquet catalog — at
+    100 TB on Iceberg/Delta this is their transactional compaction
+    call. Search results are unchanged by construction (same rows,
+    same recomputed statistics a rebuild would produce)."""
+    from albedo_spark.io import drop_orphan_table_location, write_bucketed
+
+    nb = _table_num_buckets(spark, table)
+    files_before = len(spark.table(table).inputFiles())
+    post = spark.table(table)
+    dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
+    rows = post.drop("df").join(dfreq, "w").select(
+        "w", "doc_id", "tf", "dl", "df"
+    ).localCheckpoint()
+    stats_raw = spark.table(table + "_stats")
+    if "gen" not in stats_raw.columns:
+        # legacy layout: dl_total unrecoverable from a frozen avgdl
+        raise ValueError(
+            f"`{table}` predates the generation layout — rebuild with "
+            "build_bm25_store instead of compacting"
+        )
+    merged = stats_raw.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("dl_total").alias("_t")
+    ).first()
+    n_docs, dl_total = int(merged["n_docs"]), int(merged["_t"])
+    has_fwd = spark.catalog.tableExists(table + "_fwd")
+    write_bucketed(rows, table, "w", num_buckets=nb)
+    if has_fwd:
+        write_bucketed(rows, table + "_fwd", "doc_id", num_buckets=nb)
+    spark.sql(f"DROP TABLE IF EXISTS `{table}_stats`")
+    drop_orphan_table_location(spark, table + "_stats")
+    spark.createDataFrame(
+        [(0, n_docs, dl_total, (100 * dl_total) // n_docs)],
+        "gen long, n_docs bigint, dl_total bigint, avgdl_x100 bigint",
+    ).write.mode("overwrite").format("parquet").saveAsTable(table + "_stats")
+    rows.unpersist()
+    return {
+        "files_before": files_before,
+        "files_after": len(spark.table(table).inputFiles()),
+        "n_docs": n_docs,
+    }
+
+
+def _bm25_read_stats(spark: SparkSession, table: str):
+    """Resolve a BM25 store's corpus scalars → (one-row ``(n_docs,
+    avgdl_x100)`` frame, multi_gen flag). Single-generation stores (and
+    legacy two-column stats tables from before the generation layout)
+    pass their frozen row through untouched — the exact bytes every
+    existing gate hashes. Multi-generation stores merge by SUM:
+    ``n_docs = Σ n_docs``, ``avgdl_x100 = (100·Σ dl_total) div n_docs``
+    — identical to what a from-scratch rebuild would freeze, because
+    integer division distributes over nothing here (one division, over
+    exact sums)."""
+    raw = spark.table(table + "_stats")
+    if "gen" not in raw.columns:
+        return raw.select("n_docs", "avgdl_x100"), False
+    if raw.count() <= 1:
+        return raw.select("n_docs", "avgdl_x100"), False
+    merged = raw.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("dl_total").alias("_t")
+    ).select("n_docs", F.expr("(100 * _t) div n_docs").alias("avgdl_x100"))
+    return merged, True
+
+
+def _bm25_postings(spark: SparkSession, table: str, terms: DataFrame,
+                   multi_gen: bool) -> DataFrame:
+    """The posting rows a probe scores against, with a CORRECT ``df``
+    column. Single-generation: the table itself — df was denormalized
+    at build time and is exact (zero extra work, the pinned plan).
+    Multi-generation: the per-row df is stale (each segment froze its
+    own batch-local count), so corpus-level df is RECOMPUTED over the
+    term-matched postings — one bucketed scan filtered by the broadcast
+    term list, materialized once (localCheckpoint) and consumed by both
+    the df aggregate and the scoring join. Every (w, doc_id) pair
+    appears exactly once across generations (append admits novel doc
+    ids only), so ``count(*)`` per w over the matched rows IS the
+    rebuilt store's df. Cost is candidate-bounded: only queried terms'
+    postings flow, never the corpus — the read-side price of append
+    until ``compact_bm25_store`` folds the segments."""
+    post = spark.table(table)
+    if not multi_gen:
+        return post
+    matched = post.join(
+        F.broadcast(terms.select("w").distinct()), "w"
+    ).localCheckpoint(eager=False)
+    dfreq = matched.groupBy("w").agg(F.count("*").alias("df"))
+    return matched.drop("df").join(F.broadcast(dfreq), "w")
 
 
 def bm25_store_search(
@@ -230,14 +451,7 @@ def bm25_store_search(
     the INDEX's frozen corpus-level stats (standard filtered-retrieval
     practice — the slice narrows candidates, not the model)."""
     spark = queries.sparkSession
-    post = spark.table(table)
-    if allow is not None:
-        post = post.join(
-            F.broadcast(allow.selectExpr(f"{allow.columns[0]} AS doc_id")),
-            "doc_id",
-            "semi",
-        )
-    stats = spark.table(table + "_stats")
+    stats, multi_gen = _bm25_read_stats(spark, table)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -247,6 +461,15 @@ def bm25_store_search(
         )
         .where(F.col("w") != "")
     )
+    # df recompute (multi-gen only) runs BEFORE the allow filter: idf is
+    # the index's corpus-level statistic, never the slice's.
+    post = _bm25_postings(spark, table, qterms, multi_gen)
+    if allow is not None:
+        post = post.join(
+            F.broadcast(allow.selectExpr(f"{allow.columns[0]} AS doc_id")),
+            "doc_id",
+            "semi",
+        )
     idf_x10k = F.expr("(10000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")
     tfpart_x10k = F.expr(
         "(10000 * 22 * tf * avgdl_x100)"
@@ -504,13 +727,12 @@ def bm25_store_prf_search(
     from albedo_spark.operators.topk import top_k_per_group
 
     spark = queries.sparkSession
-    post = spark.table(table)
     fwd = (
         spark.table(table + "_fwd")
         if spark.catalog.tableExists(table + "_fwd")
-        else post
+        else spark.table(table)
     )
-    stats = spark.table(table + "_stats")
+    stats, multi_gen = _bm25_read_stats(spark, table)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -535,6 +757,7 @@ def bm25_store_prf_search(
     expanded = qterms.withColumn("wt", F.lit(orig_weight)).unionByName(
         fbtop.select("query_id", "w").withColumn("wt", F.lit(1))
     )
+    post = _bm25_postings(spark, table, expanded, multi_gen)
     idf_x10k = F.expr("(10000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")
     tfpart_x10k = F.expr(
         "(10000 * 22 * tf * avgdl_x100)"

@@ -9689,6 +9689,79 @@ def q168_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q169_bm25_multigen_store",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL AND doc_id % 10 != 0
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks WHERE w <> '' GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    stats AS (
+        SELECT count(*) AS n_docs, (100 * sum(dl)) // count(*) AS avgdl_x100 FROM dl
+    ),
+    q(query_id, w) AS (VALUES {_BM25_VALUES}),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum((((10000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+                    * ((10000 * 22 * tf.tf * s.avgdl_x100)
+                       // (10*tf.tf*s.avgdl_x100 + 3*s.avgdl_x100 + 900*dl.dl)))
+                   // 10000) AS BIGINT) AS bm25_x10k
+        FROM tf
+        JOIN q USING (w)
+        JOIN dfreq d USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, rank, bm25_x10k FROM (
+        SELECT query_id, doc_id, bm25_x10k,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY bm25_x10k DESC, doc_id ASC
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q169_bm25_multigen_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search over a MULTI-GENERATION persisted index — the gate
+    for the lexical store's r13 append posture (retrieval.py
+    ``append_bm25_postings``): the store is built on roughly half the
+    %10 != 0 corpus (doc_id % 10 in 1..5) and the other half (6..9)
+    lands as an appended generation, Lucene's segment model
+    DataFrame-first. The reader merges the per-generation stats rows by
+    exact integer sums and recomputes corpus-level df over the
+    term-matched postings (candidate-bounded — one bucketed scan
+    filtered by the broadcast term list, never the corpus), so the
+    oracle can replay the whole thing as ONE flat corpus-level BM25
+    over doc_id % 10 != 0 — the same SQL a from-scratch rebuild would
+    satisfy. A hash match here IS the append contract: build+append
+    serves byte-identical scores to rebuild. Store memoized
+    (build+append is the builder); plain q127 scoring chain, pinned
+    row_number top-k."""
+    from albedo_spark.operators.retrieval import (
+        append_bm25_postings,
+        bm25_store_search,
+        build_bm25_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = "bm25seg_q169_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+
+    def _build(t: str) -> None:
+        build_bm25_store(docs.where("doc_id % 10 IN (1,2,3,4,5)"), t)
+        append_bm25_postings(docs.where("doc_id % 10 IN (6,7,8,9)"), t)
+
+    table = _memo_store(
+        spark, sf_dir, "documents", tag, _build, companions=("_stats",)
+    )
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, text string")
+    return bm25_store_search(qdf, table, top_k=5)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9887,6 +9960,7 @@ _POST_WINDOW = [
     "q164_filtered_pq_search",
     "q165_bm25_prf_expansion",
     "q167_filtered_hybrid_serve",
+    "q169_bm25_multigen_store",
     "q94_group_sample",
     "q95_merge_intervals",
     "q96_copurchase_topk",

@@ -374,6 +374,63 @@ def run_to_dedup_store(
     return q
 
 
+def run_to_bm25_store(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+    forward: bool = False,
+):
+    """Streaming BM25 index maintenance — the lexical store's streaming
+    twin, completing the persisted-store family's ingest posture (the
+    digest/MinHash/SimHash/vector stores each have one; the BM25 store
+    was rebuild-only until r13): the first micro-batch BUILDS the store
+    (generation 0), every later batch lands as one more generation via
+    ``append_bm25_postings``, so a continuously ingested corpus stays
+    searchable between batches and search over the live store is
+    byte-identical to a from-scratch rebuild over everything ingested
+    (the append contract, pinned in tests).
+
+    Replay safety needs no output-directory dance here because the
+    store IS the sink and the append is idempotent end-to-end: a
+    restarted batch's doc ids are all in the store, ``admit_novel``
+    admits nothing, and no posting/stats row is written twice. Crash
+    windows follow the build's write order (stats → postings → forward
+    companion): a crash before the posting write replays as a clean
+    rebuild; a crash after it replays as a no-op append. The one
+    degraded (never incorrect) state: with ``forward=True``, a crash
+    between the posting and forward writes of the FIRST batch leaves
+    the companion permanently absent — PRF then serves from the
+    documented posting-scan fallback, byte-identical results."""
+    from albedo_spark.operators.retrieval import (
+        append_bm25_postings,
+        build_bm25_store,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(table):
+            build_bm25_store(
+                batch_df, table, text_col, id_col, num_buckets,
+                forward=forward,
+            )
+            return
+        append_bm25_postings(batch_df, table, text_col, id_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_minhash_store(
     stream_df: DataFrame,
     table: str,

@@ -411,3 +411,181 @@ def test_bm25_forward_index_prf_equivalence(spark):
         for t in (t_plain, t_fwd):
             for suf in ("", "_stats", "_fwd"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
+def _bm25_probe_set(spark):
+    return spark.createDataFrame(
+        [("alpha", "fast hash join"), ("beta", "slow table scan"),
+         ("gamma", "vector index probe")],
+        "query_id string, text string",
+    )
+
+
+def test_bm25_append_rebuild_equivalence(spark):
+    """The append contract (VERDICT r12 ask #2): build on half the
+    corpus + append the other half must serve BYTE-IDENTICAL results to
+    a from-scratch rebuild over everything — plain search, PRF (through
+    the forward companion, which the append must also advance), and the
+    filtered (allow) path with its corpus-level idf. A replayed append
+    admits nothing and changes nothing."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        append_bm25_postings,
+        bm25_store_prf_search,
+        bm25_store_search,
+        build_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    qdf = _bm25_probe_set(spark)
+    allow = d.where("doc_id % 3 = 0").select("doc_id")
+    t_full, t_inc = "t_bm25_eq_full", "t_bm25_eq_inc"
+    try:
+        build_bm25_store(d, t_full, forward=True)
+        build_bm25_store(d.where("doc_id % 2 = 0"), t_inc, forward=True)
+        out = append_bm25_postings(d.where("doc_id % 2 = 1"), t_inc)
+        assert out["admitted"] > 0 and out["generation"] == 1
+        assert spark.table(t_inc + "_stats").count() == 2
+        # same posting rows in the forward companion after the append
+        assert (
+            spark.table(t_inc).count()
+            == spark.table(t_inc + "_fwd").count()
+            == spark.table(t_full).count()
+        )
+
+        def got(fn, tbl, **kw):
+            return sorted(tuple(r) for r in fn(qdf, tbl, **kw).collect())
+
+        assert got(bm25_store_search, t_full, top_k=5) == got(
+            bm25_store_search, t_inc, top_k=5
+        )
+        assert got(
+            bm25_store_prf_search, t_full, top_k=5, fb_docs=2, fb_terms=3
+        ) == got(bm25_store_prf_search, t_inc, top_k=5, fb_docs=2, fb_terms=3)
+        assert got(bm25_store_search, t_full, top_k=5, allow=allow) == got(
+            bm25_store_search, t_inc, top_k=5, allow=allow
+        )
+        # replay: nothing admitted, nothing written
+        n_rows = spark.table(t_inc).count()
+        replay = append_bm25_postings(d.where("doc_id % 2 = 1"), t_inc)
+        assert replay == {"admitted": 0, "generation": None}
+        assert spark.table(t_inc).count() == n_rows
+        assert spark.table(t_inc + "_stats").count() == 2
+    finally:
+        for t in (t_full, t_inc):
+            for suf in ("", "_stats", "_fwd", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
+def test_bm25_append_bloom_sidecar_equivalence(spark):
+    """With a ``{table}_bloom`` sidecar the append admits the identical
+    set (the admit_novel contract extended to the lexical store), the
+    sidecar advances in lockstep, and a replay admits nothing without
+    ever scanning past the bloom's definite-novel split."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.dedup_store import build_bloom_sidecar
+    from albedo_spark.operators.retrieval import (
+        append_bm25_postings,
+        bm25_store_search,
+        build_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(160)
+    qdf = _bm25_probe_set(spark)
+    t_b, t_nb = "t_bm25_bloom", "t_bm25_nobloom"
+    try:
+        for t in (t_b, t_nb):
+            build_bm25_store(d.where("doc_id % 2 = 0"), t)
+        build_bloom_sidecar(spark, t_b, t_b + "_bloom", key_col="doc_id")
+        out_b = append_bm25_postings(d.where("doc_id % 2 = 1"), t_b)
+        out_nb = append_bm25_postings(d.where("doc_id % 2 = 1"), t_nb)
+        assert out_b == out_nb and out_b["admitted"] > 0
+        assert sorted(
+            tuple(r) for r in bm25_store_search(qdf, t_b, top_k=5).collect()
+        ) == sorted(
+            tuple(r) for r in bm25_store_search(qdf, t_nb, top_k=5).collect()
+        )
+        # sidecar advanced: one generation per append
+        assert spark.table(t_b + "_bloom").count() == 2
+        replay = append_bm25_postings(d.where("doc_id % 2 = 1"), t_b)
+        assert replay["admitted"] == 0
+    finally:
+        for t in (t_b, t_nb):
+            for suf in ("", "_stats", "_fwd", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
+def test_bm25_compact_store(spark):
+    """compact_bm25_store folds a multi-generation store to one
+    generation — stats merge to a single row, df is refreshed per row,
+    the forward companion is rewritten — with search and PRF results
+    unchanged, and the compacted store equals a from-scratch rebuild
+    row-for-row."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        append_bm25_postings,
+        bm25_store_prf_search,
+        bm25_store_search,
+        build_bm25_store,
+        compact_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(150)
+    qdf = _bm25_probe_set(spark)
+    tbl, ref = "t_bm25_compact", "t_bm25_compact_ref"
+    try:
+        build_bm25_store(d.where("doc_id % 3 = 0"), tbl, forward=True)
+        append_bm25_postings(d.where("doc_id % 3 = 1"), tbl)
+        append_bm25_postings(d.where("doc_id % 3 = 2"), tbl)
+        assert spark.table(tbl + "_stats").count() == 3
+        before_s = sorted(
+            tuple(r) for r in bm25_store_search(qdf, tbl, top_k=5).collect()
+        )
+        before_p = sorted(
+            tuple(r)
+            for r in bm25_store_prf_search(
+                qdf, tbl, top_k=5, fb_docs=2, fb_terms=3
+            ).collect()
+        )
+        res = compact_bm25_store(spark, tbl)
+        assert res["n_docs"] == spark.table(tbl).select("doc_id").distinct().count()
+        assert spark.table(tbl + "_stats").count() == 1
+        assert sorted(
+            tuple(r) for r in bm25_store_search(qdf, tbl, top_k=5).collect()
+        ) == before_s
+        assert sorted(
+            tuple(r)
+            for r in bm25_store_prf_search(
+                qdf, tbl, top_k=5, fb_docs=2, fb_terms=3
+            ).collect()
+        ) == before_p
+        # row-for-row identical to a rebuild (df fold is exact)
+        build_bm25_store(d, ref, forward=True)
+        assert sorted(
+            tuple(r) for r in spark.table(tbl).collect()
+        ) == sorted(tuple(r) for r in spark.table(ref).collect())
+        assert (
+            spark.table(tbl + "_stats").select(
+                "n_docs", "dl_total", "avgdl_x100"
+            ).first()
+            == spark.table(ref + "_stats").select(
+                "n_docs", "dl_total", "avgdl_x100"
+            ).first()
+        )
+    finally:
+        for t in (tbl, ref):
+            for suf in ("", "_stats", "_fwd", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
+def test_bm25_append_guards(spark):
+    import pytest as _pytest
+
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import append_bm25_postings
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    with _pytest.raises(ValueError, match="does not exist"):
+        append_bm25_postings(d, "t_bm25_never_built")

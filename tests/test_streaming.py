@@ -389,6 +389,62 @@ def test_run_to_dedup_store(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_run_to_bm25_store(spark, tmp_path):
+    """Streaming BM25 index maintenance: the first batch builds the
+    store, later batches land as generations, search over the live
+    store is byte-identical to a rebuild over everything ingested, and
+    a full replay with a fresh checkpoint appends nothing (admit_novel
+    idempotence — the store is its own sink)."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        bm25_store_search,
+        build_bm25_store,
+    )
+    from albedo_spark.streaming.events import run_to_bm25_store
+
+    src = str(tmp_path / "src")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    tbl, ref = "t_stream_bm25", "t_stream_bm25_ref"
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    qdf = spark.createDataFrame(
+        [("a", "fast hash join"), ("b", "slow table scan")],
+        "query_id string, text string",
+    )
+    try:
+        d.where("doc_id % 2 = 0").select("doc_id", "text").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        d.where("doc_id % 2 = 1").select("doc_id", "text").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        run_to_bm25_store(stream(), tbl, ck1)
+        # two files -> build + one appended generation
+        assert spark.table(tbl + "_stats").count() == 2
+        build_bm25_store(d.select("doc_id", "text"), ref)
+        assert sorted(
+            tuple(r) for r in bm25_store_search(qdf, tbl, top_k=5).collect()
+        ) == sorted(
+            tuple(r) for r in bm25_store_search(qdf, ref, top_k=5).collect()
+        )
+        # full replay, fresh checkpoint: nothing admitted, nothing added
+        n_rows = spark.table(tbl).count()
+        run_to_bm25_store(stream(), tbl, ck2)
+        assert spark.table(tbl).count() == n_rows
+        assert spark.table(tbl + "_stats").count() == 2
+    finally:
+        for t in (tbl, ref):
+            for suf in ("", "_stats", "_fwd", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
 def test_run_to_minhash_store(spark, tmp_path):
     """Streaming near-dup ingest vs the persisted MinHash store: only
     docs without an LSH candidate in history (or a smaller admitted
