@@ -525,6 +525,7 @@ def drop_orphan_table_location(
 
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, num_buckets: int = 256,
+    partition_cols: tuple[str, ...] = (),
 ) -> None:
     """Bucketed managed-table sink: co-locates future joins/aggs on
     ``bucket_col`` without a shuffle. The scale-path upgrade of the
@@ -542,9 +543,15 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     drop_orphan_table_location(spark, table)
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        # Directory partitioning UNDER the bucketing: a slice predicate
+        # on these columns prunes whole directories at plan time
+        # (PartitionFilters in the scan) while the bucket join inside
+        # each slice keeps its no-shuffle property.
+        w = w.partitionBy(*partition_cols)
     (
-        df.write.mode("overwrite")
-        .bucketBy(num_buckets, bucket_col)
+        w.bucketBy(num_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
         .saveAsTable(table)

@@ -28,7 +28,7 @@ discipline, same oracle replayability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from albedo_spark.functions.vectors import dot
@@ -433,6 +433,7 @@ def build_pq_store(
     codebooks: list | str | None = None,
     num_buckets: int = 8,
     ncodes: int = 8,
+    partition_cols: tuple[str, ...] = (),
 ) -> None:
     """The PQ rung of the persisted vector store (the at-rest ladder:
     float32 → int8 (~3.3× measured) → PQ codes, m small ints + a cell id
@@ -453,7 +454,18 @@ def build_pq_store(
     is used is persisted as the ``{table}_cb`` companion under the same
     frozen-model contract as ``_cents`` — appends and probes load it
     back, so a trained store can never be silently probed with the
-    wrong codebooks (ADVICE r11 #4)."""
+    wrong codebooks (ADVICE r11 #4).
+
+    ``partition_cols``: metadata columns of ``corpus`` (e.g. lang,
+    license) baked into the store as DIRECTORY partitions under the
+    cluster_id bucketing — the q164 contract's scale path: an
+    allow-list too big to broadcast belongs as a partition column at
+    build time, so ``pq_store_topk(where=...)`` prunes the slice at
+    plan time (PartitionFilters) instead of semi-joining an id set.
+    Coarse cells and codebooks stay CORPUS-level (the whole-index
+    frozen model — the slice narrows candidates, never the model),
+    which is exactly what keeps the partition path result-identical to
+    the broadcast allow path (pinned in tests)."""
     from albedo_spark.io import write_bucketed
     from albedo_spark.operators.clustering import integerize_embeddings
     from albedo_spark.operators.pq import (
@@ -485,13 +497,14 @@ def build_pq_store(
             table + suffix
         )
     frozen = spark.table(table + "_cents")
+    rows = encode_residual_codes(
+        vectors, frozen, spark.table(table + "_cb"), m, subdim
+    )
+    if partition_cols:
+        rows = rows.join(corpus.select("vec_id", *partition_cols), "vec_id")
     write_bucketed(
-        encode_residual_codes(
-            vectors, frozen, spark.table(table + "_cb"), m, subdim
-        ),
-        table,
-        "cluster_id",
-        num_buckets=num_buckets,
+        rows, table, "cluster_id",
+        num_buckets=num_buckets, partition_cols=partition_cols,
     )
 
 
@@ -531,10 +544,23 @@ def append_pq_vectors(
     # harmless false-positive trickle; store rows MISSING from it would
     # re-admit on replay
     mirror_bloom(vectors, table)
+    rows = encode_residual_codes(vectors, cents, cb, m, subdim)
+    # A store built with partition_cols carries metadata directories;
+    # the batch must supply the same columns (failing loudly here beats
+    # a mis-partitioned append the pruned probe would silently miss).
+    pcols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    w = rows.write.mode("append")
+    if pcols:
+        missing = [c for c in pcols if c not in batch.columns]
+        if missing:
+            raise ValueError(
+                f"store `{table}` is partitioned on {pcols}; batch is "
+                f"missing column(s) {missing}"
+            )
+        rows = rows.join(batch.select("vec_id", *pcols), "vec_id")
+        w = rows.write.mode("append").partitionBy(*pcols)
     (
-        encode_residual_codes(vectors, cents, cb, m, subdim)
-        .write.mode("append")
-        .bucketBy(num_buckets, "cluster_id")
+        w.bucketBy(num_buckets, "cluster_id")
         .sortBy("cluster_id")
         .format("parquet")
         .saveAsTable(table)
@@ -553,6 +579,7 @@ def pq_store_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     allow: DataFrame | None = None,
+    where: str | Column | None = None,
 ) -> DataFrame:
     """Probe the persisted PQ store: queries pick their nprobe nearest
     FROZEN cells by exact centroid distance, build the residual ADC
@@ -572,9 +599,17 @@ def pq_store_topk(
     queries whose true neighbors fail the predicate). Applied as a
     broadcast semi-join on the code scan, so the store side STILL has
     zero Exchange. Sized for selective slices (an id set that fits a
-    broadcast); a predicate matching most of a 100 TB store should
-    instead be baked into the store as a partition/bucket column at
-    build time so the scan prunes it for free."""
+    broadcast).
+
+    ``where``: the PARTITION-COLUMN form of the same pre-filter
+    contract — a predicate over columns the store was built with via
+    ``build_pq_store(partition_cols=...)``. The filter lands in the
+    scan's PartitionFilters (whole directories pruned at plan time,
+    pinned in tests), so it is the right form when the slice is defined
+    by metadata rather than an id set, and the only form when the
+    equivalent allow-list would not fit a broadcast. Same semantics as
+    ``allow`` by construction (cells/codebooks stay corpus-level);
+    result-identical on the same slice. The two compose (AND)."""
     from albedo_spark.operators.clustering import integerize_embeddings
     from albedo_spark.operators.pq import adc_score_codes, probe_query_table
 
@@ -586,6 +621,8 @@ def pq_store_topk(
     ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
     qtable = probe_query_table(qv, cents, cb, m, subdim, nprobe)
     codes = spark.table(table)
+    if where is not None:
+        codes = codes.where(where)
     if allow is not None:
         codes = codes.join(
             F.broadcast(allow.selectExpr(f"{allow.columns[0]} AS vec_id")),

@@ -900,6 +900,85 @@ def test_pq_store_build_append_probe_replay(spark):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
 
 
+def test_pq_store_partition_pruned_filtered_search(spark):
+    """The partition-column form of the filtered-ANN contract (q164's
+    documented scale path, VERDICT r12 ask #6): a store built with
+    partition_cols bakes the metadata slice into the directory layout,
+    pq_store_topk(where=...) prunes it at PLAN time (PartitionFilters
+    on the scan — no id set ever broadcasts), and the results are
+    IDENTICAL to the broadcast-allow path over the same slice on an
+    unpartitioned twin (cells/codebooks stay corpus-level in both).
+    Appends carry the partition column; a batch missing it fails
+    loudly."""
+    import pytest
+
+    from albedo_spark.operators.vector_store import (
+        append_pq_vectors,
+        build_pq_store,
+        pq_store_topk,
+    )
+
+    emb = _emb(spark).withColumn("grp", (F.col("vec_id") % 3).cast("int"))
+    t_part, t_flat = "pqstore_part", "pqstore_flat"
+    try:
+        base = emb.where("vec_id % 10 != 0 AND vec_id % 7 != 3")
+        build_pq_store(
+            base, t_part, kc=8, m=4, subdim=16, num_buckets=4,
+            partition_cols=("grp",),
+        )
+        build_pq_store(
+            base.drop("grp"), t_flat, kc=8, m=4, subdim=16, num_buckets=4
+        )
+        queries = emb.where("vec_id % 10 = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got_part = pq_store_topk(
+            queries, t_part, k=5, nprobe=2, m=4, subdim=16, where="grp = 1"
+        )
+        allow = base.where("vec_id % 3 = 1").select("vec_id")
+        got_allow = pq_store_topk(
+            queries, t_flat, k=5, nprobe=2, m=4, subdim=16, allow=allow
+        )
+        part_rows = sorted(tuple(r) for r in got_part.collect())
+        assert part_rows and part_rows == sorted(
+            tuple(r) for r in got_allow.collect()
+        )
+        # every neighbor satisfies the slice (pre-filter semantics)
+        assert all(nid % 3 == 1 for _, nid, _, _, _ in part_rows)
+        # plan pin: the predicate prunes at the SCAN (PartitionFilters),
+        # and the store side still joins via broadcast (no Exchange on
+        # the code scan)
+        plan = got_part._jdf.queryExecution().executedPlan().toString()
+        scan = plan[plan.index(f"default.{t_part}"):]
+        filt = scan[scan.index("PartitionFilters"):][:200]
+        assert "grp" in filt and "= 1" in filt
+        assert "BroadcastHashJoin" in plan
+
+        # append into the partitioned store: batch must carry grp
+        batch = emb.where("vec_id % 10 != 0 AND vec_id % 7 = 3")
+        with pytest.raises(ValueError, match="missing column"):
+            append_pq_vectors(
+                batch.drop("grp"), t_part, m=4, subdim=16, num_buckets=4
+            )
+        n0 = spark.table(t_part).count()
+        append_pq_vectors(batch, t_part, m=4, subdim=16, num_buckets=4)
+        assert spark.table(t_part).count() > n0
+        # appended rows landed in their partitions and replay is a no-op
+        n1 = spark.table(t_part).count()
+        append_pq_vectors(batch, t_part, m=4, subdim=16, num_buckets=4)
+        assert spark.table(t_part).count() == n1
+        assert (
+            spark.table(t_part)
+            .where("grp != cast(vec_id % 3 as int)")
+            .count()
+            == 0
+        )
+    finally:
+        for t in (t_part, t_flat):
+            for suf in ("", "_cents", "_cb", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
 def test_pq_store_trained_codebooks_persist_and_load(spark):
     """ADVICE r11 #4 / VERDICT r11 #1: a store built with
     codebooks="train" persists them as {table}_cb, and (a) a probe with
