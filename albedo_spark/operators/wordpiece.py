@@ -138,13 +138,24 @@ def wp_pair_scores(
     first groupBy scales with the corpus.
     """
     syms = _word_symbol_frame(docs, text_col).localCheckpoint(eager=False)
+    return (
+        _scored_pairs(syms)
+        .orderBy(F.col("score_ppb").desc(), "left_sym", "right_sym")
+        .limit(k)
+    )
+
+
+def _scored_pairs(syms: DataFrame) -> DataFrame:
+    """Likelihood-scored adjacent pairs of a ``(_s, freq)`` symbol frame
+    — the statistics core shared by ``wp_pair_scores`` (iteration 0)
+    and ``wp_one_merge_scores`` (post-merge re-count)."""
     symc = _guarded_symbol_counts(syms)
     pairs = (
         syms.select(F.explode(_adjacent("_s")).alias("p"), "freq")
         .groupBy(F.col("p")["l"].alias("left_sym"), F.col("p")["r"].alias("right_sym"))
         .agg(F.sum("freq").alias("pair_n"))
     )
-    scored = (
+    return (
         pairs.join(
             symc.select(F.col("sym").alias("left_sym"), F.col("n").alias("left_n")),
             "left_sym",
@@ -156,11 +167,55 @@ def wp_pair_scores(
         .withColumn(
             "score_ppb", F.expr(f"pair_n * {_SCALE}L div (left_n * right_n)")
         )
-    )
-    return (
-        scored.select(
+        .select(
             "left_sym", "right_sym", "pair_n", "left_n", "right_n", "score_ppb"
         )
+    )
+
+
+def wp_one_merge_scores(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """One full WordPiece TRAINING round, gate-shaped (the trainer
+    itself is driver-looped and pytest-pinned; this exposes a single
+    round end-to-end for the oracle): score iteration-0 pairs, pick the
+    argmax merge under the deterministic (score desc, left, right)
+    total order — a ONE-ROW driver collect, the bounded A7 idiom the
+    trainer itself uses — re-segment every word with the greedy
+    ``##``-aware non-overlapping fold, and return the post-merge top-k
+    pair scores (same columns as ``wp_pair_scores``).
+
+    Words containing U+0001 are excluded on BOTH engines: the SQL
+    oracle replays the re-segmentation as string surgery (iteration-0
+    symbols are single characters, so the merge is a plain greedy
+    substring replace on the word's tail) with chr(1) as the merge
+    marker, and a corpus word carrying the marker would make the replay
+    ambiguous — excluding it is the documented guard, not a weakening
+    (the operator itself handles any word).
+
+    Plan: corpus → word-frequency groupBy once; both statistics passes
+    and the re-segmentation run on the |distinct words| frame (the
+    classic trainer optimization); the argmax is one TakeOrdered row."""
+    wf = word_frequencies(docs, text_col).where(
+        ~F.col("word").contains("\x01")
+    )
+    syms0 = wf.select(wp_symbols("word").alias("_s"), "freq").localCheckpoint(
+        eager=False
+    )
+    best = (
+        _scored_pairs(syms0)
+        .orderBy(F.col("score_ppb").desc(), "left_sym", "right_sym")
+        .limit(1)
+        .collect()
+    )
+    if not best:
+        return _scored_pairs(syms0).limit(0)
+    left, right = best[0]["left_sym"], best[0]["right_sym"]
+    syms1 = syms0.select(
+        _greedy_merge_wp("_s", left, right).alias("_s"), "freq"
+    ).localCheckpoint(eager=False)
+    return (
+        _scored_pairs(syms1)
         .orderBy(F.col("score_ppb").desc(), "left_sym", "right_sym")
         .limit(k)
     )

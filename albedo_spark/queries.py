@@ -9762,6 +9762,107 @@ def q169_bm25_multigen_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_store_search(qdf, table, top_k=5)
 
 
+@query(
+    "q170_wordpiece_merge_round",
+    """
+    WITH words0 AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    wf AS (
+        SELECT word, count(*) AS freq FROM words0
+        WHERE word <> '' AND NOT contains(word, chr(1))
+        GROUP BY word
+    ),
+    syms0 AS (
+        SELECT word, freq, i,
+               CASE WHEN i = 1 THEN substr(word, CAST(i AS INTEGER), 1)
+                    ELSE '##' || substr(word, CAST(i AS INTEGER), 1) END AS sym
+        FROM wf, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) t
+    ),
+    symc0 AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM syms0 GROUP BY sym),
+    pc0 AS (
+        SELECT a.sym AS left_sym, b.sym AS right_sym,
+               CAST(sum(a.freq) AS BIGINT) AS pair_n
+        FROM syms0 a JOIN syms0 b ON a.word = b.word AND b.i = a.i + 1
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT pc.left_sym, pc.right_sym,
+               CASE WHEN pc.left_sym LIKE '##%' THEN substr(pc.left_sym, 3)
+                    ELSE pc.left_sym END AS lc,
+               substr(pc.right_sym, 3) AS rc,
+               pc.left_sym NOT LIKE '##%' AS l_bare
+        FROM pc0 pc
+        JOIN symc0 sl ON pc.left_sym = sl.sym
+        JOIN symc0 sr ON pc.right_sym = sr.sym
+        ORDER BY pc.pair_n * 1000000000 // (sl.n * sr.n) DESC,
+                 pc.left_sym, pc.right_sym
+        LIMIT 1
+    ),
+    reseg AS (
+        SELECT w.word, w.freq,
+               CASE WHEN b.l_bare AND substr(w.word, 1, 2) = b.lc || b.rc
+                    THEN b.lc || b.rc ELSE substr(w.word, 1, 1) END AS head_tok,
+               CASE WHEN b.l_bare AND substr(w.word, 1, 2) = b.lc || b.rc
+                    THEN substr(w.word, 3)
+                    WHEN b.l_bare THEN substr(w.word, 2)
+                    ELSE replace(substr(w.word, 2), b.lc || b.rc, chr(1))
+               END AS tail_str,
+               '##' || b.lc || b.rc AS mtok
+        FROM wf w CROSS JOIN best b
+    ),
+    syms1 AS (
+        SELECT word, freq, 0 AS i, head_tok AS sym FROM reseg
+        UNION ALL
+        SELECT r.word, r.freq, i,
+               CASE WHEN substr(r.tail_str, CAST(i AS INTEGER), 1) = chr(1)
+                    THEN r.mtok
+                    ELSE '##' || substr(r.tail_str, CAST(i AS INTEGER), 1)
+               END AS sym
+        FROM reseg r,
+             LATERAL (SELECT unnest(range(1, len(r.tail_str) + 1)) AS i) t
+    ),
+    symc1 AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM syms1 GROUP BY sym),
+    pc1 AS (
+        SELECT a.sym AS left_sym, b.sym AS right_sym,
+               CAST(sum(a.freq) AS BIGINT) AS pair_n
+        FROM syms1 a JOIN syms1 b ON a.word = b.word AND b.i = a.i + 1
+        GROUP BY 1, 2
+    )
+    SELECT pc.left_sym, pc.right_sym, pc.pair_n,
+           sl.n AS left_n, sr.n AS right_n,
+           pc.pair_n * 1000000000 // (sl.n * sr.n) AS score_ppb
+    FROM pc1 pc
+    JOIN symc1 sl ON pc.left_sym = sl.sym
+    JOIN symc1 sr ON pc.right_sym = sr.sym
+    ORDER BY score_ppb DESC, left_sym, right_sym LIMIT 20
+    """,
+)
+def q170_wordpiece_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ITERATIVE WordPiece training round gated end to end
+    (VERDICT r12 ask #7 — q161 gates iteration-0 statistics only; the
+    trainer's per-round mechanics were pytest-pinned): argmax merge
+    under the deterministic (score desc, left, right) order, greedy
+    ``##``-aware re-segmentation of every word, post-merge top-20 pair
+    scores (operators/wordpiece.py wp_one_merge_scores). The oracle
+    replays the re-segmentation as STRING SURGERY — iteration-0 symbols
+    are single characters, so the chosen merge is (a) a position-1
+    prefix match when its left is bare (a bare symbol cannot occur
+    later), else (b) a plain greedy left-to-right non-overlapping
+    substring replace on the word's tail, marked with chr(1) and
+    re-tokenized per character — provably identical to the operator's
+    fold (non-overlapping greedy semantics match; the marker guard
+    excludes U+0001-carrying words on BOTH sides). A hash match
+    certifies the merge CHOICE, the re-segmentation, and the
+    re-counted statistics in one gate — the Sennrich-style trainer
+    round, likelihood-criterion flavor."""
+    from albedo_spark.operators.wordpiece import wp_one_merge_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return wp_one_merge_scores(d, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -9913,6 +10014,7 @@ _POST_WINDOW = [
     "q65_stream_interval_join",
     "q75_bpe_pair_counts",
     "q161_wordpiece_scores",
+    "q170_wordpiece_merge_round",
     "q162_kneser_ney_bigrams",
     "q163_textrank_keywords",
     "q22_lang_quality",

@@ -69,6 +69,74 @@ def test_learn_wordpiece_hand_example(spark):
     ]
 
 
+def test_wp_one_merge_scores_hand_example(spark):
+    """The gate-shaped single round (q170's operator) on the course
+    corpus must agree with the trainer: the argmax merge is (##g, ##s)
+    → ##gs, and the POST-merge statistics show (a) the merged pair
+    gone, (b) (##u, ##gs) present with hugs's count 5 over
+    left_n = 36 (##u survives in every word) and right_n = 5, and
+    (c) the next round's winner (##u, ##g) now at 15/(36·15) — the
+    count the trainer's round-2 record carries — because hugs's
+    (##u, ##g) occurrences were consumed by the merge."""
+    from albedo_spark.operators.wordpiece import wp_one_merge_scores
+
+    rows = wp_one_merge_scores(_corpus(spark), k=10).collect()
+    got = {
+        (r.left_sym, r.right_sym): (r.pair_n, r.left_n, r.right_n, r.score_ppb)
+        for r in rows
+    }
+    assert ("##g", "##s") not in got
+    assert got[("##u", "##gs")] == (5, 36, 5, 27_777_777)
+    assert got[("##u", "##g")] == (15, 36, 15, 27_777_777)
+    # frequency-weighted symbol masses: ##g lost hugs's 5 (20 -> 15)
+    assert got[("h", "##u")] == (15, 15, 36, 27_777_777)
+
+
+def test_wp_one_merge_handles_bare_left_and_overlaps(spark):
+    """Adversarial single-round corpora: (a) a bare-left winner merges
+    only at position 1 (aa×9 zaa×1 -> merge (a,##a): 'aa' -> ['aa'],
+    'zaa' keeps [z,##a,##a] because its pair is continuation-side and
+    (##a,##a) lost the argmax); (b) greedy non-overlap inside 'aaaa'
+    consumes pairs left to right."""
+    from albedo_spark.operators.wordpiece import wp_one_merge_scores
+
+    # (a) bare-left: counts -> (a,##a): pair 9, a_n 9, ##a_n 11
+    #     score 9/(9*11); (z,##a): 1/(1*11); (##a,##a): 1/(11*11).
+    #     winner (a,##a). Post-merge 'aa'->['aa'] has no pairs;
+    #     'zaa'->[z,##a,##a] keeps both its pairs.
+    c1 = spark.createDataFrame(
+        [(i, "aa") for i in range(9)] + [(100, "zaa")],
+        "doc_id long, text string",
+    )
+    got1 = {
+        (r.left_sym, r.right_sym): r.pair_n
+        for r in wp_one_merge_scores(c1, k=10).collect()
+    }
+    assert got1 == {("z", "##a"): 1, ("##a", "##a"): 1}
+
+    # (b) continuation-left winner with in-word repetition: 'xaaaa'x100
+    #     + 'xz'x4000 filler that inflates x's mass so every x-pair
+    #     scores low. (##a,##a): 300/(400*400) = 1875 ppm beats
+    #     (x,##z) = 1/4100 and (x,##a) = 100/(4100*400) -> (##a,##a)
+    #     wins the argmax, and the greedy non-overlapping fold turns
+    #     [x,##a,##a,##a,##a] into [x,##aa,##aa] — the second and third
+    #     ##a do NOT chain into the already-merged token.
+    c2 = spark.createDataFrame(
+        [(i, "xaaaa") for i in range(100)]
+        + [(1000 + i, "xz") for i in range(4000)],
+        "doc_id long, text string",
+    )
+    got2 = {
+        (r.left_sym, r.right_sym): r.pair_n
+        for r in wp_one_merge_scores(c2, k=10).collect()
+    }
+    # greedy non-overlap: xaaaa -> [x, ##aa, ##aa]
+    assert got2[("##aa", "##aa")] == 100
+    assert got2[("x", "##aa")] == 100
+    assert ("##a", "##a") not in got2
+    assert ("##a", "##aa") not in got2 and ("##aa", "##a") not in got2
+
+
 def test_learn_wordpiece_matches_naive_reference(spark):
     """The delta-maintained trainer must equal a from-scratch naive
     trainer (recount everything each round) on a messier corpus — the
