@@ -745,9 +745,35 @@ def bm25_store_prf_search(
         queries, table, top_k=fb_docs,
         query_id_col=query_id_col, text_col=text_col,
     )
+    if spark.catalog.tableExists(table + "_fwd"):
+        # Bucket-pruned fetch (r13): the feedback ids are driver-bounded
+        # by construction (|Q|·fb_docs — the query frame is
+        # broadcast-scale by definition), so COLLECT them (the bounded
+        # A7 idiom) and filter the doc_id-bucketed companion with a
+        # LITERAL isin — the one predicate form Spark's bucket pruning
+        # accepts (SelectedBucketsCount in the scan, plan-pinned), plus
+        # parquet row-group skipping on the sorted files. A broadcast
+        # join here would still scan every bucket; this reads only the
+        # feedback docs' buckets no matter how large the index grows
+        # (tools/scale_bm25_fetch.py measures it flat).
+        pairs = [
+            (r["query_id"], r["doc_id"])
+            for r in pass1.select("query_id", "doc_id").collect()
+        ]
+        fb_pairs = spark.createDataFrame(
+            pairs or [(None, None)],
+            f"query_id {queries.schema[query_id_col].dataType.simpleString()},"
+            " doc_id long",
+        ).where(F.col("doc_id").isNotNull())
+        fetched = fwd.where(
+            F.col("doc_id").isin([p[1] for p in pairs] or [-1])
+        ).join(F.broadcast(fb_pairs), "doc_id")
+    else:
+        fetched = fwd.join(
+            F.broadcast(pass1.select("query_id", "doc_id")), "doc_id"
+        )
     fb = (
-        fwd.join(F.broadcast(pass1.select("query_id", "doc_id")), "doc_id")
-        .groupBy("query_id", "w")
+        fetched.groupBy("query_id", "w")
         .agg(F.sum("tf").alias("fbtf"))
         .join(qterms, ["query_id", "w"], "left_anti")
     )

@@ -165,6 +165,10 @@ HEADLINE2 = [
     "q166_hits_hubs_authorities",
     "q167_filtered_hybrid_serve",
     "q168_wordpiece_encode",
+    # round 13: multi-generation BM25 store + one gated WordPiece
+    # training round (same tier2_normalized note)
+    "q169_bm25_multigen_store",
+    "q170_wordpiece_merge_round",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
