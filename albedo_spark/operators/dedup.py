@@ -982,3 +982,140 @@ def remove_repeated_spans(
         F.count("_tp").alias("n_tokens"),
         F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_removed"),
     )
+
+
+#: BIGINT-headroom ceiling on a quantized vector's squared norm in
+#: semantic_dedup: the threshold test multiplies dot²·10⁴ against
+#: t²·na·nb with dot ≤ √(na·nb), so everything stays inside int64 iff
+#: every norm ≤ ~9.6e5 (9.6e5² · 10⁴ < 2^63). At cos_scale=100 that is
+#: |x| ≲ 1.2 over 64 dims — unit-ish embeddings pass; anything bigger
+#: raises instead of wrapping identically in both engines.
+_SEM_NA_CEIL = 960_000
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    threshold_x100: int = 90,
+    stride: int = 29,
+    kmeans_scale: int = 1000,
+    cos_scale: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): embedding-space near-duplicates
+    found by EXACT cosine, but only WITHIN k-means cells — the
+    clustering bounds the pair count, turning the corpus-quadratic
+    all-pairs join into k cell-local joins (the paper's whole point; at
+    100 TB pick k ≈ √N so cells stay join-able, and the cell self-join
+    shuffles on cluster_id only — AQE handles skewed cells). The
+    missing rung of the dedup ladder between token-overlap near-dup
+    (MinHash/SimHash) and exact digests: catches paraphrases sharing
+    no shingles.
+
+    Deterministic and engine-exact end to end: the cell assignment is
+    the q149 unrolled integer k-means (seeded init, BIGINT means); the
+    similarity test quantizes embeddings at ``cos_scale`` and compares
+    ``dot² · 10⁴ ≥ t² · na · nb`` with ``dot > 0`` — the squared-cosine
+    form of ``cos ≥ t/100`` in pure int64 (no sqrt, no float; a lazy
+    tripwire rejects norms past the headroom). Keeper rule is the
+    package's min-id convention: a vector is DROPPED iff some SAME-CELL
+    neighbor with a smaller id clears the threshold. Returns one row
+    per vector: ``(vec_id, cluster_id, kept, dup_of, n_smaller_dups)``
+    with ``dup_of`` the smallest qualifying neighbor (−1 if kept).
+
+    Two quantization scales by design: ``kmeans_scale`` (1000) keeps
+    cell geometry sharp; ``cos_scale`` (100) buys the headroom the
+    int64 threshold test needs. The cosine CONTRACT is over the
+    quantized vectors — documented, portable, and what the oracle
+    replays."""
+    from albedo_spark.operators.clustering import (
+        assign_clusters,
+        integerize_embeddings,
+        seed_centroids,
+        update_centroids,
+    )
+
+    emb = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    vectors = integerize_embeddings(emb, scale=kmeans_scale).localCheckpoint(
+        eager=False
+    )
+    cents = seed_centroids(vectors, k, stride=stride)
+    for _ in range(rounds):
+        assignment = assign_clusters(vectors, cents)
+        cents = update_centroids(vectors, assignment, cents)
+    final = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
+    cq = integerize_embeddings(emb, scale=cos_scale)
+    na = F.aggregate(
+        F.zip_with("q", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    side = (
+        final.join(cq, "vec_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "q",
+            F.when(
+                na > F.lit(_SEM_NA_CEIL),
+                F.raise_error(
+                    F.concat(
+                        F.lit("semantic_dedup: squared norm "),
+                        na.cast("string"),
+                        F.lit(
+                            f" exceeds the int64 threshold-test headroom"
+                            f" {_SEM_NA_CEIL}; lower cos_scale"
+                        ),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(na)
+            .alias("na"),
+        )
+        .localCheckpoint(eager=False)  # consumed by both sides of the pair join
+    )
+    left = side.select(
+        "cluster_id",
+        F.col("vec_id").alias("l_id"),
+        F.col("q").alias("l_q"),
+        F.col("na").alias("l_na"),
+    )
+    right = side.select(
+        "cluster_id",
+        F.col("vec_id").alias("r_id"),
+        F.col("q").alias("r_q"),
+        F.col("na").alias("r_na"),
+    )
+    dot = F.aggregate(
+        F.zip_with("l_q", "r_q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    t = int(threshold_x100)
+    dups = (
+        left.join(right, "cluster_id")
+        .where(F.col("l_id") < F.col("r_id"))
+        .withColumn("_dot", dot)
+        .where(
+            (F.col("_dot") > 0)
+            & (
+                F.col("_dot") * F.col("_dot") * F.lit(10_000)
+                >= F.lit(t * t) * F.col("l_na") * F.col("r_na")
+            )
+        )
+        .groupBy(F.col("r_id").alias("vec_id"))
+        .agg(
+            F.min("l_id").alias("dup_of"),
+            F.count("*").alias("n_smaller_dups"),
+        )
+    )
+    return final.join(dups, "vec_id", "left").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("dup_of").isNull().alias("kept"),
+        F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+        F.coalesce("n_smaller_dups", F.lit(0)).cast("long").alias("n_smaller_dups"),
+    )

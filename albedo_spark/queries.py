@@ -9863,6 +9863,86 @@ def q170_wordpiece_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wp_one_merge_scores(d, k=20)
 
 
+def _semantic_dedup_oracle_sql() -> str:
+    """q171's oracle: the q149 unrolled-k-means CTE chain over the
+    PLANTED corpus (every vec_id % 97 == 0 vector duplicated at
+    vec_id + 10⁶ — exact copies, cosine 1), then in-cell pairs under
+    the integer squared-cosine test dot²·10⁴ ≥ 90²·na·nb and the
+    min-id keeper rule."""
+    src = (
+        "SELECT vec_id, embedding FROM embeddings UNION ALL "
+        "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 97 = 0"
+    )
+    chain, _cents, assign = _kmeans_cte_chain(source=src)
+    return f"""{chain},
+    cq AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 100.0 + 0.5) AS BIGINT)) AS q
+        FROM ({src})
+    ),
+    nrm AS (
+        SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS na
+        FROM cq
+    ),
+    mem AS (
+        SELECT a.vec_id, a.cluster_id, cq.q, nrm.na
+        FROM {assign} a JOIN cq USING (vec_id) JOIN nrm USING (vec_id)
+    ),
+    prs AS (
+        SELECT l.vec_id AS l_id, r.vec_id AS r_id,
+               CAST(list_dot_product(CAST(l.q AS DOUBLE[]),
+                                     CAST(r.q AS DOUBLE[])) AS BIGINT) AS dot,
+               l.na AS l_na, r.na AS r_na
+        FROM mem l JOIN mem r
+          ON l.cluster_id = r.cluster_id AND l.vec_id < r.vec_id
+    ),
+    dups AS (
+        SELECT r_id AS vec_id, min(l_id) AS dup_of,
+               CAST(count(*) AS BIGINT) AS n_smaller_dups
+        FROM prs
+        WHERE dot > 0 AND dot * dot * 10000 >= 8100 * l_na * r_na
+        GROUP BY r_id
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           d.dup_of IS NULL AS kept,
+           CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of,
+           CAST(coalesce(d.n_smaller_dups, 0) AS BIGINT) AS n_smaller_dups
+    FROM {assign} a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """
+
+
+@query("q171_semantic_dedup", _semantic_dedup_oracle_sql())
+def q171_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (operators/dedup.py
+    semantic_dedup — Abbas et al. 2023, arXiv:2303.09540): the dedup
+    ladder's missing rung between token-overlap near-dup (MinHash q21 /
+    SimHash q107) and exact digests (q18) — paraphrase-level duplicates
+    found by EXACT cosine, but only WITHIN deterministic k-means cells
+    (q149's trainer), which is what bounds the pair count at 100 TB
+    (k ≈ √N keeps every cell self-join small; the only shuffle is on
+    cluster_id). The similarity test is the pure-int64 squared-cosine
+    form ``dot²·10⁴ ≥ 90²·na·nb`` over scale-100 quantized vectors (no
+    sqrt, no float — a lazy tripwire guards the headroom); the keeper
+    is the package's min-id rule. Because the fixture embeddings have
+    no natural near-dups (max pairwise cosine ≈ 0.6), the corpus is
+    PLANTED on both engines — every vec_id % 97 == 0 vector duplicated
+    at vec_id + 10⁶ (the q168 plant idiom) — so the gate certifies the
+    drop path, the dup_of attribution, and the keeper rule non-
+    vacuously at every scale."""
+    from albedo_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.where("vec_id % 97 = 0").select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    return semantic_dedup(planted)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10027,6 +10107,7 @@ _POST_WINDOW = [
     "q159_unigram_trained_vocab",
     "q157_phrase_match",
     "q128_prefix_filter_jaccard",
+    "q171_semantic_dedup",
     "q145_sketch_overlap",
     "q146_containment_pairs",
     "q147_multimodal_ahash",

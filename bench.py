@@ -166,9 +166,10 @@ HEADLINE2 = [
     "q167_filtered_hybrid_serve",
     "q168_wordpiece_encode",
     # round 13: multi-generation BM25 store + one gated WordPiece
-    # training round (same tier2_normalized note)
+    # training round + SemDeDup (same tier2_normalized note)
     "q169_bm25_multigen_store",
     "q170_wordpiece_merge_round",
+    "q171_semantic_dedup",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

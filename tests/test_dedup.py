@@ -858,3 +858,56 @@ def test_containment_mutual_emits_both_directions(spark):
         for r in containment_pairs(df, n=1, threshold_num=1, threshold_den=1).collect()
     }
     assert got == {(1, 2), (2, 1)}
+
+
+def test_semantic_dedup_hand_example(spark):
+    """SemDeDup on a hand-checkable 3-cell corpus (seeds at ids
+    0/29/58, distinct axes): exact-ish copies inside a cell are dropped
+    to the min-id keeper with correct dup_of/n_smaller_dups; id 7 lands
+    in the y-axis cell (its quantized L2 argmin) and survives — its
+    best in-cell cosine (~0.78 vs id 58) is under the 0.9 threshold —
+    pinning both the cell assignment and the quantized
+    squared-cosine test fires at values hand-computed in int64
+    (e.g. id 60 vs 58: dot 9500, 9500^2*10^4 >= 8100*10^4*9986)."""
+    from albedo_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (5, [0.98, 0.1, 0.0, 0.0]),   # ~cos 0.995 with id 0
+        (6, [0.99, 0.05, 0.0, 0.0]),  # dup of 0 AND of 5
+        (7, [0.6, 0.75, 0.0, 0.0]),   # cell 2; best in-cell cos ~0.78 -> kept
+        (29, [0.0, 0.0, 1.0, 0.0]),
+        (31, [0.0, 0.0, 0.99, 0.05]),
+        (58, [0.0, 1.0, 0.0, 0.0]),
+        (60, [0.0, 0.95, 0.31, 0.0]),  # cos ~0.95 with 58
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cluster_id, r.kept, r.dup_of, r.n_smaller_dups)
+        for r in semantic_dedup(emb, k=3, rounds=2, stride=29).collect()
+    }
+    assert got == {
+        0: (0, True, -1, 0),
+        5: (0, False, 0, 1),
+        6: (0, False, 0, 2),
+        7: (2, True, -1, 0),
+        29: (1, True, -1, 0),
+        31: (1, False, 29, 1),
+        58: (2, True, -1, 0),
+        60: (2, False, 58, 1),
+    }
+
+
+def test_semantic_dedup_norm_tripwire(spark):
+    """A vector past the int64 threshold-test headroom raises instead
+    of wrapping identically in both engines."""
+    import pytest as _pytest
+
+    from albedo_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(0, [40.0] * 64), (29, [1.0] * 64), (58, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="headroom"):
+        semantic_dedup(emb, k=3, rounds=1, stride=29).collect()
