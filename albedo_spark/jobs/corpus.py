@@ -176,6 +176,18 @@ def main(argv: list[str] | None = None) -> dict:
                    help="bucket count of the persisted code table on "
                         "cluster_id — size so each bucket's postings fit "
                         "an executor at the target corpus (default 8)")
+    p.add_argument("--bm25-index", default=None, metavar="TABLE",
+                   help="persist a BM25 inverted index (retrieval."
+                        "build_bm25_store: w-bucketed postings + frozen "
+                        "corpus stats) of the SURVIVING documents under "
+                        "this managed-table name — the lexical sidecar of "
+                        "a cleaned corpus, probed with bm25_store_search "
+                        "and grown later with append_bm25_postings")
+    p.add_argument("--bm25-forward", action="store_true",
+                   help="with --bm25-index: also persist the doc_id-"
+                        "bucketed {TABLE}_fwd forward companion, the "
+                        "bucket-pruned access path of PRF's feedback "
+                        "fetch (costs one extra write of the index size)")
     p.add_argument("--quality-model-dim", type=int, default=None,
                    help="train a fasttext-style quality classifier at this "
                         "hashed-TF dimension (weak labels bootstrapped from "
@@ -838,6 +850,30 @@ def main(argv: list[str] | None = None) -> dict:
             "num_buckets": args.pq_buckets,
             "codebooks": "trained_residual",
             "codebook_table": args.pq_index + "_cb",
+        }
+
+    if args.bm25_index:
+        # Lexical sidecar (q127/q160's store): the cleaned corpus's BM25
+        # inverted index, built AFTER all drops so it holds exactly the
+        # survivors — the retrieval-ready twin of --pq-index's dense
+        # sidecar. Grows later via append_bm25_postings (generations) or
+        # run_to_bm25_store (streaming); rebuild-or-compact to refresh.
+        from albedo_spark.operators.retrieval import build_bm25_store
+
+        build_bm25_store(
+            survivors.select("doc_id", "text"),
+            args.bm25_index,
+            forward=args.bm25_forward,
+        )
+        spark.catalog.refreshTable(args.bm25_index)
+        st = spark.table(args.bm25_index + "_stats").first()
+        summary["bm25_index"] = {
+            "table": args.bm25_index,
+            "n_docs": int(st["n_docs"]),
+            "avgdl_x100": int(st["avgdl_x100"]),
+            "n_terms": spark.table(args.bm25_index)
+            .select("w").distinct().count(),
+            "forward": bool(args.bm25_forward),
         }
 
     if args.shards:

@@ -474,6 +474,47 @@ def test_corpus_job_pq_index_custom_geometry(spark):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
 
 
+def test_corpus_job_bm25_index_stage(spark):
+    """--bm25-index persists the survivors' BM25 store (with the
+    forward companion under --bm25-forward); it serves probes, holds
+    only surviving doc ids, and the summary records the frozen corpus
+    scalars."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.jobs.corpus import main
+    from albedo_spark.operators.retrieval import (
+        bm25_store_prf_search,
+        bm25_store_search,
+    )
+
+    tbl = "t_corpus_bm25"
+    try:
+        summary = main(["--sf-dir", "/root/testdata/sf0.001",
+                        "--bm25-index", tbl, "--bm25-forward"])
+        stage = summary["bm25_index"]
+        assert stage["table"] == tbl and stage["forward"] is True
+        assert stage["n_docs"] > 0 and stage["n_terms"] > 0
+        # the index holds survivors only: never more than the corpus
+        # minus the contamination drops
+        assert stage["n_docs"] <= summary["n_docs"] - summary["n_contaminated"]
+        assert spark.catalog.tableExists(tbl + "_fwd")
+        qdf = spark.createDataFrame(
+            [("a", "fast hash join")], "query_id string, text string"
+        )
+        hits = bm25_store_search(qdf, tbl, top_k=5)
+        assert hits.count() > 0
+        prf = bm25_store_prf_search(qdf, tbl, top_k=5, fb_docs=2, fb_terms=3)
+        assert prf.count() > 0
+        # index doc count matches its distinct posting doc ids
+        assert (
+            spark.table(tbl).select("doc_id").distinct().count()
+            <= stage["n_docs"]  # token-free survivors hold no postings
+        )
+    finally:
+        for suf in ("", "_stats", "_fwd"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
 def test_corpus_job_blocklist_phrases_paths_and_equivalence(tmp_path):
     """--blocklist-phrases: (a) a small dictionary takes the q116 regex
     OR-fold path, a big one (forced via --phrase-regex-max 1) the q157
