@@ -759,3 +759,100 @@ def textrank_keywords(
         [F.col("rank").desc(), F.col("word").asc()],
         k,
     )
+
+
+#: BIGINT-headroom ceiling on the corpus token total in collocations:
+#: the score numerator is (c_ab − δ)·N·10⁴ with c_ab ≤ N, so the worst
+#: product is N²·10⁴ — inside int64 iff N ≤ 3·10⁷ tokens per scored
+#: shard. Past it, shard the corpus (scores are count-ratio statistics;
+#: per-shard top-k then merge, or lower the scale).
+_COLLOC_N_CEIL = 30_000_000
+
+
+def collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    delta: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase DISCOVERY — the learning half of the phrase machinery
+    whose serving half is ``retrieval.phrase_match`` (q157): the top-k
+    bigram collocations under the word2vec phrase criterion (Mikolov et
+    al. 2013, arXiv:1310.4546 §4 — public method) ``score =
+    (count(ab) − δ) / (count(a)·count(b))``, kept engine-exact as the
+    scaled BIGINT ``score_x10k = (c_ab − δ)·N·10⁴ div (c_a·c_b)`` (the
+    ·N factor normalizes the rational to corpus-size-free units; δ
+    discounts rare-pair flukes). ``min_count`` must exceed ``delta`` so
+    the numerator stays positive — Spark's ``div`` truncates toward
+    zero while DuckDB's ``//`` floors, and a negative numerator would
+    be the one place they disagree (guarded at entry).
+
+    Returns ``(w1, w2, pair_n, w1_n, w2_n, score_x10k)``, ordered
+    (score desc, w1, w2), LIMIT k.
+
+    Plan: ONE corpus tokenize materialized once (localCheckpoint);
+    unigram and adjacent-bigram aggregates both partial-aggregate
+    map-side off it; the corpus total rides a broadcast cross join (the
+    lazy-scalar idiom) with the headroom tripwire inline; one
+    TakeOrderedAndProject tail. Nothing after the token aggregates
+    scales with the corpus."""
+    from albedo_spark.operators.bpe import _adjacent
+
+    if min_count <= delta:
+        raise ValueError(
+            f"collocations: min_count ({min_count}) must exceed delta "
+            f"({delta}) — a non-positive score numerator floor-divides "
+            "differently across engines"
+        )
+    arrs = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(tokens(F.col(text_col)).alias("_w"))
+        .where(F.size("_w") > 0)
+        .localCheckpoint(eager=False)  # consumers: unigrams + bigrams
+    )
+    uni = (
+        arrs.select(F.explode("_w").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # consumers: two joins + N
+    )
+    total = uni.agg(F.sum("n").alias("_N")).select(
+        F.when(
+            F.col("_N") > F.lit(_COLLOC_N_CEIL),
+            F.raise_error(
+                F.concat(
+                    F.lit("collocations: corpus total "),
+                    F.col("_N").cast("string"),
+                    F.lit(
+                        f" tokens exceeds the score headroom"
+                        f" {_COLLOC_N_CEIL}; shard the corpus"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("_N"))
+        .alias("_N")
+    )
+    pairs = (
+        arrs.select(F.explode(_adjacent("_w")).alias("p"))
+        .where((F.col("p")["l"] != "") & (F.col("p")["r"] != ""))
+        .groupBy(F.col("p")["l"].alias("w1"), F.col("p")["r"].alias("w2"))
+        .agg(F.count("*").alias("pair_n"))
+        .where(F.col("pair_n") >= min_count)
+    )
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("w1_n")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("w2_n")), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score_x10k",
+            F.expr(f"(pair_n - {delta}) * _N * 10000 div (w1_n * w2_n)"),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "pair_n", "w1_n", "w2_n", "score_x10k")
+        .orderBy(F.col("score_x10k").desc(), "w1", "w2")
+        .limit(k)
+    )

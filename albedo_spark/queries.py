@@ -9943,6 +9943,56 @@ def q171_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(planted)
 
 
+@query(
+    "q172_collocations",
+    """
+    WITH norm AS (
+        SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (SELECT string_split(nt, ' ') AS w FROM norm WHERE nt != ''),
+    uni AS (
+        SELECT u.w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(w) AS w FROM t) u WHERE u.w <> '' GROUP BY u.w
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM uni),
+    bg AS (
+        SELECT w[i + 1] AS w1, w[i + 2] AS w2
+        FROM t, unnest(range(len(w) - 1)) r(i)
+    ),
+    cb AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+        FROM bg WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2
+        HAVING count(*) >= 5
+    )
+    SELECT cb.w1, cb.w2, cb.pair_n, u1.n AS w1_n, u2.n AS w2_n,
+           (cb.pair_n - 3) * tot.N * 10000 // (u1.n * u2.n) AS score_x10k
+    FROM cb
+    JOIN uni u1 ON cb.w1 = u1.w
+    JOIN uni u2 ON cb.w2 = u2.w
+    CROSS JOIN tot
+    ORDER BY score_x10k DESC, w1, w2 LIMIT 20
+    """,
+)
+def q172_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase DISCOVERY under the word2vec phrase criterion
+    (operators/textstats.py collocations — Mikolov et al. 2013,
+    arXiv:1310.4546 §4): top-20 bigram collocations by the scaled-BIGINT
+    score ``(c_ab − 3)·N·10⁴ div (c_a·c_b)`` with a min-count 5 cut —
+    the learning half of the phrase machinery whose serving half q157
+    gates (discovered phrases feed ``phrase_match``'s dictionary). The
+    min-count > δ guard keeps the numerator positive, the one condition
+    under which Spark's truncating ``div`` and DuckDB's flooring ``//``
+    agree. Plan: one corpus tokenize materialized once; unigram and
+    adjacent-bigram aggregates partial-aggregate off it; the corpus
+    total rides a broadcast with the N ≤ 3·10⁷ headroom tripwire
+    inline; TakeOrderedAndProject tail."""
+    from albedo_spark.operators.textstats import collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations(d, k=20, min_count=5, delta=3)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10106,6 +10156,7 @@ _POST_WINDOW = [
     "q155_unigram_encode",
     "q159_unigram_trained_vocab",
     "q157_phrase_match",
+    "q172_collocations",
     "q128_prefix_filter_jaccard",
     "q171_semantic_dedup",
     "q145_sketch_overlap",

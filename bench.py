@@ -170,6 +170,7 @@ HEADLINE2 = [
     "q169_bm25_multigen_store",
     "q170_wordpiece_merge_round",
     "q171_semantic_dedup",
+    "q172_collocations",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -778,3 +778,53 @@ def test_textrank_self_loops_and_mirror_dups_collapse(spark):
     }
     # graph is exactly x-y: both nodes outdeg 1, symmetric ranks
     assert got == {"x": 1_000_000_000, "y": 1_000_000_000}
+
+
+def test_collocations_hand_example(spark):
+    """Mikolov phrase score on a hand corpus: 'new york' occurs 6x with
+    new_n = 7 (one stray 'new'), york_n = 6, N = 25 tokens ->
+    score_x10k = (6-3)*25*10000 div (7*6) = 17857; 'the the' repeats
+    5 times but the_n = 12 drives its score to (5-3)*25*10000 div
+    (12*12) = 3472 — the discount + denominator do the work. min_count
+    drops everything seen < 5 times."""
+    from albedo_spark.operators.textstats import collocations
+
+    rows = [
+        (0, "new york " * 3),            # 3x bigram, 6 tokens
+        (1, "new york new york"),        # 2x (plus the seam bigram york-new)
+        (2, "new york new"),             # 1x + stray 'new'
+        (3, "the the the the the the"),  # 5x 'the the', 6 tokens
+        (4, "the the the the the the"),  # another 5x, but...
+    ]
+    # recount: doc0 tokens = [new york new york new york] -> 'new york' 3x,
+    # 'york new' 2x; doc1 -> 'new york' 2x, 'york new' 1x; doc2 -> 1x + ('york new' 1x)
+    # 'new york' total 6, 'york new' 4 (< 5, cut); doc3+4: 'the the' 5x each = 10.
+    # N = 6+4+3+6+6 = 25. new_n=7, york_n=6, the_n=12.
+    emb = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.w1, r.w2): (r.pair_n, r.w1_n, r.w2_n, r.score_x10k)
+        for r in collocations(emb, k=10, min_count=5, delta=3).collect()
+    }
+    assert got == {
+        ("new", "york"): (6, 7, 6, (6 - 3) * 25 * 10000 // (7 * 6)),
+        ("the", "the"): (10, 12, 12, (10 - 3) * 25 * 10000 // (12 * 12)),
+    }
+
+
+def test_collocations_guards(spark):
+    import pytest as _pytest
+
+    from albedo_spark.operators import textstats
+    from albedo_spark.operators.textstats import collocations
+
+    d = spark.createDataFrame([(0, "a b a b a b a b a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_count"):
+        collocations(d, min_count=3, delta=3)
+    # headroom tripwire: a tiny ceiling must raise on this corpus
+    orig = textstats._COLLOC_N_CEIL
+    textstats._COLLOC_N_CEIL = 5
+    try:
+        with _pytest.raises(Exception, match="headroom"):
+            collocations(d, min_count=5, delta=3).collect()
+    finally:
+        textstats._COLLOC_N_CEIL = orig
