@@ -589,3 +589,43 @@ def test_bm25_append_guards(spark):
     d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
     with _pytest.raises(ValueError, match="does not exist"):
         append_bm25_postings(d, "t_bm25_never_built")
+
+
+def test_bm25_multigen_search_plan(spark):
+    """Multi-generation search plan pins: the posting table is scanned
+    ONCE (the df recompute and the scoring join both read the one
+    materialized term-matched frame, never the table twice), the term
+    probe and the df re-attach both ride broadcasts, and the only hash
+    Exchanges are candidate-bounded — keyed by query_id (ranking) or by
+    the term w of the tiny matched frame (the documented read-side
+    price of a segmented store)."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        append_bm25_postings,
+        bm25_store_search,
+        build_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(150)
+    tbl = "t_bm25_mg_plan"
+    try:
+        build_bm25_store(d.where("doc_id % 2 = 0"), tbl)
+        append_bm25_postings(d.where("doc_id % 2 = 1"), tbl)
+        qdf = spark.createDataFrame(
+            [("a", "fast hash join")], "query_id string, text string"
+        )
+        out = bm25_store_search(qdf, tbl, top_k=5)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(f"default.{tbl},") + plan.count(
+            f"default.{tbl}]"
+        ) <= 1 or plan.count(f"spark_catalog.default.{tbl}") <= 1
+        assert "BroadcastHashJoin" in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "query_id" in line or "w#" in line, (
+                    f"unexpected shuffle: {line}"
+                )
+    finally:
+        for suf in ("", "_stats", "_fwd", "_bloom"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
