@@ -829,19 +829,55 @@ def main(argv: list[str] | None = None) -> dict:
         # builder's own probe while trained-residual reaches ~0.81 at the
         # same bit budget) and persist as the {table}_cb companion, so
         # every later probe/append picks them up automatically.
-        from albedo_spark.operators.vector_store import build_pq_store
+        from albedo_spark.operators.vector_store import (
+            append_pq_vectors,
+            build_pq_store,
+        )
 
         s_emb = load_table(spark, args.sf_dir, "embeddings").join(
             survivors.select(F.col("doc_id").alias("vec_id")),
             "vec_id",
             "left_semi",
         )
-        build_pq_store(s_emb, args.pq_index, kc=args.pq_kc, m=args.pq_m,
-                       subdim=args.pq_subdim, num_buckets=args.pq_buckets,
-                       codebooks="train")
+        if args.incremental_filter:
+            # Production loop (r13, the dedup-store loop's sidecar twin):
+            # history builds the store ONCE (cells + codebooks train on
+            # history and FREEZE — the store may not drift), and every
+            # batch's surviving vectors APPEND against the frozen model,
+            # replay-guarded by the shared admit core. Geometry flags
+            # must match the build.
+            hist_ids = survivors.where(
+                f"NOT ({args.incremental_filter})"
+            ).select(F.col("doc_id").alias("vec_id"))
+            batch_ids = survivors.where(args.incremental_filter).select(
+                F.col("doc_id").alias("vec_id")
+            )
+            if not spark.catalog.tableExists(args.pq_index):
+                build_pq_store(
+                    s_emb.join(hist_ids, "vec_id", "left_semi"),
+                    args.pq_index, kc=args.pq_kc, m=args.pq_m,
+                    subdim=args.pq_subdim, num_buckets=args.pq_buckets,
+                    codebooks="train",
+                )
+                mode = "build+append"
+            else:
+                mode = "append"
+            append_pq_vectors(
+                s_emb.join(batch_ids, "vec_id", "left_semi"),
+                args.pq_index,
+                m=args.pq_m,
+                subdim=args.pq_subdim,
+                num_buckets=args.pq_buckets,
+            )
+        else:
+            build_pq_store(s_emb, args.pq_index, kc=args.pq_kc, m=args.pq_m,
+                           subdim=args.pq_subdim, num_buckets=args.pq_buckets,
+                           codebooks="train")
+            mode = "build"
         spark.catalog.refreshTable(args.pq_index)
         summary["pq_index"] = {
             "table": args.pq_index,
+            "mode": mode,
             "n_vectors": spark.table(args.pq_index)
             .select("vec_id").distinct().count(),
             "kc": args.pq_kc,
@@ -858,19 +894,57 @@ def main(argv: list[str] | None = None) -> dict:
         # survivors — the retrieval-ready twin of --pq-index's dense
         # sidecar. Grows later via append_bm25_postings (generations) or
         # run_to_bm25_store (streaming); rebuild-or-compact to refresh.
-        from albedo_spark.operators.retrieval import build_bm25_store
-
-        build_bm25_store(
-            survivors.select("doc_id", "text"),
-            args.bm25_index,
-            forward=args.bm25_forward,
+        from albedo_spark.operators.retrieval import (
+            append_bm25_postings,
+            build_bm25_store,
         )
+
+        if args.incremental_filter:
+            # Production loop (r13): history builds generation 0 once;
+            # every batch's surviving docs land as one more GENERATION
+            # (append_bm25_postings — replay-idempotent; readers merge
+            # stats and recompute df, byte-identical to a rebuild).
+            # compact_bm25_store is the maintenance story.
+            if not spark.catalog.tableExists(args.bm25_index):
+                build_bm25_store(
+                    survivors.where(
+                        f"NOT ({args.incremental_filter})"
+                    ).select("doc_id", "text"),
+                    args.bm25_index,
+                    forward=args.bm25_forward,
+                )
+                bm_mode = "build+append"
+            else:
+                bm_mode = "append"
+            append_bm25_postings(
+                survivors.where(args.incremental_filter).select(
+                    "doc_id", "text"
+                ),
+                args.bm25_index,
+            )
+        else:
+            build_bm25_store(
+                survivors.select("doc_id", "text"),
+                args.bm25_index,
+                forward=args.bm25_forward,
+            )
+            bm_mode = "build"
         spark.catalog.refreshTable(args.bm25_index)
-        st = spark.table(args.bm25_index + "_stats").first()
+        st = (
+            spark.table(args.bm25_index + "_stats")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("dl_total").alias("_t"),
+                F.count("*").alias("gens"),
+            )
+            .first()
+        )
         summary["bm25_index"] = {
             "table": args.bm25_index,
+            "mode": bm_mode,
             "n_docs": int(st["n_docs"]),
-            "avgdl_x100": int(st["avgdl_x100"]),
+            "avgdl_x100": (100 * int(st["_t"])) // int(st["n_docs"]),
+            "n_generations": int(st["gens"]),
             "n_terms": spark.table(args.bm25_index)
             .select("w").distinct().count(),
             "forward": bool(args.bm25_forward),

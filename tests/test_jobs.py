@@ -515,6 +515,39 @@ def test_corpus_job_bm25_index_stage(spark):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
 
 
+def test_corpus_job_incremental_sidecars(spark):
+    """Under --incremental-filter the retrieval sidecars join the
+    production loop (r13): history builds generation 0 / trains the
+    frozen PQ model once, the batch lands as an appended generation /
+    admitted vectors, and a replayed run appends nothing to either."""
+    from albedo_spark.jobs.corpus import main
+
+    bt, pt, prefix = "t_inc_bm25", "t_inc_pq", "t_inc_store"
+    args = ["--sf-dir", "/root/testdata/sf0.001",
+            "--incremental-filter", "doc_id % 7 = 3",
+            "--store-prefix", prefix,
+            "--bm25-index", bt, "--pq-index", pt]
+    try:
+        s1 = main(args)
+        b1, p1 = s1["bm25_index"], s1["pq_index"]
+        assert b1["mode"] == "build+append" and b1["n_generations"] == 2
+        assert p1["mode"] == "build+append" and p1["n_vectors"] > 0
+        # both halves present: history docs and batch docs in the index
+        assert b1["n_docs"] > 0
+        s2 = main(args)  # replay: admit_novel blocks everything
+        b2, p2 = s2["bm25_index"], s2["pq_index"]
+        assert b2["mode"] == "append" and p2["mode"] == "append"
+        assert b2["n_generations"] == 2  # no third generation on replay
+        assert b2["n_docs"] == b1["n_docs"]
+        assert p2["n_vectors"] == p1["n_vectors"]
+    finally:
+        for t in (bt, pt):
+            for suf in ("", "_stats", "_fwd", "_cents", "_cb", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+        for suf in ("_digests", "_minhash", "_bloom"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{suf}")
+
+
 def test_corpus_job_blocklist_phrases_paths_and_equivalence(tmp_path):
     """--blocklist-phrases: (a) a small dictionary takes the q116 regex
     OR-fold path, a big one (forced via --phrase-regex-max 1) the q157
