@@ -809,3 +809,73 @@ def bm25_store_prf_search(
         .where(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "rank", "prf_x10k")
     )
+
+
+def snippet_windows(
+    docs: DataFrame,
+    queries: DataFrame,
+    hits: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Passage selection — the snippet/highlight stage every search
+    serving stack runs after ranking (and the passage picker a RAG
+    pipeline runs before generation): for each ``hits`` pair
+    ``(query_id, doc_id)``, the best ``window``-token span of the
+    document by MATCHED QUERY-TERM COUNT, ties to the earliest span.
+    Returns ``(query_id, doc_id, window_start, n_matches, snippet)``
+    with 0-based ``window_start`` and the span's tokens re-joined.
+
+    The optimal span provably starts AT a match position (sliding left
+    to the next match never loses a term), so the search space is match
+    positions, not all offsets: per candidate pair, each match counts
+    the matches within ``[pos, pos + window)`` via ONE analytic window
+    (``orderBy(pos).rangeBetween(0, window-1)``) — integer-exact, no
+    UDFs. Plan: hits and query terms ride broadcasts into the tokenized
+    candidate docs (only hit docs tokenize — candidate-bounded, never
+    the corpus); the single shuffle keys the analytic window on
+    (query_id, doc_id); the pinned row_number idiom picks the span."""
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    cand = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_w")
+        )
+        .join(
+            F.broadcast(hits.select("query_id", "doc_id").distinct()),
+            "doc_id",
+        )
+    )
+    pos = cand.select(
+        "query_id", "doc_id", "_w", F.posexplode("_w").alias("pos", "tok")
+    )
+    matches = pos.join(F.broadcast(qterms), ["query_id", "tok"])
+    w = (
+        Window.partitionBy("query_id", "doc_id")
+        .orderBy("pos")
+        .rangeBetween(0, window - 1)
+    )
+    scored = matches.withColumn("n_matches", F.count("*").over(w))
+    rank_w = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.col("n_matches").desc(), F.col("pos").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(rank_w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("pos").cast("long").alias("window_start"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.array_join(
+                F.slice("_w", F.col("pos") + 1, window), " "
+            ).alias("snippet"),
+        )
+    )

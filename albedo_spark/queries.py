@@ -9993,6 +9993,101 @@ def q172_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(d, k=20, min_count=5, delta=3)
 
 
+@query(
+    "q173_snippet_windows",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks WHERE w <> '' GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    stats AS (
+        SELECT count(*) AS n_docs, (100 * sum(dl)) // count(*) AS avgdl_x100 FROM dl
+    ),
+    q(query_id, w) AS (VALUES {_BM25_VALUES}),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum((((10000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+                    * ((10000 * 22 * tf.tf * s.avgdl_x100)
+                       // (10*tf.tf*s.avgdl_x100 + 3*s.avgdl_x100 + 900*dl.dl)))
+                   // 10000) AS BIGINT) AS bm25_x10k
+        FROM tf
+        JOIN q USING (w)
+        JOIN dfreq d USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    cand AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY bm25_x10k DESC, doc_id ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    dt AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT c.query_id, c.doc_id, i AS pos, dt.w[i + 1] AS tok, dt.w
+        FROM cand c JOIN dt USING (doc_id),
+             LATERAL (SELECT unnest(range(len(dt.w))) AS i) t
+    ),
+    m AS (
+        SELECT p.query_id, p.doc_id, p.pos, p.w
+        FROM pos p JOIN (SELECT DISTINCT query_id, w FROM q) qt
+          ON p.query_id = qt.query_id AND p.tok = qt.w
+    ),
+    sc AS (
+        SELECT query_id, doc_id, pos, w,
+               CAST(count(*) OVER (
+                   PARTITION BY query_id, doc_id ORDER BY pos
+                   RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING
+               ) AS BIGINT) AS n_matches
+        FROM m
+    )
+    SELECT query_id, doc_id,
+           CAST(pos AS BIGINT) AS window_start, n_matches,
+           array_to_string(w[pos + 1 : pos + 8], ' ') AS snippet
+    FROM (
+        SELECT query_id, doc_id, pos, n_matches, w,
+               row_number() OVER (
+                   PARTITION BY query_id, doc_id
+                   ORDER BY n_matches DESC, pos ASC
+               ) AS rn
+        FROM sc
+    ) WHERE rn = 1
+    """,
+)
+def q173_snippet_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage selection over ranked hits (operators/retrieval.py
+    snippet_windows) — the snippet/highlight stage after ranking and
+    the passage picker before RAG generation: for each of q127's BM25
+    top-5 hits, the best 8-token span by matched-query-term count, ties
+    to the earliest span, snippet re-joined from the span's tokens. The
+    optimal span provably starts at a match position, so the search
+    space is match positions only — one analytic window
+    (``rangeBetween(0, 7)`` over token positions) per candidate pair,
+    integer-exact, hashed INCLUDING the snippet string so the gate
+    certifies the span content, not just its offset. Plan: hits and
+    query terms broadcast into the tokenized CANDIDATE docs (only hit
+    docs tokenize); the single shuffle keys the window on (query_id,
+    doc_id)."""
+    from albedo_spark.operators.retrieval import bm25_search, snippet_windows
+
+    d = _t(spark, sf_dir, "documents")
+    hits = bm25_search(spark, d, _BM25_QUERIES, top_k=5)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, text string")
+    return snippet_windows(d, qdf, hits, window=8)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10195,6 +10290,7 @@ _POST_WINDOW = [
     "q165_bm25_prf_expansion",
     "q167_filtered_hybrid_serve",
     "q169_bm25_multigen_store",
+    "q173_snippet_windows",
     "q94_group_sample",
     "q95_merge_intervals",
     "q96_copurchase_topk",

@@ -171,6 +171,7 @@ HEADLINE2 = [
     "q170_wordpiece_merge_round",
     "q171_semantic_dedup",
     "q172_collocations",
+    "q173_snippet_windows",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -629,3 +629,38 @@ def test_bm25_multigen_search_plan(spark):
     finally:
         for suf in ("", "_stats", "_fwd", "_bloom"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
+def test_snippet_windows_hand_example(spark):
+    """Span selection pinned by hand: the best 4-token window of doc 1
+    for 'red fox' starts at the densest match cluster (positions 4-6:
+    red fox red -> 3 matches), ties resolve to the earliest span, a
+    window at the document tail is truncated by slice semantics, and a
+    hit pair whose doc contains NO query term yields no row."""
+    from albedo_spark.operators.retrieval import snippet_windows
+
+    docs = spark.createDataFrame(
+        [
+            # pos:        0   1    2   3    4   5   6    7
+            (1, "red  a   b   c    red fox red  d"),
+            (2, "x y z red"),                       # match at tail
+            (3, "nothing matching here"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "red fox")], "query_id string, text string"
+    )
+    hits = spark.createDataFrame(
+        [("q1", 1), ("q1", 2), ("q1", 3)], "query_id string, doc_id long"
+    )
+    got = {
+        r.doc_id: (r.window_start, r.n_matches, r.snippet)
+        for r in snippet_windows(docs, queries, hits, window=4).collect()
+    }
+    # doc 1: windows starting at matches: pos 0 -> [red,a,b,c] = 1;
+    # pos 4 -> [red,fox,red,d] = 3; pos 5 -> 2; pos 6 -> 1. Best: pos 4.
+    assert got[1] == (4, 3, "red fox red d")
+    # doc 2: single match at pos 3; slice truncates at the tail
+    assert got[2] == (3, 1, "red")
+    assert 3 not in got  # no matched term, no snippet row
