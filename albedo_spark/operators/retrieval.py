@@ -693,6 +693,13 @@ def phrase_match(
     )
 
 
+#: Literal-isin feedback-fetch ceiling: below this many (query, doc)
+#: pairs the PRF fetch collects them and bucket-prunes the forward
+#: companion; above it the lazy broadcast-join path costs less than a
+#: thousands-element In expression plus an extra driver job.
+_FETCH_IDS_MAX = 1024
+
+
 def bm25_store_prf_search(
     queries: DataFrame,
     table: str,
@@ -745,24 +752,38 @@ def bm25_store_prf_search(
         queries, table, top_k=fb_docs,
         query_id_col=query_id_col, text_col=text_col,
     )
-    if spark.catalog.tableExists(table + "_fwd"):
-        # Bucket-pruned fetch (r13): the feedback ids are driver-bounded
-        # by construction (|Q|·fb_docs — the query frame is
-        # broadcast-scale by definition), so COLLECT them (the bounded
-        # A7 idiom) and filter the doc_id-bucketed companion with a
-        # LITERAL isin — the one predicate form Spark's bucket pruning
-        # accepts (SelectedBucketsCount in the scan, plan-pinned), plus
-        # parquet row-group skipping on the sorted files. A broadcast
-        # join here would still scan every bucket; this reads only the
-        # feedback docs' buckets no matter how large the index grows
-        # (tools/scale_bm25_fetch.py measures it flat).
+    # Path decision from the QUERY FRAME's size (one cheap count of the
+    # small side), never from pass 1 — deciding after retrieval would
+    # force an eager pass-1 job on every call, and the analytical path
+    # wants pass 1 left fully lazy inside the one fused plan.
+    use_literal_fetch = (
+        spark.catalog.tableExists(table + "_fwd")
+        and queries.count() * fb_docs <= _FETCH_IDS_MAX
+    )
+    if use_literal_fetch:
+        # Bucket-pruned fetch (r13): when the feedback set is SMALL
+        # (interactive serving — a handful of queries x fb_docs ids),
+        # COLLECT the pairs (the bounded A7 idiom) and filter the
+        # doc_id-bucketed companion with a LITERAL isin — the one
+        # predicate form Spark's bucket pruning accepts
+        # (SelectedBucketsCount in the scan, plan-pinned), plus parquet
+        # row-group skipping on the sorted files. A broadcast join here
+        # would scan every bucket; this reads only the feedback docs'
+        # buckets no matter how large the index grows
+        # (tools/scale_bm25_fetch.py measures it flat). ANALYTICAL query
+        # frames (thousands of queries) take the lazy-join branch below
+        # instead — a thousands-element In expression bloats codegen,
+        # the collect adds a driver job, and one fwd scan amortized
+        # across the whole query set is cheaper per query. Both paths
+        # read the same rows — byte-identical results.
         pairs = [
             (r["query_id"], r["doc_id"])
             for r in pass1.select("query_id", "doc_id").collect()
         ]
         fb_pairs = spark.createDataFrame(
             pairs or [(None, None)],
-            f"query_id {queries.schema[query_id_col].dataType.simpleString()},"
+            f"query_id "
+            f"{queries.schema[query_id_col].dataType.simpleString()},"
             " doc_id long",
         ).where(F.col("doc_id").isNotNull())
         fetched = fwd.where(
