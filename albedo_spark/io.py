@@ -20,6 +20,15 @@ from collections.abc import Callable
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
+#: Process-start epoch-ms — the freshness guard of
+#: ``sweep_dead_private_copies``: a pid-suffixed directory younger than
+#: this may belong to a session whose pid our namespace cannot see
+#: (containerized co-tenants share a warehouse but not /proc), so the
+#: dead-pid test alone is not sufficient evidence there.
+import time as _time  # noqa: E402
+
+_PROCESS_START_MS = int(_time.time() * 1000)
+
 
 def today_path(data_dir: str, name: str, day: str | None = None) -> str:
     """``{dataDir}/{yyyyMMdd}/{name}.parquet`` (S/settings/package.scala:12-19)."""
@@ -916,3 +925,63 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def sweep_dead_private_copies(spark: SparkSession) -> dict:
+    """Warehouse hygiene for the private-copy protocol: `_memo_store`
+    builders and `compact_table` write into pid-suffixed tables
+    (``{name}__b<pid>`` / ``{name}__c<pid>``) and publish by rename —
+    but a session that loses the publish race to a FOREIGN process (the
+    in-memory-catalog case: the winner's table is invisible to our
+    catalog) keeps serving its private copy and exits without dropping
+    it, so long-lived shared warehouses accumulate dead sessions'
+    private directories (345 observed on this box after one build
+    round). This sweep removes exactly the provably-dead ones: a
+    directory whose name carries a pid suffix where (a) that pid is no
+    longer alive, and (b) the directory itself predates this process
+    (both conditions — pids recycle, so a live recycled pid keeps the
+    dir, and a fresh dir is a live session's work even if its pid
+    check races). Published (unsuffixed) tables are NEVER touched —
+    they may be another live session's store; `drop_orphan_table_
+    location`'s watermark handles those at next same-name build.
+
+    Hadoop FS API throughout (any hadoop-compatible FS); on a real
+    metastore the race doesn't exist and this is a no-op. Returns
+    ``{swept: [names], kept_live: n, kept_fresh: n}``."""
+    import os as _os
+    import re as _re
+
+    jvm = spark.sparkContext._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    root = jvm.org.apache.hadoop.fs.Path(wh)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {"swept": [], "kept_live": 0, "kept_fresh": 0}
+
+    def _alive(pid: int) -> bool:
+        try:
+            _os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
+    pat = _re.compile(r"__[bc](\d+)(_[a-z0-9_]+)?$")
+    swept: list[str] = []
+    kept_live = kept_fresh = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        m = pat.search(name)
+        if not m:
+            continue
+        if _alive(int(m.group(1))):
+            kept_live += 1
+            continue
+        if st.getModificationTime() >= _PROCESS_START_MS:
+            kept_fresh += 1
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        fs.delete(st.getPath(), True)
+        swept.append(name)
+    return {"swept": sorted(swept), "kept_live": kept_live, "kept_fresh": kept_fresh}

@@ -198,6 +198,12 @@ def main(argv: list[str] | None = None) -> dict:
                         "the persisted history and the batch dedups against "
                         "it via the store loop (exact digests first, MinHash "
                         "second), then its signatures join the stores")
+    p.add_argument("--sweep-warehouse", action="store_true",
+                   help="before any stage: remove dead sessions' "
+                        "pid-suffixed private store copies from the "
+                        "warehouse (io.sweep_dead_private_copies — the "
+                        "maintenance sweep for the private-copy publish "
+                        "protocol); counts land in the summary")
     p.add_argument("--store-prefix", default="corpus_store",
                    help="table-name prefix for the persisted stores")
     p.add_argument("--bloom-bits", type=int, default=None,
@@ -237,6 +243,18 @@ def main(argv: list[str] | None = None) -> dict:
 
     spark = get_spark("corpus-job", shuffle_partitions=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.sweep_warehouse:
+        from albedo_spark.io import sweep_dead_private_copies
+
+        sw = sweep_dead_private_copies(spark)
+        summary_sweep = {
+            "n_swept": len(sw["swept"]),
+            "kept_live": sw["kept_live"],
+            "kept_fresh": sw["kept_fresh"],
+        }
+    else:
+        summary_sweep = None
 
     docs = load_table(spark, args.sf_dir, "documents")
 
@@ -309,6 +327,8 @@ def main(argv: list[str] | None = None) -> dict:
             F.expr("percentile(quality_x10k, 0.5)")
         ).collect()[0][0],
     }
+    if summary_sweep is not None:
+        summary["warehouse_sweep"] = summary_sweep
     if markup_cached is not None:
         # Exact integer mean (sum DIV count) — the catalog's
         # order-independent discipline, one aggregate.

@@ -518,3 +518,45 @@ def test_write_es_bulk_null_id_raises(spark, tmp_path):
     )
     with pytest.raises(errs, match="NULL id"):
         write_es_bulk(nd, str(tmp_path / "bulk_nd"), index="x", id_col="doc_id")
+
+
+def test_sweep_dead_private_copies(spark, monkeypatch):
+    """Warehouse hygiene: a pid-suffixed private copy is swept only when
+    its pid is dead AND the directory predates the process (both — pids
+    recycle and foreign-namespace sessions are invisible to /proc);
+    live-pid and published (unsuffixed) directories are never touched."""
+    import os
+    import subprocess
+
+    from albedo_spark import io as aio
+    from albedo_spark.io import sweep_dead_private_copies
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    reaped = subprocess.Popen(["true"])
+    reaped.wait()  # a pid guaranteed dead
+    dead = f"t_sweepme__b{reaped.pid}"
+    live = f"t_keepme__b{os.getpid()}"
+    pub = "t_published_store"
+    for d in (dead, live, pub):
+        os.makedirs(os.path.join(wh, d), exist_ok=True)
+        open(os.path.join(wh, d, "part-0.parquet"), "w").write("x")
+    try:
+        # all three dirs are fresh: nothing sweeps without the age proof
+        res = sweep_dead_private_copies(spark)
+        assert dead not in res["swept"] and res["kept_fresh"] >= 1
+        assert os.path.isdir(os.path.join(wh, dead))
+        # age them past the watermark: only the dead-pid copy goes
+        monkeypatch.setattr(
+            aio, "_PROCESS_START_MS", aio._PROCESS_START_MS + 10**10
+        )
+        res = sweep_dead_private_copies(spark)
+        assert dead in res["swept"]
+        assert not os.path.isdir(os.path.join(wh, dead))
+        assert os.path.isdir(os.path.join(wh, live))  # live pid kept
+        assert res["kept_live"] >= 1
+        assert os.path.isdir(os.path.join(wh, pub))  # published untouched
+    finally:
+        import shutil
+
+        for d in (dead, live, pub):
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)

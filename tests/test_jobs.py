@@ -679,3 +679,32 @@ def test_corpus_job_textrank_stage(tmp_path):
     assert stage["n_keywords"] == 15
     assert len(stage["top"]) == 10 and all(isinstance(w, str) for w in stage["top"])
     assert glob.glob(out + "/textrank_keywords/*.parquet")
+
+
+def test_corpus_job_sweep_warehouse(spark):
+    """--sweep-warehouse runs the dead-private-copy sweep up front and
+    records counts; a fresh dead-pid dir survives (the freshness guard)
+    but is reported under kept_fresh."""
+    import os
+    import shutil
+    import subprocess
+
+    from albedo_spark.jobs.corpus import main
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    reaped = subprocess.Popen(["true"])
+    reaped.wait()
+    d = os.path.join(wh, f"t_cli_sweep__b{reaped.pid}")
+    os.makedirs(d, exist_ok=True)
+    try:
+        summary = main(["--sf-dir", "/root/testdata/sf0.001",
+                        "--sweep-warehouse"])
+        sw = summary["warehouse_sweep"]
+        assert set(sw) == {"n_swept", "kept_live", "kept_fresh"}
+        # the fresh plant is never deleted — it lands in kept_fresh
+        # (dead pid + young dir) or kept_live (pid recycled by one of
+        # the session's own worker forks); either way it survives
+        assert sw["kept_fresh"] + sw["kept_live"] >= 1
+        assert os.path.isdir(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
