@@ -198,6 +198,12 @@ def main(argv: list[str] | None = None) -> dict:
                         "the persisted history and the batch dedups against "
                         "it via the store loop (exact digests first, MinHash "
                         "second), then its signatures join the stores")
+    p.add_argument("--audit-sidecars", action="store_true",
+                   help="after building/appending --bm25-index/--pq-index, "
+                        "run the store integrity audits (retrieval."
+                        "audit_bm25_store / vector_store.audit_pq_store) "
+                        "and record their counters in the summary — the "
+                        "fsck step of the sidecar lifecycle")
     p.add_argument("--sweep-warehouse", action="store_true",
                    help="before any stage: remove dead sessions' "
                         "pid-suffixed private store copies from the "
@@ -895,6 +901,10 @@ def main(argv: list[str] | None = None) -> dict:
                            codebooks="train")
             mode = "build"
         spark.catalog.refreshTable(args.pq_index)
+        if args.audit_sidecars:
+            from albedo_spark.operators.vector_store import audit_pq_store
+
+            summary["pq_index_audit"] = audit_pq_store(spark, args.pq_index)
         summary["pq_index"] = {
             "table": args.pq_index,
             "mode": mode,
@@ -959,6 +969,12 @@ def main(argv: list[str] | None = None) -> dict:
             )
             .first()
         )
+        if args.audit_sidecars:
+            from albedo_spark.operators.retrieval import audit_bm25_store
+
+            summary["bm25_index_audit"] = audit_bm25_store(
+                spark, args.bm25_index
+            )
         summary["bm25_index"] = {
             "table": args.bm25_index,
             "mode": bm_mode,

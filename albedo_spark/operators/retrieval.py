@@ -900,3 +900,95 @@ def snippet_windows(
             ).alias("snippet"),
         )
     )
+
+
+def audit_bm25_store(spark: SparkSession, table: str) -> dict:
+    """Integrity audit of a persisted BM25 store — the fsck of the
+    lexical index, for operators running the append/compact lifecycle:
+    recomputes every invariant the readers rely on from the posting
+    rows themselves and reports violations instead of serving wrong
+    scores silently.
+
+    Checks (each a counter; ``ok`` iff all zero):
+    - ``bad_dl``: docs whose denormalized per-row dl disagrees with the
+      sum of their tf (or varies across the doc's rows);
+    - ``bad_stats_docs`` / ``bad_stats_dl``: generation-summed n_docs /
+      dl_total vs the posting-derived distinct-doc count / global tf
+      sum — the merge arithmetic readers trust;
+    - ``bad_avgdl``: stats rows where avgdl_x100 != (100·dl_total) div
+      n_docs;
+    - ``bad_df``: single-generation only — per-row df vs the true
+      per-term row count (multi-generation stores carry stale
+      segment-local df BY DESIGN and readers recompute, so the audit
+      reports ``df_recompute_required`` instead of failing);
+    - ``fwd_mismatch``: forward companion not row-for-row equal to the
+      postings (when present).
+
+    One pass over the postings per check, all bucketed-scan aggregates
+    — audit cost ~ a couple of probes, no shuffle of the store beyond
+    the doc-keyed dl check."""
+    post = spark.table(table)
+    stats = spark.table(table + "_stats")
+    multi_gen = "gen" in stats.columns and stats.count() > 1
+
+    per_doc = post.groupBy("doc_id").agg(
+        F.sum("tf").alias("_tfsum"),
+        F.min("dl").alias("_dlmin"),
+        F.max("dl").alias("_dlmax"),
+    )
+    bad_dl = per_doc.where(
+        (F.col("_dlmin") != F.col("_dlmax"))
+        | (F.col("_tfsum") != F.col("_dlmin"))
+    ).count()
+
+    derived = post.groupBy("doc_id").agg(F.min("dl").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("dl_total")
+    ).first()
+    if "gen" in stats.columns:
+        summed = stats.agg(
+            F.sum("n_docs").alias("n"), F.sum("dl_total").alias("t")
+        ).first()
+        bad_avgdl = stats.where(
+            F.expr("avgdl_x100 != (100 * dl_total) div n_docs")
+        ).count()
+        bad_stats_dl = int(summed["t"] != derived["dl_total"])
+    else:  # legacy single-row layout: dl_total was never persisted
+        summed = stats.agg(F.sum("n_docs").alias("n")).first()
+        bad_avgdl = 0
+        bad_stats_dl = 0
+    bad_stats_docs = int(summed["n"] != derived["n_docs"])
+
+    if multi_gen:
+        bad_df = 0
+    else:
+        bad_df = (
+            post.groupBy("w")
+            .agg(F.count("*").alias("_n"), F.min("df").alias("_dmin"),
+                 F.max("df").alias("_dmax"))
+            .where((F.col("_dmin") != F.col("_dmax"))
+                   | (F.col("_n") != F.col("_dmin")))
+            .count()
+        )
+
+    fwd_mismatch = 0
+    if spark.catalog.tableExists(table + "_fwd"):
+        fwd = spark.table(table + "_fwd")
+        fwd_mismatch = (
+            post.exceptAll(fwd).count() + fwd.exceptAll(post).count()
+        )
+
+    out = {
+        "bad_dl": bad_dl,
+        "bad_stats_docs": bad_stats_docs,
+        "bad_stats_dl": bad_stats_dl,
+        "bad_avgdl": bad_avgdl,
+        "bad_df": bad_df,
+        "fwd_mismatch": fwd_mismatch,
+        "df_recompute_required": multi_gen,
+        "n_generations": stats.count() if "gen" in stats.columns else 1,
+    }
+    out["ok"] = not any(
+        v for k, v in out.items()
+        if k.startswith(("bad_", "fwd_"))
+    )
+    return out

@@ -788,3 +788,85 @@ def vector_incremental(
         probed.join(base, "bucket").where(F.col("_bid") != F.col("_sid"))
     )
     return cross.unionByName(internal).distinct()
+
+
+def audit_pq_store(spark, table: str) -> dict:
+    """Integrity audit of a persisted IVF-PQ store — the fsck of the
+    dense index, for operators running the build/append lifecycle:
+    every invariant a probe trusts, recomputed from the store itself.
+
+    Checks (counters; ``ok`` iff all zero):
+    - ``orphan_cells``: code rows referencing a cluster_id absent from
+      the FROZEN ``{table}_cents`` model (an append that retrained or a
+      corrupted companion — either silently mis-prunes probes);
+    - ``bad_arity``: vectors whose row count differs from the
+      codebook's subspace count m (a vector must carry exactly one
+      code per subspace or ADC sums are short);
+    - ``unknown_codes``: (s, code) pairs absent from the ``{table}_cb``
+      companion — a probe's ADC lookup would silently drop them;
+    - ``bloom_false_negatives``: store ids the ``{table}_bloom``
+      sidecar calls definitely-novel (when present) — the ONE sidecar
+      error class that re-admits on replay; checked over the FULL id
+      set (sample upstream at 100 TB).
+
+    Cost: bucketed-scan aggregates over the code table plus one
+    broadcast probe of the (tiny) model companions."""
+    from albedo_spark.operators.dedup_store import (
+        bloom_might_contain,
+        sharded_bloom_maybe,
+    )
+
+    codes = spark.table(table)
+    cents = spark.table(table + "_cents")
+    cb = spark.table(table + "_cb")
+    m = cb.select("s").distinct().count()
+
+    orphan_cells = codes.join(
+        F.broadcast(cents.select("cluster_id")), "cluster_id", "left_anti"
+    ).count()
+    bad_arity = (
+        codes.groupBy("vec_id")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") != m)
+        .count()
+    )
+    unknown_codes = codes.join(
+        F.broadcast(cb.select("s", "code").distinct()),
+        ["s", "code"],
+        "left_anti",
+    ).count()
+
+    bloom_false_negatives = 0
+    bloom_table = table + "_bloom"
+    if spark.catalog.tableExists(bloom_table):
+        ids = codes.select("vec_id").distinct()
+        side = spark.table(bloom_table)
+        if "shard" in side.columns:
+            flagged = sharded_bloom_maybe(ids, bloom_table, "vec_id")
+        else:
+            params = side.select("num_bits", "num_hashes").distinct().first()
+            gens = side.agg(F.collect_list("bits").alias("_gens"))
+            flagged = ids.crossJoin(F.broadcast(gens)).withColumn(
+                "_maybe",
+                F.coalesce(
+                    bloom_might_contain(
+                        F.col("vec_id"), F.col("_gens"),
+                        params["num_bits"], params["num_hashes"],
+                    ),
+                    F.lit(False),
+                ),
+            )
+        bloom_false_negatives = flagged.where(~F.col("_maybe")).count()
+
+    out = {
+        "orphan_cells": orphan_cells,
+        "bad_arity": bad_arity,
+        "unknown_codes": unknown_codes,
+        "bloom_false_negatives": bloom_false_negatives,
+        "m": m,
+        "n_vectors": codes.select("vec_id").distinct().count(),
+    }
+    out["ok"] = not (
+        orphan_cells or bad_arity or unknown_codes or bloom_false_negatives
+    )
+    return out

@@ -451,8 +451,11 @@ def test_corpus_job_pq_index_custom_geometry(spark):
         summary = main(["--sf-dir", "/root/testdata/sf0.001",
                         "--pq-index", tbl,
                         "--pq-kc", "5", "--pq-m", "8",
-                        "--pq-subdim", "8", "--pq-buckets", "4"])
+                        "--pq-subdim", "8", "--pq-buckets", "4",
+                        "--audit-sidecars"])
         stage = summary["pq_index"]
+        assert summary["pq_index_audit"]["ok"] is True
+        assert summary["pq_index_audit"]["m"] == 8
         assert (stage["kc"], stage["m"], stage["subdim"],
                 stage["num_buckets"]) == (5, 8, 8, 4)
         rows = spark.table(tbl)
@@ -490,8 +493,10 @@ def test_corpus_job_bm25_index_stage(spark):
     tbl = "t_corpus_bm25"
     try:
         summary = main(["--sf-dir", "/root/testdata/sf0.001",
-                        "--bm25-index", tbl, "--bm25-forward"])
+                        "--bm25-index", tbl, "--bm25-forward",
+                        "--audit-sidecars"])
         stage = summary["bm25_index"]
+        assert summary["bm25_index_audit"]["ok"] is True
         assert stage["table"] == tbl and stage["forward"] is True
         assert stage["n_docs"] > 0 and stage["n_terms"] > 0
         # the index holds survivors only: never more than the corpus

@@ -664,3 +664,43 @@ def test_snippet_windows_hand_example(spark):
     # doc 2: single match at pos 3; slice truncates at the tail
     assert got[2] == (3, 1, "red")
     assert 3 not in got  # no matched term, no snippet row
+
+
+def test_audit_bm25_store(spark):
+    """The lexical-store fsck: clean builds and appended stores audit
+    ok (appends flip df_recompute_required, never a violation); one
+    corrupt posting row trips the dl/df/stats counters at once; a
+    corrupted forward companion is caught row-for-row."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        append_bm25_postings,
+        audit_bm25_store,
+        build_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    tbl = "t_bm25_audit"
+    try:
+        build_bm25_store(d.where("doc_id % 2 = 0"), tbl, forward=True)
+        a = audit_bm25_store(spark, tbl)
+        assert a["ok"] and not a["df_recompute_required"]
+        append_bm25_postings(d.where("doc_id % 2 = 1"), tbl)
+        a = audit_bm25_store(spark, tbl)
+        assert a["ok"] and a["df_recompute_required"]
+        assert a["n_generations"] == 2
+        # corrupt: one posting row whose dl disagrees with its tf sum,
+        # unknown to stats and absent from the forward companion
+        spark.createDataFrame(
+            [("zzzq", 999_999, 5, 7, 1)],
+            "w string, doc_id long, tf long, dl long, df long",
+        ).write.mode("append").bucketBy(16, "w").sortBy("w").format(
+            "parquet"
+        ).saveAsTable(tbl)
+        a = audit_bm25_store(spark, tbl)
+        assert not a["ok"]
+        assert a["bad_dl"] >= 1
+        assert a["bad_stats_docs"] == 1 and a["bad_stats_dl"] == 1
+        assert a["fwd_mismatch"] >= 1
+    finally:
+        for suf in ("", "_stats", "_fwd", "_bloom"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")

@@ -1363,3 +1363,43 @@ def test_pq_store_topk_allow_filter(spark):
     finally:
         for suf in ("", "_cents", "_cb"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
+def test_audit_pq_store(spark):
+    """The dense-store fsck: a clean build (with bloom sidecar) audits
+    ok; one alien code row trips orphan-cell, arity, and unknown-code
+    counters, and — unmirrored — the bloom false-negative check."""
+    from albedo_spark.operators.dedup_store import build_bloom_sidecar
+    from albedo_spark.operators.vector_store import (
+        audit_pq_store,
+        build_pq_store,
+    )
+
+    emb = _emb(spark)
+    tbl = "t_pq_audit"
+    try:
+        build_pq_store(
+            emb.where("vec_id % 10 != 0"), tbl, kc=4, m=4, subdim=16,
+            num_buckets=4,
+        )
+        build_bloom_sidecar(spark, tbl, tbl + "_bloom", key_col="vec_id")
+        a = audit_pq_store(spark, tbl)
+        assert a["ok"] and a["m"] == 4 and a["n_vectors"] > 0
+        assert a["bloom_false_negatives"] == 0
+        # alien row: orphan cell 99, unknown (s=0, code=777), vector with
+        # 1 row instead of m, id never mirrored into the sidecar
+        spark.createDataFrame(
+            [(999_999, 99, 0, 777)],
+            "vec_id long, cluster_id int, s int, code int",
+        ).write.mode("append").bucketBy(4, "cluster_id").sortBy(
+            "cluster_id"
+        ).format("parquet").saveAsTable(tbl)
+        a = audit_pq_store(spark, tbl)
+        assert not a["ok"]
+        assert a["orphan_cells"] == 1
+        assert a["bad_arity"] == 1
+        assert a["unknown_codes"] == 1
+        assert a["bloom_false_negatives"] == 1
+    finally:
+        for suf in ("", "_cents", "_cb", "_bloom"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
