@@ -271,14 +271,19 @@ def bench_calibration(spark) -> dict[str, float]:
         h.update(blob)
     cpu_single = round(time.perf_counter() - t0, 3)
 
-    # Min-of-3 for the JVM probe (r13): a single sample at the START
-    # boundary can catch a JIT-tiering or GC transient (observed 0.37 s
-    # vs the same session's mature 0.10 s) and spuriously trip the
-    # contention flag; the MIN of three post-warm samples is the host's
-    # attainable speed — genuine co-tenant contention slows ALL samples.
-    spark.range(100_000_000).selectExpr("sum(id)").collect()  # warm
-    samples = []
+    # Warm the JVM probe PROPERLY before timing (r14): r13's single warm
+    # + min-of-3 still read the START boundary ~2.5x high on a fresh
+    # session (JIT tiering matures over several identical jobs, not one
+    # — judged r13: start 0.211 vs end 0.081 on a verifiably idle box),
+    # which both poisoned the contention decision and leaked noise into
+    # the parallel-normalized series. Three untimed warm runs bring a
+    # fresh JVM to steady state; the MIN of five post-warm samples is
+    # the host's attainable speed — genuine co-tenant contention slows
+    # ALL samples, JIT immaturity only the early ones.
     for _ in range(3):
+        spark.range(100_000_000).selectExpr("sum(id)").collect()  # warm
+    samples = []
+    for _ in range(5):
         t0 = time.perf_counter()
         spark.range(100_000_000).selectExpr("sum(id)").collect()
         samples.append(time.perf_counter() - t0)
@@ -288,12 +293,12 @@ def bench_calibration(spark) -> dict[str, float]:
 
 #: Per-probe contention thresholds. cpu_single is a pure-Python probe
 #: with no engine warm-state, so 2x is unambiguous host movement. The
-#: JVM parallel probe carries an inherent start-vs-end JIT-maturity
-#: bias (a freshly-warmed session attains ~0.15 s where the same
-#: session attains ~0.10 s after hundreds of queries — measured r13),
-#: so its threshold is 3x: wide enough to never flag JIT maturity,
-#: tight enough to catch the 3.8x-class co-tenant spikes it exists for.
-_CONTENTION_FACTORS = {"cpu_single": 2.0, "spark_parallel": 3.0}
+#: JVM parallel probe's start-vs-end JIT-maturity bias — the reason r13
+#: widened it to 3x — is now removed at the source (three untimed warm
+#: runs + min-of-5 in bench_calibration bring a fresh JVM to steady
+#: state before the first timed sample), so 2x is back to meaning host
+#: movement on both probes (VERDICT r13 #2).
+_CONTENTION_FACTORS = {"cpu_single": 2.0, "spark_parallel": 2.0}
 
 
 def contention_flag(
@@ -520,25 +525,29 @@ def main() -> None:
     # within one r6 session — shared-host contention hits multi-core
     # throughput first). Normalizing by spark_parallel (r4 anchor 0.111)
     # brackets the host effect from the other side; read the pair
-    # together — the truth lies between when they disagree.
+    # together — the truth lies between when they disagree. MIN of the
+    # boundary pair, not mean (r14): any residual JVM warm-state bias
+    # only ever INFLATES a sample, so the min is the host's attainable
+    # speed — a mean built the normalized series on a number that was
+    # half noise (judged r13 #1).
     REF_SPARK_PARALLEL = 0.111
     _par_samples = [
         c["spark_parallel"]
         for c in (calibration_start, calibration)
         if c.get("spark_parallel")
     ]
-    spark_parallel = (
-        round(sum(_par_samples) / len(_par_samples), 3) if _par_samples else None
-    )
+    spark_parallel = round(min(_par_samples), 3) if _par_samples else None
     headline_normalized_parallel = (
         round(total * REF_SPARK_PARALLEL / spark_parallel, 3)
         if spark_parallel
         else None
     )
     # Auto-flag contended runs (VERDICT r12 ask #4): the artifact itself
-    # declares when its boundary calibration pair disagrees >2x, and the
-    # process exits nonzero AFTER printing the JSON line so an automated
-    # harness can rerun — the timings stay recorded either way.
+    # declares when its boundary calibration pair disagrees by more than
+    # a probe's _CONTENTION_FACTORS threshold (2x per probe since r14's
+    # probe warm-up fix), and the process exits nonzero AFTER printing
+    # the JSON line so an automated harness can rerun — the timings stay
+    # recorded either way.
     contended, contention_ratios = contention_flag(calibration_start, calibration)
     print(
         json.dumps(
@@ -566,7 +575,10 @@ def main() -> None:
                 "calibration_used": {
                     "cpu_single": cpu_single,
                     "spark_parallel": spark_parallel,
-                    "policy": "mean of start/end boundary samples",
+                    "policy": (
+                        "cpu_single: mean of boundary pair; "
+                        "spark_parallel: min of boundary pair"
+                    ),
                 },
                 "headline_normalized": headline_normalized,
                 "headline_normalized_parallel": headline_normalized_parallel,

@@ -2,9 +2,10 @@
 r12 ask #4): the bench artifact must declare, about itself, when its
 boundary calibration pair shows the host sped up or slowed down
 mid-run — the class of silently-poisoned artifact round 10 produced.
-Thresholds are per-probe: 2x for the pure-Python cpu_single probe, 3x
-for the JVM parallel probe (which carries an inherent start-vs-end
-JIT-maturity bias of up to ~1.5-2x — measured r13)."""
+Thresholds are 2x per probe (r14): the JVM probe's JIT-maturity
+start-bias that forced r13's 3x widening is now removed at the source
+by bench_calibration's untimed warm loop, and a live test below pins
+that a warmed boundary pair really does stay tight."""
 
 import sys
 
@@ -42,16 +43,16 @@ def test_parallel_probe_alone_flags():
     assert contended
 
 
-def test_jit_maturity_band_does_not_flag():
-    # A fresh-JVM start probe attaining ~1.5-2x the mature end value is
-    # measured engine warm-state, not host contention: under the 3x
-    # parallel threshold this must stay quiet.
+def test_parallel_spike_beyond_2x_flags():
+    # r13's 3x threshold let a genuine 2.5x co-tenant spike hide inside
+    # the JIT-maturity allowance; with the probe warmed at the source
+    # the allowance is gone and 2x+ parallel movement must flag.
     contended, ratios = contention_flag(
-        {"cpu_single": 0.35, "spark_parallel": 0.20},
+        {"cpu_single": 0.35, "spark_parallel": 0.25},
         {"cpu_single": 0.35, "spark_parallel": 0.10},
     )
-    assert not contended
-    assert ratios["spark_parallel"] == 2.0
+    assert contended
+    assert ratios["spark_parallel"] == 2.5
 
 
 def test_direction_symmetric():
@@ -85,4 +86,22 @@ def test_exactly_at_factor_passes():
 
 
 def test_default_factors_shape():
-    assert _CONTENTION_FACTORS == {"cpu_single": 2.0, "spark_parallel": 3.0}
+    assert _CONTENTION_FACTORS == {"cpu_single": 2.0, "spark_parallel": 2.0}
+
+
+def test_warmed_boundary_pair_stays_tight(spark):
+    # The live pin behind the 2x threshold (VERDICT r13 #2): with the
+    # untimed warm loop inside bench_calibration, two back-to-back
+    # calibrations must agree closely — the systematic ~2.5x start-bias
+    # the un-warmed probe showed would fail this immediately. 1.5 is
+    # deliberately looser than the ~1.3 an idle box attains, so only a
+    # real warm-state regression (or a genuinely contended test box)
+    # trips it, and far tighter than the old 3x allowance.
+    from bench import bench_calibration
+
+    a = bench_calibration(spark)
+    b = bench_calibration(spark)
+    ratio = max(a["spark_parallel"], b["spark_parallel"]) / min(
+        a["spark_parallel"], b["spark_parallel"]
+    )
+    assert ratio < 1.5, (a, b)
