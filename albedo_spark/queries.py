@@ -10234,7 +10234,28 @@ _DEMOTED = [
 #        batch twin q45 (time-range join) stays in-window and the
 #        stream-side semantics remain pinned by pytest + the no-cap
 #        gate.
+# Round-14 window swaps — and the STANDING RULE from here on: a round's
+# flagship operators are promoted into the 50-entry window IN THE SAME
+# round they land (VERDICT r13 #1 — for two consecutive rounds the
+# driver artifact certified only the previous round's work because
+# promotion ran one round behind):
+#   q171 SemDeDup IN (the dedup ladder's paraphrase granularity —
+#        in-window q18/q21/q63/q90 cover exact/token/component/
+#        incremental; none covers embedding-space dedup);
+#        q31 stratified sampleBy OUT to post-window — sampling keeps
+#        q73 packing + q74 weighted mixture in-window, and R2's
+#        stratified surface stays gated by q31 itself in the no-cap
+#        gate plus its pytest properties.
+#   q169 multi-generation BM25 store IN (the store-LIFECYCLE contract:
+#        append ≡ rebuild byte-identically — q160 gates serving,
+#        nothing in-window gated append/compact until now);
+#        q144 quantized ANN OUT to post-window — the PQ/quantization
+#        family keeps its persisted serving rep in-window via q160's
+#        hybrid store (and q150/q151/q153/q154/q158/q164 post-window),
+#        similarity keeps q71 exact GEMM kNN in-window.
 _POST_WINDOW = [
+    "q31_hash_sample",
+    "q144_quantized_ann",
     "q57_stream_session_gate",
     "q65_stream_interval_join",
     "q75_bpe_pair_counts",
@@ -10253,7 +10274,6 @@ _POST_WINDOW = [
     "q157_phrase_match",
     "q172_collocations",
     "q128_prefix_filter_jaccard",
-    "q171_semantic_dedup",
     "q145_sketch_overlap",
     "q146_containment_pairs",
     "q147_multimodal_ahash",
@@ -10289,7 +10309,6 @@ _POST_WINDOW = [
     "q164_filtered_pq_search",
     "q165_bm25_prf_expansion",
     "q167_filtered_hybrid_serve",
-    "q169_bm25_multigen_store",
     "q173_snippet_windows",
     "q94_group_sample",
     "q95_merge_intervals",

@@ -223,10 +223,11 @@ def test_driver_record_window_contains_flagships():
         "q127_bm25_search",
         "q136_hll_cardinality",
         # round-9 new families: hybrid rank fusion + int8 quantization
-        # (q33 LSH ANN moved post-window: q71 exact + q144 quantized are
-        # the in-window similarity reps)
+        # (q33 LSH ANN moved post-window r9; q144 quantized ANN moved
+        # post-window r14 — q71 exact GEMM kNN stays the in-window
+        # similarity rep and the quantization family keeps its persisted
+        # serving rep via q160)
         "q141_rrf_fusion",
-        "q144_quantized_ann",
         # round-10 swaps: ALS serving (hash-gated) replaces the rows-only
         # q35 trainer as the M3 family's in-window representative; the
         # new clustering family takes q22's slot (lang×quality stays
@@ -243,6 +244,11 @@ def test_driver_record_window_contains_flagships():
         # queries.py's reorder rationale)
         "q160_hybrid_store_serve",
         "q168_wordpiece_encode",
+        # round-14 swaps (the SAME-ROUND promotion rule, now standing):
+        # SemDeDup takes q31's slot (sampling keeps q73/q74 in-window),
+        # the multi-generation BM25 store lifecycle takes q144's slot
+        "q169_bm25_multigen_store",
+        "q171_semantic_dedup",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
