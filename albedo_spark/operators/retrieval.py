@@ -253,8 +253,18 @@ def append_bm25_postings(
     BEFORE the row write (bloom-without-rows is a harmless false
     positive; the reverse would re-admit). The ``{table}_fwd`` forward
     companion, when present, receives the same rows so PRF's
-    bucket-pruned fetch stays complete. Returns
-    ``{admitted, generation}``."""
+    bucket-pruned fetch stays complete.
+
+    Crash safety (ADVICE r13 #1): the write order is bloom → postings →
+    forward → stats, so a crash can strand a generation's posting rows
+    without their stats row (and/or forward rows) — and because the
+    replay guard then admits nothing, a bare retry would never fill the
+    gap. The admitted-0 path therefore runs ``repair_bm25_store``,
+    which reconstructs any missing stats row from exact posting-derived
+    deltas and re-mirrors missing forward rows, so the replay the
+    at-least-once contract already guarantees is also the repair.
+    Returns ``{admitted, generation}`` plus, on the admitted-0 path,
+    the ``repair`` report."""
     from albedo_spark.operators.vector_store import admit_novel, mirror_bloom
 
     spark = docs.sparkSession
@@ -274,7 +284,20 @@ def append_bm25_postings(
     novel = admit_novel(batch, table, id_col="doc_id").localCheckpoint()
     n_novel = novel.count()
     if n_novel == 0:
-        return {"admitted": 0, "generation": None}
+        # An admitted-0 NON-EMPTY batch is either a clean replay or the
+        # replay after a crash inside a previous append's multi-table
+        # write window (postings landed, stats row and/or forward rows
+        # did not — ADVICE r13 #1: without this, that orphan generation
+        # is permanent, because the replay-guard makes every retry a
+        # no-op). Detect-and-repair exactly here, the first moment the
+        # at-least-once contract replays the batch; a clean replay pays
+        # one posting-scan aggregate and repairs nothing.
+        repair = (
+            repair_bm25_store(spark, table)
+            if not batch.isEmpty()
+            else None
+        )
+        return {"admitted": 0, "generation": None, "repair": repair}
     tf = (
         novel.select(
             "doc_id", F.explode(tokens(F.col("_text"))).alias("w")
@@ -375,6 +398,81 @@ def compact_bm25_store(spark: SparkSession, table: str) -> dict:
         "files_before": files_before,
         "files_after": len(spark.table(table).inputFiles()),
         "n_docs": n_docs,
+    }
+
+
+def repair_bm25_store(spark: SparkSession, table: str) -> dict:
+    """Adopt an ORPHAN GENERATION left by a crash inside
+    ``append_bm25_postings``'s multi-table write window (ADVICE r13 #1):
+    the append's order is bloom → postings → forward → stats, so a
+    crash after the posting commit leaves rows whose doc ids the replay
+    guard already knows — every retry is a no-op and the merged
+    ``n_docs``/``dl_total`` silently exclude the batch, diverging from a
+    rebuild. Reconstruction needs no batch replay because generations
+    are doc-disjoint (appends admit novel ids only): the orphan's exact
+    scalars are the DELTAS between posting-derived totals and the
+    summed stats rows — ``n_docs`` from the distinct-doc count,
+    ``dl_total`` from the global tf sum — appended as one more stats
+    row. A lagging ``{table}_fwd`` companion (crash between the posting
+    and forward writes) is re-mirrored from the postings via exceptAll.
+
+    Cost: one posting-scan aggregate for detection (the audit's own
+    arithmetic, ``audit_bm25_store``'s bad_stats_* checks), plus the
+    fwd diff only when row counts disagree. Invoked automatically on
+    ``append_bm25_postings``'s admitted-0 path — the first replay after
+    the crash — and safe to run any time: a consistent store repairs
+    nothing. Stats totals EXCEEDING the postings indicate real
+    corruption this function cannot invent rows for; that raises with a
+    pointer to the audit. Returns ``{repaired, stats_row, fwd_rows}``."""
+
+    stats_raw = spark.table(table + "_stats")
+    if "gen" not in stats_raw.columns:
+        # Legacy layout predates appends entirely — nothing to repair.
+        return {"repaired": False, "stats_row": None, "fwd_rows": 0}
+    post = spark.table(table)
+    derived = post.groupBy("doc_id").agg(F.min("dl").alias("dl")).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).first()
+    summed = stats_raw.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("dl_total"), F.lit(0)).alias("t"),
+        F.coalesce(F.max("gen"), F.lit(-1)).alias("g"),
+    ).first()
+    miss_n = int(derived["n"]) - int(summed["n"])
+    miss_t = int(derived["t"]) - int(summed["t"])
+    if miss_n < 0 or miss_t < 0 or (miss_n == 0) != (miss_t == 0):
+        raise ValueError(
+            f"BM25 store `{table}` stats disagree with its postings in a "
+            f"shape no crash window produces (n_docs delta {miss_n}, "
+            f"dl_total delta {miss_t}) — run audit_bm25_store and rebuild"
+        )
+    stats_row = None
+    if miss_n > 0:
+        gen = int(summed["g"]) + 1
+        stats_row = (gen, miss_n, miss_t, (100 * miss_t) // miss_n)
+        spark.createDataFrame(
+            [stats_row],
+            "gen long, n_docs bigint, dl_total bigint, avgdl_x100 bigint",
+        ).write.mode("append").format("parquet").saveAsTable(table + "_stats")
+    fwd_rows = 0
+    if spark.catalog.tableExists(table + "_fwd"):
+        fwd = spark.table(table + "_fwd")
+        if fwd.count() != post.count():
+            nb = _table_num_buckets(spark, table + "_fwd")
+            missing = post.exceptAll(fwd).localCheckpoint()
+            fwd_rows = missing.count()
+            if fwd_rows:
+                (
+                    missing.write.mode("append")
+                    .bucketBy(nb, "doc_id")
+                    .sortBy("doc_id")
+                    .format("parquet")
+                    .saveAsTable(table + "_fwd")
+                )
+    return {
+        "repaired": bool(stats_row) or fwd_rows > 0,
+        "stats_row": stats_row,
+        "fwd_rows": fwd_rows,
     }
 
 
@@ -755,10 +853,16 @@ def bm25_store_prf_search(
     # Path decision from the QUERY FRAME's size (one cheap count of the
     # small side), never from pass 1 — deciding after retrieval would
     # force an eager pass-1 job on every call, and the analytical path
-    # wants pass 1 left fully lazy inside the one fused plan.
+    # wants pass 1 left fully lazy inside the one fused plan. The probe
+    # is BOUNDED (r14, judged r13 #3): only "more queries than the
+    # literal path could take?" matters, so count stops at the first
+    # row past the threshold instead of counting an analytical frame
+    # exactly — the serving path's extra driver job stays O(threshold)
+    # however large the query set.
+    _route_limit = _FETCH_IDS_MAX // fb_docs + 1
     use_literal_fetch = (
         spark.catalog.tableExists(table + "_fwd")
-        and queries.count() * fb_docs <= _FETCH_IDS_MAX
+        and queries.limit(_route_limit).count() * fb_docs <= _FETCH_IDS_MAX
     )
     if use_literal_fetch:
         # Bucket-pruned fetch (r13): when the feedback set is SMALL
@@ -780,14 +884,20 @@ def bm25_store_prf_search(
             (r["query_id"], r["doc_id"])
             for r in pass1.select("query_id", "doc_id").collect()
         ]
+        # Both element types DERIVED from the frames they came from
+        # (ADVICE r13 #3): build_bm25_store accepts any id_col type, and
+        # a hardcoded `doc_id long` made a string-id store work on the
+        # lazy-join path yet fail in createDataFrame here — behavior
+        # that depended on the route probe.
         fb_pairs = spark.createDataFrame(
             pairs or [(None, None)],
             f"query_id "
             f"{queries.schema[query_id_col].dataType.simpleString()},"
-            " doc_id long",
+            f" doc_id {fwd.schema['doc_id'].dataType.simpleString()}",
         ).where(F.col("doc_id").isNotNull())
+        ids = [p[1] for p in pairs]
         fetched = fwd.where(
-            F.col("doc_id").isin([p[1] for p in pairs] or [-1])
+            F.col("doc_id").isin(ids) if ids else F.lit(False)
         ).join(F.broadcast(fb_pairs), "doc_id")
     else:
         fetched = fwd.join(

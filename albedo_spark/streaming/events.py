@@ -394,16 +394,23 @@ def run_to_bm25_store(
     (the append contract, pinned in tests).
 
     Replay safety needs no output-directory dance here because the
-    store IS the sink and the append is idempotent end-to-end: a
-    restarted batch's doc ids are all in the store, ``admit_novel``
-    admits nothing, and no posting/stats row is written twice. Crash
-    windows follow the build's write order (stats → postings → forward
-    companion): a crash before the posting write replays as a clean
-    rebuild; a crash after it replays as a no-op append. The one
-    degraded (never incorrect) state: with ``forward=True``, a crash
-    between the posting and forward writes of the FIRST batch leaves
-    the companion permanently absent — PRF then serves from the
-    documented posting-scan fallback, byte-identical results."""
+    store IS the sink and the replay IS the recovery: a restarted
+    batch's doc ids are all in the store, ``admit_novel`` admits
+    nothing, and no posting/stats row is written twice. Crash windows
+    differ by stage. The FIRST batch follows the build's write order
+    (stats → postings → forward companion): a crash before the posting
+    write replays as a clean rebuild; with ``forward=True`` a crash
+    between the posting and forward writes leaves the companion
+    permanently absent — degraded, never incorrect (PRF serves from
+    the documented posting-scan fallback, byte-identical results).
+    LATER batches follow the append's order (bloom → postings →
+    forward → stats), whose dangerous window — posting rows committed,
+    stats row not — would strand an orphan generation a bare no-op
+    replay never fills; ``append_bm25_postings``'s admitted-0 path
+    therefore runs ``repair_bm25_store`` (ADVICE r13 #1), so the
+    restarted batch itself reconstructs the missing stats row / forward
+    rows from exact posting-derived deltas. After any unclean shutdown,
+    ``audit_bm25_store`` confirms the repaired store's invariants."""
     from albedo_spark.operators.retrieval import (
         append_bm25_postings,
         build_bm25_store,

@@ -413,6 +413,46 @@ def test_bm25_forward_index_prf_equivalence(spark):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
 
 
+def test_bm25_prf_string_doc_ids(spark):
+    """ADVICE r13 #3: build_bm25_store accepts any id_col type, so the
+    literal-isin fetch path must not hardcode the doc_id type — a
+    string-id forward store has to serve PRF on BOTH routes with
+    identical results (before the fix the small-query literal path blew
+    up in createDataFrame while the lazy-join path worked, so behavior
+    depended on the route probe)."""
+    from albedo_spark.operators.retrieval import (
+        bm25_store_prf_search,
+        build_bm25_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d-1", "apple orchard harvest"),
+            ("d-2", "apple orchard pruning"),
+            ("d-3", "apple pie recipe"),
+            ("d-4", "orchard soil care"),
+            ("d-5", "database index scan"),
+        ],
+        "doc_id string, text string",
+    )
+    qdf = spark.createDataFrame([("q1", "apple")], "query_id string, text string")
+    # distinct prefixes: "{t_plain}_fwd" must not collide with t_fwd
+    # (build_bm25_store(forward=False) drops its own companion name)
+    t_fwd, t_plain = "t_bm25_strid_a", "t_bm25_strid_b"
+    try:
+        build_bm25_store(docs, t_fwd, forward=True)   # literal route
+        build_bm25_store(docs, t_plain)               # lazy-join route
+        a = bm25_store_prf_search(qdf, t_fwd, top_k=5, fb_docs=2, fb_terms=2)
+        b = bm25_store_prf_search(qdf, t_plain, top_k=5, fb_docs=2, fb_terms=2)
+        rows_a = sorted(tuple(r) for r in a.collect())
+        assert rows_a == sorted(tuple(r) for r in b.collect())
+        assert "d-4" in {r[1] for r in rows_a}  # expansion still works
+    finally:
+        for t in (t_fwd, t_plain):
+            for suf in ("", "_stats", "_fwd"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
 def _bm25_probe_set(spark):
     return spark.createDataFrame(
         [("alpha", "fast hash join"), ("beta", "slow table scan"),
@@ -467,10 +507,14 @@ def test_bm25_append_rebuild_equivalence(spark):
         assert got(bm25_store_search, t_full, top_k=5, allow=allow) == got(
             bm25_store_search, t_inc, top_k=5, allow=allow
         )
-        # replay: nothing admitted, nothing written
+        # replay: nothing admitted, nothing written, and the crash-repair
+        # sweep on the admitted-0 path reports a consistent store
         n_rows = spark.table(t_inc).count()
         replay = append_bm25_postings(d.where("doc_id % 2 = 1"), t_inc)
-        assert replay == {"admitted": 0, "generation": None}
+        assert replay["admitted"] == 0 and replay["generation"] is None
+        assert replay["repair"] == {
+            "repaired": False, "stats_row": None, "fwd_rows": 0,
+        }
         assert spark.table(t_inc).count() == n_rows
         assert spark.table(t_inc + "_stats").count() == 2
     finally:
@@ -576,6 +620,92 @@ def test_bm25_compact_store(spark):
         )
     finally:
         for t in (tbl, ref):
+            for suf in ("", "_stats", "_fwd", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
+def test_bm25_append_crash_repair(spark):
+    """ADVICE r13 #1: the append writes posting rows BEFORE the
+    generation's stats row, so a crash in between leaves an orphan
+    generation the replay guard would otherwise make permanent
+    (postings counted, scalars not — multi-gen search silently diverges
+    from a rebuild). The replay of the crashed batch must repair it:
+    reconstruct the missing stats row with the exact values the
+    completed append would have written, re-mirror missing forward
+    rows, and leave search byte-identical to an uncrashed store."""
+    from albedo_spark.io import load_table
+    from albedo_spark.operators.retrieval import (
+        append_bm25_postings,
+        audit_bm25_store,
+        bm25_store_search,
+        build_bm25_store,
+        repair_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(160)
+    qdf = _bm25_probe_set(spark)
+    tbl, ref = "t_bm25_crash", "t_bm25_crash_ref"
+    try:
+        build_bm25_store(d.where("doc_id % 2 = 0"), tbl, forward=True)
+        build_bm25_store(d.where("doc_id % 2 = 0"), ref, forward=True)
+        append_bm25_postings(d.where("doc_id % 2 = 1"), tbl)
+        append_bm25_postings(d.where("doc_id % 2 = 1"), ref)
+        good_stats = sorted(
+            tuple(r) for r in spark.table(tbl + "_stats").collect()
+        )
+        # Simulate the crash window: postings + fwd committed, stats
+        # row not — rewrite the stats table without the gen-1 row.
+        gen0 = spark.table(tbl + "_stats").where("gen = 0").collect()
+        spark.createDataFrame(
+            gen0, spark.table(tbl + "_stats").schema
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            "t_bm25_crash_tmp_stats"
+        )
+        spark.sql(f"DROP TABLE `{tbl}_stats`")
+        spark.sql(
+            f"ALTER TABLE t_bm25_crash_tmp_stats RENAME TO `{tbl}_stats`"
+        )
+        assert spark.table(tbl + "_stats").count() == 1
+        # the orphaned store diverges from the reference (single-gen
+        # stats path trusts stale per-row df and the low n_docs)
+        # ... and the replay of the crashed batch repairs it:
+        replay = append_bm25_postings(d.where("doc_id % 2 = 1"), tbl)
+        assert replay["admitted"] == 0
+        assert replay["repair"]["repaired"]
+        assert replay["repair"]["stats_row"] is not None
+        assert sorted(
+            tuple(r) for r in spark.table(tbl + "_stats").collect()
+        ) == good_stats
+        assert sorted(
+            tuple(r) for r in bm25_store_search(qdf, tbl, top_k=5).collect()
+        ) == sorted(
+            tuple(r) for r in bm25_store_search(qdf, ref, top_k=5).collect()
+        )
+        assert audit_bm25_store(spark, tbl)["ok"]
+        # crash between the posting and forward writes: fwd lags too —
+        # simulate by dropping the generation's rows from the companion
+        fwd_gen0 = spark.table(ref + "_fwd").join(
+            d.where("doc_id % 2 = 0").select("doc_id"), "doc_id", "left_semi"
+        ).select(*spark.table(ref + "_fwd").columns).collect()
+        # a real crash leaves the companion bucketed with the appended
+        # generation's rows simply absent — keep the layout metadata
+        spark.createDataFrame(
+            fwd_gen0, spark.table(tbl + "_fwd").schema
+        ).write.mode("overwrite").bucketBy(16, "doc_id").sortBy(
+            "doc_id"
+        ).format("parquet").saveAsTable("t_bm25_crash_tmp_fwd")
+        spark.sql(f"DROP TABLE `{tbl}_fwd`")
+        spark.sql(f"ALTER TABLE t_bm25_crash_tmp_fwd RENAME TO `{tbl}_fwd`")
+        rep2 = repair_bm25_store(spark, tbl)
+        assert rep2["repaired"] and rep2["fwd_rows"] > 0
+        assert sorted(
+            tuple(r) for r in spark.table(tbl + "_fwd").collect()
+        ) == sorted(tuple(r) for r in spark.table(ref + "_fwd").collect())
+        # a consistent store repairs nothing (idempotent)
+        rep3 = repair_bm25_store(spark, tbl)
+        assert rep3 == {"repaired": False, "stats_row": None, "fwd_rows": 0}
+    finally:
+        for t in (tbl, ref, "t_bm25_crash_tmp"):
             for suf in ("", "_stats", "_fwd", "_bloom"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
 
