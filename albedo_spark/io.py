@@ -567,6 +567,19 @@ def write_bucketed(
     )
 
 
+def table_num_buckets(spark: SparkSession, table: str) -> int:
+    """The bucket count a table was WRITTEN with, from the catalog —
+    every APPEND into a bucketed store must reuse it: an append that
+    guessed a different count would silently break the store's
+    no-shuffle layout property (the hazard ADVICE r12 flagged for the
+    BM25 postings and ADVICE r13 #4 for the PQ code rows — now one
+    shared helper instead of per-store copies)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED `{table}`").collect():
+        if r[0] and r[0].strip() == "Num Buckets":
+            return int(r[1])
+    raise ValueError(f"{table} is not a bucketed table")
+
+
 def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition IFF the plan currently has fewer partitions
     than the session's parallelism.
@@ -927,7 +940,9 @@ def write_zordered(
     )
 
 
-def sweep_dead_private_copies(spark: SparkSession) -> dict:
+def sweep_dead_private_copies(
+    spark: SparkSession, min_age_hours: float = 24.0
+) -> dict:
     """Warehouse hygiene for the private-copy protocol: `_memo_store`
     builders and `compact_table` write into pid-suffixed tables
     (``{name}__b<pid>`` / ``{name}__c<pid>``) and publish by rename —
@@ -938,16 +953,24 @@ def sweep_dead_private_copies(spark: SparkSession) -> dict:
     private directories (345 observed on this box after one build
     round). This sweep removes exactly the provably-dead ones: a
     directory whose name carries a pid suffix where (a) that pid is no
-    longer alive, and (b) the directory itself predates this process
-    (both conditions — pids recycle, so a live recycled pid keeps the
-    dir, and a fresh dir is a live session's work even if its pid
-    check races). Published (unsuffixed) tables are NEVER touched —
-    they may be another live session's store; `drop_orphan_table_
-    location`'s watermark handles those at next same-name build.
+    longer alive, (b) the directory itself predates this process, and
+    (c) the directory is at least ``min_age_hours`` old in ABSOLUTE
+    terms (all three — pids recycle, so a live recycled pid keeps the
+    dir; a fresh dir is a live session's work even if its pid check
+    races; and ADVICE r13 #2's containerized co-tenant shares the
+    warehouse but not /proc, so ITS live pid looks dead to os.kill and
+    its dir may predate our start — only wall-clock age separates that
+    session's in-use private copy from a genuinely dead one, so the
+    default keeps anything younger than a day). Published (unsuffixed)
+    tables are NEVER touched — they may be another live session's
+    store; `drop_orphan_table_location`'s watermark handles those at
+    next same-name build. Also covers the store-companion private
+    forms (``__c<pid>_stats`` / ``__c<pid>_fwd``) that
+    ``compact_bm25_store`` writes.
 
     Hadoop FS API throughout (any hadoop-compatible FS); on a real
     metastore the race doesn't exist and this is a no-op. Returns
-    ``{swept: [names], kept_live: n, kept_fresh: n}``."""
+    ``{swept: [names], kept_live: n, kept_fresh: n, kept_recent: n}``."""
     import os as _os
     import re as _re
 
@@ -956,7 +979,7 @@ def sweep_dead_private_copies(spark: SparkSession) -> dict:
     root = jvm.org.apache.hadoop.fs.Path(wh)
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(root):
-        return {"swept": [], "kept_live": 0, "kept_fresh": 0}
+        return {"swept": [], "kept_live": 0, "kept_fresh": 0, "kept_recent": 0}
 
     def _alive(pid: int) -> bool:
         try:
@@ -968,8 +991,9 @@ def sweep_dead_private_copies(spark: SparkSession) -> dict:
         return True
 
     pat = _re.compile(r"__[bc](\d+)(_[a-z0-9_]+)?$")
+    age_cutoff_ms = int(_time.time() * 1000) - int(min_age_hours * 3_600_000)
     swept: list[str] = []
-    kept_live = kept_fresh = 0
+    kept_live = kept_fresh = kept_recent = 0
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         m = pat.search(name)
@@ -981,7 +1005,18 @@ def sweep_dead_private_copies(spark: SparkSession) -> dict:
         if st.getModificationTime() >= _PROCESS_START_MS:
             kept_fresh += 1
             continue
+        if st.getModificationTime() >= age_cutoff_ms:
+            # dead-looking pid + predates us, but too YOUNG to trust the
+            # pid verdict: an invisible-pid co-tenant (shared warehouse,
+            # unshared pid namespace) lands exactly here while alive
+            kept_recent += 1
+            continue
         spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         fs.delete(st.getPath(), True)
         swept.append(name)
-    return {"swept": sorted(swept), "kept_live": kept_live, "kept_fresh": kept_fresh}
+    return {
+        "swept": sorted(swept),
+        "kept_live": kept_live,
+        "kept_fresh": kept_fresh,
+        "kept_recent": kept_recent,
+    }

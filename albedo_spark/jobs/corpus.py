@@ -258,6 +258,7 @@ def main(argv: list[str] | None = None) -> dict:
             "n_swept": len(sw["swept"]),
             "kept_live": sw["kept_live"],
             "kept_fresh": sw["kept_fresh"],
+            "kept_recent": sw["kept_recent"],
         }
     else:
         summary_sweep = None
@@ -871,7 +872,9 @@ def main(argv: list[str] | None = None) -> dict:
             # history and FREEZE — the store may not drift), and every
             # batch's surviving vectors APPEND against the frozen model,
             # replay-guarded by the shared admit core. Geometry flags
-            # must match the build.
+            # must match the build; the bucket layout is NOT a flag on
+            # the append — it comes from the table's own catalog entry
+            # (ADVICE r13 #4), so --pq-buckets only shapes the build.
             hist_ids = survivors.where(
                 f"NOT ({args.incremental_filter})"
             ).select(F.col("doc_id").alias("vec_id"))
@@ -893,7 +896,6 @@ def main(argv: list[str] | None = None) -> dict:
                 args.pq_index,
                 m=args.pq_m,
                 subdim=args.pq_subdim,
-                num_buckets=args.pq_buckets,
             )
         else:
             build_pq_store(s_emb, args.pq_index, kc=args.pq_kc, m=args.pq_m,
@@ -905,6 +907,8 @@ def main(argv: list[str] | None = None) -> dict:
             from albedo_spark.operators.vector_store import audit_pq_store
 
             summary["pq_index_audit"] = audit_pq_store(spark, args.pq_index)
+        from albedo_spark.io import table_num_buckets
+
         summary["pq_index"] = {
             "table": args.pq_index,
             "mode": mode,
@@ -913,7 +917,9 @@ def main(argv: list[str] | None = None) -> dict:
             "kc": args.pq_kc,
             "m": args.pq_m,
             "subdim": args.pq_subdim,
-            "num_buckets": args.pq_buckets,
+            # the store's REAL layout (catalog), not the flag — in
+            # append mode the flag may disagree with the build's
+            "num_buckets": table_num_buckets(spark, args.pq_index),
             "codebooks": "trained_residual",
             "codebook_table": args.pq_index + "_cb",
         }

@@ -216,13 +216,12 @@ def build_bm25_store(
 
 
 def _table_num_buckets(spark: SparkSession, table: str) -> int:
-    """The bucket count a table was WRITTEN with, from the catalog — an
-    append that guessed a different count would silently break the
-    store's no-shuffle layout property."""
-    for r in spark.sql(f"DESCRIBE FORMATTED `{table}`").collect():
-        if r[0] and r[0].strip() == "Num Buckets":
-            return int(r[1])
-    raise ValueError(f"{table} is not a bucketed table")
+    """Catalog-derived bucket count — the shared ``io.table_num_buckets``
+    (factored out in r14 so the PQ appender uses the same source of
+    truth instead of a caller-guessed count, ADVICE r13 #4)."""
+    from albedo_spark.io import table_num_buckets
+
+    return table_num_buckets(spark, table)
 
 
 def append_bm25_postings(
@@ -356,14 +355,56 @@ def compact_bm25_store(spark: SparkSession, table: str) -> dict:
     (one bucketed-scan aggregate on w — no Exchange), stats rows merge
     into one generation-0 row with the exact summed scalars, and the
     ``{table}_fwd`` companion (when present) is rewritten from the same
-    frame. Rewritten frames are eagerly checkpointed before the
-    overwrite, so the source tables are no longer load-bearing when
-    they drop; as with ``compact_table``, the non-transactional swap
-    window is the documented price of a plain-parquet catalog — at
-    100 TB on Iceberg/Delta this is their transactional compaction
+    frame.
+
+    Swap discipline = ``compact_table``'s pid-suffixed private-copy
+    protocol, extended to the store's three members (VERDICT r13 #5):
+    every member is fully written as ``{table}__c<pid>{suffix}`` FIRST,
+    then published by DROP + RENAME in the order postings → forward →
+    stats. Stats go LAST because that ordering's crash windows are the
+    benign ones: new postings under old multi-generation stats still
+    read correctly (the multi-gen path recomputes df and merges stats
+    by exact sums, which compaction preserves), whereas a new
+    single-row stats table over old postings would silently trust
+    stale segment-local df. Entry runs AUTOMATED recovery: a stranded
+    private member whose published name is GONE (crash landed between
+    its DROP and RENAME) is ADOPTED back; private members alongside
+    live published names are pre-DROP debris and are dropped —
+    ``io.sweep_dead_private_copies`` covers the same names (the
+    ``__c<pid>_stats``/``__c<pid>_fwd`` forms match its pattern) for
+    sessions that died without re-running the compact. At 100 TB on
+    Iceberg/Delta this whole dance is their transactional compaction
     call. Search results are unchanged by construction (same rows,
-    same recomputed statistics a rebuild would produce)."""
+    same recomputed statistics a rebuild would produce). Returns
+    ``{files_before, files_after, n_docs, adopted}``."""
+    import os as _os
+
     from albedo_spark.io import drop_orphan_table_location, write_bucketed
+
+    members = {"": table, "_fwd": table + "_fwd", "_stats": table + "_stats"}
+    # ---- crash recovery BEFORE anything else (see docstring) ----
+    pref = f"{table.lower()}__c"
+    groups: dict[str, dict[str, str]] = {}
+    for t in spark.catalog.listTables():
+        if not t.name.startswith(pref):
+            continue
+        rest = t.name[len(pref):]
+        pid, _, suf = rest.partition("_")
+        if not pid.isdigit() or ("_" + suf if suf else "") not in members:
+            continue
+        groups.setdefault(pid, {})["_" + suf if suf else ""] = t.name
+    adopted: list[str] = []
+    gkeys = sorted(groups)
+    for suf, priv in sorted(groups[gkeys[-1]].items()) if gkeys else ():
+        if not spark.catalog.tableExists(members[suf]):
+            spark.sql(f"ALTER TABLE `{priv}` RENAME TO `{members[suf]}`")
+            spark.catalog.refreshTable(members[suf])
+            adopted.append(priv)
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS `{priv}`")
+    for k in gkeys[:-1]:
+        for priv in groups[k].values():
+            spark.sql(f"DROP TABLE IF EXISTS `{priv}`")
 
     nb = _table_num_buckets(spark, table)
     files_before = len(spark.table(table).inputFiles())
@@ -384,20 +425,28 @@ def compact_bm25_store(spark: SparkSession, table: str) -> dict:
     ).first()
     n_docs, dl_total = int(merged["n_docs"]), int(merged["_t"])
     has_fwd = spark.catalog.tableExists(table + "_fwd")
-    write_bucketed(rows, table, "w", num_buckets=nb)
+    # ---- private writes: every member complete before any publish ----
+    priv = f"{table}__c{_os.getpid()}"
+    write_bucketed(rows, priv, "w", num_buckets=nb)
     if has_fwd:
-        write_bucketed(rows, table + "_fwd", "doc_id", num_buckets=nb)
-    spark.sql(f"DROP TABLE IF EXISTS `{table}_stats`")
-    drop_orphan_table_location(spark, table + "_stats")
+        write_bucketed(rows, priv + "_fwd", "doc_id", num_buckets=nb)
+    spark.sql(f"DROP TABLE IF EXISTS `{priv}_stats`")
+    drop_orphan_table_location(spark, priv + "_stats")
     spark.createDataFrame(
         [(0, n_docs, dl_total, (100 * dl_total) // n_docs)],
         "gen long, n_docs bigint, dl_total bigint, avgdl_x100 bigint",
-    ).write.mode("overwrite").format("parquet").saveAsTable(table + "_stats")
+    ).write.mode("overwrite").format("parquet").saveAsTable(priv + "_stats")
+    # ---- publish: postings -> forward -> stats (stats last) ----
+    for suf in ("",) + (("_fwd",) if has_fwd else ()) + ("_stats",):
+        spark.sql(f"DROP TABLE IF EXISTS `{members[suf]}`")
+        spark.sql(f"ALTER TABLE `{priv}{suf}` RENAME TO `{members[suf]}`")
+        spark.catalog.refreshTable(members[suf])
     rows.unpersist()
     return {
         "files_before": files_before,
         "files_after": len(spark.table(table).inputFiles()),
         "n_docs": n_docs,
+        "adopted": adopted or None,
     }
 
 

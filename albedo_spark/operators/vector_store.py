@@ -515,7 +515,7 @@ def append_pq_vectors(
     subdim: int = 16,
     scale: int = 1000,
     codebooks: list | None = None,
-    num_buckets: int = 8,
+    num_buckets: int | None = None,
     replay_guard: bool = True,
 ) -> None:
     """Admit/append core of the PQ store (shared with the streaming sink
@@ -530,11 +530,25 @@ def append_pq_vectors(
     fresh batch never scans the store (O(batch) per append — VERDICT
     r11 #2); without one it falls back to the broadcast-semi store
     probe. The sidecar is kept in lockstep automatically
-    (``mirror_bloom`` before the row write)."""
+    (``mirror_bloom`` before the row write).
+
+    The bucket count comes from the TABLE'S CATALOG entry, never the
+    caller (ADVICE r13 #4): an append run with different flags than the
+    build would otherwise silently mix bucket layouts and break the
+    store's no-shuffle probe. Passing ``num_buckets`` explicitly is
+    validated against the catalog and raises on disagreement."""
+    from albedo_spark.io import table_num_buckets
     from albedo_spark.operators.clustering import integerize_embeddings
     from albedo_spark.operators.pq import encode_residual_codes
 
     spark = batch.sparkSession
+    nb = table_num_buckets(spark, table)
+    if num_buckets is not None and num_buckets != nb:
+        raise ValueError(
+            f"store `{table}` was built with {nb} buckets; an append "
+            f"with num_buckets={num_buckets} would mix bucket layouts — "
+            "omit the parameter to use the catalog's count"
+        )
     cb = _load_codebooks(spark, table, m, subdim, codebooks)
     cents = spark.table(table + "_cents")
     vectors = integerize_embeddings(batch, scale=scale)
@@ -560,7 +574,7 @@ def append_pq_vectors(
         rows = rows.join(batch.select("vec_id", *pcols), "vec_id")
         w = rows.write.mode("append").partitionBy(*pcols)
     (
-        w.bucketBy(num_buckets, "cluster_id")
+        w.bucketBy(nb, "cluster_id")
         .sortBy("cluster_id")
         .format("parquet")
         .saveAsTable(table)

@@ -750,9 +750,11 @@ def run_to_pq_store(
                 codebooks=codebooks,
             )
             return
+        # bucket layout comes from the table's catalog entry, not the
+        # sink's num_buckets (which only shapes the bootstrap build)
         append_pq_vectors(
             batch, table, m=m, subdim=subdim, scale=scale,
-            num_buckets=num_buckets, replay_guard=True,
+            replay_guard=True,
         )
 
     q = (

@@ -522,9 +522,13 @@ def test_write_es_bulk_null_id_raises(spark, tmp_path):
 
 def test_sweep_dead_private_copies(spark, monkeypatch):
     """Warehouse hygiene: a pid-suffixed private copy is swept only when
-    its pid is dead AND the directory predates the process (both — pids
-    recycle and foreign-namespace sessions are invisible to /proc);
-    live-pid and published (unsuffixed) directories are never touched."""
+    its pid is dead AND the directory predates the process AND it is
+    older than the absolute staleness threshold (all three — pids
+    recycle, and ADVICE r13 #2's containerized co-tenant shares the
+    warehouse but not /proc, so its LIVE pid looks dead and its dir can
+    predate our start; only wall-clock age separates it). Live-pid and
+    published (unsuffixed) directories are never touched, and the
+    compact_bm25_store companion forms (__c<pid>_stats) are covered."""
     import os
     import subprocess
 
@@ -535,28 +539,36 @@ def test_sweep_dead_private_copies(spark, monkeypatch):
     reaped = subprocess.Popen(["true"])
     reaped.wait()  # a pid guaranteed dead
     dead = f"t_sweepme__b{reaped.pid}"
+    dead_stats = f"t_sweepme__c{reaped.pid}_stats"  # companion form
     live = f"t_keepme__b{os.getpid()}"
     pub = "t_published_store"
-    for d in (dead, live, pub):
+    dirs = (dead, dead_stats, live, pub)
+    for d in dirs:
         os.makedirs(os.path.join(wh, d), exist_ok=True)
         open(os.path.join(wh, d, "part-0.parquet"), "w").write("x")
     try:
-        # all three dirs are fresh: nothing sweeps without the age proof
-        res = sweep_dead_private_copies(spark)
+        # all dirs are fresh: nothing sweeps without the age proof
+        res = sweep_dead_private_copies(spark, min_age_hours=0)
         assert dead not in res["swept"] and res["kept_fresh"] >= 1
         assert os.path.isdir(os.path.join(wh, dead))
-        # age them past the watermark: only the dead-pid copy goes
+        # age them past the process watermark but keep them RECENT in
+        # absolute terms: the co-tenant scenario — still kept
         monkeypatch.setattr(
             aio, "_PROCESS_START_MS", aio._PROCESS_START_MS + 10**10
         )
-        res = sweep_dead_private_copies(spark)
-        assert dead in res["swept"]
+        res = sweep_dead_private_copies(spark)  # default 24h threshold
+        assert res["swept"] == [] and res["kept_recent"] >= 2
+        assert os.path.isdir(os.path.join(wh, dead))
+        # past BOTH watermarks: only the dead-pid copies go
+        res = sweep_dead_private_copies(spark, min_age_hours=0)
+        assert dead in res["swept"] and dead_stats in res["swept"]
         assert not os.path.isdir(os.path.join(wh, dead))
+        assert not os.path.isdir(os.path.join(wh, dead_stats))
         assert os.path.isdir(os.path.join(wh, live))  # live pid kept
         assert res["kept_live"] >= 1
         assert os.path.isdir(os.path.join(wh, pub))  # published untouched
     finally:
         import shutil
 
-        for d in (dead, live, pub):
+        for d in dirs:
             shutil.rmtree(os.path.join(wh, d), ignore_errors=True)

@@ -624,6 +624,85 @@ def test_bm25_compact_store(spark):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
 
 
+def test_bm25_compact_crash_adoption(spark):
+    """VERDICT r13 #5: compact_bm25_store uses compact_table's
+    pid-suffixed private-copy discipline across all three store members.
+    A crash between a member's DROP and RENAME strands the compacted
+    data under the private name with the published name gone; the next
+    compact call must ADOPT it back (no data loss), and private copies
+    alongside live published names are debris and are dropped."""
+    from albedo_spark.io import load_table, write_bucketed
+    from albedo_spark.operators.retrieval import (
+        append_bm25_postings,
+        audit_bm25_store,
+        bm25_store_search,
+        build_bm25_store,
+        compact_bm25_store,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    qdf = _bm25_probe_set(spark)
+    tbl = "t_bm25_adopt"
+    try:
+        build_bm25_store(d.where("doc_id % 2 = 0"), tbl, forward=True)
+        append_bm25_postings(d.where("doc_id % 2 = 1"), tbl)
+        want = sorted(
+            tuple(r) for r in bm25_store_search(qdf, tbl, top_k=5).collect()
+        )
+        # Simulate the worst crash window: every member fully compacted
+        # into the private copies, ALL published names dropped, no RENAME
+        # ran (a real crash strands a prefix of the publish sequence;
+        # all-three is a superset of every window).
+        post = spark.table(tbl)
+        from pyspark.sql import functions as F
+
+        dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
+        rows = post.drop("df").join(dfreq, "w").select(
+            "w", "doc_id", "tf", "dl", "df"
+        ).localCheckpoint()
+        merged = spark.table(tbl + "_stats").agg(
+            F.sum("n_docs").alias("n"), F.sum("dl_total").alias("t")
+        ).first()
+        write_bucketed(rows, f"{tbl}__c999", "w", num_buckets=16)
+        write_bucketed(rows, f"{tbl}__c999_fwd", "doc_id", num_buckets=16)
+        spark.createDataFrame(
+            [(0, int(merged["n"]), int(merged["t"]),
+              (100 * int(merged["t"])) // int(merged["n"]))],
+            "gen long, n_docs bigint, dl_total bigint, avgdl_x100 bigint",
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            f"{tbl}__c999_stats"
+        )
+        for suf in ("", "_fwd", "_stats"):
+            spark.sql(f"DROP TABLE `{tbl}{suf}`")
+        assert not spark.catalog.tableExists(tbl)
+
+        res = compact_bm25_store(spark, tbl)
+        assert sorted(res["adopted"]) == [
+            f"{tbl}__c999", f"{tbl}__c999_fwd", f"{tbl}__c999_stats",
+        ]
+        assert sorted(
+            tuple(r) for r in bm25_store_search(qdf, tbl, top_k=5).collect()
+        ) == want
+        assert audit_bm25_store(spark, tbl)["ok"]
+        assert spark.table(tbl + "_stats").count() == 1
+        for suf in ("", "_fwd", "_stats"):
+            assert not spark.catalog.tableExists(f"{tbl}__c999{suf}")
+
+        # Debris: a stale private member while every published name is
+        # alive must be dropped, adopted None.
+        write_bucketed(rows, f"{tbl}__c123", "w", num_buckets=16)
+        res2 = compact_bm25_store(spark, tbl)
+        assert res2["adopted"] is None
+        assert not spark.catalog.tableExists(f"{tbl}__c123")
+        assert sorted(
+            tuple(r) for r in bm25_store_search(qdf, tbl, top_k=5).collect()
+        ) == want
+    finally:
+        for t in (tbl, f"{tbl}__c999", f"{tbl}__c123"):
+            for suf in ("", "_stats", "_fwd", "_bloom"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
 def test_bm25_append_crash_repair(spark):
     """ADVICE r13 #1: the append writes posting rows BEFORE the
     generation's stats row, so a crash in between leaves an orphan

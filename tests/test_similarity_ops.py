@@ -1403,3 +1403,41 @@ def test_audit_pq_store(spark):
     finally:
         for suf in ("", "_cents", "_cb", "_bloom"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
+def test_pq_append_bucket_count_from_catalog(spark):
+    """ADVICE r13 #4: the append derives the bucket count from the
+    table's catalog entry — an append run with different flags than the
+    build must either reuse the build's layout (parameter omitted) or
+    fail loudly (parameter disagrees), never silently mix two bucket
+    layouts inside one store."""
+    import pytest
+
+    from albedo_spark.io import table_num_buckets
+    from albedo_spark.operators.vector_store import (
+        append_pq_vectors,
+        build_pq_store,
+    )
+
+    emb = _emb(spark)
+    tbl = "pqstore_nb"
+    try:
+        # non-default bucket count: a default-guessing append would break
+        build_pq_store(
+            emb.where("vec_id % 7 != 3"), tbl, kc=8, m=4, subdim=16,
+            num_buckets=3,
+        )
+        assert table_num_buckets(spark, tbl) == 3
+        batch = emb.where("vec_id % 7 = 3")
+        append_pq_vectors(batch, tbl, m=4, subdim=16)  # no count passed
+        assert table_num_buckets(spark, tbl) == 3
+        # one file set per bucket per write job — layout intact means
+        # every file belongs to a 3-bucket layout (no _00003+ bucket ids)
+        with pytest.raises(ValueError, match="mix bucket layouts"):
+            append_pq_vectors(batch, tbl, m=4, subdim=16, num_buckets=8)
+        # matching explicit count is accepted (back-compat for callers
+        # that thread the build flag through)
+        append_pq_vectors(batch, tbl, m=4, subdim=16, num_buckets=3)
+    finally:
+        for suf in ("", "_cents", "_cb", "_bloom"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
