@@ -119,6 +119,15 @@ def main(argv: list[str] | None = None) -> dict:
                    help="remove 4-token spans duplicated across >= MIN_DF "
                         "distinct docs (ExactSubstr-style) and rewrite the "
                         "surviving documents before mixing/packing")
+    p.add_argument("--langid", action="store_true",
+                   help="classify each document's language with the "
+                        "char-n-gram profile classifier (q174's operator, "
+                        "Cavnar & Trenkle) and use the PREDICTION as the "
+                        "lang column for every per-language stage "
+                        "(--adaptive-quality, --mixture, --epoch-budget) — "
+                        "the front-door stage a real crawl needs, since it "
+                        "has no trusted lang column; the input's own lang "
+                        "column (when present) is kept as lang_label")
     p.add_argument("--adaptive-quality", default=None, metavar="NUM/DEN",
                    help="per-language exact-quantile quality cutoff (e.g. "
                         "1/4 keeps each language's top 75%% by heuristic "
@@ -293,6 +302,23 @@ def main(argv: list[str] | None = None) -> dict:
         )
         docs = markup_cached.drop("_markup_x10k")
 
+    if args.langid:
+        # Front-door language ID (VERDICT r13 #3): every per-language
+        # stage below groups on `lang` — a real crawl has no such
+        # column, so predict it here (q174's char-n-gram classifier;
+        # frozen profiles broadcast, corpus touched once, truncated)
+        # and keep any existing label for eval as `lang_label`.
+        from albedo_spark.operators.textstats import langid_chargram
+
+        pred = langid_chargram(docs)
+        if "lang" in docs.columns:
+            docs = docs.withColumnRenamed("lang", "lang_label")
+        docs = docs.join(
+            pred.select("doc_id", F.col("lang_pred").alias("lang")),
+            "doc_id",
+            "left",
+        ).withColumn("lang", F.coalesce(F.col("lang"), F.lit("und")))
+
     text = F.col("text")
 
     per_doc = docs.select(
@@ -334,6 +360,21 @@ def main(argv: list[str] | None = None) -> dict:
             F.expr("percentile(quality_x10k, 0.5)")
         ).collect()[0][0],
     }
+    if args.langid:
+        summary["langid"] = {
+            "langs": {
+                r["lang"]: r["n"]
+                for r in docs.groupBy("lang")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            },
+        }
+        if "lang_label" in docs.columns:
+            # agreement with the input's own label, when it has one —
+            # diagnostic only (synthetic fixtures label randomly)
+            summary["langid"]["n_label_match"] = docs.where(
+                F.col("lang") == F.col("lang_label")
+            ).count()
     if summary_sweep is not None:
         summary["warehouse_sweep"] = summary_sweep
     if markup_cached is not None:

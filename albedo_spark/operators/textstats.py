@@ -856,3 +856,214 @@ def collocations(
         .orderBy(F.col("score_x10k").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram language identification (VERDICT r13 #3)
+# ---------------------------------------------------------------------------
+
+#: Seed texts the frozen language profiles are trained on — a few
+#: hand-written sample sentences per language (authored for this repo;
+#: plain everyday prose, no external corpus). Deliberately small and
+#: FROZEN: the ranked trigram profiles derived from them are part of the
+#: operator's deterministic contract, exactly like LANG_STOPWORDS above —
+#: the oracle replays classification against the identical profile rows.
+#: Swap in profiles trained on real per-language corpora for production
+#: accuracy; the plan shape is unchanged (profiles stay a broadcast).
+LANGID_SEED_TEXTS: dict[str, str] = {
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und die "
+        "kinder gehen am morgen zur schule während die sonne über der "
+        "stadt aufgeht die frau liest eine zeitung im garten und der mann "
+        "trinkt seinen kaffee in der küche wir haben gestern einen langen "
+        "brief an unsere freunde geschrieben und sie werden uns im sommer "
+        "besuchen das wetter ist heute schön aber morgen soll es regnen "
+        "die katze schläft auf dem warmen fensterbrett und der hund "
+        "wartet vor der tür auf sein essen"
+    ),
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the children "
+        "walk to school in the morning while the sun rises over the town "
+        "the woman reads a newspaper in the garden and the man drinks "
+        "his coffee in the kitchen we wrote a long letter to our friends "
+        "yesterday and they will visit us in the summer the weather is "
+        "nice today but it should rain tomorrow the cat sleeps on the "
+        "warm window sill and the dog waits at the door for its dinner"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y los "
+        "niños caminan a la escuela por la mañana mientras el sol sale "
+        "sobre la ciudad la mujer lee un periódico en el jardín y el "
+        "hombre toma su café en la cocina ayer escribimos una carta "
+        "larga a nuestros amigos y ellos nos visitarán en el verano el "
+        "tiempo está bonito hoy pero mañana debería llover el gato "
+        "duerme en la ventana caliente y el perro espera su comida en "
+        "la puerta"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et "
+        "les enfants marchent vers l'école le matin pendant que le "
+        "soleil se lève sur la ville la femme lit un journal dans le "
+        "jardin et l'homme boit son café dans la cuisine nous avons "
+        "écrit une longue lettre à nos amis hier et ils nous rendront "
+        "visite en été le temps est beau aujourd'hui mais il devrait "
+        "pleuvoir demain le chat dort sur le rebord chaud de la fenêtre "
+        "et le chien attend son repas devant la porte"
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过懒狗 孩子们早上走路去学校 太阳在城市上空升起 "
+        "那位女士在花园里看报纸 男人在厨房里喝咖啡 我们昨天给朋友们写了一封长信 "
+        "他们夏天会来看我们 今天天气很好 但是明天可能会下雨 "
+        "猫睡在温暖的窗台上 狗在门口等着它的晚饭"
+    ),
+}
+
+
+def _langid_norm_py(text: str) -> str:
+    """Python mirror of the classifier's in-plan normalization (used only
+    to TRAIN the frozen profiles, driver-side, on the tiny seed texts):
+    lowercase, every non-letter run → one space, trim. ``str.isalpha``
+    tracks the Unicode Alphabetic property — the same class the engines'
+    ``[^\\p{L}]+`` regex removes (the seed texts only use characters on
+    which the three implementations agree)."""
+    out = "".join(ch if ch.isalpha() else " " for ch in text.lower())
+    return " ".join(out.split())
+
+
+def train_char_ngram_profiles(
+    seeds: dict[str, str] | None = None, n_max: int = 3, top_k: int = 64
+) -> list[tuple[str, str, int]]:
+    """Train the frozen ranked n-gram profiles — the Cavnar & Trenkle
+    (1994, "N-Gram-Based Text Categorization" — public method) language
+    models: per language, the ``top_k`` most frequent padded character
+    n-grams of ALL sizes 1..``n_max`` of the seed text (mixed sizes are
+    the paper's own design — character UNIGRAMS carry the signal for
+    CJK scripts, where trigram diversity is too high for small profiles
+    to overlap), ranked 1..top_k by (count desc, gram asc). Pure
+    deterministic Python over the tiny seeds (driver-side by design:
+    the profiles are literals the plan broadcasts, not data). Returns
+    ``[(lang, gram, rank)]`` sorted by (lang, rank)."""
+    import collections
+
+    seeds = seeds if seeds is not None else LANGID_SEED_TEXTS
+    out: list[tuple[str, str, int]] = []
+    for lang in sorted(seeds):
+        t = " " + _langid_norm_py(seeds[lang]) + " "
+        counts = collections.Counter(
+            g
+            for n in range(1, n_max + 1)
+            for i in range(len(t) - n + 1)
+            if (g := t[i : i + n]).strip() != ""  # pure-padding grams
+            # carry no language signal and would match every profile
+        )
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        out.extend((lang, g, r + 1) for r, (g, _) in enumerate(ranked))
+    return out
+
+
+def langid_chargram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 3,
+    top_k: int = 64,
+    head_chars: int = 400,
+    profiles: list[tuple[str, str, int]] | None = None,
+) -> DataFrame:
+    """Language identification by ranked character-n-gram profiles —
+    Cavnar & Trenkle's out-of-place distance (1994, public method), the
+    crawl pipeline's front-door langid stage (every per-language stage —
+    q111's temperature mixture, q131's per-language quality cutoff —
+    needs a ``lang`` column a real crawl does not have; VERDICT r13 #3).
+    Returns ``(doc_id, lang_pred, dist_oop)`` for every non-NULL-text
+    document: the language whose frozen profile minimizes
+
+        dist = Σ over the document's top-``top_k`` padded character
+               n-grams (all sizes 1..``n_max`` — the paper's mixed-size
+               design; unigrams carry CJK) of |doc_rank - profile_rank|,
+               or ``top_k`` when the gram is not in the profile (the
+               out-of-place penalty),
+
+    ties broken to the lexicographically smallest language code; docs
+    with no letters at all classify as ``'und'`` (NULL distance).
+    Everything is integer-exact and rank-deterministic (doc grams rank
+    by count desc, gram asc — the profile trainer's own tiebreak), so
+    the DuckDB oracle replays classification bit-for-bit.
+
+    Plan at 100 TB: per-doc cost is CAPPED at ``head_chars`` characters
+    (Cavnar & Trenkle's own truncation posture — language is decided in
+    the first few hundred bytes); normalization + gram explode are
+    map-side; one shuffle counts (doc, gram), a doc-keyed window ranks
+    and keeps ≤ top_k rows per doc, the ≤ |langs|·top_k profile rides a
+    BROADCAST into the (tiny) doc-profile frame, and the final argmin is
+    the pinned row_number idiom over |langs| rows per doc. The corpus is
+    touched exactly once, truncated."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    prof = spark.createDataFrame(
+        profiles if profiles is not None else
+        train_char_ngram_profiles(n_max=n_max, top_k=top_k),
+        "lang string, g string, r int",
+    )
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(
+            F.lit(" "),
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.substring(F.col(text_col), 1, head_chars)),
+                    r"[^\p{L}]+",
+                    " ",
+                )
+            ),
+            F.lit(" "),
+        ).alias("_t"),
+    )
+    size_arrays = ", ".join(
+        f"CASE WHEN length(_t) < {n} THEN array()"
+        f" ELSE transform(sequence(1, length(_t) - {n - 1}),"
+        f" i -> substr(_t, i, {n})) END"
+        for n in range(1, n_max + 1)
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.expr(f"flatten(array({size_arrays}))")).alias("g"),
+    ).where(F.trim("g") != "")  # drop pure-padding grams (see trainer)
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("g").asc()
+    )
+    docprof = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("dr", F.row_number().over(rank_w))
+        .where(F.col("dr") <= top_k)
+        .select("doc_id", "g", "dr")
+    )
+    langs = prof.select("lang").distinct()
+    dists = (
+        docprof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["lang", "g"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("dr") - F.col("r")).cast("long"),
+                    F.lit(top_k).cast("long"),
+                )
+            ).alias("dist")
+        )
+    )
+    pick_w = Window.partitionBy("doc_id").orderBy(
+        F.col("dist").asc(), F.col("lang").asc()
+    )
+    best = (
+        dists.withColumn("_rn", F.row_number().over(pick_w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "dist")
+    )
+    return base.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
+        F.col("dist").alias("dist_oop"),
+    )

@@ -10088,6 +10088,95 @@ def q173_snippet_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snippet_windows(d, qdf, hits, window=8)
 
 
+def _langid_profile_values() -> str:
+    """The frozen langid profiles as a SQL VALUES list — the oracle
+    classifies against the IDENTICAL literal rows the Spark plan
+    broadcasts (both sides derive from train_char_ngram_profiles's
+    deterministic seed training)."""
+    from albedo_spark.operators.textstats import train_char_ngram_profiles
+
+    return ", ".join(
+        "('{}', '{}', {})".format(lang, g.replace("'", "''"), r)
+        for lang, g, r in train_char_ngram_profiles()
+    )
+
+
+@query(
+    "q174_langid_chargram",
+    f"""
+    WITH prof(lang, g, r) AS (VALUES {_langid_profile_values()}),
+    docs AS (
+        SELECT doc_id,
+               ' ' || trim(regexp_replace(lower(substr(text, 1, 400)),
+                                          '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id, substr(t, i + 1, l) AS g
+        FROM docs,
+             unnest([1, 2, 3]) AS ln(l),
+             LATERAL (
+                 SELECT unnest(range(greatest(len(t) - l + 1, 0))) AS i
+             ) p
+        WHERE trim(substr(t, i + 1, l)) <> ''
+    ),
+    dcnt AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g),
+    dprof AS (
+        SELECT doc_id, g, dr FROM (
+            SELECT doc_id, g,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, g ASC
+                   ) AS dr
+            FROM dcnt
+        ) WHERE dr <= 64
+    ),
+    langs AS (SELECT DISTINCT lang FROM prof),
+    dist AS (
+        SELECT d.doc_id, l.lang,
+               CAST(sum(coalesce(abs(d.dr - p.r), 64)) AS BIGINT) AS dist
+        FROM dprof d
+        CROSS JOIN langs l
+        LEFT JOIN prof p ON p.lang = l.lang AND p.g = d.g
+        GROUP BY d.doc_id, l.lang
+    ),
+    best AS (
+        SELECT doc_id, lang, dist FROM (
+            SELECT doc_id, lang, dist,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY dist ASC, lang ASC
+                   ) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred, b.dist AS dist_oop
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    LEFT JOIN best b USING (doc_id)
+    """,
+)
+def q174_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by ranked character-trigram profiles
+    (operators/textstats.py langid_chargram — Cavnar & Trenkle 1994's
+    out-of-place distance, public method; VERDICT r13 #3): the crawl
+    pipeline's FRONT-DOOR langid stage, since every per-language stage
+    downstream (q111's temperature mixture, q131's per-language quality
+    cutoff) assumes a ``lang`` column a real crawl does not have. Frozen
+    profiles (trained deterministically on the repo's seed texts) ride a
+    broadcast; per-doc cost is capped at 400 chars; mixed 1-to-3-grams
+    (the paper's own design — unigrams carry CJK scripts) rank by
+    (count desc, gram asc) and the argmin breaks ties lexicographically,
+    so the whole classification is integer-exact and the oracle replays
+    it bit-for-bit — including 'und' for letterless documents. Plan: one
+    truncated corpus pass, one (doc, gram) count shuffle, two doc-keyed
+    windows; nothing leaves the JVM. NOTE: the synthetic fixture's
+    ``lang`` labels are random w.r.t. its (English-ish) text, so the
+    gate certifies the CLASSIFIER's determinism; accuracy is pinned in
+    pytest on genuinely multilingual text (test_textstats.py)."""
+    from albedo_spark.operators.textstats import langid_chargram
+
+    d = _t(spark, sf_dir, "documents")
+    return langid_chargram(d, n_max=3, top_k=64, head_chars=400)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

@@ -834,3 +834,97 @@ def test_collocations_guards(spark):
             collocations(d, min_count=5, delta=3).collect()
     finally:
         textstats._COLLOC_N_CEIL = orig
+
+
+def test_langid_chargram_accuracy_and_determinism(spark):
+    """The char-trigram classifier (VERDICT r13 #3) on genuinely
+    multilingual text — held-out sentences NOT in the seed texts — must
+    identify all five profile languages (the precision floor), classify
+    letterless docs as 'und', and be deterministic under the documented
+    tiebreaks. The synthetic parquet fixture can't test accuracy (its
+    lang labels are random w.r.t. its text), so this fixture is the
+    ground truth the q174 hash gate defers to."""
+    from albedo_spark.operators.textstats import (
+        langid_chargram,
+        train_char_ngram_profiles,
+    )
+
+    held_out = [
+        # en
+        (1, "She opened the window because the room was warm and she "
+            "wanted to hear the birds singing in the old garden.", "en"),
+        (2, "After dinner they played cards for an hour and talked about "
+            "their plans for the long journey north.", "en"),
+        # de
+        (3, "Sie öffnete das Fenster weil das Zimmer warm war und sie "
+            "die Vögel im alten Garten singen hören wollte.", "de"),
+        (4, "Nach dem Essen spielten sie eine Stunde Karten und sprachen "
+            "über ihre Pläne für die lange Reise in den Norden.", "de"),
+        # es
+        (5, "Ella abrió la ventana porque la habitación estaba caliente "
+            "y quería escuchar a los pájaros cantando en el jardín.", "es"),
+        (6, "Después de la cena jugaron a las cartas durante una hora y "
+            "hablaron sobre sus planes para el largo viaje.", "es"),
+        # fr
+        (7, "Elle a ouvert la fenêtre parce que la chambre était chaude "
+            "et elle voulait entendre les oiseaux chanter.", "fr"),
+        (8, "Après le dîner ils ont joué aux cartes pendant une heure et "
+            "ont parlé de leurs projets pour le long voyage.", "fr"),
+        # zh
+        (9, "她打开窗户因为房间很热 她想听花园里鸟儿的歌声", "zh"),
+        (10, "晚饭后他们打了一个小时的牌 谈论他们长途旅行的计划", "zh"),
+        # und
+        (11, "1234 5678 --- !!! 42", "und"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in held_out], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lang_pred for r in langid_chargram(docs).collect()}
+    want = {i: lang for i, _, lang in held_out}
+    assert got == want  # 11/11 on held-out text: the precision floor
+
+    # determinism: a second run returns identical rows
+    a = sorted(tuple(r) for r in langid_chargram(docs).collect())
+    b = sorted(tuple(r) for r in langid_chargram(docs).collect())
+    assert a == b
+    # 'und' carries a NULL distance; real predictions carry integers
+    dists = {r.doc_id: r.dist_oop for r in langid_chargram(docs).collect()}
+    assert dists[11] is None and all(
+        isinstance(dists[i], int) for i in range(1, 11)
+    )
+
+    # the trainer is deterministic and ranked 1..top_k per language
+    p1, p2 = train_char_ngram_profiles(), train_char_ngram_profiles()
+    assert p1 == p2
+    by_lang = {}
+    for lang, _, r in p1:
+        by_lang.setdefault(lang, []).append(r)
+    assert set(by_lang) == {"de", "en", "es", "fr", "zh"}
+    assert all(rs == list(range(1, len(rs) + 1)) for rs in by_lang.values())
+
+
+def test_langid_chargram_head_truncation(spark):
+    """Per-doc cost is capped at head_chars (the Cavnar & Trenkle
+    truncation posture): text beyond the cap must not influence the
+    prediction — a doc whose first 400 chars are German stays German
+    even if megabytes of English follow."""
+    from albedo_spark.operators.textstats import langid_chargram
+
+    german_head = (
+        "Die Kinder gehen am Morgen zur Schule und das Wetter ist heute "
+        "sehr schön der Hund schläft vor der Tür die Katze liegt auf dem "
+        "Fensterbrett und die Frau liest eine Zeitung im Garten während "
+        "der Mann seinen Kaffee trinkt wir haben gestern einen langen "
+        "Brief geschrieben und unsere Freunde werden uns im Sommer "
+        "besuchen das Essen steht auf dem Tisch und alle warten "
+    )
+    english_tail = (
+        "the quick brown fox jumps over the lazy dog and the children "
+        "walk to school in the morning " * 200
+    )
+    docs = spark.createDataFrame(
+        [(1, german_head + english_tail), (2, german_head)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in langid_chargram(docs).collect()}
+    assert got == {1: "de", 2: "de"}
