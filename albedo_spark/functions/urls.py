@@ -1,0 +1,100 @@
+"""URL canonicalization — the crawl pipeline's URL/host hygiene layer
+(VERDICT r13 #4): C4/RefinedWeb-style corpora dedup at the URL level
+BEFORE any text-level dedup (same page fetched twice costs a fetch, a
+parse, and a near-dup pair downstream), and roll crawl statistics up to
+the host (per-host caps, spam-host drops). Everything here is a pure
+Column expression over RE2-safe regexes (no backreferences, no
+lookaround), so the DuckDB oracle replays every step bit-for-bit and a
+100 TB scan stays whole-stage-codegen map-side.
+
+Canonical form (the repo's frozen policy — each step is a documented
+choice, not an accident):
+
+- scheme and host (incl. port) lowercase; path/query case PRESERVED
+  (paths are case-significant on most servers);
+- fragment stripped (never sent to the server);
+- default ports stripped (``:80`` for http, ``:443`` for https);
+- tracking parameters dropped (``utm_*``, ``gclid``, ``fbclid``,
+  ``msclkid``, ``mc_cid``, ``mc_eid``, ``igshid``, ``ref_src``) with
+  remaining parameter ORDER preserved (reordering changes semantics on
+  some endpoints); a query left empty loses its ``?``;
+- trailing slashes stripped from the path (including the root slash:
+  ``http://a.com/`` ≡ ``http://a.com`` — the aggressive-but-symmetric
+  C4 posture);
+- a value with no ``scheme://`` prefix is returned trimmed-unchanged
+  (garbage exempt from canonicalization beats NULLing it out — the
+  exact_dedup NULL posture).
+
+Idempotence (canonicalize∘canonicalize = canonicalize) is
+property-tested in tests/test_functions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Query parameters dropped by canonicalization — the common tracking
+#: params (frozen: part of the deterministic contract, like
+#: LANG_STOPWORDS). ``utm_[^=&]*`` covers the whole utm_ family.
+TRACKING_PARAM_PATTERN = (
+    r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref_src)="
+)
+
+_SCHEME_PREFIX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of a URL column (policy in the module docstring).
+    One linear chain of regexp/HOF steps — map-side, RE2-safe, and
+    idempotent (property-tested)."""
+    u = F.trim(col)
+    # fragment first: nothing after '#' survives any later step
+    u = F.regexp_replace(u, r"#.*$", "")
+    # decompose: pre = scheme://host[:port] (greedy up to '/', '?'),
+    # tail = the rest; then path = tail up to '?', query = after it
+    pre = F.regexp_extract(u, _SCHEME_PREFIX + r"[^/?]*", 0)
+    tail = u.substr(F.length(pre) + 1, F.length(u))
+    pre_lc = F.lower(pre)
+    pre_lc = (
+        F.when(
+            pre_lc.startswith("http://"),
+            F.regexp_replace(pre_lc, r":80$", ""),
+        )
+        .when(
+            pre_lc.startswith("https://"),
+            F.regexp_replace(pre_lc, r":443$", ""),
+        )
+        .otherwise(pre_lc)
+    )
+    path = F.regexp_extract(tail, r"^[^?]*", 0)
+    query = F.when(
+        F.length(tail) > F.length(path),
+        tail.substr(F.length(path) + 2, F.length(tail)),
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(path, r"/+$", "")
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    joined = F.array_join(kept, "&")
+    canon = F.concat(
+        pre_lc,
+        path,
+        F.when(joined != "", F.concat(F.lit("?"), joined)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(pre != "", canon).otherwise(u)
+
+
+def url_host(col: Column) -> Column:
+    """The URL's host for per-host rollups: lowercased, port stripped,
+    one leading ``www.`` label stripped (``www.a.com`` and ``a.com``
+    are one host for crawl statistics — rollup policy only; the
+    canonical URL keeps them distinct). Empty string for values with
+    no ``scheme://`` prefix."""
+    pre = F.regexp_extract(F.trim(col), _SCHEME_PREFIX + r"[^/?]*", 0)
+    host = F.lower(F.regexp_replace(pre, _SCHEME_PREFIX, ""))
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    return F.regexp_replace(host, r"^www\.", "")

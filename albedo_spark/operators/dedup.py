@@ -1119,3 +1119,83 @@ def semantic_dedup(
         F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
         F.coalesce("n_smaller_dups", F.lit(0)).cast("long").alias("n_smaller_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL/host-layer crawl hygiene (VERDICT r13 #4)
+# ---------------------------------------------------------------------------
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per CANONICAL URL — the C4/RefinedWeb front
+    door the text-level ladder (exact → MinHash → SemDeDup) runs AFTER:
+    the same page fetched twice under tracking-param/fragment/case noise
+    is one fetch's worth of text, and dropping it here costs one
+    map-side canonicalization + one shuffle instead of a shingling pass.
+    NULL urls pass through unchanged (the ``exact_dedup`` NULL posture:
+    a null-unsafe join key would silently DROP them — data loss, not
+    dedup). Plan: ``canonicalize_url`` is pure map-side regex; the only
+    shuffle is the keeper groupBy on the canonical string."""
+    from albedo_spark.functions.urls import canonicalize_url
+
+    null_rows = df.where(F.col(url_col).isNull())
+    w = df.where(F.col(url_col).isNotNull()).withColumn(
+        "_curl", canonicalize_url(F.col(url_col))
+    )
+    keepers = w.groupBy("_curl").agg(F.min(id_col).alias(id_col))
+    return (
+        w.join(keepers, ["_curl", id_col], "inner")
+        .drop("_curl")
+        .unionByName(null_rows)
+    )
+
+
+def url_duplicate_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Reporter twin of ``url_dedup`` (the ``exact_duplicates`` shape):
+    one row per canonical URL — ``(canonical_url, n_docs, keeper_id)``,
+    keeper = min id. Feed the ``n_docs >= 2`` slice to audits; the full
+    frame IS the URL-level dedup decision, gate-hashable end to end."""
+    from albedo_spark.functions.urls import canonicalize_url
+
+    return (
+        df.where(F.col(url_col).isNotNull())
+        .select(canonicalize_url(F.col(url_col)).alias("canonical_url"),
+                F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def host_profile(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-host crawl rollup — ``(host, n_docs, n_urls, n_dup_docs)``
+    with ``host`` the www-stripped port-free hostname, ``n_urls`` the
+    count of DISTINCT canonical URLs, and ``n_dup_docs = n_docs -
+    n_urls`` (the host's URL-level duplication burden). The frame
+    per-host caps, spam-host drops, and crawl budgeting read — hosts are
+    the unit a crawler is polite to. One groupBy on host (a distinct
+    aggregate inside); rows with un-URL-ish values roll up under the
+    empty host rather than vanishing."""
+    from albedo_spark.functions.urls import canonicalize_url, url_host
+
+    return (
+        df.where(F.col(url_col).isNotNull())
+        .select(
+            url_host(F.col(url_col)).alias("host"),
+            canonicalize_url(F.col(url_col)).alias("_curl"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_curl").alias("n_urls"),
+            (F.count("*") - F.countDistinct("_curl")).alias("n_dup_docs"),
+        )
+    )

@@ -10177,6 +10177,150 @@ def q174_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_chargram(d, n_max=3, top_k=64, head_chars=400)
 
 
+# Deterministic MESSY url derived from the documents fixture (it ships
+# no url column — VERDICT r13 #4 sanctions a derived one): scheme/host
+# case noise, a www. variant, a default port, a trailing slash, tracking
+# params and a fragment, each keyed to doc_id residues so both engines
+# construct the identical string and canonicalization provably has work
+# to do. Collision design: the canonical form depends only on
+# (doc_id%2 via www, %5 host, %7 page, %3 id-param), so distinct doc_ids
+# collide into real duplicate groups at every SF.
+_MESSY_URL_SPARK = """concat(
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END,
+    'Site', cast(doc_id % 5 AS string), '.Example.COM',
+    CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+    '/Page/', cast(doc_id % 7 AS string),
+    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+    '?id=', cast(doc_id % 3 AS string),
+    CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&fbclid=x' ELSE '' END,
+    CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END)"""
+_MESSY_URL_DUCK = _MESSY_URL_SPARK.replace("AS string", "AS VARCHAR")
+
+# DuckDB replay of functions/urls.py canonicalize_url, step for step
+# (fragment strip -> prefix/path/query split -> lowercase + default-port
+# strip -> trailing-slash strip -> tracking-param filter with order
+# preserved). Expects a CTE `raw(doc_id, u)`.
+_URL_CANON_DUCK = """
+    defrag AS (
+        SELECT doc_id, regexp_replace(trim(u), '#.*$', '') AS u FROM raw
+    ),
+    parts AS (
+        SELECT doc_id, u,
+               regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*') AS pre
+        FROM defrag
+    ),
+    split_q AS (
+        SELECT doc_id, u, pre,
+               CASE WHEN lower(pre) LIKE 'http://%'
+                        THEN regexp_replace(lower(pre), ':80$', '')
+                    WHEN lower(pre) LIKE 'https://%'
+                        THEN regexp_replace(lower(pre), ':443$', '')
+                    ELSE lower(pre) END AS pre_lc,
+               regexp_extract(substr(u, length(pre) + 1), '^[^?]*') AS path,
+               CASE WHEN length(substr(u, length(pre) + 1))
+                         > length(regexp_extract(substr(u, length(pre) + 1),
+                                                 '^[^?]*'))
+                    THEN substr(substr(u, length(pre) + 1),
+                                length(regexp_extract(
+                                    substr(u, length(pre) + 1), '^[^?]*'
+                                )) + 2)
+                    ELSE '' END AS q
+        FROM parts
+    ),
+    canon AS (
+        SELECT doc_id,
+               CASE WHEN pre <> '' THEN
+                   pre_lc || regexp_replace(path, '/+$', '') ||
+                   CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+               ELSE u END AS canonical_url,
+               CASE WHEN pre <> '' THEN
+                   regexp_replace(regexp_replace(regexp_replace(
+                       lower(pre), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                       ':[0-9]+$', ''), '^www\\.', '')
+               ELSE '' END AS host
+        FROM (
+            SELECT *,
+                   array_to_string(list_filter(string_split(q, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref_src)=')),
+                       '&') AS kept
+            FROM split_q
+        )
+    )
+"""
+
+
+@query(
+    "q175_url_canonical_dedup",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS u FROM documents
+    ),
+    {_URL_CANON_DUCK}
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def q175_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (operators/dedup.py url_duplicate_groups +
+    functions/urls.py canonicalize_url — VERDICT r13 #4): the crawl
+    front door C4/RefinedWeb run BEFORE text dedup. The fixture ships no
+    url column, so a deterministic MESSY one is derived per doc_id
+    (case noise, www variant, default port, trailing slash, tracking
+    params, fragment); canonicalization must collapse exactly the noise
+    components, leaving duplicate groups keyed by the five real URL
+    parts — one row per canonical URL with its doc count and min-id
+    keeper. Gate-hashing the full frame certifies every canonicalization
+    step bit-for-bit against the oracle's regex-by-regex SQL replay.
+    Plan at 100 TB: canonicalization is map-side RE2 regex inside
+    whole-stage codegen; the only shuffle is the keeper groupBy on the
+    canonical string."""
+    from albedo_spark.operators.dedup import url_duplicate_groups
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_MESSY_URL_SPARK)
+    )
+    return url_duplicate_groups(d)
+
+
+@query(
+    "q176_host_rollup",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS u FROM documents
+    ),
+    {_URL_CANON_DUCK}
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+           CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT)
+               AS n_dup_docs
+    FROM canon
+    GROUP BY host
+    """,
+)
+def q176_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl rollup (operators/dedup.py host_profile — the
+    other half of VERDICT r13 #4): docs, distinct canonical URLs, and
+    the per-host URL-duplication burden, with hosts www-stripped and
+    port-free (www.a.com ≡ a.com for crawl statistics — the rollup
+    policy; canonical URLs keep them distinct, which is exactly what
+    n_dup_docs then measures across the www/no-www halves of the
+    derived fixture). The frame per-host caps, spam-host drops and
+    crawl budgeting read — hosts are the unit a crawler is polite to.
+    Plan: map-side host extraction, ONE groupBy on host (distinct-agg
+    inside), |hosts| output rows."""
+    from albedo_spark.operators.dedup import host_profile
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_MESSY_URL_SPARK)
+    )
+    return host_profile(d)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10342,7 +10486,23 @@ _DEMOTED = [
 #        family keeps its persisted serving rep in-window via q160's
 #        hybrid store (and q150/q151/q153/q154/q158/q164 post-window),
 #        similarity keeps q71 exact GEMM kNN in-window.
+#   q174 char-n-gram language ID IN (NEW family — the crawl front
+#        door's classifier stage; nothing in-window classified
+#        language, every per-lang stage trusted a label column);
+#        q17 sessionization OUT to post-window — events keep q15
+#        (tumbling batch) + q56/q58 (streaming) in-window and the
+#        session surface stays pinned by q17 itself in the no-cap gate
+#        plus the q57 session_window equivalence tests.
+#   q175 URL canonical dedup IN (NEW family — URL/host crawl hygiene,
+#        the dedup ladder's rung BEFORE text; q176 host rollup is its
+#        post-window sibling); q63 dedup components OUT to post-window
+#        — dedup keeps q18/q21/q90/q171 in-window and the
+#        connected-components surface stays gated via q63 itself plus
+#        q113/q135.
 _POST_WINDOW = [
+    "q17_sessionization",
+    "q63_dedup_components",
+    "q176_host_rollup",
     "q31_hash_sample",
     "q144_quantized_ann",
     "q57_stream_session_gate",

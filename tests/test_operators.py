@@ -193,7 +193,8 @@ def test_driver_record_window_contains_flagships():
         # stays covered by batch q17 (equivalence-pinned)
         "q58_stream_ewma_stateful",
         "q59_multimodal_decode",  # q60 demoted r6: q59 keeps mapInPandas
-        "q63_dedup_components",
+        # q63 components moved post-window r14: dedup keeps
+        # q18/q21/q90/q171 in-window; q175 URL dedup takes its slot
         # q64 demoted r8: q127 BM25 is the same term-weighting machinery's
         # full ranking form and takes the retrieval family's window slot
         # q65 interval join moved post-window r13: its batch twin q45
@@ -246,9 +247,14 @@ def test_driver_record_window_contains_flagships():
         "q168_wordpiece_encode",
         # round-14 swaps (the SAME-ROUND promotion rule, now standing):
         # SemDeDup takes q31's slot (sampling keeps q73/q74 in-window),
-        # the multi-generation BM25 store lifecycle takes q144's slot
+        # the multi-generation BM25 store lifecycle takes q144's slot,
+        # char-n-gram language ID takes q17's (events keep q15/q56/q58),
+        # URL canonical dedup takes q63's (dedup keeps q18/q21/q90/q171;
+        # q176 host rollup is its post-window sibling)
         "q169_bm25_multigen_store",
         "q171_semantic_dedup",
+        "q174_langid_chargram",
+        "q175_url_canonical_dedup",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
