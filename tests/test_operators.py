@@ -912,7 +912,7 @@ def test_langid_chargram_accuracy_and_determinism(spark):
 def test_langid_chargram_head_truncation(spark):
     """Per-doc cost is capped at head_chars (the Cavnar & Trenkle
     truncation posture): text beyond the cap must not influence the
-    prediction — a doc whose first 400 chars are German stays German
+    prediction — a doc whose first 300 chars are German stays German
     even if megabytes of English follow."""
     from albedo_spark.operators.textstats import langid_chargram
 

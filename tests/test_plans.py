@@ -266,3 +266,19 @@ def test_round11_plans_stay_jvm_side(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_langid_chargram_plan(spark):
+    """q174's scale contract: the ranked per-doc profile is computed
+    IN-ROW (no shuffle of raw grams, no rank window, no cross-join) —
+    the plan must show only broadcast joins and the two tiny doc-keyed
+    aggregates, never a SortMergeJoin, and touch the corpus at most
+    twice (profile branch + the id frame of the final left join)."""
+    from albedo_spark.queries import QUERIES
+
+    out = QUERIES["q174_langid_chargram"](spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Scan parquet") <= 2
