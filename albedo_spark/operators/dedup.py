@@ -1199,3 +1199,56 @@ def host_profile(
             (F.count("*") - F.countDistinct("_curl")).alias("n_dup_docs"),
         )
     )
+
+
+def host_cap_sample(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    num_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per HOST — the per-host cap
+    C4/RefinedWeb-class pipelines apply after URL dedup (a handful of
+    boilerplate-heavy hosts otherwise dominate the corpus). Selection is
+    a deterministic UNBIASED per-host sample: rank by ``md5(host:id)``
+    (ties by id) and keep the first ``cap`` — hash order, not id order,
+    so the kept set is not biased toward a host's oldest documents, and
+    both engines replay it (md5 is the repo's portable hash).
+
+    Skew is the whole problem at 100 TB (one giant host = one giant
+    window partition), so ranking is TWO-PHASE top-k: phase 1 ranks
+    within ``(host, salt)`` sub-groups (salt = id mod ``num_salts``) and
+    keeps ``cap`` per sub-group — the true per-host top-``cap`` is a
+    subset of the union by a standard dominance argument (any row in
+    the host's true top-cap is in its sub-group's top-cap) — then
+    phase 2 ranks the ≤ ``num_salts·cap`` survivors per host exactly.
+    The giant host's first window is ``num_salts``-way parallel and the
+    second sees a bounded frame. NULL urls pass through uncapped (the
+    family's NULL posture)."""
+    from pyspark.sql import Window
+
+    from albedo_spark.functions.urls import url_host
+
+    null_rows = df.where(F.col(url_col).isNull())
+    w = df.where(F.col(url_col).isNotNull()).withColumn(
+        "_host", url_host(F.col(url_col))
+    ).withColumn(
+        "_hk",
+        F.md5(F.concat(F.col("_host"), F.lit(":"), F.col(id_col).cast("string"))),
+    )
+    w1 = Window.partitionBy(
+        "_host", F.pmod(F.col(id_col).cast("long"), F.lit(num_salts))
+    ).orderBy(F.col("_hk").asc(), F.col(id_col).asc())
+    phase1 = w.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= cap
+    )
+    w2 = Window.partitionBy("_host").orderBy(
+        F.col("_hk").asc(), F.col(id_col).asc()
+    )
+    kept = (
+        phase1.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= cap)
+        .drop("_host", "_hk", "_r1", "_r2")
+    )
+    return kept.unionByName(null_rows)

@@ -10321,6 +10321,56 @@ def q176_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_profile(d)
 
 
+@query(
+    "q177_host_cap_sample",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS u FROM documents
+    ),
+    hosts AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   lower(regexp_extract(trim(u),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*')),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                   ':[0-9]+$', ''), '^www\\.', '') AS host
+        FROM raw
+    ),
+    ranked AS (
+        SELECT doc_id, host,
+               row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY md5(host || ':' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC
+               ) AS rk
+        FROM hosts
+    )
+    SELECT host, doc_id FROM ranked WHERE rk <= 40
+    """,
+)
+def q177_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (operators/dedup.py host_cap_sample — the
+    C4/RefinedWeb politeness/cap stage after URL dedup): keep at most 40
+    docs per www-stripped host, selected by deterministic md5(host:id)
+    hash order (an unbiased per-host sample, not oldest-first), ties by
+    id. The operator runs the TWO-PHASE top-k (salted sub-group rank,
+    then exact rank over ≤ salts·cap survivors — skew-safe for the one
+    giant host every crawl has); the oracle replays the selection with
+    ONE exact window, which must agree by the dominance argument the
+    two-phase form rests on — the gate therefore certifies the phase-1
+    union really does contain the true per-host top-cap. Plan: two
+    doc-keyed windows, the first salted num_salts-way."""
+    from albedo_spark.functions.urls import url_host
+    from albedo_spark.operators.dedup import host_cap_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_MESSY_URL_SPARK)
+    )
+    return host_cap_sample(d, cap=40).select(
+        url_host(F.col("url")).alias("host"), "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10503,6 +10553,7 @@ _POST_WINDOW = [
     "q17_sessionization",
     "q63_dedup_components",
     "q176_host_rollup",
+    "q177_host_cap_sample",
     "q31_hash_sample",
     "q144_quantized_ann",
     "q57_stream_session_gate",

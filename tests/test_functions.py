@@ -506,3 +506,49 @@ def test_url_dedup_and_host_profile(spark):
             for r in host_profile(df).collect()}
     assert prof["a.com"] == (3, 2, 1)  # www+no-www one host, 2 urls, 1 dup
     assert prof["b.com"] == (1, 1, 0)
+
+
+def test_host_cap_sample_two_phase_exact(spark):
+    """host_cap_sample keeps at most cap docs per host, chosen by
+    md5(host:id) order; the salted two-phase ranking must equal the
+    single exact window on a deliberately SKEWED fixture (one giant
+    host — the case the salting exists for), and NULL urls pass
+    through uncapped."""
+    from pyspark.sql import Window
+
+    from albedo_spark.functions.urls import url_host
+    from albedo_spark.operators.dedup import host_cap_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < 1700, F.lit("http://Giant.example.com/p")
+        ).when(
+            F.col("id") < 1990,
+            F.concat(F.lit("http://small"), (F.col("id") % 7).cast("string"),
+                     F.lit(".example.com/p")),
+        ).otherwise(F.lit(None).cast("string")).alias("url"),
+    )
+    kept = host_cap_sample(df, cap=25, num_salts=8)
+    hosts = kept.where(F.col("url").isNotNull()).select(
+        url_host(F.col("url")).alias("h"), "doc_id"
+    )
+    counts = {r.h: r.n for r in hosts.groupBy("h").agg(F.count("*").alias("n")).collect()}
+    assert counts["giant.example.com"] == 25
+    assert all(v <= 25 for v in counts.values())
+    # NULLs uncapped
+    assert kept.where(F.col("url").isNull()).count() == 10
+    # two-phase == exact single-window selection
+    exact_w = Window.partitionBy("h").orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    exact = (
+        df.where(F.col("url").isNotNull())
+        .select("doc_id", url_host(F.col("url")).alias("h"))
+        .withColumn("k", F.md5(F.concat("h", F.lit(":"), F.col("doc_id").cast("string"))))
+        .withColumn("r", F.row_number().over(exact_w))
+        .where(F.col("r") <= 25)
+    )
+    assert {r.doc_id for r in hosts.collect()} == {r.doc_id for r in exact.collect()}
+    # determinism
+    again = {r.doc_id for r in host_cap_sample(df, cap=25, num_salts=8)
+             .where(F.col("url").isNotNull()).collect()}
+    assert again == {r.doc_id for r in hosts.collect()}
