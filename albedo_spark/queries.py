@@ -10101,56 +10101,64 @@ def _langid_profile_values() -> str:
     )
 
 
-@query(
-    "q174_langid_chargram",
-    f"""
-    WITH prof(lang, g, r) AS (VALUES {_langid_profile_values()}),
-    docs AS (
+# The langid classification as a reusable DuckDB CTE block ending at
+# `lid_best(doc_id, lang, dist)` — q174 gates it directly; q178 composes
+# it with the per-language quality cutoff (the front-door wiring).
+_LANGID_DUCK_CTES = f"""prof(lang, g, r) AS (VALUES {_langid_profile_values()}),
+    lid_docs AS (
         SELECT doc_id,
                ' ' || trim(regexp_replace(lower(substr(text, 1, 300)),
                                           '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS t
         FROM documents WHERE text IS NOT NULL
     ),
-    grams AS (
+    lid_grams AS (
         SELECT doc_id, substr(t, i + 1, l) AS g
-        FROM docs,
+        FROM lid_docs,
              unnest([1, 2, 3]) AS ln(l),
              LATERAL (
                  SELECT unnest(range(greatest(len(t) - l + 1, 0))) AS i
              ) p
         WHERE trim(substr(t, i + 1, l)) <> ''
     ),
-    dcnt AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g),
-    dprof AS (
+    lid_cnt AS (
+        SELECT doc_id, g, count(*) AS cnt FROM lid_grams GROUP BY doc_id, g
+    ),
+    lid_prof AS (
         SELECT doc_id, g, dr FROM (
             SELECT doc_id, g,
                    row_number() OVER (
                        PARTITION BY doc_id ORDER BY cnt DESC, g ASC
                    ) AS dr
-            FROM dcnt
+            FROM lid_cnt
         ) WHERE dr <= 64
     ),
-    langs AS (SELECT DISTINCT lang FROM prof),
-    dist AS (
+    lid_langs AS (SELECT DISTINCT lang FROM prof),
+    lid_dist AS (
         SELECT d.doc_id, l.lang,
                CAST(sum(coalesce(abs(d.dr - p.r), 64)) AS BIGINT) AS dist
-        FROM dprof d
-        CROSS JOIN langs l
+        FROM lid_prof d
+        CROSS JOIN lid_langs l
         LEFT JOIN prof p ON p.lang = l.lang AND p.g = d.g
         GROUP BY d.doc_id, l.lang
     ),
-    best AS (
+    lid_best AS (
         SELECT doc_id, lang, dist FROM (
             SELECT doc_id, lang, dist,
                    row_number() OVER (
                        PARTITION BY doc_id ORDER BY dist ASC, lang ASC
                    ) AS rn
-            FROM dist
+            FROM lid_dist
         ) WHERE rn = 1
-    )
+    )"""
+
+
+@query(
+    "q174_langid_chargram",
+    f"""
+    WITH {_LANGID_DUCK_CTES}
     SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred, b.dist AS dist_oop
     FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
-    LEFT JOIN best b USING (doc_id)
+    LEFT JOIN lid_best b USING (doc_id)
     """,
 )
 def q174_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10371,6 +10379,86 @@ def q177_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q178_langid_quality_cutoff",
+    f"""
+    WITH {_LANGID_DUCK_CTES},
+    pred AS (
+        SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        LEFT JOIN lid_best b USING (doc_id)
+    ),
+    t AS (
+        SELECT doc_id, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_tok,
+               (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0
+                   / greatest(length(text), 1) AS punct_ratio,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0
+                   / greatest(len(w), 1) AS sw_ratio
+        FROM t
+    ),
+    s AS (
+        SELECT m.doc_id, p.lang_pred,
+               CAST(floor((0.4::DOUBLE * (CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 1.0::DOUBLE
+                                 WHEN n_tok > 0 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+                     + 0.3::DOUBLE * (1.0::DOUBLE - punct_ratio)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE, 5.0::DOUBLE * sw_ratio))
+                     * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
+        FROM m JOIN pred p USING (doc_id)
+    ),
+    r AS (
+        SELECT doc_id, lang_pred, quality_x10k,
+               row_number() OVER (
+                   PARTITION BY lang_pred ORDER BY quality_x10k ASC, doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY lang_pred) AS n
+        FROM s
+    ),
+    cut AS (SELECT lang_pred, quality_x10k AS cutoff FROM r WHERE rn = (n + 3) // 4)
+    SELECT s.doc_id, s.lang_pred, s.quality_x10k, c.cutoff
+    FROM s JOIN cut c USING (lang_pred)
+    WHERE s.quality_x10k >= c.cutoff
+    """,
+)
+def q178_langid_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The front-door COMPOSITION the verdict asked for (r13 #3: 'q131
+    consumes langid's output instead of the trusted lang column'): the
+    per-language adaptive quality cutoff (q131's operator) grouped by
+    q174's PREDICTED language — exactly the stage order a real crawl
+    runs, since it has no label column to trust (CCNet's posture:
+    classify, then threshold each language against its own quality
+    distribution). q131 itself stays gated on the label column (the
+    fixture's ground-truth replay); this entry certifies the classifier
+    and the cutoff COMPOSE bit-for-bit — the oracle replays langid and
+    the exact quantile in one statement. Plan: the langid subplan (see
+    q174's pins) feeds one broadcast join into the scored frame; the
+    cutoff adds q131's one window pass + broadcast join-back."""
+    from albedo_spark.operators.quality import per_group_quantile_filter
+    from albedo_spark.operators.textstats import (
+        langid_chargram,
+        quality_score_x10k,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pred = langid_chargram(d).select("doc_id", "lang_pred")
+    scored = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id", quality_score_x10k(F.col("text")).alias("quality_x10k")
+        )
+        .join(pred, "doc_id")
+    )
+    return per_group_quantile_filter(
+        scored, "quality_x10k", "lang_pred", "doc_id", q_num=1, q_den=4
+    ).select("doc_id", "lang_pred", "quality_x10k", "cutoff")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10554,6 +10642,7 @@ _POST_WINDOW = [
     "q63_dedup_components",
     "q176_host_rollup",
     "q177_host_cap_sample",
+    "q178_langid_quality_cutoff",
     "q31_hash_sample",
     "q144_quantized_ann",
     "q57_stream_session_gate",
