@@ -119,6 +119,18 @@ def main(argv: list[str] | None = None) -> dict:
                    help="remove 4-token spans duplicated across >= MIN_DF "
                         "distinct docs (ExactSubstr-style) and rewrite the "
                         "surviving documents before mixing/packing")
+    p.add_argument("--url-col", default=None, metavar="COL",
+                   help="documents column holding each doc's source URL — "
+                        "enables the URL/host front-door stages below "
+                        "(canonicalization is always implied by them)")
+    p.add_argument("--url-dedup", action="store_true",
+                   help="with --url-col: keep one doc (min id) per "
+                        "CANONICAL url (q175's operator) BEFORE any text "
+                        "stage — the C4/RefinedWeb front door")
+    p.add_argument("--host-cap", type=int, default=None, metavar="N",
+                   help="with --url-col: keep at most N docs per "
+                        "www-stripped host (q177's skew-safe two-phase "
+                        "hash sample), after --url-dedup")
     p.add_argument("--langid", action="store_true",
                    help="classify each document's language with the "
                         "char-n-gram profile classifier (q174's operator, "
@@ -274,6 +286,33 @@ def main(argv: list[str] | None = None) -> dict:
 
     docs = load_table(spark, args.sf_dir, "documents")
 
+    summary_url = None
+    if args.url_col and (args.url_dedup or args.host_cap):
+        # URL/host front door (VERDICT r13 #4): runs BEFORE any text
+        # stage — a page fetched twice under tracking-param/fragment
+        # noise should cost one pass through everything below, and
+        # host caps keep boilerplate farms from dominating the corpus.
+        if args.url_col not in docs.columns:
+            raise ValueError(
+                f"--url-col {args.url_col!r} is not a documents column "
+                f"(have {docs.columns})"
+            )
+        from albedo_spark.operators.dedup import host_cap_sample, url_dedup
+
+        n0 = docs.count()
+        summary_url = {"n_before": n0}
+        if args.url_dedup:
+            docs = url_dedup(docs, url_col=args.url_col)
+            n1 = docs.count()
+            summary_url["n_after_url_dedup"] = n1
+        if args.host_cap:
+            docs = host_cap_sample(
+                docs, url_col=args.url_col, cap=args.host_cap
+            )
+            summary_url["host_cap"] = args.host_cap
+            summary_url["n_after_host_cap"] = docs.count()
+        docs = docs.persist()
+
     markup_cached = None
     if args.strip_markup:
         # Front door: every later stage (stats, dedup, LM, tokenizer)
@@ -375,6 +414,8 @@ def main(argv: list[str] | None = None) -> dict:
             summary["langid"]["n_label_match"] = docs.where(
                 F.col("lang") == F.col("lang_label")
             ).count()
+    if summary_url is not None:
+        summary["url_hygiene"] = summary_url
     if summary_sweep is not None:
         summary["warehouse_sweep"] = summary_sweep
     if markup_cached is not None:

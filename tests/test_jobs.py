@@ -738,3 +738,49 @@ def test_corpus_job_langid_stage(tmp_path):
     assert 0 <= li["n_label_match"] <= summary["n_docs"]
     aq = summary["adaptive_quality"]
     assert aq["quantile"] == "1/4" and aq["n_dropped"] >= 0
+
+
+def test_corpus_job_url_front_door(tmp_path):
+    """--url-col/--url-dedup/--host-cap (VERDICT r13 #4): the URL/host
+    hygiene stages run as the pipeline's FRONT DOOR — before any text
+    stage — deduping canonical-equal URLs (min id kept) and capping
+    docs per host, with the summary recording each stage's row
+    deltas."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from albedo_spark.jobs.corpus import main
+
+    src = "/root/testdata/sf0.001"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # documents + a deliberately messy url column (collision-rich);
+    # other tables ride along untouched
+    con = duckdb.connect()
+    con.sql(f"""
+        COPY (
+            SELECT *,
+                   'HTTP://WWW.Host' || CAST(doc_id % 3 AS VARCHAR)
+                   || '.Example.COM/p/' || CAST(doc_id % 5 AS VARCHAR)
+                   || '?utm_source=x&id=' || CAST(doc_id % 2 AS VARCHAR)
+                   || '#f' AS url
+            FROM '{src}/documents.parquet'
+        ) TO '{sf}/documents.parquet' (FORMAT PARQUET)
+    """)
+    for t in os.listdir(src):
+        if t != "documents.parquet":
+            shutil.copy(os.path.join(src, t), sf / t)
+
+    summary = main([
+        "--sf-dir", str(sf), "--out", str(tmp_path / "out"),
+        "--url-col", "url", "--url-dedup", "--host-cap", "8",
+    ])
+    uh = summary["url_hygiene"]
+    # canonical space is (host%3 x page%5 x id%2) = 30 distinct urls
+    assert uh["n_before"] == 500
+    assert uh["n_after_url_dedup"] == 30
+    # 3 hosts x 10 canonical urls each, capped at 8 per host
+    assert uh["n_after_host_cap"] == 24
+    assert summary["n_docs"] == 24  # everything downstream saw 24 docs
