@@ -580,6 +580,25 @@ def table_num_buckets(spark: SparkSession, table: str) -> int:
     raise ValueError(f"{table} is not a bucketed table")
 
 
+def append_bucket_count(
+    spark: SparkSession, table: str, requested: int | None
+) -> int:
+    """The bucket count an APPEND must write with: the table's own
+    catalog entry. A ``requested`` value is accepted only when it
+    agrees (back-compat for callers threading the build flag through);
+    a disagreement raises instead of silently mixing two bucket
+    layouts inside one store — the family-wide r14 rule shared by the
+    BM25, PQ, digest, MinHash, and SimHash appenders."""
+    nb = table_num_buckets(spark, table)
+    if requested is not None and requested != nb:
+        raise ValueError(
+            f"store `{table}` was built with {nb} buckets; an append "
+            f"with num_buckets={requested} would mix bucket layouts — "
+            "omit the parameter to use the catalog's count"
+        )
+    return nb
+
+
 def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition IFF the plan currently has fewer partitions
     than the session's parallelism.

@@ -44,6 +44,14 @@ from pyspark.sql import functions as F
 from albedo_spark.operators.dedup import minhash_sig_table
 
 
+def _append_bucket_count(spark, table: str, requested: int | None) -> int:
+    """Catalog-derived append bucket count (io.append_bucket_count —
+    the family-wide r14 rule; explicit values validated)."""
+    from albedo_spark.io import append_bucket_count
+
+    return append_bucket_count(spark, table, requested)
+
+
 def minhash_band_rows(
     df: DataFrame,
     text_col: str = "text",
@@ -112,19 +120,22 @@ def append_signatures(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> None:
-    """Append the batch's signatures into the store (same bucket spec, so
-    the layout property survives). Call AFTER the batch's
-    ``dedup_incremental`` pairs are consumed: the store is re-listed at
-    action time, so appending first would make the batch self-match
-    through the store."""
+    """Append the batch's signatures into the store (bucket count from
+    the TABLE'S CATALOG, so the layout property survives whatever flags
+    the append run carries — the family-wide r14 rule; an explicit
+    ``num_buckets`` is validated and raises on disagreement). Call AFTER
+    the batch's ``dedup_incremental`` pairs are consumed: the store is
+    re-listed at action time, so appending first would make the batch
+    self-match through the store."""
     bands = minhash_band_rows(
         batch, text_col, id_col, num_hashes, rows_per_band, shingle_n
     )
+    nb = _append_bucket_count(batch.sparkSession, table, num_buckets)
     (
         bands.write.mode("append")
-        .bucketBy(num_buckets, "bkey")
+        .bucketBy(nb, "bkey")
         .sortBy("bkey")
         .format("parquet")
         .saveAsTable(table)
@@ -361,15 +372,18 @@ def append_digests(
     resolution: DataFrame,
     table: str,
     id_col: str = "doc_id",
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> None:
     """Append the NOVEL digests of a resolved batch (``is_dup = false``,
-    non-NULL digest — i.e. each new digest's keeper) into the store."""
+    non-NULL digest — i.e. each new digest's keeper) into the store.
+    Bucket count from the table's catalog (r14 rule; explicit values
+    are validated)."""
+    nb = _append_bucket_count(resolution.sparkSession, table, num_buckets)
     (
         resolution.where(~F.col("is_dup") & F.col("digest").isNotNull())
         .select("digest", F.col(id_col).alias("keeper_id"))
         .write.mode("append")
-        .bucketBy(num_buckets, "digest")
+        .bucketBy(nb, "digest")
         .sortBy("digest")
         .format("parquet")
         .saveAsTable(table)
@@ -451,14 +465,16 @@ def append_simhash(
     id_col: str = "doc_id",
     num_bits: int = 16,
     num_bands: int = 4,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> None:
-    """Append the batch's band rows (same bucket spec; call AFTER the
+    """Append the batch's band rows (bucket count from the table's
+    catalog — r14 rule, explicit values validated; call AFTER the
     batch's ``simhash_incremental`` pairs are consumed)."""
     rows = simhash_band_rows(batch, text_col, id_col, num_bits, num_bands)
+    nb = _append_bucket_count(batch.sparkSession, table, num_buckets)
     (
         rows.write.mode("append")
-        .bucketBy(num_buckets, "bkey")
+        .bucketBy(nb, "bkey")
         .sortBy("bkey")
         .format("parquet")
         .saveAsTable(table)

@@ -537,18 +537,12 @@ def append_pq_vectors(
     build would otherwise silently mix bucket layouts and break the
     store's no-shuffle probe. Passing ``num_buckets`` explicitly is
     validated against the catalog and raises on disagreement."""
-    from albedo_spark.io import table_num_buckets
+    from albedo_spark.io import append_bucket_count
     from albedo_spark.operators.clustering import integerize_embeddings
     from albedo_spark.operators.pq import encode_residual_codes
 
     spark = batch.sparkSession
-    nb = table_num_buckets(spark, table)
-    if num_buckets is not None and num_buckets != nb:
-        raise ValueError(
-            f"store `{table}` was built with {nb} buckets; an append "
-            f"with num_buckets={num_buckets} would mix bucket layouts — "
-            "omit the parameter to use the catalog's count"
-        )
+    nb = append_bucket_count(spark, table, num_buckets)
     cb = _load_codebooks(spark, table, m, subdim, codebooks)
     cents = spark.table(table + "_cents")
     vectors = integerize_embeddings(batch, scale=scale)
