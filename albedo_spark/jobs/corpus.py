@@ -119,6 +119,13 @@ def main(argv: list[str] | None = None) -> dict:
                    help="remove 4-token spans duplicated across >= MIN_DF "
                         "distinct docs (ExactSubstr-style) and rewrite the "
                         "surviving documents before mixing/packing")
+    p.add_argument("--warc-in", default=None, metavar="PATH",
+                   help="ingest documents from WARC files under PATH "
+                        "(Common Crawl layout; sources/warc.py) instead of "
+                        "the sf-dir documents table — HTTP response bodies "
+                        "become (doc_id, url, text) rows; requires --langid "
+                        "(a crawl has no lang column) and composes with "
+                        "--url-col url for the hygiene stages")
     p.add_argument("--url-col", default=None, metavar="COL",
                    help="documents column holding each doc's source URL — "
                         "enables the URL/host front-door stages below "
@@ -284,7 +291,23 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         summary_sweep = None
 
-    docs = load_table(spark, args.sf_dir, "documents")
+    if args.warc_in:
+        # Crawl-native input: WARC responses -> (doc_id, url, text).
+        # Every per-language stage downstream needs --langid because a
+        # crawl carries no label column — fail here, not 500 lines in.
+        if not args.langid:
+            raise ValueError(
+                "--warc-in requires --langid: WARC documents have no "
+                "lang column and every per-language stage needs one"
+            )
+        from albedo_spark.sources.warc import (
+            read_warc_records,
+            warc_text_documents,
+        )
+
+        docs = warc_text_documents(read_warc_records(spark, args.warc_in))
+    else:
+        docs = load_table(spark, args.sf_dir, "documents")
 
     summary_url = None
     if args.url_col and (args.url_dedup or args.host_cap):

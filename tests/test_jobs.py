@@ -784,3 +784,39 @@ def test_corpus_job_url_front_door(tmp_path):
     # 3 hosts x 10 canonical urls each, capped at 8 per host
     assert uh["n_after_host_cap"] == 24
     assert summary["n_docs"] == 24  # everything downstream saw 24 docs
+
+
+def test_corpus_job_warc_input(tmp_path):
+    """--warc-in: the Common Crawl front door end to end — WARC response
+    bodies become documents, --url-col/--url-dedup and --langid run on
+    them, and the summary reflects the crawl-native row flow. Without
+    --langid the flag fails fast (a crawl has no lang column)."""
+    import gzip
+
+    import pytest as _pytest
+
+    from albedo_spark.jobs.corpus import main
+    from tests.test_warc import _warc_bytes
+
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(_warc_bytes())
+    # second crawl of the same pages: distinct record ids (as a real
+    # recrawl would have), same target urls -> URL dedup's job
+    (wdir / "b.warc.gz").write_bytes(
+        gzip.compress(_warc_bytes().replace(b"<urn:uuid:", b"<urn:uuidB:"))
+    )
+
+    with _pytest.raises(ValueError, match="requires --langid"):
+        main(["--warc-in", str(wdir), "--out", str(tmp_path / "o0")])
+
+    summary = main([
+        "--warc-in", str(wdir), "--out", str(tmp_path / "out"),
+        "--langid", "--url-col", "url", "--url-dedup",
+    ])
+    # 3 responses per file, same record ids across files -> url dedup
+    # collapses the twins: 6 -> 3
+    assert summary["url_hygiene"]["n_before"] == 6
+    assert summary["url_hygiene"]["n_after_url_dedup"] == 3
+    assert summary["n_docs"] == 3
+    assert sum(summary["langid"]["langs"].values()) == 3
