@@ -705,11 +705,13 @@ def test_corpus_job_sweep_warehouse(spark):
         summary = main(["--sf-dir", "/root/testdata/sf0.001",
                         "--sweep-warehouse"])
         sw = summary["warehouse_sweep"]
-        assert set(sw) == {"n_swept", "kept_live", "kept_fresh"}
+        assert set(sw) == {"n_swept", "kept_live", "kept_fresh", "kept_recent"}
         # the fresh plant is never deleted — it lands in kept_fresh
-        # (dead pid + young dir) or kept_live (pid recycled by one of
-        # the session's own worker forks); either way it survives
-        assert sw["kept_fresh"] + sw["kept_live"] >= 1
+        # (dead pid + young dir), kept_recent (dead pid, predates the
+        # process, under the absolute age threshold — the r14 co-tenant
+        # guard), or kept_live (pid recycled by one of the session's own
+        # worker forks); whichever guard fires, it survives
+        assert sw["kept_fresh"] + sw["kept_live"] + sw["kept_recent"] >= 1
         assert os.path.isdir(d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
