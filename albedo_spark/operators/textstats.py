@@ -969,6 +969,7 @@ def langid_chargram(
     top_k: int = 64,
     head_chars: int = 300,
     profiles: list[tuple[str, str, int]] | None = None,
+    with_margin: bool = False,
 ) -> DataFrame:
     """Language identification by ranked character-n-gram profiles —
     Cavnar & Trenkle's out-of-place distance (1994, public method), the
@@ -986,6 +987,9 @@ def langid_chargram(
 
     ties broken to the lexicographically smallest language code; docs
     with no letters at all classify as ``'und'`` (NULL distance).
+    ``with_margin=True`` adds ``(runner_up, margin)`` — the second-best
+    language and its distance gap, the ambiguity signal pipelines
+    threshold on before trusting a prediction (margin 0 = a pure tie).
     Everything is integer-exact and rank-deterministic (doc grams rank
     by count desc, gram asc — the profile trainer's own tiebreak), so
     the DuckDB oracle replays classification bit-for-bit.
@@ -1124,41 +1128,90 @@ def langid_chargram(
     # gram, two tiny doc-keyed aggregates (argmin = min of a
     # (neg_gain, lang) struct — the same tiebreak as the row_number
     # idiom), no window, no cross-join.
-    fallback_lang = min(r["lang"] for r in prof.select("lang").distinct().collect())
+    all_langs = sorted(
+        r["lang"] for r in prof.select("lang").distinct().collect()
+    )
+    fallback_lang = all_langs[0]
     matched = docprof.join(F.broadcast(prof), "g", "left")
     stats = matched.groupBy("doc_id", "lang").agg(
         F.sum(F.abs(F.col("dr") - F.col("r")).cast("long")).alias("msum"),
         F.count("*").alias("mn"),
         F.max("dr").alias("maxdr"),
     )
-    per_doc = stats.groupBy("doc_id").agg(
-        # dr is dense 1..ng, and every gram lands in at least one group
-        # (the NULL-lang group when unmatched), so max(maxdr) == ng
-        F.max("maxdr").cast("long").alias("ng"),
-        F.min(
-            F.when(
-                F.col("lang").isNotNull(),
-                F.struct(
-                    (F.col("msum") - top_k * F.col("mn"))
-                    .cast("long")
-                    .alias("neggain"),
-                    F.col("lang").alias("lang"),
-                ),
-            )
-        ).alias("m"),
+    mstruct = F.when(
+        F.col("lang").isNotNull(),
+        F.struct(
+            (F.col("msum") - top_k * F.col("mn"))
+            .cast("long")
+            .alias("neggain"),
+            F.col("lang").alias("lang"),
+        ),
     )
-    best = per_doc.select(
+    if not with_margin:
+        per_doc = stats.groupBy("doc_id").agg(
+            # dr is dense 1..ng, and every gram lands in at least one
+            # group (the NULL-lang group when unmatched), so
+            # max(maxdr) == ng
+            F.max("maxdr").cast("long").alias("ng"),
+            F.min(mstruct).alias("m"),
+        )
+        best = per_doc.select(
+            "doc_id",
+            F.coalesce(F.col("m.lang"), F.lit(fallback_lang)).alias("lang"),
+            (
+                top_k * F.col("ng")
+                + F.coalesce(F.col("m.neggain"), F.lit(0).cast("long"))
+            ).alias("dist"),
+        )
+        return base.select("doc_id").join(
+            F.broadcast(best), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
+            F.col("dist").alias("dist_oop"),
+        )
+    # Margin form (the FineWeb-style ambiguity knob): also report the
+    # runner-up language and margin = runner_dist - best_dist. The
+    # sorted matched-struct list replaces the single struct-min (≤
+    # |langs| structs per doc — the collect is bounded by the profile
+    # table, not the data); the dominance argument fills in the ranks
+    # the matched list doesn't cover: with exactly one matched language
+    # the runner-up is the LEXICOGRAPHICALLY smallest unmatched one at
+    # distance top_k·ng, and with none matched every language ties
+    # there, so best/runner are the first two language codes and the
+    # margin is 0 — exactly what a full (dist, lang) ranking over all
+    # |langs| rows would produce (the oracle replays it that way).
+    lang_arr = F.array(*[F.lit(x) for x in all_langs])
+    per_doc = stats.groupBy("doc_id").agg(
+        F.max("maxdr").cast("long").alias("ng"),
+        F.sort_array(F.collect_list(mstruct)).alias("ms"),
+    )
+    base_dist = top_k * F.col("ng")
+    # try_element_at: out-of-bounds is a NULL, not an ANSI error — the
+    # 0- and 1-matched docs read past the list by design
+    m1 = F.try_element_at("ms", F.lit(1))
+    m2 = F.try_element_at("ms", F.lit(2))
+    best_lang = F.coalesce(m1["lang"], F.lit(fallback_lang))
+    best_dist = base_dist + F.coalesce(m1["neggain"], F.lit(0).cast("long"))
+    runner_lang = F.when(F.size("ms") >= 2, m2["lang"]).otherwise(
+        F.element_at(F.filter(lang_arr, lambda x: x != best_lang), 1)
+    )
+    runner_dist = F.when(
+        F.size("ms") >= 2, base_dist + m2["neggain"]
+    ).otherwise(base_dist)
+    scored = per_doc.select(
         "doc_id",
-        F.coalesce(F.col("m.lang"), F.lit(fallback_lang)).alias("lang"),
-        (
-            top_k * F.col("ng")
-            + F.coalesce(F.col("m.neggain"), F.lit(0).cast("long"))
-        ).alias("dist"),
+        best_lang.alias("lang"),
+        best_dist.alias("dist"),
+        runner_lang.alias("runner_up"),
+        (runner_dist - best_dist).cast("long").alias("margin"),
     )
     return base.select("doc_id").join(
-        F.broadcast(best), "doc_id", "left"
+        F.broadcast(scored), "doc_id", "left"
     ).select(
         "doc_id",
         F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
         F.col("dist").alias("dist_oop"),
+        "runner_up",
+        "margin",
     )

@@ -10459,6 +10459,49 @@ def q178_langid_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "quality_x10k", "cutoff")
 
 
+@query(
+    "q179_langid_margin",
+    f"""
+    WITH {_LANGID_DUCK_CTES},
+    ranked AS (
+        SELECT doc_id, lang, dist,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY dist ASC, lang ASC
+               ) AS rn
+        FROM lid_dist
+    )
+    SELECT d.doc_id,
+           coalesce(b1.lang, 'und') AS lang_pred,
+           b1.dist AS dist_oop,
+           b2.lang AS runner_up,
+           b2.dist - b1.dist AS margin
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    LEFT JOIN (SELECT doc_id, lang, dist FROM ranked WHERE rn = 1) b1
+        USING (doc_id)
+    LEFT JOIN (SELECT doc_id, lang, dist FROM ranked WHERE rn = 2) b2
+        USING (doc_id)
+    """,
+)
+def q179_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """langid with the AMBIGUITY MARGIN (langid_chargram
+    ``with_margin=True``): besides the best language, the runner-up and
+    the distance gap between them — the confidence signal pipelines
+    threshold on before trusting a prediction (margin 0 = a pure tie;
+    FineWeb-class pipelines drop or re-route low-margin docs). The
+    operator derives ranks 1-2 from the MATCHED languages plus the
+    dominance argument (one match → the runner-up is the smallest
+    unmatched code at the top_k·ng tier; none → best/runner are the
+    first two codes, margin exactly 0); the oracle instead ranks the
+    FULL |langs| distance table per doc — the gate certifies the
+    shortcut equals the exhaustive ranking. Plan shape identical to
+    q174 with a bounded sort_array/collect_list (≤ |langs| structs per
+    doc) replacing the struct-min."""
+    from albedo_spark.operators.textstats import langid_chargram
+
+    d = _t(spark, sf_dir, "documents")
+    return langid_chargram(d, with_margin=True)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10643,6 +10686,7 @@ _POST_WINDOW = [
     "q176_host_rollup",
     "q177_host_cap_sample",
     "q178_langid_quality_cutoff",
+    "q179_langid_margin",
     "q31_hash_sample",
     "q144_quantized_ann",
     "q57_stream_session_gate",

@@ -934,3 +934,42 @@ def test_langid_chargram_head_truncation(spark):
     )
     got = {r.doc_id: r.lang_pred for r in langid_chargram(docs).collect()}
     assert got == {1: "de", 2: "de"}
+
+
+def test_langid_chargram_margin_cases(spark):
+    """with_margin=True: the dominance shortcut must cover all three
+    rank-2 cases — two+ matched languages (real runner-up), exactly one
+    matched (runner = smallest unmatched code at the penalty tier), and
+    none matched (pure tie: first two codes, margin exactly 0) — and
+    the margin-less columns must be identical to the default form."""
+    from albedo_spark.operators.textstats import langid_chargram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and then "
+                "the children walk to school in the morning"),  # en vs others
+            (2, "的的的 的的的"),       # zh only (seed char, no latin grams)
+            (3, "αβγδ εζηθ ικλμ"),      # letters, zero profile overlap: tie
+            (4, "12345 !!!"),           # und
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in langid_chargram(docs, with_margin=True).collect()}
+    assert rows[1].lang_pred == "en" and rows[1].margin > 0
+    assert rows[1].runner_up in {"de", "es", "fr", "zh"}
+    assert rows[2].lang_pred == "zh"
+    assert rows[2].runner_up == "de" and rows[2].margin > 0  # one matched
+    assert rows[3].lang_pred == "de" and rows[3].runner_up == "en"
+    assert rows[3].margin == 0  # pure tie — totally ambiguous
+    assert rows[4].lang_pred == "und"
+    assert rows[4].runner_up is None and rows[4].margin is None
+    # the margin form's first three columns == the default form
+    a = sorted(
+        (r.doc_id, r.lang_pred, r.dist_oop)
+        for r in langid_chargram(docs, with_margin=True).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.lang_pred, r.dist_oop)
+        for r in langid_chargram(docs).collect()
+    )
+    assert a == b
