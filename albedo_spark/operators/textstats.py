@@ -961,6 +961,107 @@ def train_char_ngram_profiles(
     return out
 
 
+def _char_grams_123(t: Column) -> Column:
+    """All padded character n-grams (sizes 1..3) of one lambda-BOUND
+    normalized string, as a single flat array. One split-to-chars plus
+    ``zip_with`` over shifted slices — every per-element op is O(1),
+    where the obvious ``substr(t, i, n)`` per position is O(i) on UTF8
+    strings (byte-offset seek), turning gram generation O(L²) per doc
+    (measured ~30% of the langid operator before the rewrite). Null
+    padding from the shorter zip side marks the overhang; nulls and
+    pure-padding grams (language-free — they would match every profile)
+    are filtered out. Shared by the classifier (``langid_chargram``) and
+    the corpus trainer (``train_langid_profiles_df``), so both sides of
+    the train/apply contract generate the IDENTICAL gram set."""
+
+    def _with_chars(c: Column) -> Column:
+        n = F.size(c)
+        bi = F.zip_with(
+            c,
+            F.slice(c, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, b),
+        )
+
+        def _with_bi(bv: Column) -> Column:
+            tri = F.zip_with(
+                bv,
+                F.slice(c, 3, F.greatest(n - 2, F.lit(0))),
+                lambda ab, d: F.concat(ab, d),
+            )
+            return F.flatten(F.array(c, bv, tri))
+
+        return _bind(bi, _with_bi)
+
+    return F.filter(
+        _bind(F.split(t, ""), _with_chars),
+        lambda g: g.isNotNull() & (F.trim(g) != ""),
+    )
+
+
+def _langid_norm_col(text: Column) -> Column:
+    """The classifier/trainer shared in-plan normalization: lowercase,
+    every non-letter run → one space, trim, pad with one boundary space
+    each side (the padded-gram design — boundary grams carry word-edge
+    signal). The Python mirror is ``_langid_norm_py``."""
+    return F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(text), r"[^\p{L}]+", " ")),
+        F.lit(" "),
+    )
+
+
+def train_langid_profiles_df(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 64,
+    head_chars: int | None = None,
+) -> DataFrame:
+    """Train Cavnar & Trenkle (1994) ranked n-gram language profiles
+    FROM A LABELED CORPUS — the distributed half of the train/apply
+    contract (``train_char_ngram_profiles`` trains the same shape from
+    tiny driver-side seed texts; this trains from data, the way every
+    other trainable family here pairs its halves — BPE q75/q126,
+    WordPiece q170/q168, unigram-LM q159/q155). Per language: the
+    ``top_k`` most frequent padded character n-grams of all sizes 1..3
+    across every document labeled with that language, ranked 1..top_k
+    by (count desc, gram asc) — the identical normalization, gram set
+    and tiebreak the classifier applies, so a trained profile plugs
+    straight into ``langid_chargram(profiles=...)`` (collect the ≤
+    |langs|·top_k result rows into the literal list — profiles are plan
+    literals by design).
+
+    Returns ``(lang, g, r, cnt)``: rank and the supporting corpus count.
+
+    Plan at 100 TB: labels are upstream/human-supplied, so the trainer
+    runs on a BOUNDED labeled sample, never the raw corpus (pass
+    ``head_chars`` to also cap per-doc cost, the classifier's own
+    posture). Gram explosion is map-side only — the one shuffle is the
+    (lang, gram) count with partial aggregation combining before
+    exchange — and the rank window partitions by language over the
+    already-aggregated distinct-gram frame."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    if head_chars is not None:
+        text = F.substring(text, 1, head_chars)
+    base = docs.where(
+        F.col(text_col).isNotNull() & F.col(lang_col).isNotNull()
+    ).select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_grams_123(_langid_norm_col(text))).alias("g"),
+    )
+    counts = base.groupBy("lang", "g").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+    return (
+        counts.withColumn("r", F.row_number().over(w).cast("int"))
+        .where(F.col("r") <= top_k)
+        .select("lang", "g", "r", "cnt")
+    )
+
+
 def langid_chargram(
     docs: DataFrame,
     text_col: str = "text",
@@ -1018,55 +1119,13 @@ def langid_chargram(
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
     )
-    norm = F.concat(
-        F.lit(" "),
-        F.trim(
-            F.regexp_replace(
-                F.lower(F.substring(F.col(text_col), 1, head_chars)),
-                r"[^\p{L}]+",
-                " ",
-            )
-        ),
-        F.lit(" "),
-    )
+    norm = _langid_norm_col(F.substring(F.col(text_col), 1, head_chars))
 
     if n_max != 3:
         raise ValueError(
-            "langid_chargram builds grams via the O(L) char-zip chain, "
-            "written for the contract's n_max=3 (unigrams through "
-            "trigrams — the frozen-profile design)"
-        )
-
-    def _grams_of(t: Column) -> Column:
-        # t is a lambda-BOUND materialized string (see _bind). Grams
-        # come from ONE split-to-chars plus zip_with over shifted
-        # slices — every per-element op is O(1), where the obvious
-        # `substr(t, i, n)` per position is O(i) on UTF8 strings
-        # (byte-offset seek), turning gram generation O(L²) per doc
-        # (measured ~30% of the operator). null padding from the
-        # shorter zip side marks the overhang; nulls and pure-padding
-        # grams (language-free, match every profile) are filtered out.
-        def _with_chars(c: Column) -> Column:
-            n = F.size(c)
-            bi = F.zip_with(
-                c,
-                F.slice(c, 2, F.greatest(n - 1, F.lit(0))),
-                lambda a, b: F.concat(a, b),
-            )
-
-            def _with_bi(bv: Column) -> Column:
-                tri = F.zip_with(
-                    bv,
-                    F.slice(c, 3, F.greatest(n - 2, F.lit(0))),
-                    lambda ab, d: F.concat(ab, d),
-                )
-                return F.flatten(F.array(c, bv, tri))
-
-            return _bind(bi, _with_bi)
-
-        return F.filter(
-            _bind(F.split(t, ""), _with_chars),
-            lambda g: g.isNotNull() & (F.trim(g) != ""),
+            "langid_chargram builds grams via the O(L) char-zip chain "
+            "(_char_grams_123), written for the contract's n_max=3 "
+            "(unigrams through trigrams — the frozen-profile design)"
         )
 
     def _top_of_sorted(s: Column) -> Column:
@@ -1103,7 +1162,7 @@ def langid_chargram(
 
     ranked = _bind(
         norm,
-        lambda t: _bind(F.array_sort(_grams_of(t)), _top_of_sorted),
+        lambda t: _bind(F.array_sort(_char_grams_123(t)), _top_of_sorted),
     )
     docprof = (
         docs.where(F.col(text_col).isNotNull())

@@ -10502,6 +10502,64 @@ def q179_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_chargram(d, with_margin=True)
 
 
+@query(
+    "q180_langid_profile_train",
+    """
+    WITH ld AS (
+        SELECT lang,
+               ' ' || trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))
+                   || ' ' AS t
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    g AS (
+        SELECT lang, substr(t, i + 1, l) AS g
+        FROM ld,
+             unnest([1, 2, 3]) AS ln(l),
+             LATERAL (
+                 SELECT unnest(range(greatest(len(t) - l + 1, 0))) AS i
+             ) p
+        WHERE trim(substr(t, i + 1, l)) <> ''
+    ),
+    c AS (
+        SELECT lang, g, CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY lang, g
+    )
+    SELECT lang, g, r, cnt FROM (
+        SELECT lang, g, cnt,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, g ASC
+               ) AS INT) AS r
+        FROM c
+    ) WHERE r <= 64
+    """,
+)
+def q180_langid_profile_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-profile TRAINING from a labeled corpus
+    (operators/textstats.py train_char_ngram_profiles's distributed
+    twin, train_langid_profiles_df — Cavnar & Trenkle 1994, public
+    method): per language, the top-64 most frequent padded character
+    1-3-grams across every document carrying that label, ranked by
+    (count desc, gram asc) — the identical normalization, gram set and
+    tiebreak the q174 classifier applies, so the trained rows plug
+    straight into ``langid_chargram(profiles=...)``. This closes the
+    train/apply symmetry every other trainable family here has (BPE
+    q75/q126, WordPiece q170/q168, unigram-LM q159/q155): q174 applies
+    frozen seed profiles; q180 gates learning profiles FROM DATA. Gram
+    generation shares ``_char_grams_123`` (one split-to-chars + two
+    shifted zip_with passes, O(L) per doc) with the classifier — the
+    gate certifies the shared chain against an independent
+    substr-per-position replay. Plan: the explode is map-side only
+    (partial aggregation combines (lang, gram) counts before the single
+    exchange); the rank window partitions by language over the
+    already-aggregated distinct-gram frame. At 100 TB the trainer runs
+    on the bounded LABELED sample (labels are upstream-supplied — you
+    never hold 100 TB of labeled text), never the raw corpus."""
+    from albedo_spark.operators.textstats import train_langid_profiles_df
+
+    d = _t(spark, sf_dir, "documents")
+    return train_langid_profiles_df(d, lang_col="lang", text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10687,6 +10745,7 @@ _POST_WINDOW = [
     "q177_host_cap_sample",
     "q178_langid_quality_cutoff",
     "q179_langid_margin",
+    "q180_langid_profile_train",
     "q31_hash_sample",
     "q144_quantized_ann",
     "q57_stream_session_gate",

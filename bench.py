@@ -177,6 +177,10 @@ HEADLINE2 = [
     "q174_langid_chargram",
     "q175_url_canonical_dedup",
     "q176_host_rollup",
+    "q177_host_cap_sample",
+    "q178_langid_quality_cutoff",
+    "q179_langid_margin",
+    "q180_langid_profile_train",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

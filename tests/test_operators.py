@@ -936,6 +936,81 @@ def test_langid_chargram_head_truncation(spark):
     assert got == {1: "de", 2: "de"}
 
 
+def test_langid_profile_trainer_df(spark):
+    """The distributed profile trainer (train_langid_profiles_df, q180)
+    must (1) EQUAL the driver-side seed trainer bit-for-bit when fed the
+    identical seeds as a one-doc-per-language corpus — same
+    normalization, gram set (shared _char_grams_123 chain) and
+    (count desc, gram asc) tiebreak — and (2) close the train/apply
+    loop: profiles learned from held-out LABELED sentences classify the
+    seed paragraphs correctly when plugged into
+    langid_chargram(profiles=...)."""
+    from albedo_spark.operators.textstats import (
+        LANGID_SEED_TEXTS,
+        langid_chargram,
+        train_char_ngram_profiles,
+        train_langid_profiles_df,
+    )
+
+    seeds_df = spark.createDataFrame(
+        [
+            (i, lang, t)
+            for i, (lang, t) in enumerate(sorted(LANGID_SEED_TEXTS.items()))
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = sorted(
+        (r.lang, r.g, r.r)
+        for r in train_langid_profiles_df(seeds_df).collect()
+    )
+    assert got == sorted(train_char_ngram_profiles())
+
+    # ranks are dense 1..top_k per language and counts are positive
+    rows = train_langid_profiles_df(seeds_df, top_k=16).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.r)
+        assert r.cnt >= 1
+    assert all(
+        sorted(rs) == list(range(1, len(rs) + 1)) for rs in by_lang.values()
+    )
+
+    # train/apply round trip: learn from labeled held-out sentences,
+    # classify the (disjoint) seed paragraphs with the learned profiles
+    train_rows = [
+        (1, "en", "She opened the window because the room was warm and "
+            "she wanted to hear the birds singing in the garden."),
+        (2, "de", "Sie öffnete das Fenster weil das Zimmer warm war und "
+            "sie die Vögel im alten Garten singen hören wollte."),
+        (3, "es", "Ella abrió la ventana porque la habitación estaba "
+            "caliente y quería escuchar a los pájaros cantando."),
+        (4, "fr", "Elle a ouvert la fenêtre parce que la chambre était "
+            "chaude et elle voulait entendre les oiseaux chanter."),
+        (5, "zh", "她打开窗户因为房间很热 她想听花园里鸟儿的歌声"),
+    ]
+    train_df = spark.createDataFrame(
+        train_rows, "doc_id long, lang string, text string"
+    )
+    learned = [
+        (r.lang, r.g, r.r)
+        for r in train_langid_profiles_df(train_df).collect()
+    ]
+    probe = spark.createDataFrame(
+        [
+            (i, t)
+            for i, (_, t) in enumerate(sorted(LANGID_SEED_TEXTS.items()))
+        ],
+        "doc_id long, text string",
+    )
+    pred = {
+        r.doc_id: r.lang_pred
+        for r in langid_chargram(probe, profiles=learned).collect()
+    }
+    assert pred == {
+        i: lang for i, lang in enumerate(sorted(LANGID_SEED_TEXTS))
+    }
+
+
 def test_langid_chargram_margin_cases(spark):
     """with_margin=True: the dominance shortcut must cover all three
     rank-2 cases — two+ matched languages (real runner-up), exactly one
