@@ -126,6 +126,15 @@ def main(argv: list[str] | None = None) -> dict:
                         "become (doc_id, url, text) rows; requires --langid "
                         "(a crawl has no lang column) and composes with "
                         "--url-col url for the hygiene stages")
+    p.add_argument("--html-extract", action="store_true",
+                   help="with --warc-in: run jusText main-content "
+                        "extraction (operators/extraction.py) on the "
+                        "decoded pages — block segmentation, link-density/"
+                        "stopword classification, context revision — and "
+                        "keep only documents with at least one good block, "
+                        "their text replaced by the extracted main text "
+                        "(the boilerplate-aware alternative to the flat "
+                        "--strip-markup)")
     p.add_argument("--url-col", default=None, metavar="COL",
                    help="documents column holding each doc's source URL — "
                         "enables the URL/host front-door stages below "
@@ -306,6 +315,23 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
         docs = warc_text_documents(read_warc_records(spark, args.warc_in))
+        if args.html_extract:
+            # Block-aware extraction instead of flat tag-stripping: navs,
+            # footers and link farms never enter the corpus, so the
+            # text-level dedup/quality stages downstream see main content
+            # only. Pages with no good block are dropped here (the
+            # jusText verdict: all boilerplate).
+            from albedo_spark.operators.extraction import html_main_text
+
+            main = html_main_text(docs, html_col="text")
+            docs = (
+                docs.drop("text")
+                .join(main.select("doc_id", F.col("main_text").alias("text")),
+                      "doc_id")
+            )
+    elif args.html_extract:
+        raise ValueError("--html-extract requires --warc-in (it runs on "
+                         "decoded crawl pages, not the fixture corpus)")
     else:
         docs = load_table(spark, args.sf_dir, "documents")
 

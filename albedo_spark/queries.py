@@ -10560,6 +10560,219 @@ def q180_langid_profile_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_langid_profiles_df(d, lang_col="lang", text_col="text")
 
 
+# Deterministic pseudo-HTML page derived from the documents fixture (it
+# ships plain text — the q114/q175 planting discipline): a link-dense
+# nav (link-density bad), the doc body as the main block (its stopword
+# density decides good/neargood/bad), a <70-char teaser (the 'short'
+# context case), for doc_id%3=0 a medium block with one anchor (the
+# 'neargood' revision case), and a &copy; footer (the copyright bad).
+# Both engines build the identical string from the same snippet.
+_PSEUDO_HTML_SQL = """concat(
+    '<div class="nav"><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></div>',
+    '<p>', text, '</p>',
+    '<p>', substr(text, 1, 40 + CAST(doc_id % 20 AS INT)), '</p>',
+    CASE WHEN doc_id % 3 = 0
+         THEN concat('<p>', substr(text, 1, 120),
+                     ' <a href="/more">read more</a></p>')
+         ELSE '' END,
+    '<div class="footer">&copy; Site', CAST(doc_id % 5 AS STRING),
+    ' all rights reserved</div>')"""
+
+# The fixture-calibrated stopword list for the jusText gate (the
+# operator takes the list as a parameter exactly as jusText ships
+# per-language lists; the fixture's vocabulary is synthetic, so its
+# own frequent words play that role — densities straddle the paper's
+# 300/320 permille thresholds, measured quantiles 0.28-0.53).
+_JUSTEXT_SW = (
+    "batch", "column", "customer", "filter", "hash", "join",
+    "merge", "order", "row", "scan", "slow", "small",
+)
+
+
+def _duck_strip_markup(expr: str) -> str:
+    """The strip_markup chain (functions/text.py) as DuckDB SQL over an
+    arbitrary input expression — q114 inlines this chain for one input;
+    the jusText oracle needs it for fragments AND anchor lambdas."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        + expr
+        + ", '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+        ", '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+        ", '(?s)<!--.*?-->', ' ', 'g')"
+        ", '(?s)</?[A-Za-z!][^>]*>', ' ', 'g')"
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')"
+        ", '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')"
+        ", '\\s+', ' ', 'g'))"
+    )
+
+
+# The oracle splits on the OPERATOR's own pattern constant — one source
+# of truth, no Java-vs-RE2 drift risk (the pattern stays in the shared
+# subset: inline (?i), non-capturing group, \b, [^>]*).
+from albedo_spark.operators.extraction import (  # noqa: E402
+    BLOCK_TAG_PATTERN as _JUSTEXT_BLOCK_SPLIT,
+)
+
+
+@query(
+    "q181_justext_blocks",
+    f"""
+    WITH src AS (
+        SELECT doc_id, {_PSEUDO_HTML_SQL} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    frags AS (
+        SELECT doc_id, i AS pos, arr[i + 1] AS frag
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(html, '{_JUSTEXT_BLOCK_SPLIT}') AS arr
+            FROM src
+        ),
+        LATERAL (SELECT unnest(range(len(arr))) AS i) t
+    ),
+    cleaned AS (
+        SELECT doc_id, pos, frag,
+               {_duck_strip_markup("frag")} AS text
+        FROM frags
+    ),
+    kept AS (
+        SELECT doc_id, pos, frag, text,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS INT) AS block_idx,
+               trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g'))
+                   AS letters
+        FROM cleaned WHERE text <> ''
+    ),
+    feats AS (
+        SELECT doc_id, block_idx, text,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(coalesce(list_sum(list_transform(
+                   regexp_extract_all(frag,
+                       '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                   a -> length({_duck_strip_markup("a")})
+               )), 0) AS BIGINT) AS link_chars,
+               CAST(CASE WHEN letters = '' THEN 0
+                    ELSE len(string_split(letters, ' ')) END
+                    AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN letters = '' THEN 0
+                    ELSE len(list_filter(string_split(letters, ' '),
+                        x -> list_contains({list(_JUSTEXT_SW)!r}, x))) END
+                    AS BIGINT) AS n_stopwords,
+               (text LIKE '%©%' OR frag LIKE '%&copy;%') AS has_copyright
+        FROM kept
+    ),
+    cls0 AS (
+        SELECT *,
+            CASE
+              WHEN 1000 * link_chars > 200 * n_chars THEN 'bad'
+              WHEN has_copyright THEN 'bad'
+              WHEN n_chars < 70 THEN
+                   CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+              WHEN n_tokens > 0 AND 1000 * n_stopwords >= 320 * n_tokens THEN
+                   CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
+              WHEN n_tokens > 0 AND 1000 * n_stopwords >= 300 * n_tokens THEN
+                   'neargood'
+              ELSE 'bad'
+            END AS cf_class
+        FROM feats
+    ),
+    nbr AS (
+        SELECT *,
+            coalesce(last_value(
+                CASE WHEN cf_class IN ('good','bad') THEN cf_class END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 'bad') AS sp,
+            coalesce(first_value(
+                CASE WHEN cf_class IN ('good','bad') THEN cf_class END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ), 'bad') AS sn,
+            coalesce(last_value(
+                CASE WHEN cf_class IN ('good','bad','neargood')
+                     THEN cf_class END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 'bad') AS lp,
+            coalesce(first_value(
+                CASE WHEN cf_class IN ('good','bad','neargood')
+                     THEN cf_class END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ), 'bad') AS ln
+        FROM cls0
+    ),
+    st2 AS (
+        SELECT *,
+            CASE WHEN cf_class = 'short' THEN
+                CASE WHEN sp = 'good' AND sn = 'good' THEN 'good'
+                     WHEN sp = 'bad' AND sn = 'bad' THEN 'bad'
+                     WHEN (sp = 'bad' AND lp = 'neargood')
+                       OR (sn = 'bad' AND ln = 'neargood') THEN 'good'
+                     ELSE 'bad' END
+            ELSE cf_class END AS stage2
+        FROM nbr
+    ),
+    fin AS (
+        SELECT *,
+            coalesce(last_value(
+                CASE WHEN stage2 IN ('good','bad') THEN stage2 END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 'bad') AS sp2,
+            coalesce(first_value(
+                CASE WHEN stage2 IN ('good','bad') THEN stage2 END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ), 'bad') AS sn2
+        FROM st2
+    )
+    SELECT doc_id, block_idx, text, n_chars, link_chars, n_tokens,
+           n_stopwords, cf_class,
+           CASE WHEN stage2 = 'neargood' THEN
+               CASE WHEN sp2 = 'bad' AND sn2 = 'bad' THEN 'bad'
+                    ELSE 'good' END
+           ELSE stage2 END AS cls
+    FROM fin
+    """,
+)
+def q181_justext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText boilerplate classification (operators/extraction.py
+    justext_classify — Pomikálek 2011, public method, ``no_headings``
+    mode): the main-content extraction stage between the WARC decode
+    and URL/langid hygiene that the crawl front door was missing —
+    strip_markup keeps navs/footers/link farms; this classifies page
+    BLOCKS first. The fixture ships plain text, so each doc is wrapped
+    in a deterministic five-block page (nav, body, short teaser,
+    %3-keyed anchor block, © footer — every classifier branch
+    exercised, including the mixed-neighbour 'short' rule and the
+    neargood revision). All thresholds are the paper's defaults as
+    permille integers; the stopword list is a fixture-calibrated
+    parameter (densities straddle 300/320‰). The oracle replays
+    segmentation (same RE2∩Java split regex), the full strip_markup
+    chain per fragment AND per anchor, letters-only token counts, and
+    both window passes — the gate certifies the classifier
+    bit-for-bit, clean text included. Plan: map-only regex chains into
+    ONE per-doc sort shared by row_number and all four neighbour
+    windows; no UDF, no parser library, nothing leaves the JVM."""
+    from albedo_spark.operators.extraction import justext_classify
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select("doc_id", F.expr(_PSEUDO_HTML_SQL).alias("html"))
+    return justext_classify(pages, stopwords=_JUSTEXT_SW).drop(
+        "has_copyright"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10746,6 +10959,7 @@ _POST_WINDOW = [
     "q178_langid_quality_cutoff",
     "q179_langid_margin",
     "q180_langid_profile_train",
+    "q181_justext_blocks",
     "q31_hash_sample",
     "q144_quantized_ann",
     "q57_stream_session_gate",

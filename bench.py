@@ -181,6 +181,7 @@ HEADLINE2 = [
     "q178_langid_quality_cutoff",
     "q179_langid_margin",
     "q180_langid_profile_train",
+    "q181_justext_blocks",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

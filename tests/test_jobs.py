@@ -822,3 +822,55 @@ def test_corpus_job_warc_input(tmp_path):
     assert summary["url_hygiene"]["n_after_url_dedup"] == 3
     assert summary["n_docs"] == 3
     assert sum(summary["langid"]["langs"].values()) == 3
+
+
+def test_corpus_job_warc_html_extract(tmp_path):
+    """--warc-in --html-extract: jusText extraction inside the CLI —
+    boilerplate-only pages are dropped, kept pages carry main text only
+    (nav/footer gone), and the flag fails fast without --warc-in."""
+    import pytest as _pytest
+
+    from albedo_spark.jobs.corpus import main
+    from tests.test_warc import _http, _record
+
+    body = (
+        "it was a bright cold day in april and the clocks were striking "
+        "thirteen and he walked to the office with his hands in his "
+        "pockets while the wind was at his back for most of an hour and "
+        "he thought about all of the things they had said at the meeting"
+    )
+    page = (
+        '<html><body><div class="nav"><a href="/">Home</a> '
+        '<a href="/a">About us</a> <a href="/c">Contact</a></div>'
+        f"<p>{body}</p>"
+        "<div>&copy; Example Inc all rights reserved</div>"
+        "</body></html>"
+    ).encode()
+    nav_only = (
+        '<html><body><div><a href="/">Home</a> <a href="/b">B</a>'
+        "</div></body></html>"
+    ).encode()
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    (wdir / "p.warc").write_bytes(
+        _record("response", "http://k.example.com/page", _http(page),
+                rid="<urn:uuid:keep>")
+        + _record("response", "http://d.example.com/nav", _http(nav_only),
+                  rid="<urn:uuid:drop>")
+    )
+
+    with _pytest.raises(ValueError, match="requires --warc-in"):
+        main(["--html-extract", "--langid", "--out", str(tmp_path / "o0")])
+
+    summary = main([
+        "--warc-in", str(wdir), "--out", str(tmp_path / "out"),
+        "--langid", "--html-extract",
+    ])
+    assert summary["n_docs"] == 1  # the nav-only page was dropped
+
+    import duckdb
+
+    txt = duckdb.sql(
+        f"SELECT text_clean FROM '{tmp_path}/out/per_doc/*.parquet'"
+    ).fetchone()[0]
+    assert txt == body  # nav and footer never entered the corpus

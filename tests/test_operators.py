@@ -1048,3 +1048,113 @@ def test_langid_chargram_margin_cases(spark):
         for r in langid_chargram(docs).collect()
     )
     assert a == b
+
+
+def test_justext_block_segmentation_and_features(spark):
+    """html_blocks: block-tag segmentation, empty-fragment drop, dense
+    1-based block_idx, strip_markup cleaning, anchor link-char counting
+    and the copyright cue (both the decoded © and a raw &copy;)."""
+    from albedo_spark.operators.extraction import html_blocks
+
+    pages = [
+        (1, '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+            "<p>plain body text here</p>"
+            "<ul><li></li><li>item <b>bold</b></li></ul>"
+            "<div>&copy; footer</div>"
+            "<p>tail © text</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    rows = {r.block_idx: r for r in html_blocks(df).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]  # empty <li></li> dropped
+    assert rows[1].text == "Home About"
+    assert rows[1].link_chars == len("Home") + len("About")
+    assert rows[2].text == "plain body text here"
+    assert rows[2].link_chars == 0
+    assert rows[3].text == "item bold"  # inline tag stripped
+    assert rows[4].has_copyright and rows[5].has_copyright
+    assert not rows[2].has_copyright
+    # letters-only tokens: '©' is not a token
+    assert rows[5].n_tokens == 2
+
+
+def test_justext_context_rules(spark):
+    """The context-sensitive revision, branch by branch: short between
+    goods → good; short between bads → bad; short on a good/bad
+    boundary → good only when the bad side is fronted by a neargood;
+    neargood between bads → bad, else good (with reclassified shorts
+    counting as decided neighbours — the paper's pass order)."""
+    from albedo_spark.operators.extraction import justext_classify
+
+    good_txt = (
+        "it was a bright cold day in april and the clocks were striking "
+        "thirteen and he walked to the office with his hands in his "
+        "pockets while the wind was at his back for most of an hour and "
+        "he thought about all of the things they had said at the meeting "
+    )
+    # stopword-dense (≥ 0.32) but ≤ 200 chars → context-free 'neargood'
+    # via the length branch of the high-density rule
+    near_txt = (
+        "the report that you wanted is here plus some filler about the "
+        "office printer queue and the status of it"
+    )
+
+    def page(*blocks):
+        return "".join(f"<p>{b}</p>" for b in blocks)
+
+    pages = [
+        # 1: good, short, good -> short becomes good
+        (1, page(good_txt, "tiny line", good_txt)),
+        # 2: bad, short, bad -> short stays bad
+        (2, page("zz qq xx yy ww vv uu tt ss rr " * 9, "tiny line",
+                 "zz qq xx yy ww vv uu tt ss rr " * 9)),
+        # 3: good, short, bad (no neargood fronting the bad side) -> bad
+        (3, page(good_txt, "tiny line",
+                 "zz qq xx yy ww vv uu tt ss rr " * 9)),
+        # 4: good, short, neargood, bad -> loose-next is neargood on the
+        #    bad side -> short becomes good; neargood then has a good
+        #    neighbour (the short!) -> good
+        (4, page(good_txt, "tiny line", near_txt,
+                 "zz qq xx yy ww vv uu tt ss rr " * 9)),
+        # 5: bad, neargood, bad -> neargood becomes bad
+        (5, page("zz qq xx yy ww vv uu tt ss rr " * 9, near_txt,
+                 "zz qq xx yy ww vv uu tt ss rr " * 9)),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    out = {
+        (r.doc_id, r.block_idx): (r.cf_class, r.cls)
+        for r in justext_classify(df).collect()
+    }
+    assert out[(1, 2)] == ("short", "good")
+    assert out[(2, 2)] == ("short", "bad")
+    assert out[(3, 2)] == ("short", "bad")
+    assert out[(4, 2)] == ("short", "good")
+    assert out[(4, 3)] == ("neargood", "good")
+    assert out[(5, 2)] == ("neargood", "bad")
+    # sanity on the context-free anchors of those pages
+    assert out[(1, 1)] == ("good", "good")
+    assert out[(2, 1)] == ("bad", "bad")
+
+
+def test_html_main_text_assembly(spark):
+    """html_main_text: final-good blocks re-joined in page order with
+    newlines; documents with no good block are dropped; kept_chars is
+    the exact sum of kept block lengths."""
+    from albedo_spark.operators.extraction import html_main_text
+
+    good_txt = (
+        "it was a bright cold day in april and the clocks were striking "
+        "thirteen and he walked to the office with his hands in his "
+        "pockets while the wind was at his back for most of an hour and "
+        "he thought about all of the things they had said at the meeting "
+    )
+    pages = [
+        (1, f"<p>{good_txt}</p><p>tiny line</p><p>{good_txt}</p>"),
+        (2, '<div><a href="/">Home</a></div>'),  # all boilerplate
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    rows = {r.doc_id: r for r in html_main_text(df).collect()}
+    assert sorted(rows) == [1]
+    parts = rows[1].main_text.split("\n")
+    assert parts == [good_txt.strip(), "tiny line", good_txt.strip()]
+    assert rows[1].n_good_blocks == 3
+    assert rows[1].kept_chars == sum(len(p) for p in parts)

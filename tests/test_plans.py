@@ -282,3 +282,12 @@ def test_langid_chargram_plan(spark):
     assert "Window" not in plan
     assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("Scan parquet") <= 2
+
+
+def test_q181_justext_single_exchange(spark):
+    """jusText classification: map-only regex chains into ONE per-doc
+    hash partitioning shared by the block-index row_number and all
+    neighbour windows — segmentation never shuffles twice."""
+    plan = _plan(spark, "q181_justext_blocks")
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -141,3 +141,34 @@ def test_warc_front_door_composition(spark, tmp_path):
     assert {r.lang_pred for r in pred.collect()} <= {
         "en", "de", "es", "fr", "zh", "und",
     }
+
+
+def test_warc_justext_extraction_composition(spark, tmp_path):
+    """WARC -> decoded HTML -> jusText main-content extraction: the
+    missing middle of the crawl front door. The page carries a
+    link-dense nav, a real body paragraph and a copyright footer; only
+    the body survives into main_text."""
+    from albedo_spark.operators.extraction import html_main_text
+
+    body = (
+        "it was a bright cold day in april and the clocks were striking "
+        "thirteen and he walked to the office with his hands in his "
+        "pockets while the wind was at his back for most of an hour and "
+        "he thought about all of the things they had said at the meeting"
+    )
+    page = (
+        '<html><body><div class="nav"><a href="/">Home</a> '
+        '<a href="/a">About us</a> <a href="/c">Contact</a></div>'
+        f"<p>{body}</p>"
+        "<div>&copy; Example Inc all rights reserved</div>"
+        "</body></html>"
+    ).encode()
+    (tmp_path / "page.warc").write_bytes(
+        _record("response", "http://ex.example.com/p", _http(page),
+                rid="<urn:uuid:px>")
+    )
+    docs = warc_text_documents(read_warc_records(spark, str(tmp_path)))
+    out = html_main_text(docs, html_col="text").collect()
+    assert len(out) == 1
+    assert out[0].main_text == body
+    assert out[0].n_good_blocks == 1
