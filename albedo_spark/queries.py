@@ -10103,9 +10103,10 @@ def _langid_profile_values() -> str:
 
 # The langid classification as a reusable DuckDB CTE block ending at
 # `lid_best(doc_id, lang, dist)` — q174 gates it directly; q178 composes
-# it with the per-language quality cutoff (the front-door wiring).
-_LANGID_DUCK_CTES = f"""prof(lang, g, r) AS (VALUES {_langid_profile_values()}),
-    lid_docs AS (
+# it with the per-language quality cutoff (the front-door wiring) and
+# q182 swaps the frozen-profile CTE for one TRAINED in-query (the
+# classification half below only assumes a `prof(lang, g, r)` CTE).
+_LANGID_CLASSIFY_CTES = """lid_docs AS (
         SELECT doc_id,
                ' ' || trim(regexp_replace(lower(substr(text, 1, 300)),
                                           '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS t
@@ -10150,6 +10151,11 @@ _LANGID_DUCK_CTES = f"""prof(lang, g, r) AS (VALUES {_langid_profile_values()}),
             FROM lid_dist
         ) WHERE rn = 1
     )"""
+
+_LANGID_DUCK_CTES = (
+    f"prof(lang, g, r) AS (VALUES {_langid_profile_values()}),\n    "
+    + _LANGID_CLASSIFY_CTES
+)
 
 
 @query(
@@ -10773,6 +10779,70 @@ def q181_justext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q182_langid_self_trained",
+    f"""
+    WITH tr_docs AS (
+        SELECT lang,
+               ' ' || trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g'))
+                   || ' ' AS t
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    tr_grams AS (
+        SELECT lang, substr(t, i + 1, l) AS g
+        FROM tr_docs,
+             unnest([1, 2, 3]) AS ln(l),
+             LATERAL (
+                 SELECT unnest(range(greatest(len(t) - l + 1, 0))) AS i
+             ) p
+        WHERE trim(substr(t, i + 1, l)) <> ''
+    ),
+    tr_cnt AS (
+        SELECT lang, g, count(*) AS cnt FROM tr_grams GROUP BY lang, g
+    ),
+    prof AS (
+        SELECT lang, g, r FROM (
+            SELECT lang, g,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY cnt DESC, g ASC
+                   ) AS INT) AS r
+            FROM tr_cnt
+        ) WHERE r <= 64
+    ),
+    {_LANGID_CLASSIFY_CTES}
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred, b.dist AS dist_oop
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    LEFT JOIN lid_best b USING (doc_id)
+    """,
+)
+def q182_langid_self_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The langid TRAIN→APPLY loop closed end to end (q170's
+    full-training-round discipline, applied to the langid family):
+    profiles are trained from the corpus's own labeled documents
+    (q180's operator) and immediately drive classification (q174's
+    operator) — the gate certifies that data-derived ranks flow through
+    the out-of-place distance bit-for-bit, not just that each half
+    works alone. The trained profile is collected into the plan-literal
+    form the classifier broadcasts (≤ |langs|·64 rows — the documented
+    bounded-collect idiom; profiles are literals by design). The oracle
+    replays BOTH halves in one statement: the trainer CTEs feed the
+    same classification CTE block q174/q178 use, with the frozen VALUES
+    profile swapped out. NOTE: the fixture's labels are random w.r.t.
+    its text, so self-trained profiles are nearly indistinguishable —
+    exactly the adversarial case for tiebreak determinism (near-tie
+    argmins resolve lexicographically, and both engines must agree on
+    every one)."""
+    from albedo_spark.operators.textstats import (
+        langid_chargram,
+        train_langid_profiles_df,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    trained = train_langid_profiles_df(d, lang_col="lang", text_col="text")
+    profiles = [(r.lang, r.g, r.r) for r in trained.collect()]
+    return langid_chargram(d, profiles=profiles)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -10951,6 +11021,14 @@ _DEMOTED = [
 #        — dedup keeps q18/q21/q90/q171 in-window and the
 #        connected-components surface stays gated via q63 itself plus
 #        q113/q135.
+#   q181 jusText block classification IN (NEW family — main-content
+#        extraction, the crawl stage between WARC decode and URL/langid
+#        hygiene; nothing in-window classified page blocks);
+#        q114 markup extract OUT to post-window — q181 runs the FULL
+#        strip_markup chain per fragment AND per anchor inside its own
+#        hash gate (strictly more of the same front-door surface), and
+#        q114's script/style/entity corners stay gated by q114 itself
+#        in the no-cap gate plus the strip_markup pytest properties.
 _POST_WINDOW = [
     "q17_sessionization",
     "q63_dedup_components",
@@ -10959,7 +11037,8 @@ _POST_WINDOW = [
     "q178_langid_quality_cutoff",
     "q179_langid_margin",
     "q180_langid_profile_train",
-    "q181_justext_blocks",
+    "q182_langid_self_trained",
+    "q114_markup_extract",
     "q31_hash_sample",
     "q144_quantized_ann",
     "q57_stream_session_gate",

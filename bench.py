@@ -182,6 +182,7 @@ HEADLINE2 = [
     "q179_langid_margin",
     "q180_langid_profile_train",
     "q181_justext_blocks",
+    "q182_langid_self_trained",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

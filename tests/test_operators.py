@@ -216,7 +216,9 @@ def test_driver_record_window_contains_flagships():
         # round-6 new family: the persisted incremental-store loop
         "q90_incremental_dedup",
         # round-7 new families: markup extraction + blocklist policy
-        "q114_markup_extract",
+        # (q114 moved post-window r14: q181 jusText runs the full
+        # strip_markup chain inside its own hash gate and takes the
+        # extraction family's window slot)
         "q116_blocklist_filter",
         # round-8 new families: BM25 retrieval + mergeable sketches
         # (q134 CMS gated post-window as its sibling; q128 prefix-filter
@@ -255,6 +257,9 @@ def test_driver_record_window_contains_flagships():
         "q171_semantic_dedup",
         "q174_langid_chargram",
         "q175_url_canonical_dedup",
+        # q181 jusText block classification: the extraction family's
+        # new in-window rep (takes q114's slot, same round it landed)
+        "q181_justext_blocks",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
