@@ -156,6 +156,16 @@ def main(argv: list[str] | None = None) -> dict:
                         "the front-door stage a real crawl needs, since it "
                         "has no trusted lang column; the input's own lang "
                         "column (when present) is kept as lang_label")
+    p.add_argument("--code-route", type=int, default=None,
+                   metavar="THRESHOLD_X10K",
+                   help="route documents whose code-likeness score x10^4 "
+                        "(q183's operator; 1500 is the tested default "
+                        "boundary) meets the threshold OUT of the prose "
+                        "pipeline — they are counted in the summary and "
+                        "(with --out) written to code_docs/ instead of "
+                        "flowing through the text dedup/quality stages "
+                        "(The Stack/RedPajama posture: code is its own "
+                        "pipeline with its own dedup granularity)")
     p.add_argument("--adaptive-quality", default=None, metavar="NUM/DEN",
                    help="per-language exact-quantile quality cutoff (e.g. "
                         "1/4 keeps each language's top 75%% by heuristic "
@@ -407,6 +417,30 @@ def main(argv: list[str] | None = None) -> dict:
             "left",
         ).withColumn("lang", F.coalesce(F.col("lang"), F.lit("und")))
 
+    summary_code = None
+    if args.code_route is not None:
+        # Domain routing before the text stages: code's dedup
+        # granularity, mixture weight and quality rules all differ, so
+        # it leaves the prose pipeline here (one map-only score — a
+        # scan-speed projection, plan-pinned in test_plans.py).
+        from albedo_spark.operators.textstats import code_likeness_x10k
+
+        scored_code = docs.withColumn(
+            "_code_x10k", code_likeness_x10k(F.col("text"))
+        ).persist()
+        code_docs = scored_code.where(F.col("_code_x10k") >= args.code_route)
+        summary_code = {
+            "threshold_x10k": args.code_route,
+            "n_code_docs": code_docs.count(),
+        }
+        if args.out:
+            code_docs.drop("_code_x10k").write.mode("overwrite").parquet(
+                os.path.join(args.out, "code_docs")
+            )
+        docs = scored_code.where(
+            F.col("_code_x10k") < args.code_route
+        ).drop("_code_x10k")
+
     text = F.col("text")
 
     per_doc = docs.select(
@@ -463,6 +497,8 @@ def main(argv: list[str] | None = None) -> dict:
             summary["langid"]["n_label_match"] = docs.where(
                 F.col("lang") == F.col("lang_label")
             ).count()
+    if summary_code is not None:
+        summary["code_route"] = summary_code
     if summary_url is not None:
         summary["url_hygiene"] = summary_url
     if summary_sweep is not None:

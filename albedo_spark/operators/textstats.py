@@ -919,6 +919,96 @@ LANGID_SEED_TEXTS: dict[str, str] = {
 }
 
 
+# Distinctive programming keywords (NOT if/else/for/while — those are
+# ordinary prose). Frozen: the list is part of the deterministic
+# contract, exactly like LANG_STOPWORDS.
+CODE_KEYWORDS: tuple[str, ...] = (
+    "def", "class", "import", "return", "function", "var", "const",
+    "void", "public", "static", "struct", "typedef", "lambda", "elif",
+    "printf", "include", "int", "self", "null", "bool",
+)
+
+_CODE_SYMBOLS = r"[{}();=<>\[\]]"
+_SNAKE_OR_CAMEL = r"^([a-z]+(_[a-z0-9]+)+|[a-z]+([A-Z][a-z0-9]+)+)$"
+
+
+def code_signals(col: Column) -> list[Column]:
+    """The five integer code-likeness signals, each in permille —
+    the code-vs-prose domain router's raw features (The Stack /
+    RedPajama-class pipelines route code separately: different
+    dedup granularity, different mixture weight, different quality
+    rules). All Java-regex ∩ RE2, exactly replayable:
+
+    - ``symbol_pm``: structural symbol chars ({};()=<>[]) over
+      non-space chars,
+    - ``kw_pm``: distinctive keyword tokens over word tokens
+      (identifier-preserving split — underscores stay),
+    - ``line_pm``: lines ending in ``;`` / ``{`` / ``}``,
+    - ``indent_pm``: lines starting with 2+ spaces or a tab,
+    - ``ident_pm``: snake_case / camelCase identifier tokens.
+    """
+    nonspace = F.regexp_replace(col, r"\s+", "")
+    n_chars = F.length(nonspace)
+    n_symbols = n_chars - F.length(
+        F.regexp_replace(nonspace, _CODE_SYMBOLS, "")
+    )
+    symbol_pm = F.when(
+        n_chars > 0, (F.lit(1000) * n_symbols / n_chars).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+    wtxt = F.trim(F.regexp_replace(col, r"[^A-Za-z_]+", " "))
+    words = F.when(
+        wtxt == "", F.array().cast("array<string>")
+    ).otherwise(F.split(wtxt, " "))
+    kw = F.array(*[F.lit(k) for k in CODE_KEYWORDS])
+    n_words = F.size(words)
+    n_kw = F.size(F.filter(words, lambda t: F.array_contains(kw, F.lower(t))))
+    kw_pm = F.when(
+        n_words > 0, (F.lit(1000) * n_kw / n_words).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    n_ident = F.size(F.filter(words, lambda t: t.rlike(_SNAKE_OR_CAMEL)))
+    ident_pm = F.when(
+        n_words > 0, (F.lit(1000) * n_ident / n_words).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    n_punct = F.size(F.filter(lines, lambda l: l.rlike(r"[;{}]\s*$")))
+    line_pm = F.when(
+        n_lines > 0, (F.lit(1000) * n_punct / n_lines).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    n_indent = F.size(F.filter(lines, lambda l: l.rlike(r"^(\t|  )")))
+    indent_pm = F.when(
+        n_lines > 0, (F.lit(1000) * n_indent / n_lines).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+    return [
+        symbol_pm.alias("symbol_pm"),
+        kw_pm.alias("kw_pm"),
+        line_pm.alias("line_pm"),
+        indent_pm.alias("indent_pm"),
+        ident_pm.alias("ident_pm"),
+    ]
+
+
+def code_likeness_x10k(col: Column) -> Column:
+    """Code-likeness score ×10⁴, the frozen weighted fold of
+    ``code_signals`` (weights are contract, like quality_score's):
+
+        min(10000, 3·symbol + 4·kw + 2·line + 1·indent + 2·ident)
+
+    Prose scores near 0 (all five signals are structurally rare in
+    natural language); real code lands in the thousands via symbols,
+    terminator lines and identifiers even when no keyword matches.
+    Integer throughout — both engines fold the identical permilles."""
+    s = code_signals(col)
+    raw = (
+        F.lit(3) * s[0] + F.lit(4) * s[1] + F.lit(2) * s[2]
+        + s[3] + F.lit(2) * s[4]
+    )
+    return F.least(F.lit(10000).cast("long"), raw.cast("long"))
+
+
 def _langid_norm_py(text: str) -> str:
     """Python mirror of the classifier's in-plan normalization (used only
     to TRAIN the frozen profiles, driver-side, on the tiny seed texts):

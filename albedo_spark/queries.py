@@ -10620,6 +10620,9 @@ def _duck_strip_markup(expr: str) -> str:
 from albedo_spark.operators.extraction import (  # noqa: E402
     BLOCK_TAG_PATTERN as _JUSTEXT_BLOCK_SPLIT,
 )
+from albedo_spark.operators.textstats import (  # noqa: E402
+    CODE_KEYWORDS as _CODE_KEYWORDS,
+)
 
 
 @query(
@@ -10843,6 +10846,116 @@ def q182_langid_self_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_chargram(d, profiles=profiles)
 
 
+# Deterministic code/prose mix derived from the documents fixture (the
+# planting discipline): half the docs get a code prelude in one of two
+# languages-ish shapes, half stay prose — both engines build the
+# identical string (chr(10) is the dialect-common newline).
+_CODE_MIX_SQL = """CASE
+    WHEN doc_id % 4 = 0 THEN concat(
+        'def f_', CAST(doc_id AS STRING), '(x):', chr(10),
+        '    y = x + ', CAST(doc_id % 7 AS STRING), ';', chr(10),
+        '    return snake_case_name(y) + camelCaseName(x);', chr(10),
+        text)
+    WHEN doc_id % 4 = 1 THEN concat(
+        'public static void main() {', chr(10),
+        '    int count_total = 0;', chr(10),
+        '}', chr(10), text)
+    ELSE text END"""
+
+
+@query(
+    "q183_code_likeness",
+    f"""
+    WITH src AS (
+        SELECT doc_id, {_CODE_MIX_SQL} AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    feat AS (
+        SELECT doc_id,
+            regexp_replace(t, '\\s+', '', 'g') AS ns,
+            CASE WHEN trim(regexp_replace(t, '[^A-Za-z_]+', ' ', 'g')) = ''
+                 THEN []::VARCHAR[] ELSE string_split(
+                     trim(regexp_replace(t, '[^A-Za-z_]+', ' ', 'g')), ' ')
+            END AS words,
+            string_split(t, chr(10)) AS lines
+        FROM src
+    ),
+    pm AS (
+        SELECT doc_id,
+            CASE WHEN length(ns) > 0 THEN
+                (1000 * (length(ns) - length(
+                    regexp_replace(ns, '[{{}}();=<>\\[\\]]', '', 'g')
+                ))) // length(ns) ELSE 0 END AS symbol_pm,
+            CASE WHEN len(words) > 0 THEN
+                (1000 * len(list_filter(words, w -> list_contains(
+                    {list(_CODE_KEYWORDS)!r}, lower(w)
+                )))) // len(words) ELSE 0 END AS kw_pm,
+            CASE WHEN len(lines) > 0 THEN
+                (1000 * len(list_filter(lines,
+                    l -> regexp_matches(l, '[;{{}}]\\s*$')
+                ))) // len(lines) ELSE 0 END AS line_pm,
+            CASE WHEN len(lines) > 0 THEN
+                (1000 * len(list_filter(lines,
+                    l -> regexp_matches(l, '^(\\t|  )')
+                ))) // len(lines) ELSE 0 END AS indent_pm,
+            CASE WHEN len(words) > 0 THEN
+                (1000 * len(list_filter(words, w -> regexp_matches(w,
+                    '^([a-z]+(_[a-z0-9]+)+|[a-z]+([A-Z][a-z0-9]+)+)$'
+                )))) // len(words) ELSE 0 END AS ident_pm
+        FROM feat
+    )
+    SELECT doc_id,
+           CAST(symbol_pm AS BIGINT) AS symbol_pm,
+           CAST(kw_pm AS BIGINT) AS kw_pm,
+           CAST(line_pm AS BIGINT) AS line_pm,
+           CAST(indent_pm AS BIGINT) AS indent_pm,
+           CAST(ident_pm AS BIGINT) AS ident_pm,
+           CAST(least(10000, 3 * symbol_pm + 4 * kw_pm + 2 * line_pm
+                      + indent_pm + 2 * ident_pm) AS BIGINT) AS code_x10k,
+           (3 * symbol_pm + 4 * kw_pm + 2 * line_pm + indent_pm
+            + 2 * ident_pm) >= 1500 AS is_code
+    FROM pm
+    """,
+)
+def q183_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose domain routing (operators/textstats.py
+    code_signals / code_likeness_x10k): The Stack / RedPajama-class
+    pipelines route code separately — different dedup granularity,
+    different mixture weight, different quality rules — so the router
+    is front-door surface exactly like langid. Five integer permille
+    signals (structural symbols, distinctive keywords, terminator
+    lines, indentation, snake_case/camelCase identifiers — never
+    if/else/for/while, which are prose) fold into a frozen weighted
+    score ×10⁴ with a 1500 routing threshold. The fixture is prose
+    word-soup, so half the docs get a deterministic code prelude in
+    one of two shapes (python-ish def block / C-ish main block) —
+    both branches of the router exercised at every SF. Everything is
+    integer division (// in the oracle, truncating cast on the
+    correctly-rounded double quotient in Spark — equal for
+    non-negative operands at these magnitudes) and Java-regex ∩ RE2.
+    Plan: ONE map-only projection over the corpus — no shuffle, no
+    UDF, no join; at 100 TB this is a scan-speed router."""
+    from albedo_spark.operators.textstats import (
+        code_likeness_x10k,
+        code_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.expr(_CODE_MIX_SQL)
+    src = d.select("doc_id", t.alias("t"))
+    sig = code_signals(F.col("t"))
+    return src.select(
+        "doc_id",
+        *sig,
+        code_likeness_x10k(F.col("t")).alias("code_x10k"),
+        (
+            F.lit(3) * sig[0] + F.lit(4) * sig[1] + F.lit(2) * sig[2]
+            + sig[3] + F.lit(2) * sig[4]
+            >= 1500
+        ).alias("is_code"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -11038,6 +11151,7 @@ _POST_WINDOW = [
     "q179_langid_margin",
     "q180_langid_profile_train",
     "q182_langid_self_trained",
+    "q183_code_likeness",
     "q114_markup_extract",
     "q31_hash_sample",
     "q144_quantized_ann",

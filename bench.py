@@ -183,6 +183,7 @@ HEADLINE2 = [
     "q180_langid_profile_train",
     "q181_justext_blocks",
     "q182_langid_self_trained",
+    "q183_code_likeness",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

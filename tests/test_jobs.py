@@ -874,3 +874,33 @@ def test_corpus_job_warc_html_extract(tmp_path):
         f"SELECT text_clean FROM '{tmp_path}/out/per_doc/*.parquet'"
     ).fetchone()[0]
     assert txt == body  # nav and footer never entered the corpus
+
+
+def test_corpus_job_code_route(tmp_path):
+    """--code-route: code-likeness domain routing inside the CLI — the
+    fixture corpus is prose (nothing routes at the tested boundary),
+    a tiny threshold routes everything, and with --out the routed docs
+    land in code_docs/ while the prose pipeline sees the rest."""
+    from albedo_spark.jobs.corpus import main
+
+    base = main(["--sf-dir", "/root/testdata/sf0.001"])
+    routed = main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--code-route", "1500", "--out", str(tmp_path / "out"),
+    ])
+    assert routed["code_route"]["n_code_docs"] == 0  # word-soup prose
+    assert routed["n_docs"] == base["n_docs"]
+
+    all_code = main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--code-route", "0", "--out", str(tmp_path / "o2"),
+    ])
+    assert all_code["code_route"]["n_code_docs"] == base["n_docs"]
+    assert all_code["n_docs"] == 0
+
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/o2/code_docs/*.parquet'"
+    ).fetchone()[0]
+    assert n == base["n_docs"]

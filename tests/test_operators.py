@@ -1163,3 +1163,53 @@ def test_html_main_text_assembly(spark):
     assert parts == [good_txt.strip(), "tiny line", good_txt.strip()]
     assert rows[1].n_good_blocks == 3
     assert rows[1].kept_chars == sum(len(p) for p in parts)
+
+
+def test_code_likeness_router(spark):
+    """code_likeness_x10k on REAL code and prose (the precision floor —
+    the q183 hash gate certifies determinism on planted fixtures; this
+    pins that genuine code scores over the 1500 routing threshold and
+    genuine prose stays near zero, across languages the keyword list
+    doesn't even cover)."""
+    from albedo_spark.operators.textstats import code_likeness_x10k
+
+    samples = [
+        (1, "def parse_args(argv):\n"
+            "    out = {}\n"
+            "    for item in argv:\n"
+            "        key, value = item.split('=');\n"
+            "        out[key] = value;\n"
+            "    return out\n", True),
+        (2, "public static int sumList(List<Integer> xs) {\n"
+            "    int total_count = 0;\n"
+            "    for (Integer x : xs) { total_count += x; }\n"
+            "    return total_count;\n"
+            "}\n", True),
+        (3, "const fetchData = async (url) => {\n"
+            "    const res = await fetch(url);\n"
+            "    return res.json();\n"
+            "};\n", True),  # JS: no 'function' keyword, arrow style
+        (4, "She opened the window because the room was warm and she "
+            "wanted to hear the birds singing in the old garden while "
+            "the children walked to school in the morning.", False),
+        (5, "After dinner they played cards for an hour and talked "
+            "about their plans for the long journey north, and if the "
+            "weather held they would leave while it was still dark.",
+            False),  # prose WITH if/while — must not trip the router
+        (6, "", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", code_likeness_x10k(F.col("text")).alias("s")
+        ).collect()
+    }
+    for i, _, is_code in samples:
+        if is_code:
+            assert got[i] >= 1500, (i, got[i])
+        else:
+            assert got[i] < 1500, (i, got[i])
+    assert got[6] == 0  # empty text scores 0, not NULL

@@ -291,3 +291,11 @@ def test_q181_justext_single_exchange(spark):
     plan = _plan(spark, "q181_justext_blocks")
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q183_code_likeness_is_map_only(spark):
+    """The code/prose router is a scan-speed projection: no shuffle,
+    no Python evaluation — the same class as q67/q68."""
+    plan = _plan(spark, "q183_code_likeness")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
