@@ -131,6 +131,59 @@ def mixture_sample(
     )
 
 
+def soft_quality_sample(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    lo: int,
+    hi: int,
+    floor_x10k: int = 1000,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Quality-PROPORTIONAL soft sampling (the FineWeb-class
+    alternative to a hard quality cutoff): keep-probability ramps
+    linearly from ``floor_x10k``/10⁴ at ``score <= lo`` up to 1 at
+    ``score >= hi``, so borderline documents survive at reduced rate
+    instead of a cliff at one threshold — hard cutoffs systematically
+    delete whole styles (dialogue, lists, code comments) that score
+    low but carry diversity; a soft ramp keeps a calibrated fraction.
+
+    Selection is the catalog's engine-portable md5 rule (cf. q31 /
+    mixture_sample): ``u = int(md5(key)[:8], 16) % resolution`` kept
+    iff ``u < thr(score)``, with
+
+        thr = floor_res                          score <= lo
+            = resolution                         score >= hi
+            = floor_res + (resolution - floor_res)·(score - lo)
+                          // (hi - lo)           otherwise
+
+    — all integer arithmetic (the one division is floored; the double
+    quotient is correctly rounded and the operands stay far below
+    2^53, so truncation equals exact integer division in any engine).
+    One map-only scan: no shuffle, no state, replays bit-for-bit."""
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    floor_res = resolution * floor_x10k // 10000
+    span = resolution - floor_res
+    score = F.col(score_col).cast("long")
+    thr = (
+        F.when(score >= hi, F.lit(resolution).cast("long"))
+        .when(score <= lo, F.lit(floor_res).cast("long"))
+        .otherwise(
+            F.lit(floor_res)
+            + F.floor(
+                (F.lit(span) * (score - F.lit(lo))) / F.lit(hi - lo)
+            ).cast("long")
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % resolution
+    )
+    return df.where(u < thr)
+
+
 def temperature_mixture(
     df: DataFrame,
     strat_col: str,

@@ -10956,6 +10956,67 @@ def q183_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q184_soft_quality_sample",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_tok,
+               (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
+                   / greatest(length(text), 1) AS punct_ratio,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0
+                   / greatest(len(w), 1) AS sw_ratio
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(floor((0.4::DOUBLE * (CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 1.0::DOUBLE
+                                 WHEN n_tok > 0 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+                     + 0.3::DOUBLE * (1.0::DOUBLE - punct_ratio)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE, 5.0::DOUBLE * sw_ratio))
+                     * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
+        FROM m
+    )
+    SELECT doc_id, quality_x10k
+    FROM q
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000
+          < CASE WHEN quality_x10k >= 8500 THEN 1000000
+                 WHEN quality_x10k <= 7000 THEN 100000
+                 ELSE 100000 + (900000 * (quality_x10k - 7000)) // 1500 END
+    """,
+)
+def q184_soft_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-PROPORTIONAL soft sampling (operators/sampling.py
+    soft_quality_sample — the FineWeb-class alternative to a hard
+    cutoff): keep-probability ramps linearly from 10% at quality
+    ≤ 7000 to 100% at ≥ 8500 (anchors bracket the fixture's measured
+    quality distribution, quantiles ~5900-8800, so every branch of the
+    ramp selects at every SF). Hard cutoffs delete whole low-scoring
+    styles wholesale; the soft ramp keeps a calibrated fraction of the
+    borderline mass — and because selection is the catalog's md5 draw
+    against an integer threshold, the oracle replays the EXACT kept
+    set, not a statistical lookalike. One map-only scan (no shuffle,
+    no state); the ramp's single division is floored integer
+    arithmetic, identical cross-engine."""
+    from albedo_spark.operators.sampling import soft_quality_sample
+    from albedo_spark.operators.textstats import quality_score_x10k
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", quality_score_x10k(F.col("text")).alias("quality_x10k")
+    )
+    return soft_quality_sample(
+        scored, "quality_x10k", "doc_id", lo=7000, hi=8500, floor_x10k=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -11152,6 +11213,7 @@ _POST_WINDOW = [
     "q180_langid_profile_train",
     "q182_langid_self_trained",
     "q183_code_likeness",
+    "q184_soft_quality_sample",
     "q114_markup_extract",
     "q31_hash_sample",
     "q144_quantized_ann",

@@ -184,6 +184,7 @@ HEADLINE2 = [
     "q181_justext_blocks",
     "q182_langid_self_trained",
     "q183_code_likeness",
+    "q184_soft_quality_sample",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

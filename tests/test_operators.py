@@ -1213,3 +1213,36 @@ def test_code_likeness_router(spark):
         else:
             assert got[i] < 1500, (i, got[i])
     assert got[6] == 0  # empty text scores 0, not NULL
+
+
+def test_soft_quality_sample_ramp(spark):
+    """soft_quality_sample: the ramp's endpoints and monotonicity —
+    score >= hi keeps EVERYTHING, score <= lo keeps ~floor fraction,
+    the middle keeps an intermediate fraction, selection is
+    deterministic, and keep-rate is monotone in score."""
+    from albedo_spark.operators.sampling import soft_quality_sample
+
+    n = 3000
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    rates = {}
+    for score in (1000, 5000, 6000, 7000, 9000):
+        df = base.withColumn("q", F.lit(score).cast("long"))
+        kept = soft_quality_sample(
+            df, "q", "doc_id", lo=4000, hi=8000, floor_x10k=1000
+        )
+        rates[score] = kept.count() / n
+        # determinism
+        assert kept.count() == soft_quality_sample(
+            df, "q", "doc_id", lo=4000, hi=8000, floor_x10k=1000
+        ).count()
+    assert rates[9000] == 1.0                  # at/above hi: all kept
+    assert 0.06 < rates[1000] < 0.14           # at/below lo: ~10%
+    # monotone in score, middle strictly between the anchors
+    assert rates[1000] <= rates[5000] <= rates[6000] <= rates[9000]
+    assert rates[1000] < rates[6000] < 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hi > lo"):
+        soft_quality_sample(base.withColumn("q", F.lit(1)), "q", "doc_id",
+                            lo=5, hi=5)

@@ -299,3 +299,11 @@ def test_q183_code_likeness_is_map_only(spark):
     plan = _plan(spark, "q183_code_likeness")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q184_soft_sample_is_map_only(spark):
+    """The soft quality ramp is a scan-speed filter: md5 draw vs an
+    integer threshold in one projection — no shuffle, no Python."""
+    plan = _plan(spark, "q184_soft_quality_sample")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
