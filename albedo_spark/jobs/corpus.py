@@ -170,6 +170,14 @@ def main(argv: list[str] | None = None) -> dict:
                    help="per-language exact-quantile quality cutoff (e.g. "
                         "1/4 keeps each language's top 75%% by heuristic "
                         "score — q131's operator)")
+    p.add_argument("--soft-quality", default=None,
+                   metavar="LO:HI[:FLOOR_X10K]",
+                   help="quality-PROPORTIONAL soft sampling (q184's "
+                        "operator): keep-probability ramps linearly from "
+                        "FLOOR_X10K/10^4 (default 1000) at score<=LO to 1 "
+                        "at score>=HI — the FineWeb-style alternative to "
+                        "--adaptive-quality's hard per-language cutoff; "
+                        "deterministic md5-draw selection")
     p.add_argument("--min-lm-score", type=int, default=None, metavar="X10K",
                    help="drop docs whose corpus-self-trained bigram LM "
                         "score (x10k) is below this floor (the "
@@ -831,6 +839,29 @@ def main(argv: list[str] | None = None) -> dict:
         survivors = survivors.join(kept, "doc_id", "left_semi")
         summary["adaptive_quality"] = {
             "quantile": args.adaptive_quality,
+            "n_dropped": n_before - survivors.count(),
+        }
+
+    if args.soft_quality is not None:
+        # Soft quality ramp (q184's operator) — runs where the hard
+        # cutoff would, but keeps a calibrated fraction of the
+        # borderline mass instead of a cliff.
+        from albedo_spark.operators.sampling import soft_quality_sample
+
+        parts = [int(x) for x in args.soft_quality.split(":")]
+        lo, hi = parts[0], parts[1]
+        floor_x10k = parts[2] if len(parts) > 2 else 1000
+        scored = survivors.withColumn(
+            "_q", quality_score_x10k(F.col("text"))
+        )
+        n_before = scored.count()
+        survivors = soft_quality_sample(
+            scored, "_q", "doc_id", lo=lo, hi=hi, floor_x10k=floor_x10k
+        ).drop("_q")
+        summary["soft_quality"] = {
+            "lo": lo,
+            "hi": hi,
+            "floor_x10k": floor_x10k,
             "n_dropped": n_before - survivors.count(),
         }
 

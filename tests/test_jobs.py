@@ -904,3 +904,26 @@ def test_corpus_job_code_route(tmp_path):
         f"SELECT count(*) FROM '{tmp_path}/o2/code_docs/*.parquet'"
     ).fetchone()[0]
     assert n == base["n_docs"]
+
+
+def test_corpus_job_soft_quality(tmp_path):
+    """--soft-quality: the ramp drops part of the borderline mass but
+    never the high end; a floor of 10000 (prob 1 everywhere) drops
+    nothing — the identity check that the CLI parses and wires the
+    anchors correctly."""
+    from albedo_spark.jobs.corpus import main
+
+    base = main(["--sf-dir", "/root/testdata/sf0.001"])
+    ramp = main([
+        "--sf-dir", "/root/testdata/sf0.001", "--soft-quality", "7000:8500",
+    ])
+    sq = ramp["soft_quality"]
+    assert sq == {"lo": 7000, "hi": 8500, "floor_x10k": 1000,
+                  "n_dropped": sq["n_dropped"]}
+    assert 0 < sq["n_dropped"] < base["n_docs"]
+
+    ident = main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--soft-quality", "7000:8500:10000",
+    ])
+    assert ident["soft_quality"]["n_dropped"] == 0
