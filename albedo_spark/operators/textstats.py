@@ -919,6 +919,108 @@ LANGID_SEED_TEXTS: dict[str, str] = {
 }
 
 
+def sentence_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sentence segmentation + Flesch Reading Ease (Flesch 1948, public
+    formula) as integer-exact per-document statistics — the classic
+    readability signal quality pipelines bucket on (too-easy ≈ spam and
+    listicles, unreadable ≈ OCR noise and minified junk), and the
+    sentence-level stats every packing/chunking stage wants anyway.
+
+    Deterministic contract (all frozen, both engines replay verbatim):
+
+    - sentences: non-empty ``[.!?]+``-delimited segments containing at
+      least one letter (the rough segmentation the published formula
+      was fit on; no abbreviation dictionary — a frozen rule beats a
+      fuzzy better one for cross-engine replay),
+    - words: letters-only tokens (the langid normalization),
+    - syllables(word): ``max(1, vowel-groups - (1 if the word ends in
+      'e' and has >1 vowel group else 0))``, vowel class [aeiouy] —
+      the standard counting heuristic,
+    - ``flesch_x100 = floor((206.835 - 1.015·(W/S) - 84.6·(Y/W))·100
+      + 0.5)`` — the catalog's scaled-integer convention; the inner
+      arithmetic is the same IEEE double sequence in any engine.
+      NULL when a document has no sentence or no word.
+
+    Returns ``(doc_id, n_sentences, n_words, n_syllables,
+    words_per_sent_x100, syll_per_word_x100, flesch_x100)``.
+
+    Plan at 100 TB: one map-only projection — segmentation, token and
+    syllable counts are in-row HOFs; no shuffle, no UDF."""
+    text = F.col(text_col)
+    sents = F.filter(
+        F.split(text, r"[.!?]+"),
+        lambda s: s.rlike(r"\p{L}"),
+    )
+    words = _letter_words_ts(text)
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+                - F.when(
+                    w.rlike("e$")
+                    & (
+                        F.size(
+                            F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)
+                        )
+                        > 1
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = docs.where(text.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.size(words).cast("long").alias("n_words"),
+        syl.alias("n_syllables"),
+    )
+    s, w, y = (
+        F.col("n_sentences"),
+        F.col("n_words"),
+        F.col("n_syllables"),
+    )
+    ok = (s > 0) & (w > 0)
+    wps = w.cast("double") / s.cast("double")
+    ypw = y.cast("double") / w.cast("double")
+    return base.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.when(ok, F.floor(wps * 100.0 + 0.5).cast("long")).alias(
+            "words_per_sent_x100"
+        ),
+        F.when(ok, F.floor(ypw * 100.0 + 0.5).cast("long")).alias(
+            "syll_per_word_x100"
+        ),
+        F.when(
+            ok,
+            F.floor(
+                (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw)
+                * 100.0
+                + 0.5
+            ).cast("long"),
+        ).alias("flesch_x100"),
+    )
+
+
+def _letter_words_ts(text: Column) -> Column:
+    """Letters-only lowercase word array (the langid normalization;
+    empty/letterless → empty array). Twin of extraction._letter_words —
+    kept local so textstats has no import cycle with extraction."""
+    w = F.trim(F.regexp_replace(F.lower(text), r"[^\p{L}]+", " "))
+    return F.when(w == "", F.array().cast("array<string>")).otherwise(
+        F.split(w, " ")
+    )
+
+
 # Distinctive programming keywords (NOT if/else/for/while — those are
 # ordinary prose). Frozen: the list is part of the deterministic
 # contract, exactly like LANG_STOPWORDS.

@@ -11017,6 +11017,70 @@ def q184_soft_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q185_sentence_readability",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[.!?]+'),
+                           s -> regexp_matches(s, '\\p{L}')) AS sents,
+               CASE WHEN trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')) = ''
+                    THEN []::VARCHAR[]
+                    ELSE string_split(
+                        trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')),
+                        ' ')
+               END AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(len(sents) AS BIGINT) AS n_sentences,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(words, w ->
+                   greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))
+                       - CASE WHEN regexp_matches(w, 'e$')
+                                   AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
+                              THEN 1 ELSE 0 END)
+               )), 0) AS BIGINT) AS n_syllables
+        FROM t
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+               CAST(floor(n_words * 1.0 / n_sentences * 100.0 + 0.5) AS BIGINT)
+           END AS words_per_sent_x100,
+           CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+               CAST(floor(n_syllables * 1.0 / n_words * 100.0 + 0.5) AS BIGINT)
+           END AS syll_per_word_x100,
+           CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+               CAST(floor((206.835::DOUBLE
+                           - 1.015::DOUBLE * (n_words * 1.0 / n_sentences)
+                           - 84.6::DOUBLE * (n_syllables * 1.0 / n_words))
+                          * 100.0 + 0.5) AS BIGINT)
+           END AS flesch_x100
+    FROM c
+    """,
+)
+def q185_sentence_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation + Flesch Reading Ease (operators/
+    textstats.py sentence_stats — Flesch 1948, public formula): the
+    classic readability signal quality pipelines bucket on, plus the
+    per-document sentence statistics the packing/chunking stages want.
+    Frozen deterministic contract: [.!?]+ segments with ≥1 letter are
+    sentences (no abbreviation dictionary — a frozen rule beats a fuzzy
+    better one for replay), letters-only words, the standard
+    vowel-group syllable heuristic with the silent-e subtraction, and
+    the published formula scaled ×100 through the catalog's
+    floor(x·scale+0.5) convention (NULL when a doc has no sentence or
+    word — 0/0 is not readability). Plan: ONE map-only projection —
+    segmentation, token and syllable counts are in-row HOFs; no
+    shuffle, no UDF; at 100 TB this rides the same scan as every other
+    textstat."""
+    from albedo_spark.operators.textstats import sentence_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return sentence_stats(d)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -11214,6 +11278,7 @@ _POST_WINDOW = [
     "q182_langid_self_trained",
     "q183_code_likeness",
     "q184_soft_quality_sample",
+    "q185_sentence_readability",
     "q114_markup_extract",
     "q31_hash_sample",
     "q144_quantized_ann",

@@ -185,6 +185,7 @@ HEADLINE2 = [
     "q182_langid_self_trained",
     "q183_code_likeness",
     "q184_soft_quality_sample",
+    "q185_sentence_readability",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

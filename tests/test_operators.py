@@ -1246,3 +1246,35 @@ def test_soft_quality_sample_ramp(spark):
     with _pytest.raises(ValueError, match="hi > lo"):
         soft_quality_sample(base.withColumn("q", F.lit(1)), "q", "doc_id",
                             lo=5, hi=5)
+
+
+def test_sentence_stats_readability(spark):
+    """sentence_stats: hand-checked segmentation, syllable counts and
+    the Flesch fold — simple prose scores high, polysyllabic prose
+    scores low, letterless docs carry NULL readability."""
+    from albedo_spark.operators.textstats import sentence_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),   # 2 sents, 6 words, 6 syl
+            (2, "Incomprehensibility characterizes bureaucratic "
+                "organizations."),              # 1 sent, 4 long words
+            (3, "123 !!! ???"),                 # letterless
+            (4, "one sentence here"),           # no terminator: 1 segment
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in sentence_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_sentences, r1.n_words, r1.n_syllables) == (2, 6, 6)
+    assert r1.words_per_sent_x100 == 300
+    assert r1.syll_per_word_x100 == 100
+    # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19 -> 11919
+    assert r1.flesch_x100 == 11919
+    r2 = rows[2]
+    assert r2.n_sentences == 1 and r2.n_words == 4
+    assert r2.flesch_x100 < 0  # polysyllabic soup is "unreadable"
+    r3 = rows[3]
+    assert r3.n_sentences == 0 and r3.n_words == 0
+    assert r3.flesch_x100 is None and r3.words_per_sent_x100 is None
+    assert rows[4].n_sentences == 1  # unterminated text is one sentence

@@ -307,3 +307,11 @@ def test_q184_soft_sample_is_map_only(spark):
     plan = _plan(spark, "q184_soft_quality_sample")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q185_sentence_stats_is_map_only(spark):
+    """Readability rides the scan: in-row HOF segmentation/syllable
+    counts, no shuffle, no Python evaluation."""
+    plan = _plan(spark, "q185_sentence_readability")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
