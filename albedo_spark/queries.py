@@ -11267,6 +11267,14 @@ _DEMOTED = [
 #        hash gate (strictly more of the same front-door surface), and
 #        q114's script/style/entity corners stay gated by q114 itself
 #        in the no-cap gate plus the strip_markup pytest properties.
+#   q183 code-vs-prose domain routing IN (NEW family — nothing
+#        in-window routes by domain; langid classifies LANGUAGE, this
+#        classifies MODALITY, and The Stack/RedPajama-class pipelines
+#        treat the two routers as peers at the front door);
+#        q19 token stats OUT to post-window — textstats keeps q67
+#        (repetition), q70 (corpus profile — itself a token-stats
+#        aggregate), q116 (blocklist) and q174 (langid) in-window, and
+#        q19's §2.9 string/array rows keep in-window reps via q7/q21.
 _POST_WINDOW = [
     "q17_sessionization",
     "q63_dedup_components",
@@ -11276,9 +11284,9 @@ _POST_WINDOW = [
     "q179_langid_margin",
     "q180_langid_profile_train",
     "q182_langid_self_trained",
-    "q183_code_likeness",
     "q184_soft_quality_sample",
     "q185_sentence_readability",
+    "q19_token_stats",
     "q114_markup_extract",
     "q31_hash_sample",
     "q144_quantized_ann",

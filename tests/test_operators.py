@@ -260,6 +260,9 @@ def test_driver_record_window_contains_flagships():
         # q181 jusText block classification: the extraction family's
         # new in-window rep (takes q114's slot, same round it landed)
         "q181_justext_blocks",
+        # q183 code-vs-prose routing: new domain-routing family (takes
+        # q19's slot — textstats keeps q67/q70/q116/q174 in-window)
+        "q183_code_likeness",
     ]
     missing = [f for f in flagships if f not in window]
     assert not missing, f"flagships outside the 50-entry record window: {missing}"
