@@ -135,6 +135,13 @@ def main(argv: list[str] | None = None) -> dict:
                         "their text replaced by the extracted main text "
                         "(the boilerplate-aware alternative to the flat "
                         "--strip-markup)")
+    p.add_argument("--link-graph", action="store_true",
+                   help="with --warc-in and --out: extract outlinks from "
+                        "the decoded pages BEFORE any text stage and write "
+                        "the host-level link graph (src_host, dst_host, "
+                        "n_links, n_docs) to host_edges/ — the edge set "
+                        "PageRank/HITS/k-core consume and crawl-politeness "
+                        "budgeting reads")
     p.add_argument("--url-col", default=None, metavar="COL",
                    help="documents column holding each doc's source URL — "
                         "enables the URL/host front-door stages below "
@@ -318,6 +325,7 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         summary_sweep = None
 
+    summary_links = None
     if args.warc_in:
         # Crawl-native input: WARC responses -> (doc_id, url, text).
         # Every per-language stage downstream needs --langid because a
@@ -333,6 +341,23 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
         docs = warc_text_documents(read_warc_records(spark, args.warc_in))
+        if args.link_graph:
+            # Link extraction runs on the RAW decoded pages (before
+            # extraction/stripping deletes the anchors) — the crawl
+            # graph is a separate product from the text corpus.
+            from albedo_spark.operators.extraction import host_link_edges
+
+            edges = host_link_edges(
+                docs, url_col="url", html_col="text"
+            ).persist()
+            summary_links = {
+                "n_edges": edges.count(),
+                "n_links": edges.agg(F.sum("n_links")).collect()[0][0],
+            }
+            if args.out:
+                edges.write.mode("overwrite").parquet(
+                    os.path.join(args.out, "host_edges")
+                )
         if args.html_extract:
             # Block-aware extraction instead of flat tag-stripping: navs,
             # footers and link farms never enter the corpus, so the
@@ -350,6 +375,9 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.html_extract:
         raise ValueError("--html-extract requires --warc-in (it runs on "
                          "decoded crawl pages, not the fixture corpus)")
+    elif args.link_graph:
+        raise ValueError("--link-graph requires --warc-in (links come "
+                         "from decoded crawl pages)")
     else:
         docs = load_table(spark, args.sf_dir, "documents")
 
@@ -505,6 +533,8 @@ def main(argv: list[str] | None = None) -> dict:
             summary["langid"]["n_label_match"] = docs.where(
                 F.col("lang") == F.col("lang_label")
             ).count()
+    if summary_links is not None:
+        summary["link_graph"] = summary_links
     if summary_code is not None:
         summary["code_route"] = summary_code
     if summary_url is not None:

@@ -280,6 +280,86 @@ def justext_classify(
     return staged.withColumn("cls", final).drop("_stage2")
 
 
+# href + anchor text of a same-fragment anchor. No backreference (the
+# quote class is permissive on both ends), lazy body, dotall — the
+# Java-regex ∩ RE2 subset, so the oracle replays extraction verbatim.
+HREF_ANCHOR_PATTERN = (
+    r"(?is)<a\b[^>]*href\s*=\s*[\"']([^\"'>]*)[\"'][^>]*>(.*?)</a>"
+)
+
+
+def html_outlinks(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Outlink extraction: one row per quoted-``href`` anchor —
+    ``(doc_id, link_pos, href, anchor_text)`` with the anchor's inner
+    markup stripped. The crawl-graph half the WARC front door was
+    missing: hyperlinks are crawl frontier, ranking signal
+    (q121 PageRank / q166 HITS run on exactly this edge set) and
+    anchor-text corpus all at once. Map-only: two group extractions of
+    the same pattern zipped in-row, one posexplode; unquoted hrefs are
+    out of contract (documented — crawl HTML that sloppy gets its
+    links from the DOM pass of a browser engine, not a regex)."""
+    html = F.col(html_col)
+    pairs = F.zip_with(
+        F.regexp_extract_all(html, F.lit(HREF_ANCHOR_PATTERN), 1),
+        F.regexp_extract_all(html, F.lit(HREF_ANCHOR_PATTERN), 2),
+        lambda h, t: F.struct(
+            h.alias("href"), strip_markup(t).alias("anchor_text")
+        ),
+    )
+    return (
+        docs.where(html.isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(pairs).alias("_p", "_e"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_p") + 1).cast("int").alias("link_pos"),
+            F.col("_e.href").alias("href"),
+            F.col("_e.anchor_text").alias("anchor_text"),
+        )
+    )
+
+
+def host_link_edges(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The host-level link graph from crawled pages: extract outlinks,
+    resolve each to a destination host (relative hrefs — no scheme —
+    stay on the SOURCE host, the real semantics of intra-site links),
+    and aggregate ``(src_host, dst_host, n_links, n_docs)``. This is
+    the edge set the graph family consumes (q121 PageRank, q166 HITS,
+    q125 k-core) and the frame crawl-politeness budgeting reads.
+
+    Plan at 100 TB: link extraction is map-only; the ONE shuffle is
+    the (src_host, dst_host) count aggregate with partial aggregation
+    — edges out of a page collapse map-side before the exchange."""
+    from albedo_spark.functions.urls import url_host
+
+    links = html_outlinks(docs, html_col, id_col).join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            url_host(F.col(url_col)).alias("src_host"),
+        ),
+        "doc_id",
+    )
+    dst = url_host(F.col("href"))
+    resolved = links.select(
+        "doc_id",
+        "src_host",
+        F.when(dst == "", F.col("src_host")).otherwise(dst).alias("dst_host"),
+    )
+    return resolved.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
 def html_main_text(
     docs: DataFrame,
     html_col: str = "html",

@@ -11081,6 +11081,133 @@ def q185_sentence_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_stats(d)
 
 
+# Derived link-bearing page (the planting discipline): absolute links
+# with host-case noise and an https default port, one relative link,
+# markup inside an anchor — every branch of href/host resolution
+# exercised; destinations are keyed to doc_id so the host graph has
+# real cross-host structure at every SF.
+_LINK_HTML_SQL = """concat(
+    '<div><a href="http://Site', CAST((doc_id + 1) % 5 AS STRING),
+    '.Example.COM/p">next site</a> ',
+    '<a href="https://site', CAST((doc_id + 2) % 5 AS STRING),
+    '.example.com:443/q?x=1">partner</a> ',
+    '<a href="/local/page">about <b>us</b></a></div>',
+    '<p>', text, '</p>')"""
+
+from albedo_spark.operators.extraction import (  # noqa: E402
+    HREF_ANCHOR_PATTERN as _HREF_ANCHOR,
+)
+_HREF_ANCHOR_SQL = _HREF_ANCHOR.replace("'", "''")
+
+
+def _duck_url_host(expr: str) -> str:
+    """functions/urls.url_host as DuckDB SQL over an arbitrary input
+    expression (same op order: extract scheme://host[:port], strip
+    scheme, lower, strip port, strip one www. label)."""
+    pre = (
+        f"regexp_extract(trim({expr}), "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)"
+    )
+    return (
+        "regexp_replace(regexp_replace(lower(regexp_replace("
+        + pre
+        + ", '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')), ':[0-9]+$', ''), "
+        "'^www\\.', '')"
+    )
+
+
+@query(
+    "q186_html_outlinks",
+    f"""
+    WITH src AS (
+        SELECT doc_id, {_LINK_HTML_SQL} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    l AS (
+        SELECT doc_id,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 1) AS hs,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 2) AS ts
+        FROM src
+    )
+    SELECT doc_id,
+           CAST(i + 1 AS INT) AS link_pos,
+           hs[i + 1] AS href,
+           {_duck_strip_markup("ts[i + 1]")} AS anchor_text
+    FROM l, LATERAL (SELECT unnest(range(len(hs))) AS i) t
+    """,
+)
+def q186_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (operators/extraction.py html_outlinks): one
+    row per quoted-href anchor with the anchor's inner markup stripped
+    — hyperlinks are crawl frontier, ranking signal and anchor-text
+    corpus at once, and the WARC front door had no link stage until
+    now. The gate certifies href AND anchor text (markup inside the
+    anchor is stripped through the full strip_markup chain, replayed
+    per element in the oracle's lambda-free LATERAL form). Map-only:
+    two group extractions of one RE2∩Java pattern (imported from the
+    operator — one source of truth) zipped in-row, one posexplode; no
+    shuffle at all."""
+    from albedo_spark.operators.extraction import html_outlinks
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select("doc_id", F.expr(_LINK_HTML_SQL).alias("html"))
+    return html_outlinks(pages)
+
+
+@query(
+    "q187_host_link_edges",
+    f"""
+    WITH src AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS u, {_LINK_HTML_SQL} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    l AS (
+        SELECT doc_id, u,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 1) AS hs
+        FROM src
+    ),
+    e AS (
+        SELECT doc_id, u, hs[i + 1] AS href
+        FROM l, LATERAL (SELECT unnest(range(len(hs))) AS i) t
+    ),
+    r AS (
+        SELECT doc_id,
+               {_duck_url_host("u")} AS src_host,
+               CASE WHEN {_duck_url_host("href")} = ''
+                    THEN {_duck_url_host("u")}
+                    ELSE {_duck_url_host("href")} END AS dst_host
+        FROM e
+    )
+    SELECT src_host, dst_host,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM r GROUP BY src_host, dst_host
+    """,
+)
+def q187_host_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from crawled pages (operators/
+    extraction.py host_link_edges): outlinks resolved to destination
+    hosts — relative hrefs stay on the SOURCE host, absolute ones go
+    through the url_host normalization (case, port, one www. label) —
+    then aggregated to ``(src_host, dst_host, n_links, n_docs)``.
+    This is the edge set the graph family consumes (q121 PageRank,
+    q166 HITS, q125 k-core run on exactly this frame; the composition
+    is pytest-pinned) and what crawl-politeness budgeting reads. Plan:
+    link extraction map-only; ONE shuffle — the (src, dst) count
+    aggregate with partial aggregation, so a page's repeated edges
+    collapse map-side — plus the broadcast of the tiny per-doc
+    src_host frame into the exploded links."""
+    from albedo_spark.operators.extraction import host_link_edges
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        "doc_id",
+        F.expr(_MESSY_URL_SPARK).alias("url"),
+        F.expr(_LINK_HTML_SQL).alias("html"),
+    )
+    return host_link_edges(pages)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -11286,6 +11413,8 @@ _POST_WINDOW = [
     "q182_langid_self_trained",
     "q184_soft_quality_sample",
     "q185_sentence_readability",
+    "q186_html_outlinks",
+    "q187_host_link_edges",
     "q19_token_stats",
     "q114_markup_extract",
     "q31_hash_sample",

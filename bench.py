@@ -186,6 +186,8 @@ HEADLINE2 = [
     "q183_code_likeness",
     "q184_soft_quality_sample",
     "q185_sentence_readability",
+    "q186_html_outlinks",
+    "q187_host_link_edges",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -927,3 +927,51 @@ def test_corpus_job_soft_quality(tmp_path):
         "--soft-quality", "7000:8500:10000",
     ])
     assert ident["soft_quality"]["n_dropped"] == 0
+
+
+def test_corpus_job_link_graph(tmp_path):
+    """--link-graph: the crawl graph product — host edges extracted
+    from raw decoded pages land in host_edges/ and the summary, and
+    the flag fails fast without --warc-in."""
+    import pytest as _pytest
+
+    from albedo_spark.jobs.corpus import main
+    from tests.test_warc import _http, _record
+
+    page_a = ('<html><body><a href="http://b.example.com/x">to b</a>'
+              '<a href="/self">rel</a>'
+              "<p>plenty of the and of the words here</p></body></html>"
+              ).encode()
+    page_b = ('<html><body><a href="http://a.example.com/y">to a</a>'
+              "<p>more of the and of the words here</p></body></html>"
+              ).encode()
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    (wdir / "g.warc").write_bytes(
+        _record("response", "http://a.example.com/p", _http(page_a),
+                rid="<urn:uuid:ga>")
+        + _record("response", "http://b.example.com/q", _http(page_b),
+                  rid="<urn:uuid:gb>")
+    )
+
+    with _pytest.raises(ValueError, match="requires --warc-in"):
+        main(["--link-graph", "--langid", "--out", str(tmp_path / "o0")])
+
+    summary = main([
+        "--warc-in", str(wdir), "--out", str(tmp_path / "out"),
+        "--langid", "--link-graph",
+    ])
+    lg = summary["link_graph"]
+    assert lg == {"n_edges": 3, "n_links": 3}
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT src_host, dst_host, n_links FROM "
+        f"'{tmp_path}/out/host_edges/*.parquet' ORDER BY 1, 2"
+    ).fetchall()
+    assert rows == [
+        ("a.example.com", "a.example.com", 1),  # relative -> self
+        ("a.example.com", "b.example.com", 1),
+        ("b.example.com", "a.example.com", 1),
+    ]

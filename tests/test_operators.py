@@ -1281,3 +1281,51 @@ def test_sentence_stats_readability(spark):
     assert r3.n_sentences == 0 and r3.n_words == 0
     assert r3.flesch_x100 is None and r3.words_per_sent_x100 is None
     assert rows[4].n_sentences == 1  # unterminated text is one sentence
+
+
+def test_html_outlinks_and_host_graph(spark):
+    """html_outlinks / host_link_edges: extraction cases (quoted hrefs,
+    markup inside anchors, unquoted href out of contract), relative
+    links staying on the source host, and the composition the graph
+    family consumes — PageRank over the extracted host edges."""
+    from albedo_spark.operators.extraction import (
+        host_link_edges,
+        html_outlinks,
+    )
+    from albedo_spark.operators.graph import pagerank
+
+    pages = [
+        (1, "http://a.example.com/x",
+         '<p><a href="http://B.example.com:80/p">to <b>b</b></a>'
+         '<a href="/self">rel</a>'
+         "<a href=unquoted>skipped</a></p>"),
+        (2, "https://b.example.com/y",
+         '<p><a href="http://a.example.com/q?z=1">back</a></p>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    links = {(r.doc_id, r.link_pos): r for r in html_outlinks(df).collect()}
+    assert len(links) == 3  # the unquoted href is out of contract
+    assert links[(1, 1)].href == "http://B.example.com:80/p"
+    assert links[(1, 1)].anchor_text == "to b"  # inner markup stripped
+    assert links[(1, 2)].href == "/self"
+
+    edges = {
+        (r.src_host, r.dst_host): (r.n_links, r.n_docs)
+        for r in host_link_edges(df).collect()
+    }
+    assert edges == {
+        ("a.example.com", "b.example.com"): (1, 1),  # case+port normalized
+        ("a.example.com", "a.example.com"): (1, 1),  # relative -> self
+        ("b.example.com", "a.example.com"): (1, 1),
+    }
+
+    # the graph-family composition: PageRank runs on the edge frame
+    pr = pagerank(
+        host_link_edges(df).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        ),
+        iterations=3,
+    )
+    ranks = {r.node: r.rank for r in pr.collect()}
+    assert set(ranks) == {"a.example.com", "b.example.com"}
+    assert all(v > 0 for v in ranks.values())

@@ -315,3 +315,14 @@ def test_q185_sentence_stats_is_map_only(spark):
     plan = _plan(spark, "q185_sentence_readability")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q186_q187_link_plans(spark):
+    """Outlink extraction is shuffle-free; the host graph shuffles
+    exactly once (the partial-aggregated edge count) plus broadcasts."""
+    p186 = _plan(spark, "q186_html_outlinks")
+    assert "Exchange" not in p186
+    assert "BatchEvalPython" not in p186 and "ArrowEvalPython" not in p186
+    p187 = _plan(spark, "q187_host_link_edges")
+    assert p187.count("Exchange hashpartitioning") <= 2  # partial+final agg
+    assert "BatchEvalPython" not in p187 and "ArrowEvalPython" not in p187
