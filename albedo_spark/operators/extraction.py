@@ -323,22 +323,18 @@ def html_outlinks(
     )
 
 
-def host_link_edges(
+def host_links(
     docs: DataFrame,
     url_col: str = "url",
     html_col: str = "html",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The host-level link graph from crawled pages: extract outlinks,
-    resolve each to a destination host (relative hrefs — no scheme —
-    stay on the SOURCE host, the real semantics of intra-site links),
-    and aggregate ``(src_host, dst_host, n_links, n_docs)``. This is
-    the edge set the graph family consumes (q121 PageRank, q166 HITS,
-    q125 k-core) and the frame crawl-politeness budgeting reads.
-
-    Plan at 100 TB: link extraction is map-only; the ONE shuffle is
-    the (src_host, dst_host) count aggregate with partial aggregation
-    — edges out of a page collapse map-side before the exchange."""
+    """Per-LINK host resolution: one row per outlink —
+    ``(doc_id, src_host, dst_host)`` — with relative hrefs (no scheme)
+    staying on the SOURCE host, the real semantics of intra-site
+    links. The multigraph form: parallel links are repeated rows, so a
+    host linking somewhere three times carries 3× the edge weight
+    downstream (exactly what multigraph PageRank wants)."""
     from albedo_spark.functions.urls import url_host
 
     links = html_outlinks(docs, html_col, id_col).join(
@@ -349,12 +345,30 @@ def host_link_edges(
         "doc_id",
     )
     dst = url_host(F.col("href"))
-    resolved = links.select(
+    return links.select(
         "doc_id",
         "src_host",
         F.when(dst == "", F.col("src_host")).otherwise(dst).alias("dst_host"),
     )
-    return resolved.groupBy("src_host", "dst_host").agg(
+
+
+def host_link_edges(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The host-level link graph from crawled pages: ``host_links``
+    aggregated to ``(src_host, dst_host, n_links, n_docs)``. This is
+    the edge set the graph family consumes (q121 PageRank, q166 HITS,
+    q125 k-core) and the frame crawl-politeness budgeting reads.
+
+    Plan at 100 TB: link extraction is map-only; the ONE shuffle is
+    the (src_host, dst_host) count aggregate with partial aggregation
+    — edges out of a page collapse map-side before the exchange."""
+    return host_links(docs, url_col, html_col, id_col).groupBy(
+        "src_host", "dst_host"
+    ).agg(
         F.count("*").cast("long").alias("n_links"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )

@@ -11208,6 +11208,63 @@ def q187_host_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_edges(pages)
 
 
+@query(
+    "q188_host_pagerank",
+    f"""
+    WITH src AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS u, {_LINK_HTML_SQL} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    l AS (
+        SELECT doc_id, u,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 1) AS hs
+        FROM src
+    ),
+    e AS (
+        SELECT doc_id, u, hs[i + 1] AS href
+        FROM l, LATERAL (SELECT unnest(range(len(hs))) AS i) t
+    ),
+    edges AS (
+        SELECT {_duck_url_host("u")} AS src,
+               CASE WHEN {_duck_url_host("href")} = ''
+                    THEN {_duck_url_host("u")}
+                    ELSE {_duck_url_host("href")} END AS dst
+        FROM e
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg)
+    {_PAGERANK_ROUNDS}
+    SELECT node, rank FROM r5
+    """,
+)
+def q188_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→graph→rank chain CLOSED end to end (the q182/q170
+    full-loop discipline applied to the link family): pages → outlink
+    extraction → per-link host resolution (relative hrefs stay on the
+    source host; multigraph — parallel links carry weight) → 5 rounds
+    of BIGINT PageRank (q121's operator), all replayed in ONE oracle
+    statement (the q187 link CTEs feeding q121's unrolled-round CTEs).
+    The gate certifies that the extracted edge set actually drives the
+    ranking arithmetic bit-for-bit — not just that each half works
+    alone. Plan: extraction map-only; each PageRank round is one
+    join + partial-aggregated groupBy on host keys with a per-round
+    localCheckpoint (q121's adjudicated shape); |hosts| output rows."""
+    from albedo_spark.operators.extraction import host_links
+    from albedo_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        "doc_id",
+        F.expr(_MESSY_URL_SPARK).alias("url"),
+        F.expr(_LINK_HTML_SQL).alias("html"),
+    )
+    edges = host_links(pages).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(edges, iterations=5)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -11415,6 +11472,7 @@ _POST_WINDOW = [
     "q185_sentence_readability",
     "q186_html_outlinks",
     "q187_host_link_edges",
+    "q188_host_pagerank",
     "q19_token_stats",
     "q114_markup_extract",
     "q31_hash_sample",

@@ -188,6 +188,7 @@ HEADLINE2 = [
     "q185_sentence_readability",
     "q186_html_outlinks",
     "q187_host_link_edges",
+    "q188_host_pagerank",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
