@@ -363,9 +363,15 @@ def host_link_edges(
     the edge set the graph family consumes (q121 PageRank, q166 HITS,
     q125 k-core) and the frame crawl-politeness budgeting reads.
 
-    Plan at 100 TB: link extraction is map-only; the ONE shuffle is
-    the (src_host, dst_host) count aggregate with partial aggregation
-    — edges out of a page collapse map-side before the exchange."""
+    Plan at 100 TB: link extraction is map-only; aggregation is the
+    (src_host, dst_host) count. Because ``n_docs`` is a countDistinct,
+    Spark rewrites it as the two-phase distinct expansion — partial
+    (map-side) aggregation applies to ``n_links`` only, and the plan
+    carries up to two hash exchanges (pinned ≤2 in
+    ``tests/test_plans.py``). Callers that only need ``n_links``
+    (PageRank, HITS, k-core all do) should aggregate ``host_links``
+    themselves with a plain count, which collapses edges map-side in
+    one exchange."""
     return host_links(docs, url_col, html_col, id_col).groupBy(
         "src_host", "dst_host"
     ).agg(

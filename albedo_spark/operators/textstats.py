@@ -1308,9 +1308,6 @@ def langid_chargram(
         train_char_ngram_profiles(n_max=n_max, top_k=top_k),
         "lang string, g string, r int",
     )
-    base = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-    )
     norm = _langid_norm_col(F.substring(F.col(text_col), 1, head_chars))
 
     if n_max != 3:
@@ -1356,11 +1353,19 @@ def langid_chargram(
         norm,
         lambda t: _bind(F.array_sort(_char_grams_123(t)), _top_of_sorted),
     )
+    # posexplode_OUTER: a letterless document (empty gram array) must
+    # survive as one (doc_id, g=NULL, dr=NULL) row so its 'und'
+    # fallback resolves inside the SAME doc-keyed aggregate as every
+    # other doc — the alternative (re-attaching absent docs with a
+    # doc-keyed join, as this operator originally did) needs either a
+    # per-DOCUMENT broadcast (driver OOM at crawl scale) or an extra
+    # shuffle of the whole id frame. ng is NULL exactly for these
+    # rows (dr never is otherwise), which is the 'und' signal below.
     docprof = (
         docs.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(ranked).alias("_p", "_e"),
+            F.posexplode_outer(ranked).alias("_p", "_e"),
         )
         .select(
             "doc_id",
@@ -1376,9 +1381,10 @@ def langid_chargram(
     # dist is exactly top_k*ng), and the argmin only ever needs the
     # matched (doc, lang) pairs plus one lexicographic fallback for
     # docs matching no profile at all. One broadcast left-join on the
-    # gram, two tiny doc-keyed aggregates (argmin = min of a
+    # gram (the ≤ |langs|·top_k profile — the only broadcast in the
+    # plan), two tiny doc-keyed aggregates (argmin = min of a
     # (neg_gain, lang) struct — the same tiebreak as the row_number
-    # idiom), no window, no cross-join.
+    # idiom), no window, no cross-join, and NO doc-keyed join at all.
     all_langs = sorted(
         r["lang"] for r in prof.select("lang").distinct().collect()
     )
@@ -1402,24 +1408,20 @@ def langid_chargram(
         per_doc = stats.groupBy("doc_id").agg(
             # dr is dense 1..ng, and every gram lands in at least one
             # group (the NULL-lang group when unmatched), so
-            # max(maxdr) == ng
+            # max(maxdr) == ng — and ng is NULL exactly for letterless
+            # docs (their single outer-explode row has dr NULL)
             F.max("maxdr").cast("long").alias("ng"),
             F.min(mstruct).alias("m"),
         )
-        best = per_doc.select(
+        return per_doc.select(
             "doc_id",
-            F.coalesce(F.col("m.lang"), F.lit(fallback_lang)).alias("lang"),
+            F.when(F.col("ng").isNull(), F.lit("und"))
+            .otherwise(F.coalesce(F.col("m.lang"), F.lit(fallback_lang)))
+            .alias("lang_pred"),
             (
                 top_k * F.col("ng")
                 + F.coalesce(F.col("m.neggain"), F.lit(0).cast("long"))
-            ).alias("dist"),
-        )
-        return base.select("doc_id").join(
-            F.broadcast(best), "doc_id", "left"
-        ).select(
-            "doc_id",
-            F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
-            F.col("dist").alias("dist_oop"),
+            ).alias("dist_oop"),
         )
     # Margin form (the FineWeb-style ambiguity knob): also report the
     # runner-up language and margin = runner_dist - best_dist. The
@@ -1450,19 +1452,12 @@ def langid_chargram(
     runner_dist = F.when(
         F.size("ms") >= 2, base_dist + m2["neggain"]
     ).otherwise(base_dist)
-    scored = per_doc.select(
+    return per_doc.select(
         "doc_id",
-        best_lang.alias("lang"),
-        best_dist.alias("dist"),
-        runner_lang.alias("runner_up"),
+        F.when(F.col("ng").isNull(), F.lit("und"))
+        .otherwise(best_lang)
+        .alias("lang_pred"),
+        best_dist.alias("dist_oop"),
+        F.when(F.col("ng").isNotNull(), runner_lang).alias("runner_up"),
         (runner_dist - best_dist).cast("long").alias("margin"),
-    )
-    return base.select("doc_id").join(
-        F.broadcast(scored), "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
-        F.col("dist").alias("dist_oop"),
-        "runner_up",
-        "margin",
     )
