@@ -1260,16 +1260,45 @@ def main(argv: list[str] | None = None) -> dict:
             append_digests,
             append_sharded_bloom,
             append_signatures,
+            append_urls,
             build_bloom_sidecar,
             build_digest_store,
             build_sharded_bloom_sidecar,
             build_signature_store,
+            build_url_store,
             dedup_incremental,
             exact_dedup_incremental,
+            url_dedup_incremental,
         )
 
         hist = docs.where(f"NOT ({args.incremental_filter})")
         batch = docs.where(args.incremental_filter)
+        summary_inc_url = None
+        if args.url_col and args.url_col in docs.columns:
+            # URL rung FIRST (VERDICT r14 missing 2a): a recrawl batch
+            # drops already-fetched canonical URLs for one map-side
+            # canonicalization + one store-layout join, BEFORE any text
+            # rung shingles or even digests it. Same build-if-missing /
+            # resolve / append lifecycle as the digest store below.
+            url_tbl = f"{args.store_prefix}_urls"
+            if not spark.catalog.tableExists(url_tbl):
+                build_url_store(hist, url_tbl, url_col=args.url_col)
+            url_res = url_dedup_incremental(
+                batch, url_tbl, url_col=args.url_col
+            ).persist()
+            n_url_batch = batch.count()
+            n_url_dups = url_res.where("is_dup").count()
+            summary_inc_url = {
+                "n_batch_pre_url": n_url_batch,
+                "n_url_dups": n_url_dups,
+            }
+            append_urls(url_res, url_tbl)
+            batch = batch.join(
+                url_res.where("NOT is_dup").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            url_res.unpersist()
         dig_tbl = f"{args.store_prefix}_digests"
         sig_tbl = f"{args.store_prefix}_minhash"
         blm_tbl = f"{args.store_prefix}_bloom" if args.bloom_bits else None
@@ -1304,6 +1333,8 @@ def main(argv: list[str] | None = None) -> dict:
             "n_near_dup_pairs": near_pairs.count(),
             "stores_built": stores_built,
         }
+        if summary_inc_url is not None:
+            summary["incremental"]["url_rung"] = summary_inc_url
         append_digests(resolved, dig_tbl)
         append_signatures(novel, sig_tbl)
         if blm_tbl:
@@ -1335,6 +1366,13 @@ def main(argv: list[str] | None = None) -> dict:
                 "digests": compact_table(spark, dig_tbl, "digest", 16),
                 "minhash": compact_table(spark, sig_tbl, "bkey", 16),
             }
+            if summary_inc_url is not None:
+                summary["incremental"]["compaction"]["urls"] = (
+                    compact_table(
+                        spark, f"{args.store_prefix}_urls",
+                        "canonical_url", 16,
+                    )
+                )
             if blm_tbl:
                 from albedo_spark.operators.dedup_store import (
                     merge_bloom_generations,

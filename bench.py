@@ -189,6 +189,7 @@ HEADLINE2 = [
     "q186_html_outlinks",
     "q187_host_link_edges",
     "q188_host_pagerank",
+    "q189_url_store_incremental",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

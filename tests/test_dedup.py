@@ -911,3 +911,144 @@ def test_semantic_dedup_norm_tripwire(spark):
     )
     with _pytest.raises(Exception, match="headroom"):
         semantic_dedup(emb, k=3, rounds=1, stride=29).collect()
+
+
+# ---------------------------------------------------------------------------
+# URL store: the crawl front-door rung of the incremental family (r15)
+# ---------------------------------------------------------------------------
+
+
+def test_url_store_incremental(spark):
+    """The exact_dedup_incremental contract at URL granularity: a
+    canonical URL in the store dups against the HISTORICAL keeper,
+    batch-internal re-fetches against the batch's min-id keeper,
+    NULL urls pass through, and appended novels block the next batch."""
+    from albedo_spark.operators.dedup_store import (
+        append_urls,
+        build_url_store,
+        url_dedup_incremental,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?utm_source=feed"),
+            (2, "HTTP://A.COM:80/x"),          # same canonical as 1
+            (3, "https://b.com/y/"),
+        ],
+        "doc_id long, url string",
+    )
+    build_url_store(hist, "urlstore_t", num_buckets=4)
+    try:
+        batch = spark.createDataFrame(
+            [
+                (10, "http://a.com/x#frag"),    # dup of historical keeper 1
+                (11, "http://c.com/new"),       # novel keeper
+                (12, "HTTP://WWW.c.com/new"),   # NOT a dup: www is canonical-distinct
+                (13, "http://C.COM/new/"),      # batch-internal dup of 11
+                (14, None),                     # NULL url: passes through
+            ],
+            "doc_id long, url string",
+        )
+        res = url_dedup_incremental(batch, "urlstore_t")
+        got = {r.doc_id: (r.is_dup, r.keeper_id) for r in res.collect()}
+        assert got[10] == (True, 1)
+        assert got[11] == (False, None)
+        assert got[12] == (False, None)
+        assert got[13] == (True, 11)
+        assert got[14] == (False, None)
+        # append novel canonical URLs; a later batch dups against them
+        append_urls(res, "urlstore_t", num_buckets=4)
+        batch2 = spark.createDataFrame(
+            [(20, "http://c.com/new?fbclid=zz"), (21, "http://a.com/x")],
+            "doc_id long, url string",
+        )
+        got2 = {
+            r.doc_id: (r.is_dup, r.keeper_id)
+            for r in url_dedup_incremental(batch2, "urlstore_t").collect()
+        }
+        assert got2[20] == (True, 11)
+        assert got2[21] == (True, 1)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS urlstore_t")
+
+
+def test_url_store_side_never_shuffles(spark):
+    """The store side joins on its bucket column with ZERO store-side
+    Exchange — only the batch shuffles, into the store's layout (the
+    digest-store plan contract at the URL rung)."""
+    from albedo_spark.operators.dedup_store import (
+        build_url_store,
+        url_dedup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _real_docs(spark).withColumn(
+        "url",
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".com/p/"), (F.col("doc_id") % 13).cast("string")),
+    )
+    build_url_store(docs.where("doc_id % 5 != 0"), "urlstore_plan",
+                    num_buckets=8)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = url_dedup_incremental(
+            docs.where("doc_id % 5 = 0"), "urlstore_plan"
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("spark_catalog.default.urlstore_plan")
+        assert n_scans >= 1
+        assert plan.count("Bucketed: true") == n_scans, plan
+        assert res.count() == 100  # every batch row resolved
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS urlstore_plan")
+
+
+def test_url_store_two_batch_equals_batch_dedup(spark):
+    """Incremental across a two-batch split keeps EXACTLY the rows the
+    one-shot batch url_dedup keeps, when ids respect arrival order
+    (hist < b1 < b2 — a crawl's natural monotone ids): the store
+    keeper IS the global min-id keeper at every step."""
+    from albedo_spark.operators.dedup import url_dedup
+    from albedo_spark.operators.dedup_store import (
+        append_urls,
+        build_url_store,
+        url_dedup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _real_docs(spark).withColumn(
+        "url",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".com/p/"), (F.col("doc_id") % 17).cast("string"),
+                F.lit("?utm_source=x"),
+            )
+        ),
+    ).select("doc_id", "url")
+    hist = docs.where("doc_id < 200")
+    b1 = docs.where("doc_id >= 200 AND doc_id < 350")
+    b2 = docs.where("doc_id >= 350")
+    build_url_store(hist, "urlstore_eq", num_buckets=4)
+    try:
+        r1 = url_dedup_incremental(b1, "urlstore_eq")
+        append_urls(r1, "urlstore_eq", num_buckets=4)
+        r2 = url_dedup_incremental(b2, "urlstore_eq")
+        inc_kept = {
+            r.doc_id
+            for r in r1.unionByName(r2).where("NOT is_dup").collect()
+        }
+        batch_kept = {
+            r.doc_id
+            for r in url_dedup(docs).collect()
+            if r.doc_id >= 200
+        }
+        assert inc_kept == batch_kept
+    finally:
+        spark.sql("DROP TABLE IF EXISTS urlstore_eq")

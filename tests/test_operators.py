@@ -256,7 +256,13 @@ def test_driver_record_window_contains_flagships():
         "q169_bm25_multigen_store",
         "q171_semantic_dedup",
         "q174_langid_chargram",
-        "q175_url_canonical_dedup",
+        # q175 moved post-window r15: q189's oracle replays its
+        # canonicalization CTEs regex-by-regex INSIDE the store gate
+        # (the q181-over-q114 precedent), so the URL family's window
+        # slot goes to the store rung
+        # round-15 swap (same-round rule): the URL rung of the
+        # incremental store family
+        "q189_url_store_incremental",
         # q181 jusText block classification: the extraction family's
         # new in-window rep (takes q114's slot, same round it landed)
         "q181_justext_blocks",

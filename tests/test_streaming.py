@@ -885,3 +885,54 @@ def test_run_to_pq_store_bootstrap_append_replay(spark, tmp_path):
     finally:
         for suf in ("", "_cents", "_cb"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
+def test_run_to_url_store(spark, tmp_path):
+    """Streaming ingest dedup vs the persisted canonical-URL store
+    (the URL rung's streaming twin): only never-fetched canonical URLs
+    reach the sink; the store advances per batch; replaying input
+    after a checkpoint reset emits nothing new (replay idempotence)."""
+    from albedo_spark.streaming.events import run_to_url_store
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck1, ck2, ck3 = (str(tmp_path / c) for c in ("ck1", "ck2", "ck3"))
+    tbl = "t_stream_urlstore"
+    try:
+        spark.createDataFrame(
+            [
+                (1, "http://a.com/x?utm_source=feed"),
+                (2, "HTTP://A.COM:80/x#frag"),  # in-batch dup of 1
+                (3, "https://b.com/y/"),
+                (4, None),                      # NULL url: not ingested
+            ],
+            "doc_id long, url string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema("doc_id long, url string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        run_to_url_store(stream(), tbl, out, ck1)
+        got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got1 == {1, 3}
+
+        # second file: one refetch of history, one novel
+        spark.createDataFrame(
+            [(10, "http://a.com/x"), (11, "http://c.com/new")],
+            "doc_id long, url string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_to_url_store(stream(), tbl, out, ck2)  # fresh ck replays all
+        rows = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows} == {1, 3, 11}
+
+        # full replay with another fresh checkpoint: store blocks all
+        run_to_url_store(stream(), tbl, out, ck3)
+        rows2 = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows2} == {1, 3, 11}
+        assert len(rows2) == 3  # one row per distinct canonical URL
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
