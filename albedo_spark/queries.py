@@ -11342,6 +11342,88 @@ def q189_url_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_incremental(batch, table)
 
 
+@query(
+    "q190_anchor_text_corpus",
+    f"""
+    WITH src AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS u, {_LINK_HTML_SQL} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    l AS (
+        SELECT doc_id, u,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 1) AS hs,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 2) AS ts
+        FROM src
+    ),
+    e AS (
+        SELECT doc_id, u, CAST(i + 1 AS INT) AS link_pos,
+               hs[i + 1] AS href,
+               {_duck_strip_markup("ts[i + 1]")} AS anchor_text
+        FROM l, LATERAL (SELECT unnest(range(len(hs))) AS i) t
+    ),
+    r AS (
+        SELECT doc_id, link_pos, anchor_text,
+               CASE WHEN {_duck_url_host("href")} = ''
+                    THEN {_duck_url_host("u")}
+                    ELSE {_duck_url_host("href")} END AS target
+        FROM e
+    ),
+    f AS (
+        SELECT * FROM r WHERE target <> '' AND trim(anchor_text) <> ''
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY target ORDER BY doc_id, link_pos
+        ) AS rk FROM f
+    ),
+    txt AS (
+        SELECT target,
+               string_agg(anchor_text, ' ' ORDER BY doc_id, link_pos)
+                   AS anchor_text
+        FROM ranked WHERE rk <= 8 GROUP BY target
+    ),
+    st AS (
+        SELECT target, CAST(count(*) AS BIGINT) AS n_anchors,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+        FROM f GROUP BY target
+    )
+    SELECT target, anchor_text, n_anchors, n_src_docs
+    FROM st JOIN txt USING (target)
+    """,
+)
+def q190_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor-text corpus (operators/extraction.py
+    anchor_text_corpus — VERDICT r14 missing 2b): every outlink's
+    anchor text aggregated per destination HOST (relative hrefs stay
+    on the source host — host_links's semantics) into ``(target,
+    anchor_text, n_anchors, n_src_docs)`` — how the rest of the web
+    DESCRIBES each host, the classic retrieval field (fed to
+    build_bm25_store it lets a query find a page by words the page
+    never contains; pytest pins that composition in
+    test_retrieval.py). ``anchor_text`` is the first 8 anchors in
+    deterministic (doc_id, link_pos) order, space-joined (the
+    q173/q113 ordering discipline); the counts cover ALL anchors
+    (anchor volume ≈ weighted in-degree). The operator caps with the
+    TWO-PHASE salted top-k (q177's skew-safe shape — the one host
+    every page links to never serializes through one window
+    partition); the oracle replays the selection with ONE exact
+    window, which must agree by the same dominance argument — the
+    gate certifies phase 1's union really contains the true
+    first-``cap`` set, AND the full extraction → host-resolution →
+    strip_markup chain feeding it, in one statement. Plan: map-only
+    extraction, two salted/exact windows, one partial-aggregated
+    stats groupBy, one target-keyed join."""
+    from albedo_spark.operators.extraction import anchor_text_corpus
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        "doc_id",
+        F.expr(_MESSY_URL_SPARK).alias("url"),
+        F.expr(_LINK_HTML_SQL).alias("html"),
+    )
+    return anchor_text_corpus(pages, granularity="host", max_anchors=8)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -11545,9 +11627,19 @@ _DEMOTED = [
 #        q175 URL canonical dedup OUT to post-window — its
 #        canonicalization surface stays gated in-window THROUGH q189
 #        and by q175 itself in the no-cap gate.
+#   q190 anchor-text corpus IN (the link family's first in-window rep
+#        — crawl-graph anchor aggregation, the retrieval field nothing
+#        in-window covers; its oracle replays outlink extraction,
+#        host resolution, strip_markup per anchor AND the two-phase
+#        cap in one statement); q127 BM25 search OUT to post-window —
+#        retrieval keeps q141 (fusion), q160 (hybrid store serving,
+#        whose oracle replays the SAME BM25 scoring chain end to end)
+#        and q169 (store lifecycle) in-window, and q127's ranking
+#        corners stay gated by q127 itself in the no-cap gate.
 _POST_WINDOW = [
     "q17_sessionization",
     "q63_dedup_components",
+    "q127_bm25_search",
     "q175_url_canonical_dedup",
     "q176_host_rollup",
     "q177_host_cap_sample",

@@ -190,6 +190,7 @@ HEADLINE2 = [
     "q187_host_link_edges",
     "q188_host_pagerank",
     "q189_url_store_incremental",
+    "q190_anchor_text_corpus",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
@@ -560,6 +561,22 @@ def main() -> None:
         if spark_parallel
         else None
     )
+    # One-round BRIDGE (r15, VERDICT r14 missing 2d): r14 restarted the
+    # parallel-normalized series when the pair policy changed from mean
+    # to min, so r14's 15.695 is not comparable to r13's 9.255. For one
+    # round the artifact carries the LEGACY mean-of-pair normalization
+    # alongside the primary min-of-pair value, re-anchoring the series
+    # (a reader can place r15 on either axis). Drop after r15.
+    _par_mean = (
+        round(sum(_par_samples) / len(_par_samples), 3)
+        if _par_samples
+        else None
+    )
+    headline_normalized_parallel_legacy_mean = (
+        round(total * REF_SPARK_PARALLEL / _par_mean, 3)
+        if _par_mean
+        else None
+    )
     # Auto-flag contended runs (VERDICT r12 ask #4): the artifact itself
     # declares when its boundary calibration pair disagrees by more than
     # a probe's _CONTENTION_FACTORS threshold (2x per probe since r14's
@@ -600,6 +617,9 @@ def main() -> None:
                 },
                 "headline_normalized": headline_normalized,
                 "headline_normalized_parallel": headline_normalized_parallel,
+                "headline_normalized_parallel_legacy_mean": (
+                    headline_normalized_parallel_legacy_mean
+                ),
                 "tier2_normalized": tier2_normalized,
                 "tier2_normalized_set_size": len(TIER2_R5_SET),
                 "normalization_anchor": {

@@ -222,8 +222,10 @@ def test_driver_record_window_contains_flagships():
         "q116_blocklist_filter",
         # round-8 new families: BM25 retrieval + mergeable sketches
         # (q134 CMS gated post-window as its sibling; q128 prefix-filter
-        # moved post-window in r9 — dedup keeps 4 in-window reps)
-        "q127_bm25_search",
+        # moved post-window in r9 — dedup keeps 4 in-window reps;
+        # q127 BM25 search moved post-window r15 — q160's oracle
+        # replays the same scoring chain end to end, and the slot goes
+        # to the link family's q190)
         "q136_hll_cardinality",
         # round-9 new families: hybrid rank fusion + int8 quantization
         # (q33 LSH ANN moved post-window r9; q144 quantized ANN moved
@@ -260,9 +262,11 @@ def test_driver_record_window_contains_flagships():
         # canonicalization CTEs regex-by-regex INSIDE the store gate
         # (the q181-over-q114 precedent), so the URL family's window
         # slot goes to the store rung
-        # round-15 swap (same-round rule): the URL rung of the
-        # incremental store family
+        # round-15 swaps (same-round rule): the URL rung of the
+        # incremental store family + the anchor-text corpus (the link
+        # family's first in-window rep, taking q127's slot)
         "q189_url_store_incremental",
+        "q190_anchor_text_corpus",
         # q181 jusText block classification: the extraction family's
         # new in-window rep (takes q114's slot, same round it landed)
         "q181_justext_blocks",
@@ -1335,3 +1339,53 @@ def test_html_outlinks_and_host_graph(spark):
     ranks = {r.node: r.rank for r in pr.collect()}
     assert set(ranks) == {"a.example.com", "b.example.com"}
     assert all(v > 0 for v in ranks.values())
+
+
+def test_justext_per_language_stopwords(spark):
+    """Per-document stopword selection (r15, VERDICT r14 missing 2c):
+    a stopword-dense German page is over-dropped by the English-only
+    run (EN-list density ~0 → context-free 'bad') but keeps its main
+    content when `lang_col` picks the German list; a language with NO
+    list (und here, zh in production) classifies in the paper's
+    DEGENERATE mode — thresholds 0, so a long linkless block is good
+    on length and link density alone."""
+    from albedo_spark.operators.extraction import justext_classify
+
+    de_txt = (
+        "der schnelle braune fuchs springt über den faulen hund und die "
+        "kinder gehen am morgen zur schule während die sonne über der "
+        "stadt aufgeht die frau liest eine zeitung im garten und der "
+        "mann trinkt seinen kaffee mit viel freude denn das wetter ist "
+        "heute wirklich schön und wir haben noch so viele dinge zu tun"
+    )
+    und_txt = "zz qq xx yy ww vv uu tt ss rr " * 9  # >200 chars, no list
+    df = spark.createDataFrame(
+        [(1, f"<p>{de_txt}</p>", "de"), (2, f"<p>{und_txt}</p>", "und")],
+        "doc_id long, html string, lang string",
+    )
+    # English-only legacy run: both pages die (density ~0 under EN)
+    en_only = {
+        r.doc_id: r.cls for r in justext_classify(df).collect()
+    }
+    assert en_only[1] == "bad"
+    assert en_only[2] == "bad"
+    # per-language run: German list rescues the German page; the
+    # no-list language goes degenerate and survives on length alone
+    per_lang = {
+        r.doc_id: (r.cls, r.has_stopword_list)
+        for r in justext_classify(df, lang_col="lang").collect()
+    }
+    assert per_lang[1] == ("good", True)
+    assert per_lang[2] == ("good", False)
+    # degenerate mode still respects link density: the same no-list
+    # page made of links stays bad
+    linky = "".join(
+        f'<a href="/{i}">zz qq xx yy ww</a> ' for i in range(12)
+    )
+    df2 = spark.createDataFrame(
+        [(3, f"<p>{linky}</p>", "und")],
+        "doc_id long, html string, lang string",
+    )
+    out3 = {r.doc_id: r.cls
+            for r in justext_classify(df2, lang_col="lang").collect()}
+    assert out3[3] == "bad"

@@ -348,3 +348,16 @@ def test_q186_q187_link_plans(spark):
     p187 = _plan(spark, "q187_host_link_edges")
     assert p187.count("Exchange hashpartitioning") <= 2  # partial+final agg
     assert "BatchEvalPython" not in p187 and "ArrowEvalPython" not in p187
+
+
+def test_q190_anchor_corpus_plan(spark):
+    """Anchor-corpus scale contract: map-only extraction, the two-phase
+    salted cap (two row_number Windows — never one giant per-target
+    window alone), each fronted by WindowGroupLimit partial+final
+    pruning (rows beyond the cap drop BEFORE the window sort), no
+    Python in the data path, no cartesian product."""
+    plan = _plan(spark, "q190_anchor_text_corpus")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window [") == 2, plan
+    assert plan.count("WindowGroupLimit") == 4, plan  # partial+final ×2

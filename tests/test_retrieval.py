@@ -913,3 +913,74 @@ def test_audit_bm25_store(spark):
     finally:
         for suf in ("", "_stats", "_fwd", "_bloom"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suf}")
+
+
+def test_bm25_anchor_field_composition(spark):
+    """The anchor corpus as a searchable BM25 field (VERDICT r14
+    missing 2b — the last Elasticsearch-shaped capability of the S9/F12
+    family): a host document composed as own-text + anchor-text is
+    FOUND by a query whose words appear only in how OTHER pages link
+    to it, never in the page itself; without the anchor field the same
+    query misses."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.functions.text import strip_markup
+    from albedo_spark.functions.urls import url_host
+    from albedo_spark.operators.extraction import anchor_text_corpus
+    from albedo_spark.operators.retrieval import (
+        bm25_store_search,
+        build_bm25_store,
+    )
+
+    pages = [
+        (1, "http://alpha.com/home",
+         "<p>welcome friends this site sells many fine parts</p>"),
+        (2, "http://beta.com/x",
+         '<p>see <a href="http://alpha.com/home">quantum widgets'
+         " shop</a> for parts</p>"),
+        (3, "http://gamma.com/y",
+         '<p>the best <a href="http://alpha.com/home">quantum widgets'
+         " emporium</a> around</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    anchors = anchor_text_corpus(df, granularity="host")
+    got = {r.target: r for r in anchors.collect()}
+    assert "quantum widgets" in got["alpha.com"].anchor_text
+    assert got["alpha.com"].n_anchors == 2
+    assert got["alpha.com"].n_src_docs == 2
+
+    own = (
+        df.select(
+            url_host(F.col("url")).alias("target"),
+            strip_markup(F.col("html")).alias("own_text"),
+        )
+        .groupBy("target")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_list("own_text")))
+             .alias("own_text"))
+    )
+    composed = own.join(anchors, "target", "left").select(
+        F.col("target").alias("doc_id"),
+        F.concat_ws(
+            " ", "own_text", F.coalesce("anchor_text", F.lit(""))
+        ).alias("text"),
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "quantum widgets")], "query_id string, text string"
+    )
+    try:
+        build_bm25_store(composed, "t_anchor_bm25", num_buckets=4)
+        hits = bm25_store_search(qdf, "t_anchor_bm25", top_k=1).collect()
+        assert [r.doc_id for r in hits] == ["alpha.com"]
+
+        # control: the SAME corpus without the anchor field misses
+        build_bm25_store(
+            own.select(F.col("target").alias("doc_id"),
+                       F.col("own_text").alias("text")),
+            "t_anchor_bm25_ctl", num_buckets=4,
+        )
+        ctl = bm25_store_search(qdf, "t_anchor_bm25_ctl", top_k=1).collect()
+        assert "alpha.com" not in {r.doc_id for r in ctl}
+    finally:
+        for t in ("t_anchor_bm25", "t_anchor_bm25_ctl"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_stats")
