@@ -11424,6 +11424,252 @@ def q190_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_corpus(pages, granularity="host", max_anchors=8)
 
 
+@query(
+    "q191_justext_per_language",
+    f"""
+    WITH src AS (
+        SELECT doc_id, lang, {_PSEUDO_HTML_SQL} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    frags AS (
+        SELECT doc_id, lang, i AS pos, arr[i + 1] AS frag
+        FROM (
+            SELECT doc_id, lang,
+                   string_split_regex(html, '{_JUSTEXT_BLOCK_SPLIT}') AS arr
+            FROM src
+        ),
+        LATERAL (SELECT unnest(range(len(arr))) AS i) t
+    ),
+    cleaned AS (
+        SELECT doc_id, lang, pos, frag,
+               {_duck_strip_markup("frag")} AS text
+        FROM frags
+    ),
+    kept AS (
+        SELECT doc_id, lang, pos, frag, text,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS INT) AS block_idx,
+               trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g'))
+                   AS letters
+        FROM cleaned WHERE text <> ''
+    ),
+    feats AS (
+        SELECT doc_id, block_idx, text,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(coalesce(list_sum(list_transform(
+                   regexp_extract_all(frag,
+                       '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                   a -> length({_duck_strip_markup("a")})
+               )), 0) AS BIGINT) AS link_chars,
+               CAST(CASE WHEN letters = '' THEN 0
+                    ELSE len(string_split(letters, ' ')) END
+                    AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN lang NOT IN ('en', 'de') OR letters = ''
+                    THEN 0
+                    ELSE len(list_filter(string_split(letters, ' '),
+                        x -> list_contains({list(_JUSTEXT_SW)!r}, x))) END
+                    AS BIGINT) AS n_stopwords,
+               (lang IN ('en', 'de')) AS has_stopword_list,
+               (text LIKE '%©%' OR frag LIKE '%&copy;%') AS has_copyright
+        FROM kept
+    ),
+    cls0 AS (
+        SELECT *,
+            CASE
+              WHEN 1000 * link_chars > 200 * n_chars THEN 'bad'
+              WHEN has_copyright THEN 'bad'
+              WHEN n_chars < 70 THEN
+                   CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+              WHEN n_tokens > 0 AND 1000 * n_stopwords >=
+                   (CASE WHEN has_stopword_list THEN 320 ELSE 0 END)
+                   * n_tokens THEN
+                   CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
+              WHEN n_tokens > 0 AND 1000 * n_stopwords >=
+                   (CASE WHEN has_stopword_list THEN 300 ELSE 0 END)
+                   * n_tokens THEN
+                   'neargood'
+              ELSE 'bad'
+            END AS cf_class
+        FROM feats
+    ),
+    nbr AS (
+        SELECT *,
+            coalesce(last_value(
+                CASE WHEN cf_class IN ('good','bad') THEN cf_class END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 'bad') AS sp,
+            coalesce(first_value(
+                CASE WHEN cf_class IN ('good','bad') THEN cf_class END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ), 'bad') AS sn,
+            coalesce(last_value(
+                CASE WHEN cf_class IN ('good','bad','neargood')
+                     THEN cf_class END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 'bad') AS lp,
+            coalesce(first_value(
+                CASE WHEN cf_class IN ('good','bad','neargood')
+                     THEN cf_class END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ), 'bad') AS ln
+        FROM cls0
+    ),
+    st2 AS (
+        SELECT *,
+            CASE WHEN cf_class = 'short' THEN
+                CASE WHEN sp = 'good' AND sn = 'good' THEN 'good'
+                     WHEN sp = 'bad' AND sn = 'bad' THEN 'bad'
+                     WHEN (sp = 'bad' AND lp = 'neargood')
+                       OR (sn = 'bad' AND ln = 'neargood') THEN 'good'
+                     ELSE 'bad' END
+            ELSE cf_class END AS stage2
+        FROM nbr
+    ),
+    fin AS (
+        SELECT *,
+            coalesce(last_value(
+                CASE WHEN stage2 IN ('good','bad') THEN stage2 END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 'bad') AS sp2,
+            coalesce(first_value(
+                CASE WHEN stage2 IN ('good','bad') THEN stage2 END
+                IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ), 'bad') AS sn2
+        FROM st2
+    )
+    SELECT doc_id, block_idx, text, n_chars, link_chars, n_tokens,
+           n_stopwords, has_stopword_list, cf_class,
+           CASE WHEN stage2 = 'neargood' THEN
+               CASE WHEN sp2 = 'bad' AND sn2 = 'bad' THEN 'bad'
+                    ELSE 'good' END
+           ELSE stage2 END AS cls
+    FROM fin
+    """,
+)
+def q191_justext_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE jusText classification (r15, VERDICT r14 missing
+    2c — q181's post-window sibling, the q176/q177 pattern): the
+    fixture's ``lang`` column drives per-document stopword selection
+    through ``justext_classify(lang_col=...)``. Languages WITH a list
+    here (en, de — both mapped to the fixture-calibrated set, since
+    the synthetic text is English-ish either way) classify with the
+    paper's 300/320‰ thresholds; the rest (es, fr, zh) take the
+    paper's DEGENERATE no-list mode — both thresholds drop to 0 per
+    row, so any wordy block passes the density rules and the verdict
+    rests on link density, copyright and length. The oracle replays
+    the map lookup as a CASE over ``lang``, the zeroed thresholds as
+    threshold CASEs, and the full q181 chain (segmentation,
+    strip_markup per fragment and per anchor, both window passes) —
+    the gate certifies that per-language selection changes EXACTLY the
+    rows it should and nothing else. Plan: identical to q181 (the map
+    literal rides the projection; still one per-doc Exchange)."""
+    from albedo_spark.operators.extraction import justext_classify
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select("doc_id", "lang", F.expr(_PSEUDO_HTML_SQL).alias("html"))
+    return justext_classify(
+        pages,
+        lang_col="lang",
+        stopwords_by_lang={"en": _JUSTEXT_SW, "de": _JUSTEXT_SW},
+    ).drop("has_copyright")
+
+
+@query(
+    "q192_anchor_corpus_by_url",
+    f"""
+    WITH src AS (
+        SELECT doc_id, {_LINK_HTML_SQL} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    l AS (
+        SELECT doc_id,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 1) AS hs,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 2) AS ts
+        FROM src
+    ),
+    e AS (
+        SELECT doc_id, CAST(i + 1 AS INT) AS link_pos,
+               hs[i + 1] AS href,
+               {_duck_strip_markup("ts[i + 1]")} AS anchor_text
+        FROM l, LATERAL (SELECT unnest(range(len(hs))) AS i) t
+    ),
+    abs_links AS (
+        SELECT * FROM e
+        WHERE regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+    ),
+    raw AS (
+        SELECT doc_id * 1000000 + link_pos AS doc_id, href AS u
+        FROM abs_links
+    ),
+    {_URL_CANON_DUCK},
+    resolved AS (
+        SELECT doc_id // 1000000 AS doc_id,
+               CAST(doc_id % 1000000 AS INT) AS link_pos,
+               canonical_url AS target
+        FROM canon
+    ),
+    f AS (
+        SELECT r.doc_id, r.link_pos, r.target, a.anchor_text
+        FROM resolved r JOIN abs_links a USING (doc_id, link_pos)
+        WHERE r.target <> '' AND trim(a.anchor_text) <> ''
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY target ORDER BY doc_id, link_pos
+        ) AS rk FROM f
+    ),
+    txt AS (
+        SELECT target,
+               string_agg(anchor_text, ' ' ORDER BY doc_id, link_pos)
+                   AS anchor_text
+        FROM ranked WHERE rk <= 8 GROUP BY target
+    ),
+    st AS (
+        SELECT target, CAST(count(*) AS BIGINT) AS n_anchors,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+        FROM f GROUP BY target
+    )
+    SELECT target, anchor_text, n_anchors, n_src_docs
+    FROM st JOIN txt USING (target)
+    """,
+)
+def q192_anchor_corpus_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain anchor corpus (q190's post-window sibling — the
+    q176/q177 pattern): anchors aggregate per CANONICALIZED absolute
+    href, the page-level form retrieval actually indexes (anchor text
+    describes a PAGE; the host grain is its crawl-budget rollup).
+    Relative hrefs are out of contract at this grain (resolving them
+    needs the source path — documented in the operator); the fixture's
+    two absolute links carry real canonicalization work (scheme/host
+    case, a :443 default port, a preserved non-tracking query). The
+    oracle replays extraction, the canonicalization CTEs
+    regex-by-regex over each HREF (keyed through a packed
+    doc_id·10^6+link_pos id — links per page are bounded far below
+    10^6), and the capped deterministic aggregation. Plan: the q190
+    shape minus the host-resolution broadcast (no join back to the
+    source page at all — map-only straight into the two-phase cap)."""
+    from albedo_spark.operators.extraction import anchor_text_corpus
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select("doc_id", F.expr(_LINK_HTML_SQL).alias("html"))
+    return anchor_text_corpus(
+        pages, granularity="url", max_anchors=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------
@@ -11643,6 +11889,8 @@ _POST_WINDOW = [
     "q175_url_canonical_dedup",
     "q176_host_rollup",
     "q177_host_cap_sample",
+    "q191_justext_per_language",
+    "q192_anchor_corpus_by_url",
     "q178_langid_quality_cutoff",
     "q179_langid_margin",
     "q180_langid_profile_train",

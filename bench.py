@@ -191,6 +191,8 @@ HEADLINE2 = [
     "q188_host_pagerank",
     "q189_url_store_incremental",
     "q190_anchor_text_corpus",
+    "q191_justext_per_language",
+    "q192_anchor_corpus_by_url",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized
