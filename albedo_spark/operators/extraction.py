@@ -648,3 +648,61 @@ def anchor_text_corpus(
     return stats.join(text, "target").select(
         "target", "anchor_text", "n_anchors", "n_src_docs"
     )
+
+
+def host_quality_profile(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host crawl QUALITY profile — the frame spam-host policy
+    reads (r15): ``host_profile``'s URL-duplication burden joined with
+    the host's outlink behaviour from the same crawl batch::
+
+        (host, n_docs, n_urls, n_dup_docs,
+         n_outlinks, n_self_links, n_dst_hosts, self_link_pm)
+
+    ``n_dup_docs/n_docs`` high → boilerplate/mirror farm;
+    ``self_link_pm`` (permille of outlinks staying on-host, integer
+    ``div`` — both engines replay it exactly) high with low
+    ``n_dst_hosts`` → closed link farm; many docs with near-zero
+    outlinks → doorway/parked pages. These are the classic crawl-spam
+    signals (host-level features in the SEO-spam literature) computed
+    from nothing but the batch itself — no external reputation feed.
+
+    Plan at 100 TB: one ``host_profile`` aggregate (URL side), one
+    link-extraction pass into a src_host aggregate (both
+    partial-aggregated, |hosts| output rows), one host-keyed join of
+    two host-sized frames (AQE broadcasts the smaller). Hosts with no
+    extractable links keep zeroed link stats (left join + coalesce)."""
+    from albedo_spark.operators.dedup import host_profile
+
+    base = host_profile(docs, url_col, id_col)
+    links = host_links(docs, url_col, html_col, id_col)
+    ls = links.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").cast("long").alias("n_outlinks"),
+        F.sum((F.col("dst_host") == F.col("src_host")).cast("long"))
+        .cast("long")
+        .alias("n_self_links"),
+        F.countDistinct("dst_host").cast("long").alias("n_dst_hosts"),
+    )
+    return base.join(ls, "host", "left").select(
+        "host",
+        "n_docs",
+        "n_urls",
+        "n_dup_docs",
+        F.coalesce("n_outlinks", F.lit(0)).cast("long").alias("n_outlinks"),
+        F.coalesce("n_self_links", F.lit(0))
+        .cast("long")
+        .alias("n_self_links"),
+        F.coalesce("n_dst_hosts", F.lit(0))
+        .cast("long")
+        .alias("n_dst_hosts"),
+        F.expr(
+            "CASE WHEN n_outlinks > 0 THEN (1000 * n_self_links) div "
+            "n_outlinks ELSE 0 END"
+        )
+        .cast("long")
+        .alias("self_link_pm"),
+    )

@@ -11670,6 +11670,86 @@ def q192_anchor_corpus_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q193_host_quality_profile",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS u
+        FROM documents WHERE text IS NOT NULL
+    ),
+    {_URL_CANON_DUCK},
+    prof AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+               CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT)
+                   AS n_dup_docs
+        FROM canon GROUP BY host
+    ),
+    src2 AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS u, {_LINK_HTML_SQL} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    l AS (
+        SELECT doc_id, u,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 1) AS hs
+        FROM src2
+    ),
+    e AS (
+        SELECT doc_id, u, hs[i + 1] AS href
+        FROM l, LATERAL (SELECT unnest(range(len(hs))) AS i) t
+    ),
+    r AS (
+        SELECT doc_id,
+               {_duck_url_host("u")} AS src_host,
+               CASE WHEN {_duck_url_host("href")} = ''
+                    THEN {_duck_url_host("u")}
+                    ELSE {_duck_url_host("href")} END AS dst_host
+        FROM e
+    ),
+    ls AS (
+        SELECT src_host AS host,
+               CAST(count(*) AS BIGINT) AS n_outlinks,
+               CAST(sum(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_self_links,
+               CAST(count(DISTINCT dst_host) AS BIGINT) AS n_dst_hosts
+        FROM r GROUP BY src_host
+    )
+    SELECT p.host, p.n_docs, p.n_urls, p.n_dup_docs,
+           CAST(coalesce(n_outlinks, 0) AS BIGINT) AS n_outlinks,
+           CAST(coalesce(n_self_links, 0) AS BIGINT) AS n_self_links,
+           CAST(coalesce(n_dst_hosts, 0) AS BIGINT) AS n_dst_hosts,
+           CAST(CASE WHEN coalesce(n_outlinks, 0) > 0
+                THEN (1000 * n_self_links) // n_outlinks
+                ELSE 0 END AS BIGINT) AS self_link_pm
+    FROM prof p LEFT JOIN ls USING (host)
+    """,
+)
+def q193_host_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl-spam/quality profile (operators/extraction.py
+    host_quality_profile — r15): the URL-duplication burden
+    (host_profile: docs vs distinct canonical URLs) joined with the
+    host's own outlink behaviour (host_links: outlink count, on-host
+    self-link permille via integer div — the cross-engine-exact
+    convention — and distinct destination hosts). High dup ratio →
+    mirror/boilerplate farm; high self_link_pm with few destinations →
+    closed link farm; docs without outlinks → doorway pages — the
+    classic host-level spam features, computed from the batch alone.
+    The oracle replays BOTH aggregation arms (canonicalization CTEs
+    for the URL arm, link-extraction CTEs for the graph arm) and the
+    host-keyed join in one statement. Plan: two partial-aggregated
+    host-sized aggregates, one AQE-broadcastable join, |hosts| rows."""
+    from albedo_spark.operators.extraction import host_quality_profile
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        "doc_id",
+        F.expr(_MESSY_URL_SPARK).alias("url"),
+        F.expr(_LINK_HTML_SQL).alias("html"),
+    )
+    return host_quality_profile(pages)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

@@ -1389,3 +1389,38 @@ def test_justext_per_language_stopwords(spark):
     out3 = {r.doc_id: r.cls
             for r in justext_classify(df2, lang_col="lang").collect()}
     assert out3[3] == "bad"
+
+
+def test_host_quality_profile(spark):
+    """Hand-checked spam signals: a mirror farm (every doc the same
+    canonical URL) shows the dup burden; a closed link farm shows
+    self_link_pm 1000 with one destination; a host with no links keeps
+    zeroed link stats."""
+    from albedo_spark.operators.extraction import host_quality_profile
+
+    pages = [
+        # mirror.com: 3 docs, 1 canonical URL (tracking-param noise)
+        (1, "http://mirror.com/a?utm_source=x", ""),
+        (2, "http://mirror.com/a?utm_source=y",
+         '<p><a href="http://mirror.com/z">me</a>'
+         '<a href="/local">me too</a></p>'),
+        (3, "http://mirror.com/a#frag", ""),
+        # farm.com: links only to itself
+        (4, "http://farm.com/p",
+         '<p><a href="http://farm.com/q">x</a>'
+         '<a href="http://farm.com/r">y</a></p>'),
+        # quiet.com: no links at all
+        (5, "http://quiet.com/p", ""),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    got = {r.host: r for r in host_quality_profile(df).collect()}
+    m = got["mirror.com"]
+    assert (m.n_docs, m.n_urls, m.n_dup_docs) == (3, 1, 2)
+    # both of doc 2's links stay on-host (absolute + relative)
+    assert (m.n_outlinks, m.n_self_links, m.self_link_pm) == (2, 2, 1000)
+    f = got["farm.com"]
+    assert (f.n_outlinks, f.n_self_links, f.n_dst_hosts) == (2, 2, 1)
+    assert f.self_link_pm == 1000
+    q = got["quiet.com"]
+    assert (q.n_outlinks, q.n_self_links, q.n_dst_hosts,
+            q.self_link_pm) == (0, 0, 0, 0)
