@@ -1334,8 +1334,21 @@ def main(argv: list[str] | None = None) -> dict:
             url_tbl = f"{args.store_prefix}_urls"
             if not spark.catalog.tableExists(url_tbl):
                 build_url_store(hist, url_tbl, url_col=args.url_col)
+            url_blm = (
+                f"{args.store_prefix}_urls_bloom" if args.bloom_bits
+                else None
+            )
+            if url_blm and not spark.catalog.tableExists(url_blm):
+                # Derived from the URL store — rebuildable, and the rung
+                # where the sidecar pays most (every fetched page probes
+                # this store; frontier crawls are mostly-new)
+                build_bloom_sidecar(
+                    spark, url_tbl, url_blm,
+                    key_col="canonical_url", num_bits=args.bloom_bits,
+                )
             url_res = url_dedup_incremental(
-                batch, url_tbl, url_col=args.url_col
+                batch, url_tbl, url_col=args.url_col,
+                bloom_table=url_blm,
             ).persist()
             n_url_batch = batch.count()
             n_url_dups = url_res.where("is_dup").count()
@@ -1344,6 +1357,17 @@ def main(argv: list[str] | None = None) -> dict:
                 "n_url_dups": n_url_dups,
             }
             append_urls(url_res, url_tbl)
+            if url_blm:
+                # Lockstep (the no-false-negative contract): bits for
+                # keys the admit guard skipped are already set — setting
+                # them again is harmless OR-merge
+                append_bloom(
+                    url_res.where(
+                        "NOT is_dup AND canonical_url IS NOT NULL"
+                    ).select("canonical_url"),
+                    url_blm,
+                    key_col="canonical_url",
+                )
             batch = batch.join(
                 url_res.where("NOT is_dup").select("doc_id"),
                 "doc_id",
@@ -1438,6 +1462,11 @@ def main(argv: list[str] | None = None) -> dict:
                 summary["incremental"]["compaction"]["bloom_generations"] = (
                     merge_fn(spark, blm_tbl)
                 )
+                url_blm_tbl = f"{args.store_prefix}_urls_bloom"
+                if spark.catalog.tableExists(url_blm_tbl):
+                    summary["incremental"]["compaction"][
+                        "url_bloom_generations"
+                    ] = merge_bloom_generations(spark, url_blm_tbl)
 
     if args.quality_model_dim:
         # CCNet-style model-based quality stage: weak labels from the

@@ -443,6 +443,7 @@ def url_dedup_incremental(
     table: str,
     url_col: str = "url",
     id_col: str = "doc_id",
+    bloom_table: str | None = None,
 ) -> DataFrame:
     """Resolve a new crawl batch against the URL store WITHOUT
     rescanning history: ``(doc_id, canonical_url, is_dup, keeper_id)``
@@ -460,9 +461,17 @@ def url_dedup_incremental(
     the batch shuffles, into the store's layout. Feed the
     ``is_dup = false`` rows to ``append_urls`` after consuming the
     result and the next batch dedups against history including this
-    one (replay-idempotent: re-appending an already-consumed batch is
-    guarded by the caller replaying the SAME resolution, whose novel
-    slice is unchanged)."""
+    one (``append_urls`` is admit-guarded, so a replay is a no-op).
+
+    ``bloom_table`` (the ``exact_dedup_incremental`` sidecar contract
+    at the URL rung — and the rung where it pays MOST: every fetched
+    page probes this store, and on a frontier-driven crawl most URLs
+    are genuinely new): a sidecar built by ``build_bloom_sidecar(...,
+    key_col='canonical_url')`` and kept in lockstep by ``append_bloom``
+    splits the batch MAP-SIDE — definitely-new URLs resolve purely
+    within the batch, only the maybe-seen remainder pays the store
+    join. False positives just take the exact join; the result is
+    byte-identical with or without the sidecar."""
     from albedo_spark.functions.urls import canonicalize_url
 
     spark = batch.sparkSession
@@ -476,17 +485,72 @@ def url_dedup_incremental(
         .groupBy("canonical_url")
         .agg(F.min(id_col).alias("_bmin"))
     )
-    j = hashed.join(store, "canonical_url", "left").join(
-        batch_min, "canonical_url", "left"
+    if bloom_table is None:
+        j = hashed.join(store, "canonical_url", "left").join(
+            batch_min, "canonical_url", "left"
+        )
+        keeper = F.coalesce(F.col("keeper_id"), F.col("_bmin"))
+        is_dup = (
+            F.col("canonical_url").isNotNull() & (keeper != F.col(id_col))
+        )
+        return j.select(
+            F.col(id_col),
+            "canonical_url",
+            is_dup.alias("is_dup"),
+            F.when(is_dup, keeper).alias("keeper_id"),
+        )
+
+    side = spark.table(bloom_table)
+    if "shard" in side.columns:
+        flagged = sharded_bloom_maybe(hashed, bloom_table, "canonical_url")
+    else:
+        params = side.select("num_bits", "num_hashes").distinct().collect()
+        if len(params) != 1:
+            raise ValueError(
+                f"sidecar {bloom_table} mixes bloom parameters: {params}"
+            )
+        num_bits, num_hashes = params[0].num_bits, params[0].num_hashes
+        gens = side.agg(F.collect_list("bits").alias("_gens"))
+        flagged = hashed.crossJoin(F.broadcast(gens)).withColumn(
+            "_maybe",
+            F.coalesce(
+                bloom_might_contain(
+                    F.col("canonical_url"), F.col("_gens"),
+                    num_bits, num_hashes,
+                ),
+                F.lit(False),
+            ),
+        ).drop("_gens")
+    # The split is canonical-url-consistent (the flag is a function of
+    # the key alone), so _bmin — computed over the WHOLE batch — is the
+    # same keeper either branch would elect.
+    maybe = (
+        flagged.where(F.col("_maybe"))
+        .join(store, "canonical_url", "left")
+        .join(batch_min, "canonical_url", "left")
     )
-    keeper = F.coalesce(F.col("keeper_id"), F.col("_bmin"))
-    is_dup = F.col("canonical_url").isNotNull() & (keeper != F.col(id_col))
-    return j.select(
+    keeper_m = F.coalesce(F.col("keeper_id"), F.col("_bmin"))
+    dup_m = F.col("canonical_url").isNotNull() & (keeper_m != F.col(id_col))
+    resolved_maybe = maybe.select(
         F.col(id_col),
         "canonical_url",
-        is_dup.alias("is_dup"),
-        F.when(is_dup, keeper).alias("keeper_id"),
+        dup_m.alias("is_dup"),
+        F.when(dup_m, keeper_m).alias("keeper_id"),
     )
+    novel = flagged.where(~F.col("_maybe")).join(
+        batch_min, "canonical_url", "left"
+    )
+    dup_n = (
+        F.col("canonical_url").isNotNull()
+        & (F.col("_bmin") != F.col(id_col))
+    )
+    resolved_novel = novel.select(
+        F.col(id_col),
+        "canonical_url",
+        dup_n.alias("is_dup"),
+        F.when(dup_n, F.col("_bmin")).alias("keeper_id"),
+    )
+    return resolved_maybe.unionByName(resolved_novel)
 
 
 def append_urls(

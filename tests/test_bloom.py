@@ -351,3 +351,52 @@ def test_sharded_sidecar_equivalence_lockstep_and_merge(spark):
         for t in (t_none, t_mono, t_shrd):
             for suf in ("", "_cents", "_cb", "_bloom"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
+def test_url_bloom_resolution_equivalence(spark):
+    """The sidecar contract at the URL rung (r15): url_dedup_incremental
+    with a canonical_url-keyed sidecar returns byte-identical rows to
+    the plain path, on a batch mixing historical refetches,
+    batch-internal dups, novel URLs, and NULL urls."""
+    from albedo_spark.operators.dedup_store import (
+        build_url_store,
+        url_dedup_incremental,
+    )
+
+    docs = _real_docs(spark).withColumn(
+        "url",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("http://H"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/p/"),
+                (F.col("doc_id") % 23).cast("string"),
+                F.lit("?utm_source=x"),
+            )
+        ),
+    ).select("doc_id", "url")
+    hist = docs.where("doc_id % 3 != 0")
+    build_url_store(hist, "blu_store", num_buckets=8)
+    build_bloom_sidecar(
+        spark, "blu_store", "blu_side",
+        key_col="canonical_url", num_bits=1 << 14,
+    )
+    try:
+        batch = docs.where("doc_id % 3 = 0").select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "url"
+        )
+        plain = {
+            tuple(r)
+            for r in url_dedup_incremental(batch, "blu_store").collect()
+        }
+        bloomed = {
+            tuple(r)
+            for r in url_dedup_incremental(
+                batch, "blu_store", bloom_table="blu_side"
+            ).collect()
+        }
+        assert plain == bloomed
+        assert any(r[2] for r in plain)
+        assert any(not r[2] for r in plain)
+    finally:
+        _drop(spark, "blu_store", "blu_side")
