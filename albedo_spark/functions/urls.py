@@ -98,3 +98,12 @@ def url_host(col: Column) -> Column:
     host = F.lower(F.regexp_replace(pre, _SCHEME_PREFIX, ""))
     host = F.regexp_replace(host, r":[0-9]+$", "")
     return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_scheme_host(col: Column) -> Column:
+    """The RAW ``scheme://host[:port]`` prefix of a URL ('' when the
+    value has no scheme) — the base a root-relative href resolves
+    against. Deliberately un-normalized: resolution concatenates it
+    with the href and lets ``canonicalize_url`` do the lowering/port
+    stripping in one place."""
+    return F.regexp_extract(F.trim(col), _SCHEME_PREFIX + r"[^/?]*", 0)

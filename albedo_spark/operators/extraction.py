@@ -706,3 +706,74 @@ def host_quality_profile(
         .cast("long")
         .alias("self_link_pm"),
     )
+
+
+def crawl_frontier(
+    docs: DataFrame,
+    store_table: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frontier discovery — the step that CLOSES the crawl loop (r15):
+    every outlink target this batch discovered, canonicalized, that is
+    NOT yet in the canonical-URL store — i.e. the next batch's fetch
+    list, ranked by evidence::
+
+        (frontier_url, host, n_refs, n_src_docs)
+
+    Target resolution (the documented contract): absolute hrefs stand
+    alone; ROOT-relative hrefs (``/path`` but not ``//host``) resolve
+    against the source page's raw ``scheme://host[:port]`` prefix —
+    canonicalization then normalizes both in one place; every other
+    href form (relative-path, fragment-only, mailto:) is out of
+    contract and dropped, like unquoted hrefs. ``n_refs`` counts link
+    occurrences (evidence weight), ``n_src_docs`` distinct citing
+    pages — a frontier scheduler sorts on these, then applies
+    ``host_cap_sample`` for politeness.
+
+    Plan at 100 TB: extraction and resolution are map-only; one
+    partial-aggregated groupBy on the canonical target; the store side
+    of the anti-join scans bucketed on its own key with no Exchange —
+    exactly ``url_dedup_incremental``'s store discipline, applied to
+    what the crawl DISCOVERS instead of what it fetched."""
+    from albedo_spark.functions.urls import (
+        canonicalize_url,
+        url_host,
+        url_scheme_host,
+    )
+
+    spark = docs.sparkSession
+    links = html_outlinks(docs, html_col, id_col)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        url_scheme_host(F.col(url_col)).alias("_src_pre"),
+    )
+    href = F.trim(F.col("href"))
+    is_abs = href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    is_root = href.startswith("/") & ~href.startswith("//")
+    target = F.when(is_abs, href).when(
+        is_root & (F.col("_src_pre") != ""),
+        F.concat(F.col("_src_pre"), href),
+    )
+    cand = (
+        links.join(src, "doc_id")
+        .select(
+            "doc_id",
+            canonicalize_url(target).alias("frontier_url"),
+        )
+        .where(F.col("frontier_url").isNotNull())
+    )
+    agg = cand.groupBy("frontier_url").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.countDistinct("doc_id").cast("long").alias("n_src_docs"),
+    )
+    store = spark.table(store_table).select(
+        F.col("canonical_url").alias("frontier_url")
+    )
+    return agg.join(store, "frontier_url", "left_anti").select(
+        "frontier_url",
+        url_host(F.col("frontier_url")).alias("host"),
+        "n_refs",
+        "n_src_docs",
+    )

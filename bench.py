@@ -194,6 +194,7 @@ HEADLINE2 = [
     "q191_justext_per_language",
     "q192_anchor_corpus_by_url",
     "q193_host_quality_profile",
+    "q194_crawl_frontier",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

@@ -1424,3 +1424,48 @@ def test_host_quality_profile(spark):
     q = got["quiet.com"]
     assert (q.n_outlinks, q.n_self_links, q.n_dst_hosts,
             q.self_link_pm) == (0, 0, 0, 0)
+
+
+def test_crawl_frontier(spark):
+    """Hand-checked frontier discovery: absolute and root-relative
+    targets resolve and canonicalize, already-fetched URLs drop at the
+    anti-join, out-of-contract hrefs (relative-path, fragment, mailto,
+    protocol-relative) never surface, and evidence counts aggregate
+    across citing pages."""
+    from albedo_spark.operators.dedup_store import build_url_store
+    from albedo_spark.operators.extraction import crawl_frontier
+
+    pages = [
+        (1, "http://a.com/x",
+         '<p><a href="HTTP://B.COM:80/new?utm_source=z">b</a>'
+         '<a href="/about">a</a>'
+         '<a href="#top">t</a>'
+         '<a href="//proto.com/p">p</a>'
+         '<a href="mailto:x@y.z">m</a>'
+         '<a href="other/rel">r</a></p>'),
+        (2, "http://c.com/y",
+         '<p><a href="http://b.com/new">b again</a>'
+         '<a href="http://a.com/x#frag">seen</a></p>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    try:
+        build_url_store(df, "t_frontier_store", num_buckets=4)
+        got = {
+            r.frontier_url: r for r in crawl_frontier(
+                df, "t_frontier_store"
+            ).collect()
+        }
+        # b.com/new cited by both pages (case/port/tracking noise washes)
+        assert got["http://b.com/new"].n_refs == 2
+        assert got["http://b.com/new"].n_src_docs == 2
+        assert got["http://b.com/new"].host == "b.com"
+        # root-relative resolves against the source host
+        assert got["http://a.com/about"].n_refs == 1
+        # fetched pages (a.com/x via fragment-noise) are NOT frontier;
+        # out-of-contract forms never surface
+        assert "http://a.com/x" not in got
+        assert all("proto.com" not in k and "mailto" not in k
+                   and not k.endswith("#top") for k in got)
+        assert set(got) == {"http://b.com/new", "http://a.com/about"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_frontier_store")
