@@ -142,6 +142,13 @@ def main(argv: list[str] | None = None) -> dict:
                         "n_links, n_docs) to host_edges/ — the edge set "
                         "PageRank/HITS/k-core consume and crawl-politeness "
                         "budgeting reads")
+    p.add_argument("--frontier", action="store_true",
+                   help="with --warc-in: discover the NEXT crawl batch — "
+                        "canonicalized outlink targets not yet in the "
+                        "canonical-URL store ({store-prefix}_urls if it "
+                        "exists, else built from this batch), with "
+                        "citation evidence counts; written to frontier/ "
+                        "under --out")
     p.add_argument("--url-col", default=None, metavar="COL",
                    help="documents column holding each doc's source URL — "
                         "enables the URL/host front-door stages below "
@@ -326,6 +333,7 @@ def main(argv: list[str] | None = None) -> dict:
         summary_sweep = None
 
     summary_links = None
+    summary_frontier = None
     if args.warc_in:
         # Crawl-native input: WARC responses -> (doc_id, url, text).
         # Every per-language stage downstream needs --langid because a
@@ -373,6 +381,33 @@ def main(argv: list[str] | None = None) -> dict:
                     os.path.join(args.out, "anchor_corpus")
                 )
             anchors.unpersist()
+        if args.frontier:
+            # Frontier discovery on the RAW decoded pages (r15 — the
+            # step that closes the crawl loop): outlink targets not yet
+            # in the canonical-URL store become the next batch's fetch
+            # list. Reuses the incremental loop's store when one exists
+            # (so the frontier respects ALL crawl history); a fresh run
+            # bootstraps the store from this batch alone.
+            from albedo_spark.operators.dedup_store import build_url_store
+            from albedo_spark.operators.extraction import crawl_frontier
+
+            f_tbl = f"{args.store_prefix}_urls"
+            if not spark.catalog.tableExists(f_tbl):
+                build_url_store(docs, f_tbl, url_col="url")
+            frontier = crawl_frontier(
+                docs, f_tbl, url_col="url", html_col="text"
+            ).persist()
+            summary_frontier = {
+                "n_frontier_urls": frontier.count(),
+                "n_frontier_hosts": frontier.select("host")
+                .distinct()
+                .count(),
+            }
+            if args.out:
+                frontier.write.mode("overwrite").parquet(
+                    os.path.join(args.out, "frontier")
+                )
+            frontier.unpersist()
         if args.html_extract:
             # Block-aware extraction instead of flat tag-stripping: navs,
             # footers and link farms never enter the corpus, so the
@@ -423,6 +458,9 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.link_graph:
         raise ValueError("--link-graph requires --warc-in (links come "
                          "from decoded crawl pages)")
+    elif args.frontier:
+        raise ValueError("--frontier requires --warc-in (frontier "
+                         "targets come from decoded crawl pages)")
     else:
         docs = load_table(spark, args.sf_dir, "documents")
 
@@ -586,6 +624,8 @@ def main(argv: list[str] | None = None) -> dict:
             ).count()
     if summary_links is not None:
         summary["link_graph"] = summary_links
+    if summary_frontier is not None:
+        summary["frontier"] = summary_frontier
     if summary_code is not None:
         summary["code_route"] = summary_code
     if summary_url is not None:

@@ -771,9 +771,23 @@ def crawl_frontier(
     store = spark.table(store_table).select(
         F.col("canonical_url").alias("frontier_url")
     )
-    return agg.join(store, "frontier_url", "left_anti").select(
-        "frontier_url",
-        url_host(F.col("frontier_url")).alias("host"),
-        "n_refs",
-        "n_src_docs",
+    # "not fetched" means not in ANY history: the store (prior batches)
+    # AND this batch's own pages — the store typically advances only
+    # after downstream stages consume the batch, so without the second
+    # anti-join a frontier computed mid-pipeline would re-list URLs the
+    # crawler is holding in its hands right now.
+    own = (
+        docs.select(canonicalize_url(F.col(url_col)).alias("frontier_url"))
+        .where(F.col("frontier_url").isNotNull())
+        .distinct()
+    )
+    return (
+        agg.join(store, "frontier_url", "left_anti")
+        .join(own, "frontier_url", "left_anti")
+        .select(
+            "frontier_url",
+            url_host(F.col("frontier_url")).alias("host"),
+            "n_refs",
+            "n_src_docs",
+        )
     )

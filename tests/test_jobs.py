@@ -1105,3 +1105,81 @@ def test_corpus_job_warc_per_language_extract(tmp_path):
     }
     assert "fuchs" in kept["de"] and "Home" not in kept["de"]  # nav gone
     assert "clocks" in kept["en"]
+
+
+def test_corpus_job_frontier(tmp_path):
+    """--warc-in --frontier (r15): the crawl loop's output — outlink
+    targets not yet fetched land in frontier/ with citation counts;
+    pages already in the batch (and so in the bootstrapped URL store)
+    never appear; a second run whose WARC fetched a frontier URL
+    removes it from the NEXT frontier (the store advanced)."""
+    import pytest as _pytest
+
+    from albedo_spark.jobs.corpus import main
+    from albedo_spark.session import get_spark
+    from tests.test_warc import _http, _record
+
+    with _pytest.raises(ValueError, match="requires --warc-in"):
+        main(["--frontier"])
+
+    page_a = (
+        '<html><body><p>alpha page with some plain words here '
+        '<a href="http://b.example.com/next?utm_source=f">next page</a> '
+        '<a href="/self/about">about</a></p></body></html>'
+    ).encode()
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(
+        _record("response", "http://a.example.com/start", _http(page_a),
+                rid="<urn:uuid:fa>")
+    )
+    spark = get_spark("t-frontier-cli")
+    spark.sql("DROP TABLE IF EXISTS t_front_store_urls")
+    try:
+        summary = main([
+            "--warc-in", str(wdir), "--out", str(tmp_path / "o1"),
+            "--langid", "--frontier", "--store-prefix", "t_front_store",
+        ])
+        fr = summary["frontier"]
+        assert fr["n_frontier_urls"] == 2
+        back = {
+            r.frontier_url: r.n_refs
+            for r in spark.read.parquet(
+                str(tmp_path / "o1" / "frontier")
+            ).collect()
+        }
+        assert back == {
+            "http://b.example.com/next": 1,
+            "http://a.example.com/self/about": 1,
+        }
+
+        # second crawl batch fetched one frontier target; the store
+        # (reused via --store-prefix) was NOT advanced by run 1's
+        # frontier (discovery never admits), but run 2's own pages
+        # bootstrap-join it — b.example.com/next is now fetched and
+        # must vanish from the frontier
+        page_b = (
+            "<html><body><p>the b page plain words and one link "
+            '<a href="http://c.example.com/deeper">go deeper</a>'
+            "</p></body></html>"
+        ).encode()
+        (wdir / "b.warc").write_bytes(
+            _record("response", "http://b.example.com/next",
+                    _http(page_b), rid="<urn:uuid:fb>")
+        )
+        summary2 = main([
+            "--warc-in", str(wdir), "--out", str(tmp_path / "o2"),
+            "--langid", "--frontier", "--store-prefix", "t_front_store",
+            "--incremental-filter", "doc_id >= 0", "--url-col", "url",
+        ])
+        back2 = {
+            r.frontier_url
+            for r in spark.read.parquet(
+                str(tmp_path / "o2" / "frontier")
+            ).collect()
+        }
+        assert "http://c.example.com/deeper" in back2
+        assert "http://b.example.com/next" not in back2
+    finally:
+        for t in ("urls", "digests", "minhash"):
+            spark.sql(f"DROP TABLE IF EXISTS t_front_store_{t}")
