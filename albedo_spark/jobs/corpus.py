@@ -1381,11 +1381,20 @@ def main(argv: list[str] | None = None) -> dict:
             if url_blm and not spark.catalog.tableExists(url_blm):
                 # Derived from the URL store — rebuildable, and the rung
                 # where the sidecar pays most (every fetched page probes
-                # this store; frontier crawls are mostly-new)
-                build_bloom_sidecar(
-                    spark, url_tbl, url_blm,
-                    key_col="canonical_url", num_bits=args.bloom_bits,
-                )
+                # this store; frontier crawls are mostly-new). Sharded
+                # form under --bloom-shards, like the digest rung.
+                if args.bloom_shards:
+                    build_sharded_bloom_sidecar(
+                        spark, url_tbl, url_blm,
+                        key_col="canonical_url",
+                        num_shards=args.bloom_shards,
+                        num_bits=args.bloom_bits,
+                    )
+                else:
+                    build_bloom_sidecar(
+                        spark, url_tbl, url_blm,
+                        key_col="canonical_url", num_bits=args.bloom_bits,
+                    )
             url_res = url_dedup_incremental(
                 batch, url_tbl, url_col=args.url_col,
                 bloom_table=url_blm,
@@ -1400,14 +1409,21 @@ def main(argv: list[str] | None = None) -> dict:
             if url_blm:
                 # Lockstep (the no-false-negative contract): bits for
                 # keys the admit guard skipped are already set — setting
-                # them again is harmless OR-merge
-                append_bloom(
-                    url_res.where(
-                        "NOT is_dup AND canonical_url IS NOT NULL"
-                    ).select("canonical_url"),
-                    url_blm,
-                    key_col="canonical_url",
-                )
+                # them again is harmless OR-merge. Follow the EXISTING
+                # sidecar's schema, never the flag (the digest-rung
+                # rule: a loop toggling --bloom-shards mid-history
+                # cannot mix forms).
+                url_novel = url_res.where(
+                    "NOT is_dup AND canonical_url IS NOT NULL"
+                ).select("canonical_url")
+                if "shard" in spark.table(url_blm).columns:
+                    append_sharded_bloom(
+                        url_novel, url_blm, key_col="canonical_url"
+                    )
+                else:
+                    append_bloom(
+                        url_novel, url_blm, key_col="canonical_url"
+                    )
             batch = batch.join(
                 url_res.where("NOT is_dup").select("doc_id"),
                 "doc_id",
@@ -1504,9 +1520,14 @@ def main(argv: list[str] | None = None) -> dict:
                 )
                 url_blm_tbl = f"{args.store_prefix}_urls_bloom"
                 if spark.catalog.tableExists(url_blm_tbl):
+                    url_merge_fn = (
+                        merge_sharded_bloom_generations
+                        if "shard" in spark.table(url_blm_tbl).columns
+                        else merge_bloom_generations
+                    )
                     summary["incremental"]["compaction"][
                         "url_bloom_generations"
-                    ] = merge_bloom_generations(spark, url_blm_tbl)
+                    ] = url_merge_fn(spark, url_blm_tbl)
 
     if args.quality_model_dim:
         # CCNet-style model-based quality stage: weak labels from the

@@ -400,3 +400,47 @@ def test_url_bloom_resolution_equivalence(spark):
         assert any(not r[2] for r in plain)
     finally:
         _drop(spark, "blu_store", "blu_side")
+
+
+def test_url_sharded_bloom_resolution_equivalence(spark):
+    """Sharded-sidecar branch at the URL rung: byte-identical to the
+    plain path (the inverted probe — keys broadcast INTO the sidecar
+    scan — applied to canonical_url keys)."""
+    from albedo_spark.operators.dedup_store import (
+        build_sharded_bloom_sidecar,
+        build_url_store,
+        url_dedup_incremental,
+    )
+
+    docs = _real_docs(spark).withColumn(
+        "url",
+        F.concat(
+            F.lit("http://S"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 19).cast("string"),
+        ),
+    ).select("doc_id", "url")
+    hist = docs.where("doc_id % 3 != 0")
+    build_url_store(hist, "blus_store", num_buckets=8)
+    build_sharded_bloom_sidecar(
+        spark, "blus_store", "blus_side",
+        key_col="canonical_url", num_shards=4, num_bits=1 << 12,
+    )
+    try:
+        batch = docs.where("doc_id % 3 = 0").select(
+            (F.col("doc_id") + 70000).alias("doc_id"), "url"
+        )
+        plain = {
+            tuple(r)
+            for r in url_dedup_incremental(batch, "blus_store").collect()
+        }
+        sharded = {
+            tuple(r)
+            for r in url_dedup_incremental(
+                batch, "blus_store", bloom_table="blus_side"
+            ).collect()
+        }
+        assert plain == sharded
+        assert any(r[2] for r in plain)
+    finally:
+        _drop(spark, "blus_store", "blus_side")
