@@ -714,6 +714,8 @@ def crawl_frontier(
     url_col: str = "url",
     html_col: str = "html",
     id_col: str = "doc_id",
+    per_host_cap: int | None = None,
+    num_salts: int = 16,
 ) -> DataFrame:
     """Frontier discovery — the step that CLOSES the crawl loop (r15):
     every outlink target this batch discovered, canonicalized, that is
@@ -729,8 +731,14 @@ def crawl_frontier(
     href form (relative-path, fragment-only, mailto:) is out of
     contract and dropped, like unquoted hrefs. ``n_refs`` counts link
     occurrences (evidence weight), ``n_src_docs`` distinct citing
-    pages — a frontier scheduler sorts on these, then applies
-    ``host_cap_sample`` for politeness.
+    pages — a frontier scheduler sorts on these.
+
+    ``per_host_cap``: the POLITENESS budget — keep at most that many
+    frontier URLs per destination host, the best-evidenced first
+    (``n_refs`` desc, URL asc — deterministic, both engines replay
+    it). Capping is the two-phase salted top-k (``host_cap_sample``'s
+    skew shape): a link farm pointing a million URLs at one host never
+    serializes through a single window partition.
 
     Plan at 100 TB: extraction and resolution are map-only; one
     partial-aggregated groupBy on the canonical target; the store side
@@ -781,7 +789,7 @@ def crawl_frontier(
         .where(F.col("frontier_url").isNotNull())
         .distinct()
     )
-    return (
+    out = (
         agg.join(store, "frontier_url", "left_anti")
         .join(own, "frontier_url", "left_anti")
         .select(
@@ -790,4 +798,20 @@ def crawl_frontier(
             "n_refs",
             "n_src_docs",
         )
+    )
+    if per_host_cap is None:
+        return out
+    order = [F.col("n_refs").desc(), F.col("frontier_url").asc()]
+    w1 = Window.partitionBy(
+        "host",
+        F.pmod(F.xxhash64("frontier_url"), F.lit(num_salts)),
+    ).orderBy(*order)
+    phase1 = out.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= per_host_cap
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        phase1.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= per_host_cap)
+        .drop("_r1", "_r2")
     )

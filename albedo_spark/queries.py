@@ -11885,6 +11885,146 @@ def q194_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(pages, table)
 
 
+@query(
+    "q195_frontier_politeness_cap",
+    f"""
+    WITH src AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS u, {_LINK_HTML_SQL} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    fetched_raw AS (SELECT doc_id, u FROM src),
+    raw AS (SELECT doc_id, u FROM fetched_raw),
+    {_URL_CANON_DUCK},
+    fetched AS (SELECT DISTINCT canonical_url FROM canon),
+    l AS (
+        SELECT doc_id, u,
+               regexp_extract_all(html, '{_HREF_ANCHOR_SQL}', 1) AS hs
+        FROM src
+    ),
+    e AS (
+        SELECT doc_id, u, CAST(i + 1 AS INT) AS link_pos,
+               trim(hs[i + 1]) AS href
+        FROM l, LATERAL (SELECT unnest(range(len(hs))) AS i) t
+    ),
+    tgt AS (
+        SELECT doc_id, link_pos,
+               CASE
+                 WHEN regexp_matches(href,
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+                 WHEN href LIKE '/%' AND href NOT LIKE '//%'
+                      AND regexp_extract(trim(u),
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0) <> ''
+                      THEN regexp_extract(trim(u),
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0) || href
+               END AS t
+        FROM e
+    ),
+    cand_raw AS (
+        SELECT doc_id AS src_doc, link_pos, t
+        FROM tgt WHERE t IS NOT NULL
+    ),
+    raw2 AS (
+        SELECT src_doc * 1000000 + link_pos AS doc_id, t AS u
+        FROM cand_raw
+    ),
+    defrag2 AS (
+        SELECT doc_id, regexp_replace(trim(u), '#.*$', '') AS u FROM raw2
+    ),
+    parts2 AS (
+        SELECT doc_id, u,
+               regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*') AS pre
+        FROM defrag2
+    ),
+    split_q2 AS (
+        SELECT doc_id, u, pre,
+               CASE WHEN lower(pre) LIKE 'http://%'
+                        THEN regexp_replace(lower(pre), ':80$', '')
+                    WHEN lower(pre) LIKE 'https://%'
+                        THEN regexp_replace(lower(pre), ':443$', '')
+                    ELSE lower(pre) END AS pre_lc,
+               regexp_extract(substr(u, length(pre) + 1), '^[^?]*') AS path,
+               CASE WHEN length(substr(u, length(pre) + 1))
+                         > length(regexp_extract(substr(u, length(pre) + 1),
+                                                 '^[^?]*'))
+                    THEN substr(substr(u, length(pre) + 1),
+                                length(regexp_extract(
+                                    substr(u, length(pre) + 1), '^[^?]*'
+                                )) + 2)
+                    ELSE '' END AS q
+        FROM parts2
+    ),
+    canon2 AS (
+        SELECT doc_id // 1000000 AS src_doc,
+               CASE WHEN pre <> '' THEN
+                   pre_lc || regexp_replace(path, '/+$', '') ||
+                   CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+               ELSE u END AS frontier_url
+        FROM (
+            SELECT *,
+                   array_to_string(list_filter(string_split(q, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref_src)=')),
+                       '&') AS kept
+            FROM split_q2
+        )
+    ),
+    agg AS (
+        SELECT frontier_url,
+               CAST(count(*) AS BIGINT) AS n_refs,
+               CAST(count(DISTINCT src_doc) AS BIGINT) AS n_src_docs
+        FROM canon2 GROUP BY frontier_url
+    )
+,
+    frontier AS (
+    SELECT a.frontier_url,
+           regexp_replace(regexp_replace(regexp_replace(
+               lower(regexp_extract(trim(a.frontier_url),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*')),
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+               ':[0-9]+$', ''), '^www\\.', '') AS host,
+           a.n_refs, a.n_src_docs
+    FROM agg a
+    LEFT JOIN fetched f ON a.frontier_url = f.canonical_url
+    WHERE f.canonical_url IS NULL
+    )
+    SELECT frontier_url, host, n_refs, n_src_docs
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY n_refs DESC, frontier_url
+        ) AS rk
+        FROM frontier
+    ) WHERE rk <= 1
+    """,
+)
+def q195_frontier_politeness_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier with its POLITENESS budget applied (crawl_frontier
+    per_host_cap — q194's post-window sibling): keep the single
+    best-evidenced target per destination host (n_refs desc, URL asc —
+    at fixture scale the /p-vs-/q tie resolves on the URL, so the gate
+    certifies the tiebreak too). The operator caps with the TWO-PHASE
+    salted top-k (host_cap_sample's skew shape — a link farm pointing
+    a million URLs at one host never serializes through one window
+    partition; the salt function need not replay, by the q177
+    dominance argument); the oracle replays selection with ONE exact
+    window over the full q194 frontier statement. Plan: q194's +
+    two WindowGroupLimit-pruned row_number windows."""
+    from albedo_spark.operators.dedup_store import build_url_store
+    from albedo_spark.operators.extraction import crawl_frontier
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        "doc_id",
+        F.expr(_MESSY_URL_SPARK).alias("url"),
+        F.expr(_LINK_HTML_SQL).alias("html"),
+    )
+    tag = "urlstore_q194_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = _memo_store(
+        spark, sf_dir, "documents", tag,
+        lambda t: build_url_store(pages, t, num_buckets=16),
+    )
+    return crawl_frontier(pages, table, per_host_cap=1)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (driver-record window)
 # ---------------------------------------------------------------------------

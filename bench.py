@@ -195,6 +195,7 @@ HEADLINE2 = [
     "q192_anchor_corpus_by_url",
     "q193_host_quality_profile",
     "q194_crawl_frontier",
+    "q195_frontier_politeness_cap",
 ]
 
 # Cross-round comparability for tier-2 (VERDICT r5 ask #7): the normalized

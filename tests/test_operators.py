@@ -1469,3 +1469,32 @@ def test_crawl_frontier(spark):
         assert set(got) == {"http://b.com/new", "http://a.com/about"}
     finally:
         spark.sql("DROP TABLE IF EXISTS t_frontier_store")
+
+
+def test_crawl_frontier_politeness_cap(spark):
+    """per_host_cap keeps the best-evidenced target per host
+    (n_refs desc, URL asc), two-phase salted — equal to one exact
+    ranking on a hand example with a tie."""
+    from albedo_spark.operators.dedup_store import build_url_store
+    from albedo_spark.operators.extraction import crawl_frontier
+
+    pages = [
+        (1, "http://s.com/1",
+         '<p><a href="http://t.com/a">x</a><a href="http://t.com/b">y</a>'
+         '<a href="http://u.com/c">z</a></p>'),
+        (2, "http://s.com/2",
+         '<p><a href="http://t.com/b">y2</a></p>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    try:
+        build_url_store(df, "t_fcap_store", num_buckets=4)
+        got = {
+            r.frontier_url
+            for r in crawl_frontier(
+                df, "t_fcap_store", per_host_cap=1
+            ).collect()
+        }
+        # t.com: /b has 2 refs and beats /a (1 ref); u.com keeps /c
+        assert got == {"http://t.com/b", "http://u.com/c"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fcap_store")
