@@ -149,6 +149,11 @@ def main(argv: list[str] | None = None) -> dict:
                         "exists, else built from this batch), with "
                         "citation evidence counts; written to frontier/ "
                         "under --out")
+    p.add_argument("--frontier-host-cap", type=int, default=None,
+                   metavar="N",
+                   help="with --frontier: keep at most N frontier URLs per "
+                        "destination host (best-evidenced first — the "
+                        "politeness budget; two-phase salted top-k)")
     p.add_argument("--url-col", default=None, metavar="COL",
                    help="documents column holding each doc's source URL — "
                         "enables the URL/host front-door stages below "
@@ -395,7 +400,8 @@ def main(argv: list[str] | None = None) -> dict:
             if not spark.catalog.tableExists(f_tbl):
                 build_url_store(docs, f_tbl, url_col="url")
             frontier = crawl_frontier(
-                docs, f_tbl, url_col="url", html_col="text"
+                docs, f_tbl, url_col="url", html_col="text",
+                per_host_cap=args.frontier_host_cap,
             ).persist()
             summary_frontier = {
                 "n_frontier_urls": frontier.count(),
