@@ -962,7 +962,20 @@ def test_corpus_job_link_graph(tmp_path):
         "--langid", "--link-graph",
     ])
     lg = summary["link_graph"]
-    assert lg == {"n_edges": 3, "n_links": 3}
+    # r15: the anchor corpus rides the same extraction — "to b"/"rel"
+    # target a.example.com (relative stays on source) and b.example.com
+    assert lg == {"n_edges": 3, "n_links": 3, "n_anchor_targets": 2}
+    import duckdb as _duck
+
+    anchors = {
+        t: a
+        for t, a in _duck.sql(
+            f"SELECT target, anchor_text FROM "
+            f"'{tmp_path}/out/anchor_corpus/*.parquet'"
+        ).fetchall()
+    }
+    assert anchors["b.example.com"] == "to b"
+    assert anchors["a.example.com"] == "rel to a"  # (doc, pos) order
 
     import duckdb
 
