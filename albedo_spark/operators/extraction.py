@@ -772,10 +772,6 @@ def crawl_frontier(
         )
         .where(F.col("frontier_url").isNotNull())
     )
-    agg = cand.groupBy("frontier_url").agg(
-        F.count("*").cast("long").alias("n_refs"),
-        F.countDistinct("doc_id").cast("long").alias("n_src_docs"),
-    )
     store = spark.table(store_table).select(
         F.col("canonical_url").alias("frontier_url")
     )
@@ -789,15 +785,24 @@ def crawl_frontier(
         .where(F.col("frontier_url").isNotNull())
         .distinct()
     )
-    out = (
-        agg.join(store, "frontier_url", "left_anti")
-        .join(own, "frontier_url", "left_anti")
-        .select(
-            "frontier_url",
-            url_host(F.col("frontier_url")).alias("host"),
-            "n_refs",
-            "n_src_docs",
-        )
+    # Anti-join the RAW candidate rows BEFORE aggregating: the join then
+    # adopts the store's bucket layout (probe shuffles INTO the store's
+    # partitioning — store side scans bucketed, zero Exchange) and the
+    # evidence aggregate reuses that same key partitioning for free.
+    # Aggregating first would plant a shuffle.partitions-sized
+    # distribution that forces the planner to RE-shuffle the store
+    # (measured: the store scan lost its bucketed read entirely).
+    fresh = cand.join(store, "frontier_url", "left_anti").join(
+        own, "frontier_url", "left_anti"
+    )
+    out = fresh.groupBy("frontier_url").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.countDistinct("doc_id").cast("long").alias("n_src_docs"),
+    ).select(
+        "frontier_url",
+        url_host(F.col("frontier_url")).alias("host"),
+        "n_refs",
+        "n_src_docs",
     )
     if per_host_cap is None:
         return out

@@ -1052,3 +1052,44 @@ def test_url_store_two_batch_equals_batch_dedup(spark):
         assert inc_kept == batch_kept
     finally:
         spark.sql("DROP TABLE IF EXISTS urlstore_eq")
+
+
+def test_crawl_frontier_store_side_never_shuffles(spark):
+    """The frontier anti-join keeps the URL store's bucket discipline:
+    candidates anti-join BEFORE aggregating, so the probe shuffles
+    into the store's layout and the store scan stays bucketed with
+    zero store-side Exchange (aggregating first was measured to cost
+    the store its bucketed read entirely)."""
+    from pyspark.sql import functions as F
+
+    from albedo_spark.operators.dedup_store import build_url_store
+    from albedo_spark.operators.extraction import crawl_frontier
+
+    docs = _real_docs(spark).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p/"), (F.col("doc_id") % 13).cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<p><a href="http://x'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('.com/q">link</a></p>'),
+        ).alias("html"),
+    )
+    build_url_store(docs, "frontier_plan_store", num_buckets=8)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = crawl_frontier(docs, "frontier_plan_store")
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("spark_catalog.default.frontier_plan_store")
+        assert n_scans >= 1
+        assert plan.count("Bucketed: true") == n_scans, plan
+        assert res.count() == 3  # the x{0,1,2}.com targets
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS frontier_plan_store")
