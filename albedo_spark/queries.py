@@ -12246,6 +12246,9 @@ _POST_WINDOW = [
     "q177_host_cap_sample",
     "q191_justext_per_language",
     "q192_anchor_corpus_by_url",
+    "q193_host_quality_profile",
+    "q194_crawl_frontier",
+    "q195_frontier_politeness_cap",
     "q178_langid_quality_cutoff",
     "q179_langid_margin",
     "q180_langid_profile_train",
