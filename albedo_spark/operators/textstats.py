@@ -1234,12 +1234,20 @@ def train_langid_profiles_df(
     already-aggregated distinct-gram frame."""
     from pyspark.sql import Window
 
+    from albedo_spark.io import widen
+
     text = F.col(text_col)
     if head_chars is not None:
         text = F.substring(text, 1, head_chars)
-    base = docs.where(
-        F.col(text_col).isNotNull() & F.col(lang_col).isNotNull()
-    ).select(
+    # Gram generation is the heavy map stage here exactly as in the
+    # classifier — balance an unsplittable scan before it (no-op on
+    # wide inputs; see langid_chargram).
+    src = widen(
+        docs.where(
+            F.col(text_col).isNotNull() & F.col(lang_col).isNotNull()
+        ).select(lang_col, text_col)
+    )
+    base = src.select(
         F.col(lang_col).alias("lang"),
         F.explode(_char_grams_123(_langid_norm_col(text))).alias("g"),
     )
@@ -1302,11 +1310,22 @@ def langid_chargram(
     struct-min argmin (see the dominance note inline — no cross-join,
     no window). The corpus is touched exactly once, truncated."""
 
+    from albedo_spark.io import widen
+
     spark = docs.sparkSession
     prof = spark.createDataFrame(
         profiles if profiles is not None else
         train_char_ngram_profiles(n_max=n_max, top_k=top_k),
         "lang string, g string, r int",
+    )
+    # The per-doc ranked profile (gram chain + two in-row sorts) is the
+    # operator's dominant cost and fuses into the SCAN stage — an
+    # unsplittable single-file input would serialize it onto one core
+    # (guide-§2.5 input skew). widen() balances exactly that case and
+    # is a no-op on any scan that already fills the cores; projecting
+    # to (id, text) first keeps the balancing exchange minimal.
+    docs = widen(
+        docs.where(F.col(text_col).isNotNull()).select(id_col, text_col)
     )
     norm = _langid_norm_col(F.substring(F.col(text_col), 1, head_chars))
 
