@@ -622,17 +622,36 @@ def bm25_store_search(
         "(10000 * 22 * tf * avgdl_x100)"
         " div (10*tf*avgdl_x100 + 3*avgdl_x100 + 900*dl)"
     )
-    scored = (
-        post.join(F.broadcast(qterms), "w")
-        .crossJoin(F.broadcast(stats))
+    # The per-term-per-doc BM25 contribution depends only on the posting
+    # row (+ the frozen scalars) — never on the query — so compute it
+    # ONCE per posting row BEFORE the query-term join instead of once
+    # per joined row. The join fan-out is |matched (q, w, d)| (orders of
+    # magnitude more rows than postings whenever queries share
+    # high-df terms); moving the integer div chain below the join and
+    # projecting to (w, doc_id, contrib) keeps the fan-out stream
+    # narrow (guide §2.3). Identical integers, identical sums.
+    contrib = (
+        post.crossJoin(F.broadcast(stats))
         .withColumn("_idf_x10k", idf_x10k)
         .withColumn("_tfpart_x10k", tfpart_x10k)
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(
-                F.expr("(_idf_x10k * _tfpart_x10k) div 10000")
-            ).alias("bm25_x10k")
+        .select(
+            "w",
+            "doc_id",
+            F.expr("(_idf_x10k * _tfpart_x10k) div 10000").alias("_c"),
         )
+    )
+    # The broadcast-join fan-out and its (query, doc) partial aggregate
+    # run inside the posting-scan stage, so their parallelism equals
+    # the store's bucket count; balance the (narrow, |postings|-sized)
+    # contrib frame when that cannot fill the cores. No-op on stores
+    # whose bucket count already does (the 100 TB case).
+    from albedo_spark.io import widen
+
+    contrib = widen(contrib)
+    scored = (
+        contrib.join(F.broadcast(qterms), "w")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_c").alias("bm25_x10k"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25_x10k").desc(), F.col("doc_id").asc()
@@ -969,17 +988,27 @@ def bm25_store_prf_search(
         "(10000 * 22 * tf * avgdl_x100)"
         " div (10*tf*avgdl_x100 + 3*avgdl_x100 + 900*dl)"
     )
-    scored = (
-        post.join(F.broadcast(expanded), "w")
-        .crossJoin(F.broadcast(stats))
+    # Per-posting contribution computed BEFORE the term join, exactly
+    # as in bm25_store_search: the (idf·tfpart) div chain depends only
+    # on the posting row + frozen scalars; only the query-dependent
+    # ``wt`` multiplier stays on the fanned-out side. Identical BIGINTs.
+    contrib = (
+        post.crossJoin(F.broadcast(stats))
         .withColumn("_idf_x10k", idf_x10k)
         .withColumn("_tfpart_x10k", tfpart_x10k)
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(
-                F.expr("wt * ((_idf_x10k * _tfpart_x10k) div 10000)")
-            ).alias("prf_x10k")
+        .select(
+            "w",
+            "doc_id",
+            F.expr("(_idf_x10k * _tfpart_x10k) div 10000").alias("_c"),
         )
+    )
+    from albedo_spark.io import widen
+
+    contrib = widen(contrib)  # same bucket-count balancing as pass 1
+    scored = (
+        contrib.join(F.broadcast(expanded), "w")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr("wt * _c")).alias("prf_x10k"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("prf_x10k").desc(), F.col("doc_id").asc()
