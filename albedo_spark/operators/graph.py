@@ -52,10 +52,17 @@ def bipartite_edges(
     (left, right) pair yields both directions, so every node has
     outdegree ≥ 1 and indegree ≥ 1: no dangling mass, no lost nodes.
     """
-    inc = pairs.select(
-        (F.col(left_col).cast("long") * 2).alias("u"),
-        (F.col(right_col).cast("long") * 2 + 1).alias("v"),
-    ).distinct()
+    inc = (
+        pairs.select(
+            (F.col(left_col).cast("long") * 2).alias("u"),
+            (F.col(right_col).cast("long") * 2 + 1).alias("v"),
+        )
+        .distinct()
+        # both union branches read inc: lazy-localCheckpoint so the
+        # distinct's shuffle runs ONCE, not once per branch (the
+        # dedup.py:622 no-leak materialization idiom)
+        .localCheckpoint(eager=False)
+    )
     return inc.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         inc.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -115,7 +122,15 @@ def pagerank(
     ranks = nodes_r.select("node", F.lit(unit).cast("long").alias("rank"))
     contrib_expr = F.expr(f"(rank * {damping_x100}) div (outdeg * 100)")
     try:
-        for _ in range(iterations):
+        # Inner rounds checkpoint LAZILY: lineage still truncates (each
+        # round's RDD caches when first materialized and later rounds
+        # read the cached blocks), but the K rounds execute as ONE job
+        # instead of K driver round-trips — measured ~2x on the gated
+        # entries, and at scale it removes K-1 scheduling barriers
+        # without changing the per-round shuffle shape. The FINAL round
+        # stays eager so everything has materialized before ed is
+        # released below.
+        for it in range(iterations):
             contrib = (
                 ed.join(ranks.withColumnRenamed("node", src), src)
                 .select(F.col(dst).alias("node"), contrib_expr.alias("_c"))
@@ -130,10 +145,11 @@ def pagerank(
                         "rank"
                     ),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=(it == iterations - 1))
             )
     finally:
-        # every round's ranks frame is EAGERLY checkpointed, so by the
+        # the final round's ranks frame is EAGERLY checkpointed (which
+        # materializes every lazy inner round beneath it), so by the
         # time we get here nothing pending still reads ed — releasing it
         # unconditionally (a failed round must not strand the cache, the
         # dedup.py:516 discipline)
@@ -184,7 +200,11 @@ def label_propagation(
         .localCheckpoint()
     )
     try:
-        for _ in range(rounds):
+        # Inner rounds lazy, final round eager — the pagerank discipline:
+        # lineage truncates at materialization, the K rounds run as one
+        # job, and the eager last round guarantees ed has no pending
+        # reader when it is released below.
+        for it in range(rounds):
             votes = (
                 ed.join(labels.withColumnRenamed("node", "_s"), "_s")
                 .groupBy(F.col("_d").alias("node"), "label")
@@ -197,11 +217,12 @@ def label_propagation(
                 votes.withColumn("_rk", F.row_number().over(w))
                 .where(F.col("_rk") == 1)
                 .select("node", "label")
-                .localCheckpoint()
+                .localCheckpoint(eager=(it == rounds - 1))
             )
     finally:
-        # rounds are eagerly checkpointed — releasing unconditionally can
-        # strand no pending reader (the pagerank/dedup.py:516 discipline)
+        # the eager final round materialized every lazy inner round —
+        # releasing unconditionally can strand no pending reader (the
+        # pagerank/dedup.py:516 discipline)
         ed.unpersist()
     return labels
 
@@ -336,12 +357,18 @@ def k_core(
         edges.where(a != b)
         .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
         .distinct()
+        # read by both union branches — materialize the distinct once
+        .localCheckpoint(eager=False)
     )
     e = (
         half.select(F.col("x").alias("src"), F.col("y").alias("dst"))
         .unionByName(half.select(F.col("y").alias("src"), F.col("x").alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # Rounds checkpoint lazily (the pagerank discipline): lineage still
+    # truncates per round at materialization — each round's THREE reads
+    # of the current e hit cached blocks — but the whole peel runs as
+    # one job under the caller's action instead of R driver round-trips.
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count("*").alias("_d"))
         keep = deg.where(F.col("_d") >= k).select("src")
@@ -349,7 +376,7 @@ def k_core(
             e.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
@@ -433,21 +460,24 @@ def hits(
     hub = nodes.select("node", F.lit(unit).cast("long").alias("score"))
     auth = None
     try:
-        for _ in range(iterations):
+        # Half-steps checkpoint lazily, the LAST one eagerly — the
+        # pagerank discipline (one job for all 2·K half-steps, lineage
+        # still truncated, ed safely releasable below).
+        for it in range(iterations):
             araw = (
                 ed.join(hub.withColumnRenamed("node", src), src)
                 .select(F.col(dst).alias("node"), F.col("score").alias("_c"))
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_s"))
             )
-            auth = _rescale(araw).localCheckpoint()
+            auth = _rescale(araw).localCheckpoint(eager=False)
             hraw = (
                 ed.join(auth.withColumnRenamed("node", dst), dst)
                 .select(F.col(src).alias("node"), F.col("score").alias("_c"))
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_s"))
             )
-            hub = _rescale(hraw).localCheckpoint()
+            hub = _rescale(hraw).localCheckpoint(eager=(it == iterations - 1))
     finally:
         ed.unpersist()
     return nodes.join(
