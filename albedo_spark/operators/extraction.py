@@ -170,9 +170,15 @@ def html_blocks(
     degenerate thresholds for them. ``stopwords`` is ignored when
     ``lang_col`` is given.
     """
+    from albedo_spark.io import widen
+
     frag = F.col("_frag")
     clean = strip_markup(frag)
-    base = docs.where(F.col(html_col).isNotNull())
+    # the block split + per-fragment markup stripping fuse into the
+    # scan stage — balance an unsplittable scan (no-op on wide inputs),
+    # projecting to just the columns this operator reads
+    needed = [id_col, html_col] + ([lang_col] if lang_col else [])
+    base = widen(docs.where(F.col(html_col).isNotNull()).select(*needed))
     if lang_col is None:
         sel = [F.col(id_col).alias("doc_id")]
         sw_of_row = F.array(*[F.lit(s) for s in stopwords])
@@ -434,9 +440,13 @@ def html_outlinks(
             h.alias("href"), strip_markup(t).alias("anchor_text")
         ),
     )
+    from albedo_spark.io import widen
+
+    # two full-page regex extractions per row fuse into the scan —
+    # balance an unsplittable scan first (no-op on wide inputs)
+    src = widen(docs.where(html.isNotNull()).select(id_col, html_col))
     return (
-        docs.where(html.isNotNull())
-        .select(
+        src.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(pairs).alias("_p", "_e"),
         )

@@ -59,8 +59,14 @@ def build_cms(
     many input rows or distinct keys. The zero-fill frame is a cross of
     two tiny ranges (broadcast scale by construction).
     """
+    from albedo_spark.io import widen
+
     key = F.col(key_col).cast("string")
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    # depth md5 chains per input row fuse into the scan stage — balance
+    # an unsplittable scan so the hashing fills the cores (no-op when
+    # the scan already does; guide §2.5 input skew)
+    df = widen(df)
     pairs = df.select(
         F.posexplode(_buckets(key, depth, width)).alias("row", "bucket"),
         w.alias("_w"),
@@ -148,12 +154,15 @@ def build_hll(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
     feed ``shiftleft`` a negative count (masked mod 64 by the JVM into
     garbage), so it is rejected loudly instead.
     """
+    from albedo_spark.io import widen
+
     _check_hll_m(m)
     key = F.col(key_col).cast("string")
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("hll:"), key)), 1, 15), 16, 10
     ).cast("long")
     sentinel = 1 << 54
+    df = widen(df)  # per-row md5 register math — same balancing as build_cms
     rows = df.select(h.alias("_h")).select(
         F.expr(f"_h % {m}").alias("bucket"),
         F.expr(
@@ -243,6 +252,11 @@ def cms_heavy_hitters(
     cells — a few MB broadcast, the same ceiling as any dimension
     broadcast.
     """
+    from albedo_spark.io import widen
+
+    # both passes hash every row depth times — balance the scan once,
+    # build_cms's own widen is then a no-op
+    df = widen(df)
     sketch = build_cms(df, key_col, depth, width).localCheckpoint(eager=False)
     key = F.col(key_col).cast("string")
     probed = df
@@ -288,12 +302,15 @@ def build_hll_by(
     by-product of the same aggregate, broadcast-scale relative to the
     fact table. Register math is the md5/bit_count chain of
     ``build_hll`` — engine-exact, the q136 gate discipline."""
+    from albedo_spark.io import widen
+
     _check_hll_m(m)
     key = F.col(key_col).cast("string")
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("hll:"), key)), 1, 15), 16, 10
     ).cast("long")
     sentinel = 1 << 54
+    df = widen(df)  # per-row md5 register math — same balancing as build_cms
     rows = df.select(F.col(group_col).alias("grp"), h.alias("_h")).select(
         "grp",
         F.expr(f"_h % {m}").alias("bucket"),

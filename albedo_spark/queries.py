@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from albedo_spark.io import load_table
+from albedo_spark.io import load_table, widen
 from albedo_spark.operators.dedup import (
     exact_duplicates,
     jaccard_verify,
@@ -10942,7 +10942,10 @@ def q183_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t = F.expr(_CODE_MIX_SQL)
-    src = d.select("doc_id", t.alias("t"))
+    # five regex-chain signals per doc fuse into the scan stage —
+    # balance the unsplittable single-file scan (no-op on wide inputs;
+    # the router stays hash/range-shuffle-free either way)
+    src = widen(d.select("doc_id", t.alias("t")))
     sig = code_signals(F.col("t"))
     return src.select(
         "doc_id",

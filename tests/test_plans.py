@@ -306,12 +306,31 @@ def test_langid_chargram_plan(spark, name):
     assert _broadcast_subtrees_scan_free(jp), plan
 
 
+
+
+def _data_shuffles(plan: str) -> list[str]:
+    """Hash/range Exchange lines — the DATA-DEPENDENT shuffles a map-only
+    contract forbids. An `Exchange roundrobinpartitioning` is NOT one:
+    io.widen() adds it only when an unsplittable input scan cannot fill
+    the session's cores (single-file fixtures; a no-op on any wide
+    production scan), balancing the heavy map stage without keying the
+    data. The pins below assert the property, not a bare node count."""
+    return [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+    ]
+
+
 def test_q181_justext_single_exchange(spark):
     """jusText classification: map-only regex chains into ONE per-doc
     hash partitioning shared by the block-index row_number and all
-    neighbour windows — segmentation never shuffles twice."""
+    neighbour windows — segmentation never shuffles twice. (The
+    optional widen() round-robin that balances an unsplittable scan is
+    not a data shuffle — see _data_shuffles.)"""
     plan = _plan(spark, "q181_justext_blocks")
-    assert plan.count("Exchange") == 1
+    assert len(_data_shuffles(plan)) == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -319,7 +338,7 @@ def test_q183_code_likeness_is_map_only(spark):
     """The code/prose router is a scan-speed projection: no shuffle,
     no Python evaluation — the same class as q67/q68."""
     plan = _plan(spark, "q183_code_likeness")
-    assert "Exchange" not in plan
+    assert not _data_shuffles(plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -343,7 +362,7 @@ def test_q186_q187_link_plans(spark):
     """Outlink extraction is shuffle-free; the host graph shuffles
     exactly once (the partial-aggregated edge count) plus broadcasts."""
     p186 = _plan(spark, "q186_html_outlinks")
-    assert "Exchange" not in p186
+    assert not _data_shuffles(p186), p186
     assert "BatchEvalPython" not in p186 and "ArrowEvalPython" not in p186
     p187 = _plan(spark, "q187_host_link_edges")
     assert p187.count("Exchange hashpartitioning") <= 2  # partial+final agg
