@@ -31,9 +31,15 @@ from albedo_spark.operators.textstats import tokens
 def word_frequencies(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """(word, freq) over the normalized whitespace tokenization."""
+    """(word, freq) over the normalized whitespace tokenization.
+
+    The ONLY corpus-sized pass of every tokenizer trainer (BPE,
+    unigram-LM, WordPiece all start here) — balance an unsplittable
+    scan before the tokenize+explode (no-op on wide inputs)."""
+    from albedo_spark.io import widen
+
     return (
-        docs.where(F.col(text_col).isNotNull())
+        widen(docs.where(F.col(text_col).isNotNull()).select(F.col(text_col)))
         .select(F.explode(tokens(F.col(text_col))).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")

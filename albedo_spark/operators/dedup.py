@@ -552,8 +552,18 @@ def jaccard_verify(
     words = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
     )
-    sh = widen(words).select(
-        F.col(id_col), shingles_from_words(F.col("_w"), shingle_n).alias("sh")
+    sh = (
+        widen(words)
+        .select(
+            F.col(id_col),
+            shingles_from_words(F.col("_w"), shingle_n).alias("sh"),
+        )
+        # referenced TWICE below (the id_a and id_b sides): without a
+        # materialization boundary the whole scan+semi-join+shingle
+        # subtree executes once per side (two identical SMJ branches in
+        # the executed plan) — the same three-reads discipline as the
+        # candidates frame above
+        .localCheckpoint(eager=False)
     )
     out = (
         candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

@@ -161,9 +161,15 @@ def build_bm25_store(
     engine keeps). Costs one extra write of the index size."""
     from albedo_spark.io import drop_orphan_table_location, write_bucketed
 
+    from albedo_spark.io import widen
+
     spark = docs.sparkSession
     toks = (
-        docs.where(F.col(text_col).isNotNull())
+        widen(
+            docs.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col), F.col(text_col)
+            )
+        )
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(tokens(F.col(text_col))).alias("w"),
@@ -732,9 +738,11 @@ def corpus_phrase_dictionary(
     same ``(phrase_id, pt)`` shape."""
     from albedo_spark.operators.textstats import tokens
 
-    toks = docs.select(tokens(F.col(text_col)).alias("w")).where(
-        F.size("w") >= 2
-    )
+    from albedo_spark.io import widen
+
+    toks = widen(docs.select(F.col(text_col))).select(
+        tokens(F.col(text_col)).alias("w")
+    ).where(F.size("w") >= 2)
 
     def top_ngrams(n: int, k: int, id_base: int) -> DataFrame:
         from pyspark.sql import Window

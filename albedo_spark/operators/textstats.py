@@ -243,7 +243,11 @@ def ngram_contamination(
         .distinct()
         .withColumn("_hit", _F.lit(1))
     )
-    exploded = docs.select(
+    from albedo_spark.io import widen as _widen
+
+    exploded = _widen(
+        docs.select(_F.col(id_col), _F.col(text_col))
+    ).select(
         _F.col(id_col), distinct_grams(_F.col(text_col)).alias("_g")
     ).select(
         id_col,
@@ -289,8 +293,12 @@ def hashed_tf_features(
     """
     from pyspark.sql import Window
 
-    tok = docs.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    from albedo_spark.io import widen as _widen
+
+    tok = _widen(
+        docs.where(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        ).select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("t"),
@@ -345,7 +353,9 @@ def bigram_lm_scores(
     one-row cross join (no driver round-trip — the fully-lazy scalar
     idiom ``dsir_importance_scores`` uses).
     """
-    base = docs.select(
+    from albedo_spark.io import widen as _widen
+
+    base = _widen(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).localCheckpoint(eager=False)
     uni = (
@@ -570,8 +580,12 @@ def oov_rate(
     rows), vocabulary broadcast back onto the token stream, one per-doc
     aggregate. The vocabulary is data-derived but bounded — broadcast is
     by construction ``vocab_size`` rows."""
-    toks = docs.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    from albedo_spark.io import widen as _widen
+
+    toks = _widen(
+        docs.where(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        ).select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w")
     )
@@ -639,7 +653,11 @@ def kneser_ney_bigrams(
     scalar B rides a broadcast one-row cross join, and the two stat
     joins are AQE-broadcastable. One TakeOrderedAndProject tail.
     """
-    base = docs.select(tokens(F.col(text_col)).alias("_t"))
+    from albedo_spark.io import widen as _widen
+
+    base = _widen(docs.select(F.col(text_col))).select(
+        tokens(F.col(text_col)).alias("_t")
+    )
     pairs = base.select(
         F.explode(
             F.zip_with(
@@ -730,7 +748,11 @@ def textrank_keywords(
     callers typically drop stopwords first, which only shrinks the
     graph.
     """
-    base = docs.select(tokens(F.col(text_col)).alias("_t"))
+    from albedo_spark.io import widen as _widen
+
+    base = _widen(docs.select(F.col(text_col))).select(
+        tokens(F.col(text_col)).alias("_t")
+    )
     pairs = base.select(
         F.explode(
             F.zip_with(
@@ -797,6 +819,7 @@ def collocations(
     lazy-scalar idiom) with the headroom tripwire inline; one
     TakeOrderedAndProject tail. Nothing after the token aggregates
     scales with the corpus."""
+    from albedo_spark.io import widen as _widen
     from albedo_spark.operators.bpe import _adjacent
 
     if min_count <= delta:
@@ -806,7 +829,7 @@ def collocations(
             "differently across engines"
         )
     arrs = (
-        docs.where(F.col(text_col).isNotNull())
+        _widen(docs.where(F.col(text_col).isNotNull()).select(F.col(text_col)))
         .select(tokens(F.col(text_col)).alias("_w"))
         .where(F.size("_w") > 0)
         .localCheckpoint(eager=False)  # consumers: unigrams + bigrams
