@@ -472,15 +472,28 @@ def host_links(
     host linking somewhere three times carries 3× the edge weight
     downstream (exactly what multigraph PageRank wants)."""
     from albedo_spark.functions.urls import url_host
+    from albedo_spark.io import widen
 
-    links = html_outlinks(docs, html_col, id_col).join(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            url_host(F.col(url_col)).alias("src_host"),
+    # src_host comes from the SAME row the links come from — extract it
+    # in the one map pass instead of re-joining the outlinks back to
+    # docs on doc_id (that join shuffled the whole outlink frame +
+    # re-scanned docs for one derived column; same rows either way)
+    html = F.col(html_col)
+    pairs = F.zip_with(
+        F.regexp_extract_all(html, F.lit(HREF_ANCHOR_PATTERN), 1),
+        F.regexp_extract_all(html, F.lit(HREF_ANCHOR_PATTERN), 2),
+        lambda h, t: F.struct(
+            h.alias("href"), strip_markup(t).alias("anchor_text")
         ),
-        "doc_id",
     )
-    dst = url_host(F.col("href"))
+    links = widen(
+        docs.where(html.isNotNull()).select(id_col, url_col, html_col)
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(pairs).alias("_e"),
+    )
+    dst = url_host(F.col("_e.href"))
     return links.select(
         "doc_id",
         "src_host",
