@@ -22,10 +22,12 @@ SQL engine without struct comparators.
 Scale posture (100 TB): the ONLY corpus-sized pass is the word-frequency
 groupBy (the classic tokenizer-training optimization — identical to
 BPE's); pieces, vocabulary, Viterbi edges, and the unrolled DP all live
-on |distinct words|-bounded frames. The DP is ``word_cap`` unrolled
-tiny join+min rounds (the q121 PageRank iterative idiom); the per-doc
-scoring join brings |distinct words| stats back to the corpus with one
-shuffle (AQE broadcasts it when small).
+on |distinct words|-bounded frames. Positions are bounded by word_cap,
+so the whole DP (and the backtrack walk) unrolls IN-ROW over a pivoted
+per-word edge-cost grid — one groupBy, zero iterative shuffles (the
+round form survives verbatim in the q152/q155/q159 oracle CTEs); the
+per-doc scoring join brings |distinct words| stats back to the corpus
+with one shuffle (AQE broadcasts it when small).
 """
 
 from __future__ import annotations
@@ -136,6 +138,76 @@ def vocab_costs(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _edge_pairs(max_len: int, word_cap: int) -> list[tuple[int, int]]:
+    """All (start, end) position pairs a vocabulary piece can span in a
+    word of length ≤ word_cap: 1 ≤ j − i ≤ max_len — the static edge
+    grid the in-row DP unrolls over (≤ word_cap·max_len pairs)."""
+    return [
+        (i, j)
+        for j in range(1, word_cap + 1)
+        for i in range(max(0, j - max_len), j)
+    ]
+
+
+def _cost_grid(
+    words: DataFrame,
+    costed_vocab: DataFrame,
+    max_len: int,
+    word_cap: int,
+) -> DataFrame:
+    """ONE row per capped distinct word with every in-vocab edge cost
+    pivoted to a static column ``c_{i}_{j}`` (NULL = piece word[i:j) not
+    in the vocabulary). The (word, i, j) edge is unique, so the
+    min(when(...)) pivot is exact. This turns the |words|·edges frame
+    into a |words|-row frame the whole DP can run on IN-ROW — one
+    groupBy instead of word_cap shuffle rounds (guide §2.4)."""
+    capped = words.where(F.length("word") <= word_cap)
+    pe = word_pieces(capped, max_len=max_len).join(
+        F.broadcast(costed_vocab), "piece"
+    )
+    aggs = [
+        F.min(
+            F.when((F.col("i") == i) & (F.col("j") == j), F.col("cost"))
+        ).alias(f"c_{i}_{j}")
+        for (i, j) in _edge_pairs(max_len, word_cap)
+    ]
+    return pe.groupBy("word", "freq").agg(*aggs)
+
+
+def _with_dp_cols(
+    grid: DataFrame, max_len: int, word_cap: int
+) -> DataFrame:
+    """Unrolled in-row Viterbi forward pass over the pivoted cost grid:
+    ``v_j`` = min over i of v_i + c_{i}_{j}·_PACK + 1 (NULL = position
+    unreachable — F.least skips NULL candidates, and a NULL cost or
+    NULL v_i nulls the whole candidate). Identical BIGINTs to the
+    relational round form; zero shuffles, pure whole-stage codegen.
+    Each v_j is its own projection column (referenced up to max_len
+    times downstream), so the optimizer does not inline-duplicate the
+    subtree."""
+    out = grid.withColumn("v_0", F.lit(0).cast("long"))
+    for j in range(1, word_cap + 1):
+        cands = [
+            F.col(f"v_{i}") + F.col(f"c_{i}_{j}") * _PACK + 1
+            for i in range(max(0, j - max_len), j)
+        ]
+        out = out.withColumn(
+            f"v_{j}", cands[0] if len(cands) == 1 else F.least(*cands)
+        )
+    return out
+
+
+def _final_v(word_cap: int):
+    """dp value at the word's own length: element word_len+1 of the
+    1-indexed [v_0 … v_cap] array (NULL when the end is unreachable —
+    cannot happen under a coverage vocab, but the NULL filter matches
+    the relational pos == length join semantics exactly)."""
+    return F.element_at(
+        F.array(*[F.col(f"v_{j}") for j in range(word_cap + 1)]),
+        F.length("word") + 1,
+    )
+
+
 def viterbi_word_stats(
     words: DataFrame,
     costed_vocab: DataFrame,
@@ -148,44 +220,31 @@ def viterbi_word_stats(
     bounds the DP unroll; cap < 32 so the packed metric is exact).
 
     DP: dp[0] = 0; dp[j] = min over vocab pieces word[i:j] of
-    dp[i] + cost·32 + 1, as ``word_cap`` unrolled rounds of
-    (carry-over ∪ transitions) → groupBy min — every round a tiny
-    |words|·positions frame (the q121 unrolled-iteration idiom)."""
+    dp[i] + cost·32 + 1 — computed IN-ROW over the pivoted cost grid
+    (``_cost_grid``): positions are bounded by word_cap, so the whole
+    recurrence unrolls into ≤ word_cap static ``least()`` columns in
+    one codegen stage. The former word_cap relational rounds (carry ∪
+    transitions → groupBy min per round) computed the same BIGINTs
+    through ~2·word_cap shuffle stages of pure latency at fixture scale
+    (guide §2.4: remove shuffles outright); the round form survives in
+    the q152/q155/q159 oracles as chained CTEs, replayed bit-for-bit."""
     assert word_cap < _PACK, "packed metric requires word_cap < 32"
-    capped = words.where(F.length("word") <= word_cap)
-    edges = (
-        word_pieces(capped, max_len=max_len)
-        .join(F.broadcast(costed_vocab), "piece")
-        .select("word", "i", "j", "cost")
-        .localCheckpoint(eager=False)
-    )
-    dp = capped.select(
-        "word", F.lit(0).alias("pos"), F.lit(0).cast("long").alias("v")
-    )
-    for _ in range(word_cap):
-        trans = (
-            dp.join(edges, ["word"])
-            .where(F.col("pos") == F.col("i"))
-            .select(
-                "word",
-                F.col("j").alias("pos"),
-                (F.col("v") + F.col("cost") * _PACK + 1).alias("v"),
-            )
-        )
-        dp = (
-            dp.unionByName(trans)
-            .groupBy("word", "pos")
-            .agg(F.min("v").alias("v"))
-            .localCheckpoint(eager=False)
-        )
+    grid = _cost_grid(words, costed_vocab, max_len, word_cap)
+    dp = _with_dp_cols(grid, max_len, word_cap)
+    # The lazy checkpoint is an OPTIMIZER BARRIER, not a reuse cache:
+    # predicate pushdown substitutes aliases, so the isNotNull filter
+    # below would otherwise inline the whole recursive v_j least()-tree
+    # into one exponential expression (measured: 12x plan size, Janino
+    # OOM). Behind the barrier every v_j stays a column computed once.
+    dp = dp.select("word", "freq", _final_v(word_cap).alias("_vf"))
+    dp = dp.localCheckpoint(eager=False)
     return (
-        capped.join(dp, "word")
-        .where(F.col("pos") == F.length("word"))
+        dp.where(F.col("_vf").isNotNull())
         .select(
             "word",
             "freq",
-            (F.col("v") % _PACK).alias("n_pieces"),
-            F.expr(f"v div {_PACK}").alias("cost"),
+            (F.col("_vf") % _PACK).alias("n_pieces"),
+            F.expr(f"_vf div {_PACK}").alias("cost"),
         )
     )
 
@@ -239,85 +298,65 @@ def _viterbi_backtrack(
     max_len: int = 4,
     word_cap: int = 12,
 ) -> DataFrame:
-    """Relational Viterbi backtrack: ``(word, freq, step, piece)`` —
-    the pieces of every word's OPTIMAL segmentation, emitted back to
-    front (step 0 = last piece). From each word's final state,
-    repeatedly pick the predecessor edge whose dp-value difference
-    matches exactly (the additive metric makes the test exact), tie →
-    smallest start i (the (word, i, pos) edge is unique, so this is a
-    total order) — ``word_cap`` unrolled rounds emitting one piece per
-    word per round. Shared core of the E-step usage counts
-    (``viterbi_piece_usage``) and the encode surface
-    (``viterbi_segment_words``, q155)."""
-    capped = words.where(F.length("word") <= word_cap)
-    edges = (
-        word_pieces(capped, max_len=max_len)
-        .join(F.broadcast(costed_vocab), "piece")
-        .select("word", "i", "j", "piece", "cost")
-        .localCheckpoint(eager=False)
-    )
-    dp = capped.select(
-        "word", F.lit(0).alias("pos"), F.lit(0).cast("long").alias("v")
-    )
-    for _ in range(word_cap):
-        trans = (
-            dp.join(edges, ["word"])
-            .where(F.col("pos") == F.col("i"))
-            .select(
-                "word",
-                F.col("j").alias("pos"),
-                (F.col("v") + F.col("cost") * _PACK + 1).alias("v"),
+    """In-row Viterbi backtrack over the pivoted cost grid: one row per
+    word, with piece columns ``_pc_0 … _pc_{cap-1}`` emitted back to
+    front (``_pc_0`` = LAST piece; NULL once the walk reaches position
+    0). From each word's final state, repeatedly pick the predecessor
+    edge whose dp-value difference matches exactly (the additive metric
+    makes the test exact), tie → smallest start i — the same rule the
+    former relational rounds applied via min(struct(i, piece, pv)),
+    now a static ``least(when(v_i + c·32 + 1 == v_j, i))`` argmin per
+    position plus a ``word_cap``-step in-row walk through the
+    predecessor array. The edge (word, i, j) is unique, so smallest-i
+    determines the piece. Zero shuffles past the grid's one groupBy
+    (formerly ~4·word_cap shuffle stages — guide §2.4). Shared core of
+    the E-step usage counts (``viterbi_piece_usage``) and the encode
+    surface (``viterbi_segment_words``, q155); both oracles replay the
+    round form as materialized CTEs bit-for-bit."""
+    grid = _cost_grid(words, costed_vocab, max_len, word_cap)
+    dp = _with_dp_cols(grid, max_len, word_cap)
+    # per-position predecessor: smallest start i whose edge explains
+    # v_j exactly (least() skips the non-matching NULL candidates)
+    for j in range(1, word_cap + 1):
+        cands = [
+            F.when(
+                F.col(f"v_{i}") + F.col(f"c_{i}_{j}") * _PACK + 1
+                == F.col(f"v_{j}"),
+                F.lit(i),
             )
+            for i in range(max(0, j - max_len), j)
+        ]
+        dp = dp.withColumn(
+            f"_b_{j}", cands[0] if len(cands) == 1 else F.least(*cands)
         )
-        dp = (
-            dp.unionByName(trans)
-            .groupBy("word", "pos")
-            .agg(F.min("v").alias("v"))
-            .localCheckpoint(eager=False)
+    preds = F.array(*[F.col(f"_b_{j}") for j in range(1, word_cap + 1)])
+    # walk back from the word's end: position word-length, then each
+    # step's predecessor; piece = word[i:pos) via substring (the walk
+    # on an unreachable-end word emits all-NULL pieces and is dropped
+    # by the _vf filter after the barrier)
+    dp = dp.withColumn("_p_0", F.length("word"))
+    for s in range(word_cap):
+        p = F.col(f"_p_{s}")
+        dp = dp.withColumn(
+            f"_i_{s}", F.when(p > 0, F.element_at(preds, p))
         )
-    cur = (
-        capped.join(dp, "word")
-        .where(F.col("pos") == F.length("word"))
-        .select("word", "freq", "pos", "v")
-    )
-    # Pre-join every edge with the dp value at its START once — each
-    # backtrack round is then ONE join + filter + argmin instead of two
-    # joins (halves the per-round stage count; at fixture scale the
-    # rounds are pure stage latency, so this is the wall-clock lever).
-    backedges = edges.join(
-        dp.select("word", F.col("pos").alias("i"), F.col("v").alias("pv")),
-        ["word", "i"],
+        i = F.col(f"_i_{s}")
+        dp = dp.withColumn(
+            f"_pc_{s}",
+            F.when(p > 0, F.substring(F.col("word"), i + 1, p - i)),
+        )
+        dp = dp.withColumn(f"_p_{s + 1}", F.coalesce(i, F.lit(0)))
+    # Optimizer barrier (see viterbi_word_stats): keeps predicate
+    # pushdown from inlining the recursive column tree into one
+    # exponential filter expression. Narrow projection first — only the
+    # walk's outputs cross the checkpoint.
+    out = dp.select(
+        "word",
+        "freq",
+        _final_v(word_cap).alias("_vf"),
+        *[F.col(f"_pc_{s}") for s in range(word_cap)],
     ).localCheckpoint(eager=False)
-    used = []
-    for n_step in range(word_cap):
-        # predecessor edges whose dp value explains cur exactly
-        step = (
-            cur.where(F.col("pos") > 0)
-            .join(backedges, ["word"])
-            .where(
-                (F.col("j") == F.col("pos"))
-                & (F.col("pv") + F.col("cost") * _PACK + 1 == F.col("v"))
-            )
-            .groupBy("word", "freq", "pos", "v")
-            .agg(F.min(F.struct("i", "piece", "pv")).alias("b"))
-        )
-        emitted = step.select(
-            "word",
-            "freq",
-            F.lit(n_step).alias("step"),
-            F.col("b.piece").alias("piece"),
-        )
-        used.append(emitted)
-        cur = step.select(
-            "word",
-            "freq",
-            F.col("b.i").alias("pos"),
-            F.col("b.pv").alias("v"),
-        ).localCheckpoint(eager=False)
-    all_used = used[0]
-    for u in used[1:]:
-        all_used = all_used.unionByName(u)
-    return all_used
+    return out.where(F.col("_vf").isNotNull()).drop("_vf")
 
 
 def viterbi_piece_usage(
@@ -328,9 +367,17 @@ def viterbi_piece_usage(
 ) -> DataFrame:
     """E-step of the unigram-LM trainer: ``(piece, usage)`` — how often
     each vocabulary piece appears in the OPTIMAL segmentations, weighted
-    by word frequency (one groupBy over the backtrack emissions)."""
+    by word frequency (explode the in-row walk's piece columns, drop
+    the NULL beyond-path slots, one groupBy)."""
+    bt = _viterbi_backtrack(words, costed_vocab, max_len, word_cap)
     return (
-        _viterbi_backtrack(words, costed_vocab, max_len, word_cap)
+        bt.select(
+            "freq",
+            F.explode(
+                F.array(*[F.col(f"_pc_{s}") for s in range(word_cap)])
+            ).alias("piece"),
+        )
+        .where(F.col("piece").isNotNull())
         .groupBy("piece")
         .agg(F.sum("freq").alias("usage"))
     )
@@ -344,21 +391,22 @@ def viterbi_segment_words(
 ) -> DataFrame:
     """The ENCODE surface (q155 — the unigram twin of BPE's q126):
     ``(word, freq, n_pieces, seg)`` where ``seg`` is the optimal
-    segmentation joined with ``|`` (pieces were emitted back-to-front,
-    so the join orders step DESC). Everything downstream of the
-    backtrack is one tiny per-word aggregate — the corpus never
-    reappears."""
+    segmentation joined with ``|`` in reading order. The in-row walk
+    emits pieces back-to-front, so ``concat_ws`` consumes the piece
+    columns in reverse step order (concat_ws skips the NULL
+    beyond-path slots — no array filter, no regroup: the per-word
+    aggregate the round form needed is now a pure projection)."""
     bt = _viterbi_backtrack(words, costed_vocab, max_len, word_cap)
-    return bt.groupBy("word", "freq").agg(
-        F.count("*").cast("long").alias("n_pieces"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct((-F.col("step")).alias("o"), "piece"))
-                ),
-                lambda s: s["piece"],
-            ),
-            "|",
+    n_pieces = None
+    for s in range(word_cap):
+        term = F.when(F.col(f"_pc_{s}").isNotNull(), 1).otherwise(0)
+        n_pieces = term if n_pieces is None else n_pieces + term
+    return bt.select(
+        "word",
+        "freq",
+        n_pieces.cast("long").alias("n_pieces"),
+        F.concat_ws(
+            "|", *[F.col(f"_pc_{s}") for s in reversed(range(word_cap))]
         ).alias("seg"),
     )
 
