@@ -723,6 +723,11 @@ def connected_components(
             lab2 = merged.select(
                 F.col("node").alias("label"), F.col("label").alias("label2")
             )
+            # LAZY checkpoint: the convergence sum below is the round's
+            # only action, so it MATERIALIZES the checkpoint as a side
+            # effect — one job per round instead of eager-materialize +
+            # sum (two). Lineage still truncates at materialization, and
+            # the next round's joins read the checkpointed RDD.
             jumped = (
                 merged.join(lab2, "label", "left")
                 .select(
@@ -731,7 +736,7 @@ def connected_components(
                         "label"
                     ),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             # Convergence via the label-sum invariant: every step is
             # non-increasing per node (min over neighborhood, then min with
