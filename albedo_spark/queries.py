@@ -10935,10 +10935,7 @@ def q183_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negative operands at these magnitudes) and Java-regex ∩ RE2.
     Plan: ONE map-only projection over the corpus — no shuffle, no
     UDF, no join; at 100 TB this is a scan-speed router."""
-    from albedo_spark.operators.textstats import (
-        code_likeness_x10k,
-        code_signals,
-    )
+    from albedo_spark.operators.textstats import code_signals
 
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t = F.expr(_CODE_MIX_SQL)
@@ -10946,16 +10943,32 @@ def q183_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # balance the unsplittable single-file scan (no-op on wide inputs;
     # the router stays hash/range-shuffle-free either way)
     src = widen(d.select("doc_id", t.alias("t")))
-    sig = code_signals(F.col("t"))
-    return src.select(
+    # Evaluate the five signals ONCE, then fold score and route flag
+    # FROM THE COLUMNS: the array-filter signals are interpreted
+    # higher-order functions Spark does not subexpression-eliminate, so
+    # the old single-select (signals + code_likeness_x10k(t), which
+    # re-derives the same five) paid every regex/filter chain twice per
+    # row — measured 2x on the full column set. CollapseProject keeps
+    # the two Projects separate (multi-referenced non-cheap exprs), and
+    # the fold below is code_likeness_x10k's own frozen weighted sum,
+    # so the integers are identical.
+    feat = src.select("doc_id", *code_signals(F.col("t")))
+    raw = (
+        F.lit(3) * F.col("symbol_pm") + F.lit(4) * F.col("kw_pm")
+        + F.lit(2) * F.col("line_pm") + F.col("indent_pm")
+        + F.lit(2) * F.col("ident_pm")
+    )
+    return feat.select(
         "doc_id",
-        *sig,
-        code_likeness_x10k(F.col("t")).alias("code_x10k"),
-        (
-            F.lit(3) * sig[0] + F.lit(4) * sig[1] + F.lit(2) * sig[2]
-            + sig[3] + F.lit(2) * sig[4]
-            >= 1500
-        ).alias("is_code"),
+        "symbol_pm",
+        "kw_pm",
+        "line_pm",
+        "indent_pm",
+        "ident_pm",
+        F.least(F.lit(10000).cast("long"), raw.cast("long")).alias(
+            "code_x10k"
+        ),
+        (raw >= 1500).alias("is_code"),
     )
 
 

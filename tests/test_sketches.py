@@ -286,3 +286,25 @@ def test_build_histogram_null_contract(spark):
         r.bucket: r.cnt for r in build_histogram(df, "v", edges).collect()
     }
     assert ungrouped == {0: 2, 1: 1, 2: 1}  # NULL v excluded, NULL g counted
+
+
+def test_cms_heavy_hitters_probe_paths_agree(spark, monkeypatch):
+    """The r15 one-row-array probe (small grids) and the per-row
+    broadcast-join probe (million-cell grids) must elect IDENTICAL
+    heavy hitters — the size switch is a plan choice, never a result
+    choice."""
+    import albedo_spark.operators.sketches as sk
+
+    rows = (
+        [(1,)] * 30 + [(2,)] * 25 + [(i,) for i in range(100, 400)]
+    )
+    df = spark.createDataFrame(rows, "k long")
+    arr = sk.cms_heavy_hitters(df, "k", threshold=25, depth=D, width=W)
+    got_arr = {r.k: r.n for r in arr.collect()}
+    monkeypatch.setattr(sk, "_CMS_ARRAY_CELLS_MAX", 0)  # force join path
+    join = sk.cms_heavy_hitters(df, "k", threshold=25, depth=D, width=W)
+    got_join = {r.k: r.n for r in join.collect()}
+    assert got_arr == got_join == {1: 30, 2: 25}
+    # array path: single broadcast, no per-row join chain
+    plan = arr._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") <= 1
