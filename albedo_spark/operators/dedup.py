@@ -212,9 +212,17 @@ def minhash_lsh_pairs(
         ).alias("band", "bkey"),
     )
     sizes = band_keys.groupBy("band", "bkey").agg(F.count("*").alias("_bs"))
-    capped = band_keys.join(
-        sizes.where(F.col("_bs") <= max_bucket), ["band", "bkey"]
-    ).drop("_bs")
+    # capped feeds BOTH sides of the self-join below; the lazy
+    # checkpoint materializes the signature+cap subtree once instead of
+    # relying on exchange reuse to dedupe it (the jaccard_verify
+    # three-reads discipline)
+    capped = (
+        band_keys.join(
+            sizes.where(F.col("_bs") <= max_bucket), ["band", "bkey"]
+        )
+        .drop("_bs")
+        .localCheckpoint(eager=False)
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     return (

@@ -122,14 +122,19 @@ def pagerank(
     ranks = nodes_r.select("node", F.lit(unit).cast("long").alias("rank"))
     contrib_expr = F.expr(f"(rank * {damping_x100}) div (outdeg * 100)")
     try:
-        # Inner rounds checkpoint LAZILY: lineage still truncates (each
-        # round's RDD caches when first materialized and later rounds
-        # read the cached blocks), but the K rounds execute as ONE job
-        # instead of K driver round-trips — measured ~2x on the gated
-        # entries, and at scale it removes K-1 scheduling barriers
-        # without changing the per-round shuffle shape. The FINAL round
-        # stays eager so everything has materialized before ed is
-        # released below.
+        # Inner rounds STACK FULLY LAZILY — no per-round checkpoint.
+        # Each round is consumed exactly once by the next, so there is
+        # nothing for a cache to dedupe, and a checkpoint boundary
+        # ERASES the round's output partitioning: the next round then
+        # re-shuffles the rank frame for the src join and the node
+        # rejoin (3 exchanges/round). Stacked, hashpartitioning flows
+        # alias-through — the src join aligns with the persisted edge
+        # frame and the node rejoin reuses the aggregate's partitioning
+        # — leaving ONE exchange per round (the dst sum). Measured
+        # ~1.6x/3x on the gated entries. Every 8th round still
+        # checkpoints lazily so a large ``iterations`` cannot grow the
+        # plan unboundedly; the FINAL round is eager so everything has
+        # materialized before ed is released below.
         for it in range(iterations):
             contrib = (
                 ed.join(ranks.withColumnRenamed("node", src), src)
@@ -137,16 +142,16 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_s"))
             )
-            ranks = (
-                nodes_r.join(contrib, "node", "left")
-                .select(
-                    "node",
-                    (F.col("_reset") + F.coalesce(F.col("_s"), F.lit(0))).alias(
-                        "rank"
-                    ),
-                )
-                .localCheckpoint(eager=(it == iterations - 1))
+            ranks = nodes_r.join(contrib, "node", "left").select(
+                "node",
+                (F.col("_reset") + F.coalesce(F.col("_s"), F.lit(0))).alias(
+                    "rank"
+                ),
             )
+            if it == iterations - 1:
+                ranks = ranks.localCheckpoint()
+            elif (it + 1) % 8 == 0:
+                ranks = ranks.localCheckpoint(eager=False)
     finally:
         # the final round's ranks frame is EAGERLY checkpointed (which
         # materializes every lazy inner round beneath it), so by the
@@ -200,10 +205,15 @@ def label_propagation(
         .localCheckpoint()
     )
     try:
-        # Inner rounds lazy, final round eager — the pagerank discipline:
-        # lineage truncates at materialization, the K rounds run as one
-        # job, and the eager last round guarantees ed has no pending
-        # reader when it is released below.
+        # Inner rounds stack fully lazily — the pagerank discipline:
+        # each round is consumed exactly once by the next, and a
+        # checkpoint boundary would erase the round's partitioning and
+        # force the next vote join to re-shuffle the label frame; the
+        # stacked plan lets the window's hashpartitioning(node) flow
+        # alias-through into the next round's _s join against the
+        # persisted edge frame. Every 8th round still checkpoints
+        # lazily (plan-growth guard); the final round is eager so ed
+        # has no pending reader when it is released below.
         for it in range(rounds):
             votes = (
                 ed.join(labels.withColumnRenamed("node", "_s"), "_s")
@@ -217,8 +227,11 @@ def label_propagation(
                 votes.withColumn("_rk", F.row_number().over(w))
                 .where(F.col("_rk") == 1)
                 .select("node", "label")
-                .localCheckpoint(eager=(it == rounds - 1))
             )
+            if it == rounds - 1:
+                labels = labels.localCheckpoint()
+            elif (it + 1) % 8 == 0:
+                labels = labels.localCheckpoint(eager=False)
     finally:
         # the eager final round materialized every lazy inner round —
         # releasing unconditionally can strand no pending reader (the
@@ -445,6 +458,13 @@ def hits(
             .otherwise(F.col("_s"))
             .alias("_s"),
         )
+        # guarded is consumed TWICE (the one-row max build and the
+        # rescale join) and holds the whole half-step join+sum subtree —
+        # without a boundary each half-step executed twice, once inside
+        # the broadcast build and once for the join. One lazy
+        # localCheckpoint runs it once (measured ~2.5x on q166, and it
+        # removes the duplicated edge-frame shuffle at any scale).
+        guarded = guarded.localCheckpoint(eager=False)
         m = guarded.agg(F.max("_s").alias("_m"))
         return (
             nodes.join(guarded, "node", "left")
