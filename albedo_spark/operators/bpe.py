@@ -213,7 +213,12 @@ def learn_bpe(
                 "freq",
             )
             .repartition(aff_width)
-            .localCheckpoint()
+            # LAZY: the deltas collect below is the round's first
+            # action and materializes the checkpoint as a side effect —
+            # one job per round instead of eager-materialize + collect
+            # (the connected_components discipline); the next round's
+            # vocab union reads the cached blocks either way.
+            .localCheckpoint(eager=False)
         )
         deltas = (
             aff.select(

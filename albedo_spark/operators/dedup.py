@@ -727,6 +727,12 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
             )
+            # merged feeds BOTH sides of the path-halving self-join
+            # below; without a boundary the HashMin aggregate subtree
+            # executes once per side (exchange reuse does not cover the
+            # differently-keyed lab2 rename). Lazy: the round's
+            # convergence sum materializes it.
+            merged = merged.localCheckpoint(eager=False)
             # path halving: adopt one's label's own label (pointer jumping)
             lab2 = merged.select(
                 F.col("node").alias("label"), F.col("label").alias("label2")
