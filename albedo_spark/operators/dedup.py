@@ -1032,6 +1032,7 @@ def semantic_dedup(
     cos_scale: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_salt: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public method): embedding-space near-duplicates
@@ -1059,7 +1060,18 @@ def semantic_dedup(
     cell geometry sharp; ``cos_scale`` (100) buys the headroom the
     int64 threshold test needs. The cosine CONTRACT is over the
     quantized vectors — documented, portable, and what the oracle
-    replays."""
+    replays.
+
+    ``pair_salt``: the cell self-join's only key is ``cluster_id`` —
+    k distinct values, so at bench scale the quadratic pair stage
+    lands on ≤k tasks regardless of core count (AQE skew-join cannot
+    split a single key). Salting (guide §2.5): replicate the LEFT
+    side ``s`` ways and slice the right by ``vec_id % s``, joining on
+    (cluster_id, salt) — same pair set, k·s-way parallelism, left
+    replication costs s·N small rows. Default derives s from
+    cores/k and collapses to 1 (the exact old plan) whenever k
+    already covers the session's parallelism — the 100 TB case where
+    k ≈ √N; it is a local-width balance, not a tuned constant."""
     from albedo_spark.operators.clustering import (
         assign_clusters,
         integerize_embeddings,
@@ -1075,7 +1087,14 @@ def semantic_dedup(
     for _ in range(rounds):
         assignment = assign_clusters(vectors, cents)
         cents = update_centroids(vectors, assignment, cents)
-    final = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
+    # Consumed twice (the scoring side AND the final attribution join);
+    # without a boundary the whole unrolled k-means chain executes per
+    # consumer (broadcast builds never share work).
+    final = (
+        assign_clusters(vectors, cents)
+        .select("vec_id", "cluster_id")
+        .localCheckpoint(eager=False)
+    )
     cq = integerize_embeddings(emb, scale=cos_scale)
     na = F.aggregate(
         F.zip_with("q", "q", lambda a, b: a * b),
@@ -1106,6 +1125,10 @@ def semantic_dedup(
         )
         .localCheckpoint(eager=False)  # consumed by both sides of the pair join
     )
+    if pair_salt is None:
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        pair_salt = max(1, (4 * par) // max(k, 1))
+    join_keys = ["cluster_id"]
     left = side.select(
         "cluster_id",
         F.col("vec_id").alias("l_id"),
@@ -1118,6 +1141,19 @@ def semantic_dedup(
         F.col("q").alias("r_q"),
         F.col("na").alias("r_na"),
     )
+    if pair_salt > 1:
+        join_keys = ["cluster_id", "_s"]
+        left = left.withColumn(
+            "_s",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(pair_salt - 1).cast("long")
+                )
+            ),
+        )
+        right = right.withColumn(
+            "_s", (F.col("r_id") % F.lit(pair_salt)).cast("long")
+        )
     dot = F.aggregate(
         F.zip_with("l_q", "r_q", lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -1125,7 +1161,7 @@ def semantic_dedup(
     )
     t = int(threshold_x100)
     dups = (
-        left.join(right, "cluster_id")
+        left.join(right, join_keys)
         .where(F.col("l_id") < F.col("r_id"))
         .withColumn("_dot", dot)
         .where(
