@@ -1066,7 +1066,7 @@ def semantic_dedup(
     k distinct values, so at bench scale the quadratic pair stage
     lands on ≤k tasks regardless of core count (AQE skew-join cannot
     split a single key). Salting (guide §2.5): replicate the LEFT
-    side ``s`` ways and slice the right by ``vec_id % s``, joining on
+    side ``s`` ways and slice the right by ``pmod(vec_id, s)``, joining on
     (cluster_id, salt) — same pair set, k·s-way parallelism, left
     replication costs s·N small rows. Default derives s from
     cores/k and collapses to 1 (the exact old plan) whenever k
@@ -1151,8 +1151,11 @@ def semantic_dedup(
                 )
             ),
         )
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # negative id would land outside 0..s-1 and silently DROP its
+        # pairs from the join.
         right = right.withColumn(
-            "_s", (F.col("r_id") % F.lit(pair_salt)).cast("long")
+            "_s", F.pmod(F.col("r_id"), F.lit(pair_salt)).cast("long")
         )
     dot = F.aggregate(
         F.zip_with("l_q", "r_q", lambda a, b: a * b),

@@ -898,6 +898,36 @@ def test_semantic_dedup_hand_example(spark):
     }
 
 
+def test_semantic_dedup_pair_salt_equivalence(spark):
+    """The salted cell self-join (pair_salt > 1 — the r15 parallelism
+    balance: replicate left s ways, slice right by vec_id % s) is a
+    pure execution-shape change: every salt width must produce
+    byte-identical output to the unsalted join, including the
+    n_smaller_dups counts (each (l, r) pair lands in exactly ONE salt
+    slice — r's — so nothing double-counts)."""
+    from albedo_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (5, [0.98, 0.1, 0.0, 0.0]),
+        (6, [0.99, 0.05, 0.0, 0.0]),
+        (7, [0.6, 0.75, 0.0, 0.0]),
+        (29, [0.0, 0.0, 1.0, 0.0]),
+        (31, [0.0, 0.0, 0.99, 0.05]),
+        (58, [0.0, 1.0, 0.0, 0.0]),
+        (60, [0.0, 0.95, 0.31, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = sorted(
+        semantic_dedup(emb, k=3, rounds=2, stride=29, pair_salt=1).collect()
+    )
+    for s in (2, 7, 16):
+        got = sorted(
+            semantic_dedup(emb, k=3, rounds=2, stride=29, pair_salt=s).collect()
+        )
+        assert got == base, f"pair_salt={s} changed the result"
+
+
 def test_semantic_dedup_norm_tripwire(spark):
     """A vector past the int64 threshold-test headroom raises instead
     of wrapping identically in both engines."""
