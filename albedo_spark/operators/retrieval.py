@@ -895,16 +895,23 @@ def bm25_store_prf_search(
     weight multiplies INSIDE the sum, so the result is one BIGINT both
     engines replay.
 
-    Plan: pass 1 is ``bm25_store_search`` (broadcast terms into the
-    bucketed posting scan, zero store-side Exchange). The feedback
-    fetch joins the |Q|·fb_docs doc ids (a broadcast, by construction)
-    against the ``{table}_fwd`` FORWARD companion when the store was
-    built with ``forward=True`` (doc_id-bucketed — the fetch's own
-    key), falling back to one scan of the posting table otherwise (the
-    documented RM3 price; both paths read the same rows, so results are
-    byte-identical — pinned in tests). Pass 2 re-runs the identical
-    probe shape with the (still tiny) expanded term set.
+    Plan: pass 1 is the ``bm25_store_search`` probe shape (broadcast
+    terms into the bucketed posting scan, zero store-side Exchange),
+    inlined so its PRE-RANK (query, doc) aggregate can be reused. The
+    feedback fetch joins the |Q|·fb_docs doc ids (a broadcast, by
+    construction) against the ``{table}_fwd`` FORWARD companion when
+    the store was built with ``forward=True`` (doc_id-bucketed — the
+    fetch's own key), falling back to one scan of the posting table
+    otherwise (the documented RM3 price; both paths read the same rows,
+    so results are byte-identical — pinned in tests). The final score
+    does NOT re-fan-out the original query terms: per-term weights are
+    constant within each leg, so ``prf = orig_weight·Σ_orig c +
+    Σ_exp c`` — the first summand IS pass 1's aggregate (an exact
+    BIGINT identity: the weight multiplies a sum of integers), and only
+    the (tiny) expansion term set pays a second posting fan-out. One
+    union + re-aggregate replaces the second full |Q·terms| join.
     """
+    from albedo_spark.io import widen
     from albedo_spark.operators.topk import top_k_per_group
 
     spark = queries.sparkSession
@@ -920,11 +927,48 @@ def bm25_store_prf_search(
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
         )
         .where(F.col("w") != "")
-        .localCheckpoint(eager=False)  # consumed by pass 1, anti-join, pass 2
+        # consumed by pass-1 scoring and the expansion anti-join
+        .localCheckpoint(eager=False)
     )
-    pass1 = bm25_store_search(
-        queries, table, top_k=fb_docs,
-        query_id_col=query_id_col, text_col=text_col,
+    idf_x10k = F.expr("(10000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")
+    tfpart_x10k = F.expr(
+        "(10000 * 22 * tf * avgdl_x100)"
+        " div (10*tf*avgdl_x100 + 3*avgdl_x100 + 900*dl)"
+    )
+
+    def _contrib(terms: DataFrame) -> DataFrame:
+        # Per-posting BM25 contribution, computed BEFORE the query-term
+        # join (depends only on the posting row + frozen scalars) and
+        # projected narrow — the bm25_store_search discipline (§2.3).
+        post = _bm25_postings(spark, table, terms, multi_gen)
+        return widen(
+            post.crossJoin(F.broadcast(stats))
+            .withColumn("_idf_x10k", idf_x10k)
+            .withColumn("_tfpart_x10k", tfpart_x10k)
+            .select(
+                "w",
+                "doc_id",
+                F.expr("(_idf_x10k * _tfpart_x10k) div 10000").alias("_c"),
+            )
+        )
+
+    # Pass 1, pre-rank: Σ over original terms per (query, doc). Consumed
+    # by the feedback top-k below AND by the final score — checkpoint so
+    # the posting fan-out aggregate executes once.
+    scored1 = (
+        _contrib(qterms)
+        .join(F.broadcast(qterms), "w")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_c").alias("_s1"))
+        .localCheckpoint(eager=False)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("_s1").desc(), F.col("doc_id").asc()
+    )
+    pass1 = (
+        scored1.withColumn("rank", F.row_number().over(w1))
+        .where(F.col("rank") <= fb_docs)
+        .select("query_id", "doc_id")
     )
     # Path decision from the QUERY FRAME's size (one cheap count of the
     # small side), never from pass 1 — deciding after retrieval would
@@ -987,47 +1031,37 @@ def bm25_store_prf_search(
     fbtop = top_k_per_group(
         fb, ["query_id"], [F.col("fbtf").desc(), F.col("w").asc()], fb_terms
     )
-    # ``expanded`` is consumed by TWO broadcast builds below (the
-    # term-distinct semi-join inside _bm25_postings and the score
-    # join), and broadcast builds do not share work — without a
-    # materialization boundary the whole pass-1 + feedback subtree
-    # (the scoring fan-out, the fwd fetch, the fbtf window) executed
-    # once per build. One lazy localCheckpoint runs it once; the frame
-    # is tiny (|qterms| + |Q|·fb_terms rows).
-    expanded = (
-        qterms.withColumn("wt", F.lit(orig_weight))
-        .unionByName(
-            fbtop.select("query_id", "w").withColumn("wt", F.lit(1))
-        )
-        .localCheckpoint(eager=False)
+    # ``exp_terms`` is consumed by TWO broadcast builds below (the
+    # term-distinct semi-join inside _bm25_postings on multi-gen stores
+    # and the score join), and broadcast builds do not share work —
+    # without a materialization boundary the whole feedback subtree
+    # (the fwd fetch, the fbtf window) would execute once per build.
+    # One lazy localCheckpoint; the frame is tiny (|Q|·fb_terms rows).
+    exp_terms = (
+        fbtop.select("query_id", "w").localCheckpoint(eager=False)
     )
-    post = _bm25_postings(spark, table, expanded, multi_gen)
-    idf_x10k = F.expr("(10000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")
-    tfpart_x10k = F.expr(
-        "(10000 * 22 * tf * avgdl_x100)"
-        " div (10*tf*avgdl_x100 + 3*avgdl_x100 + 900*dl)"
-    )
-    # Per-posting contribution computed BEFORE the term join, exactly
-    # as in bm25_store_search: the (idf·tfpart) div chain depends only
-    # on the posting row + frozen scalars; only the query-dependent
-    # ``wt`` multiplier stays on the fanned-out side. Identical BIGINTs.
-    contrib = (
-        post.crossJoin(F.broadcast(stats))
-        .withColumn("_idf_x10k", idf_x10k)
-        .withColumn("_tfpart_x10k", tfpart_x10k)
-        .select(
-            "w",
-            "doc_id",
-            F.expr("(_idf_x10k * _tfpart_x10k) div 10000").alias("_c"),
-        )
-    )
-    from albedo_spark.io import widen
-
-    contrib = widen(contrib)  # same bucket-count balancing as pass 1
-    scored = (
-        contrib.join(F.broadcast(expanded), "w")
+    # Expansion-term contributions only: the original terms' summand is
+    # already in ``scored1`` — re-fanning them out would repeat the
+    # dominant |postings ⋈ qterms| join for rows whose sum exists.
+    exp_scored = (
+        _contrib(exp_terms)
+        .join(F.broadcast(exp_terms), "w")
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.expr("wt * _c")).alias("prf_x10k"))
+        .agg(F.sum("_c").alias("_s2"))
+    )
+    # prf(q, d) = orig_weight·Σ_orig c + 1·Σ_exp c. Expansion terms are
+    # never original terms (the anti-join above), so the two legs
+    # partition the expanded-term set and a union + sum is the exact
+    # weighted aggregate — the same BIGINTs, never recomputed.
+    scored = (
+        scored1.select(
+            "query_id",
+            "doc_id",
+            (F.lit(orig_weight) * F.col("_s1")).alias("_p"),
+        )
+        .unionByName(exp_scored.select("query_id", "doc_id", F.col("_s2").alias("_p")))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_p").alias("prf_x10k"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("prf_x10k").desc(), F.col("doc_id").asc()

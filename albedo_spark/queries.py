@@ -2364,6 +2364,45 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _size_in_bytes(v: str) -> int:
+    """Parse a Spark size conf value ("64MB", "67108864b", "67108864")."""
+    s = v.strip().lower().rstrip("b")
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            return int(s[:-1]) * mult
+    return int(s)
+
+
+def _stream_gate_partitions(spark: SparkSession, stage: str) -> int:
+    """Scale-ADAPTIVE shuffle-partition count for a streaming gate drain,
+    derived from the staged replay's bytes with the session's AQE
+    advisory partition size — the sizing AQE itself would apply to an
+    equivalent batch shuffle (guide §2.2: fewer, larger partitions),
+    applied up front because a stateful streaming shuffle PINS its
+    partition count in the checkpoint before runtime coalescing can see
+    it. A stateful op instantiates one state store per partition per
+    trigger (2 per side for a stream-stream join), so at gate scale the
+    per-store fixed cost dominates — measured on the q65 drain: 8
+    partitions 4.40 s, 4 → 2.96 s, 2 → 2.69 s, 16 → 6.80 s at identical
+    results. Floor 2 keeps every gate a genuinely distributed drain
+    (cross-partition state); ceiling = the session's configured
+    shuffle.partitions, and the same arithmetic sizes the count UP on
+    production-sized replays — bytes-driven, not a local-core constant.
+    """
+    import os as _os
+
+    advisory = _size_in_bytes(
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    )
+    staged = sum(
+        _os.path.getsize(_os.path.join(stage, f))
+        for f in _os.listdir(stage)
+        if not f.startswith("_") and not f.startswith(".")
+    )
+    target = max(2, -(-staged // advisory))
+    return min(target, int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+
 def _stage_event_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize a micro-batch-able normalized copy of the events table
     (ns timestamps -> micros via load_table; 8 files so AvailableNow replays
@@ -2480,7 +2519,9 @@ def q56_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    with _scoped_shuffle_partitions(spark):
+    with _scoped_shuffle_partitions(
+        spark, _stream_gate_partitions(spark, stage)
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -2548,6 +2589,13 @@ def q57_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"))
     )
+    # NOT the bytes-adaptive gate sizing (q56/q65): a session-window
+    # drain in complete mode re-sorts and re-emits EVERY session per
+    # trigger, so its per-trigger cost is compute in the merge tasks,
+    # not state-store count — measured medians at sf0.1: n=8 2.09 s,
+    # n=4 2.32 s, n=2 2.48 s (the bytes rule picks 2 here). Keep the
+    # fixed scope; at production replay sizes the knob sizes UP as
+    # documented on _scoped_shuffle_partitions.
     with _scoped_shuffle_partitions(spark):
         q = (
             sess.writeStream.format("memory")
@@ -2626,7 +2674,9 @@ def q58_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1_000_000)
         .parquet(stage)
     )
-    with _scoped_shuffle_partitions(spark):
+    with _scoped_shuffle_partitions(
+        spark, _stream_gate_partitions(spark, stage)
+    ):
         run_to_memory(user_ewma_stream(stream, alpha=0.3), name, mode="update")
     return spark.table(name).select(
         "user_id",
@@ -2975,7 +3025,9 @@ def q65_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     joined = error_click_interval_join(stream, window_seconds=600, watermark="87600 hours")
-    with _scoped_shuffle_partitions(spark):
+    with _scoped_shuffle_partitions(
+        spark, _stream_gate_partitions(spark, stage)
+    ):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
