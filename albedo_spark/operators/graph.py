@@ -100,7 +100,13 @@ def pagerank(
     joins into one plan. The driver moves no data — the loop is pure
     plan construction + checkpoint actions.
     """
-    deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    # deg is consumed TWICE (the ed join below and the node/reset
+    # frame): without a boundary the edge-union + groupBy subtree
+    # executes once per consumer (broadcast/checkpoint builds never
+    # share work). Lazy — the first round's materialization runs it.
+    deg = edges.groupBy(src).agg(F.count("*").alias("outdeg")).localCheckpoint(
+        eager=False
+    )
     ed = edges.join(deg, src).persist()
     nodes = deg.select(F.col(src).alias("node"))
     reset_unit = (unit * (100 - damping_x100)) // 100
@@ -118,7 +124,10 @@ def pagerank(
             .cast("long")
             .alias("_reset"),
         )
-    nodes_r = nodes_r.localCheckpoint()
+    # LAZY: every round of the one stacked plan reads nodes_r from the
+    # same checkpoint blocks either way; eager only added a separate
+    # driver job before the rounds job.
+    nodes_r = nodes_r.localCheckpoint(eager=False)
     ranks = nodes_r.select("node", F.lit(unit).cast("long").alias("rank"))
     contrib_expr = F.expr(f"(rank * {damping_x100}) div (outdeg * 100)")
     try:
@@ -431,12 +440,29 @@ def hits(
     # headroom guard must be computed from THAT unit — a fixed ceiling
     # sized for the default would let larger units wrap undetected.
     ceil = (1 << 63) // unit - 1
-    ed = edges.select(src, dst).persist()
+    ed = edges.select(src, dst)
+    # TWO persisted copies, each PRE-PARTITIONED on its half-step's join
+    # key (guide §2.4: operations keyed the same way share one
+    # exchange): the auth half-step joins on src, the hub half-step on
+    # dst, and a single unpartitioned persist made every one of the 2·K
+    # half-steps re-shuffle the full edge frame. Persist (not
+    # localCheckpoint) keeps the output partitioning visible to the
+    # planner, so each half-step shuffles only the (node, score) frame.
+    ed_src = ed.repartition(F.col(src)).persist()
+    # derived from the PERSISTED copy, not the raw input: the caller's
+    # edge frame usually ends in its own shuffle (a distinct), and two
+    # independent persists would execute that subtree once each.
+    ed_dst = ed_src.repartition(F.col(dst)).persist()
     nodes = (
-        ed.select(F.col(src).alias("node"))
-        .unionByName(ed.select(F.col(dst).alias("node")))
+        ed_src.select(F.col(src).alias("node"))
+        .unionByName(ed_src.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
+        # persist, not localCheckpoint: distinct() leaves the frame
+        # hash-partitioned on node — exactly what the per-half-step
+        # rescale join and the final result join require — and a
+        # checkpoint would erase that partitioning (the pagerank
+        # stacking lesson), re-shuffling nodes once per half-step.
+        .persist()
     )
 
     def _rescale(raw: DataFrame) -> DataFrame:
@@ -485,21 +511,22 @@ def hits(
         # still truncated, ed safely releasable below).
         for it in range(iterations):
             araw = (
-                ed.join(hub.withColumnRenamed("node", src), src)
+                ed_src.join(hub.withColumnRenamed("node", src), src)
                 .select(F.col(dst).alias("node"), F.col("score").alias("_c"))
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_s"))
             )
             auth = _rescale(araw).localCheckpoint(eager=False)
             hraw = (
-                ed.join(auth.withColumnRenamed("node", dst), dst)
+                ed_dst.join(auth.withColumnRenamed("node", dst), dst)
                 .select(F.col(src).alias("node"), F.col("score").alias("_c"))
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_s"))
             )
             hub = _rescale(hraw).localCheckpoint(eager=(it == iterations - 1))
     finally:
-        ed.unpersist()
+        ed_src.unpersist()
+        ed_dst.unpersist()
     return nodes.join(
         auth.select("node", F.col("score").alias("auth")), "node", "left"
     ).join(
