@@ -274,7 +274,8 @@ def unigram_doc_stats(
     report zeros (left join, q105's contract)."""
     from albedo_spark.operators.textstats import tokens
 
-    words = word_frequencies(docs, text_col)
+    # same two-consumer shape as the trainer: vocab broadcast + grid
+    words = word_frequencies(docs, text_col).localCheckpoint(eager=False)
     vc = vocab_costs(seed_vocab(word_pieces(words, max_len), vocab_size))
     ws = viterbi_word_stats(words, vc, max_len=max_len, word_cap=word_cap)
     toks = docs.select(
@@ -438,7 +439,9 @@ def train_unigram(
     Relational throughout: the E-step is the backtracking pass above,
     the M-step a sort-limit + cost rebuild — no driver-side collect, so
     the trainer composes into one lazy plan per round."""
-    words = word_frequencies(docs, text_col)
+    # words feeds the seed-vocab subtree (a broadcast build) and every
+    # E-step's cost grid — one lazy checkpoint runs the corpus pass once
+    words = word_frequencies(docs, text_col).localCheckpoint(eager=False)
     vc = vocab_costs(seed_vocab(word_pieces(words, max_len), seed_size))
     for _ in range(em_rounds):
         # usage feeds BOTH prune branches (singles join, multis limit);

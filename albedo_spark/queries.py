@@ -8541,7 +8541,10 @@ def q155_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    words = word_frequencies(d)
+    # words feeds the vocab subtree (a broadcast build) AND the cost
+    # grid — broadcast builds never share work, so without a boundary
+    # the corpus tokenize+groupBy executed once per consumer.
+    words = word_frequencies(d).localCheckpoint(eager=False)
     vc = vocab_costs(seed_vocab(word_pieces(words, 4), 24))
     return viterbi_segment_words(words, vc, max_len=4, word_cap=12)
 
