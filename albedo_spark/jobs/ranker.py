@@ -12,7 +12,7 @@ from albedo_spark.jobs import common
 from albedo_spark.pipelines import build_repo_profile, build_user_profile
 from albedo_spark.pipelines.ranker import (
     balance_starring,
-    build_feature_pipeline,
+    fit_feature_pipeline,
     build_model_pipeline,
     cast_booleans,
     evaluate_auc,
@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> float:
     balanced = balance_starring(reduced, popular, ratio=args.ratio)
     dataset = cast_booleans(balanced.join(up, "user_id").join(rp, "repo_id")).cache()
 
-    feature_model = build_feature_pipeline(min_df=1.0).fit(dataset)
+    feature_model = fit_feature_pipeline(dataset, min_df=1.0)
     featured = feature_model.transform(dataset).cache()
     train, test = featured.randomSplit([0.8, 0.2], seed=42)
     model = build_model_pipeline(maxIter=args.max_iter).fit(train)

@@ -138,6 +138,90 @@ def build_feature_pipeline(
     return Pipeline(stages=stages)
 
 
+def fit_feature_pipeline(
+    dataset: DataFrame,
+    als_model=None,
+    categorical_cols: list[str] | None = None,
+    list_cols: list[str] | None = None,
+    boolean_cols: list[str] | None = None,
+    continuous_cols: list[str] | None = None,
+    min_df: float = 10.0,
+    index_ids: bool = False,
+    max_concurrent: int = 4,
+) -> PipelineModel:
+    """``build_feature_pipeline(...).fit(dataset)`` with the independent
+    estimator fits OVERLAPPED — the same fitted ``PipelineModel`` (same
+    stages, same order, same indexer labels / encoder sizes / vectorizer
+    term sets; stock CountVectorizer's frequency-TIE order is
+    nondeterministic run-to-run even for sequential fits, so vocabulary
+    order equality was never a pipeline property), less wall time.
+
+    Why this is safe: every estimator in the feature pipeline reads ONE
+    input column that no earlier stage writes (StringIndexer reads the raw
+    categorical, its OneHotEncoder reads only the ``__idx`` column its own
+    indexer emits, CountVectorizer reads the raw list column), so
+    ``Pipeline.fit``'s fit-stage-k-on-stages-0..k-1-transformed protocol
+    degenerates to independent jobs over the same frame. Each fit is a
+    small aggregation whose tail leaves most cores idle; submitting them
+    from a thread pool back-fills the tails (2-3 jobs in flight is the
+    sweet spot). Indexer→encoder pairs stay sequential WITHIN a thread
+    (the encoder fit needs its indexer's model). Equivalence is pinned by
+    ``tests/test_ranker.py::test_fit_feature_pipeline_matches_sequential``.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.ml import Transformer
+
+    stages = build_feature_pipeline(
+        als_model=als_model,
+        categorical_cols=categorical_cols,
+        list_cols=list_cols,
+        boolean_cols=boolean_cols,
+        continuous_cols=continuous_cols,
+        min_df=min_df,
+        index_ids=index_ids,
+    ).getStages()
+
+    fitted: list = [None] * len(stages)
+    # Leading pure transformers (UserRepoTransformer, optional ALS model)
+    # pass through unfitted but their transforms feed every fit, exactly
+    # as in Pipeline.fit.
+    base = dataset
+    k = 0
+    while k < len(stages) and isinstance(stages[k], Transformer):
+        fitted[k] = stages[k]
+        base = stages[k].transform(base)
+        k += 1
+
+    slots: list[tuple[int, bool]] = []  # (stage index, paired-with-encoder)
+    i = k
+    while i < len(stages):
+        st = stages[i]
+        if isinstance(st, Transformer):  # e.g. the trailing VectorAssembler
+            fitted[i] = st
+            i += 1
+        elif isinstance(st, StringIndexer):
+            slots.append((i, True))
+            i += 2
+        else:
+            slots.append((i, False))
+            i += 1
+
+    def _fit(slot: tuple[int, bool]):
+        j, paired = slot
+        if paired:
+            idx_model = stages[j].fit(base)
+            return j, [idx_model, stages[j + 1].fit(idx_model.transform(base))]
+        return j, [stages[j].fit(base)]
+
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        for j, models in pool.map(_fit, slots):
+            for off, m in enumerate(models):
+                fitted[j + off] = m
+
+    return PipelineModel(fitted)
+
+
 def cast_booleans(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """VectorAssembler needs numerics; the reference's custom assembler
     casted booleans inline (SimpleVectorAssembler.scala:59).

@@ -224,7 +224,7 @@ def bench_pipelines(spark) -> dict[str, float]:
     from albedo_spark.pipelines import build_repo_profile, build_user_profile
     from albedo_spark.pipelines.ranker import (
         balance_starring,
-        build_feature_pipeline,
+        fit_feature_pipeline,
         build_model_pipeline,
         cast_booleans,
         evaluate_auc,
@@ -269,7 +269,7 @@ def bench_pipelines(spark) -> dict[str, float]:
     balanced = balance_starring(reduced, popular, ratio=1.0)
     dataset = cast_booleans(balanced.join(up, "user_id").join(rp, "repo_id")).cache()
     dataset.count()
-    featured = build_feature_pipeline(min_df=1.0).fit(dataset).transform(dataset).cache()
+    featured = fit_feature_pipeline(dataset, min_df=1.0).transform(dataset).cache()
     train, test = featured.randomSplit([0.9, 0.1], seed=42)
     lr_model = build_model_pipeline(today=today, maxIter=30).fit(train)
     evaluate_auc(lr_model, test)

@@ -99,6 +99,76 @@ def test_full_ranker_flow(spark, starring_df, repo_info_df, profiles):
     assert ranked.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] <= 5
 
 
+def test_fit_feature_pipeline_matches_sequential(
+    spark, starring_df, repo_info_df, profiles
+):
+    """fit_feature_pipeline (overlapped estimator fits) must return the
+    same fitted pipeline as build_feature_pipeline().fit(): same stage
+    order, exact-equal indexer labels and encoder sizes (deterministic
+    since Spark 3's alphabetic tie-break), and per-row term→count maps
+    for every CountVectorizer block. The CV VOCABULARY ORDER is compared
+    as a set: stock CountVectorizer breaks frequency ties in partition-
+    arrival order and is nondeterministic run-to-run even for two
+    back-to-back SEQUENTIAL fits on the same cached frame (measured),
+    so order-equality was never a property of this pipeline."""
+    from pyspark.ml.feature import (
+        CountVectorizerModel,
+        OneHotEncoderModel,
+        StringIndexerModel,
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    from albedo_spark.pipelines.ranker import fit_feature_pipeline
+
+    up, rp = profiles
+    reduced = reduce_starring(starring_df, max_starred_repos_count=100)
+    popular = [
+        r.repo_id for r in build_popular_repo_df(repo_info_df).limit(30).collect()
+    ]
+    balanced = balance_starring(reduced, popular, ratio=1.0)
+    dataset = cast_booleans(balanced.join(up, "user_id").join(rp, "repo_id")).cache()
+
+    seq = build_feature_pipeline(min_df=1.0).fit(dataset)
+    par = fit_feature_pipeline(dataset, min_df=1.0)
+
+    assert len(seq.stages) == len(par.stages)
+    cv_pairs = []
+    for s, p in zip(seq.stages, par.stages):
+        assert type(s) is type(p)
+        if isinstance(s, StringIndexerModel):
+            assert s.labelsArray == p.labelsArray
+        elif isinstance(s, OneHotEncoderModel):
+            assert s.categorySizes == p.categorySizes
+        elif isinstance(s, CountVectorizerModel):
+            assert sorted(s.vocabulary) == sorted(p.vocabulary)
+            cv_pairs.append((s, p))
+    assert len(cv_pairs) == 3
+
+    # Per-row feature CONTENT equality for each vectorizer block: map each
+    # model's indices back through its own vocabulary so a tie-order
+    # permutation (the stock nondeterminism above) cannot mask a real
+    # difference in counts.
+    def term_counts(model, cv_model):
+        out_col = cv_model.getOutputCol()
+        rows = (
+            model.transform(dataset)
+            .select(
+                "user_id", "repo_id", vector_to_array(F.col(out_col)).alias("v")
+            )
+            .collect()
+        )
+        vocab = cv_model.vocabulary
+        return {
+            (r.user_id, r.repo_id): {
+                vocab[i]: x for i, x in enumerate(r.v) if x != 0.0
+            }
+            for r in rows
+        }
+
+    for s_cv, p_cv in cv_pairs:
+        assert term_counts(seq, s_cv) == term_counts(par, p_cv)
+
+
 def test_ranker_cv_default_weight_cols_resolve(spark):
     """ranker_cv's default grid must name columns that the repo's own
     weight_sql() emits (the CV reference used recentStarredWeight where the
