@@ -607,8 +607,37 @@ def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
     downstream map stage (shingling, hashing, feature extraction) onto one
     core; a bounded repartition fixes that for pennies. On wide production
     scans (many splits) this is a no-op — no shuffle is added.
-    """
+
+    Guard cost (VERDICT r15 #6): the exact check builds the physical RDD,
+    which on file sources forces split enumeration on the driver once per
+    call site — repeated metadata work at 100 TB purely to decide a no-op.
+    A static proof runs first: when the frame is a plain
+    scan/project/filter chain (no Join/Union/Aggregate/Generate, whose
+    size estimates can be wildly inflated) and the optimizer's
+    ``sizeInBytes`` estimate alone guarantees at least ``target`` input
+    splits, the no-op is decided without touching the RDD. Parquet scan
+    estimates never exceed on-disk bytes (column pruning only shrinks
+    them) while split counts are computed on full file bytes, so
+    ``estimate >= target * maxPartitionBytes`` implies the real split
+    count is at least ``target`` — the shortcut can only fire where the
+    exact check would also no-op. Anything it cannot prove falls through
+    to the exact check, so bench-scale plans are byte-identical."""
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan()
+        plan_str = opt.toString()
+        if not any(
+            n in plan_str for n in ("Join", "Union", "Aggregate", "Generate")
+        ):
+            max_split = int(
+                df.sparkSession._jsparkSession.sessionState()
+                .conf()
+                .filesMaxPartitionBytes()
+            )
+            if int(opt.stats().sizeInBytes()) >= target * max_split:
+                return df
+    except Exception:  # noqa: BLE001 — static proof is best-effort only
+        pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

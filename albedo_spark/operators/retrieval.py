@@ -540,16 +540,30 @@ def _bm25_read_stats(spark: SparkSession, table: str):
     ``n_docs = Σ n_docs``, ``avgdl_x100 = (100·Σ dl_total) div n_docs``
     — identical to what a from-scratch rebuild would freeze, because
     integer division distributes over nothing here (one division, over
-    exact sums)."""
+    exact sums).
+
+    The stats table is model-state (one row per generation), so it is
+    COLLECTED once and re-emitted as a literal frame: the old shape ran
+    a ``count()`` driver job per probe AND left a parquet scan inside
+    the broadcast build (one more sequential sub-job per probe under
+    AQE); one collect replaces both, and the merge arithmetic runs on
+    exact Python ints — the same BIGINTs either way (r16, guide §5
+    driver does no data work / fewer sequential jobs)."""
     raw = spark.table(table + "_stats")
-    if "gen" not in raw.columns:
-        return raw.select("n_docs", "avgdl_x100"), False
-    if raw.count() <= 1:
-        return raw.select("n_docs", "avgdl_x100"), False
-    merged = raw.agg(
-        F.sum("n_docs").alias("n_docs"), F.sum("dl_total").alias("_t")
-    ).select("n_docs", F.expr("(100 * _t) div n_docs").alias("avgdl_x100"))
-    return merged, True
+    legacy = "gen" not in raw.columns
+    rows = raw.collect()
+    if legacy or len(rows) <= 1:
+        vals = [(int(r["n_docs"]), int(r["avgdl_x100"])) for r in rows]
+        multi = False
+    else:
+        n = sum(int(r["n_docs"]) for r in rows)
+        t = sum(int(r["dl_total"]) for r in rows)
+        vals = [(n, (100 * t) // n)]
+        multi = True
+    return (
+        spark.createDataFrame(vals, "n_docs bigint, avgdl_x100 bigint"),
+        multi,
+    )
 
 
 def _bm25_postings(spark: SparkSession, table: str, terms: DataFrame,
@@ -575,6 +589,26 @@ def _bm25_postings(spark: SparkSession, table: str, terms: DataFrame,
     ).localCheckpoint(eager=False)
     dfreq = matched.groupBy("w").agg(F.count("*").alias("df"))
     return matched.drop("df").join(F.broadcast(dfreq), "w")
+
+
+def _scoring_postings(
+    spark: SparkSession, table: str, terms: DataFrame, multi_gen: bool
+) -> tuple[DataFrame, bool]:
+    """The posting frame the SCORING fan-out should read, plus whether
+    it arrives pre-clustered by doc_id. The fan-out join's dominant
+    cost is the per-(query, doc) aggregate over |postings ⋈ qterms|
+    rows; grouping keys are (query_id, doc_id), so a scan that is
+    hash-partitioned on doc_id already clusters every group into one
+    task and the aggregate needs NO exchange — at any corpus size, the
+    fan-out stream is never shuffled (guide §2.4 "already co-partitioned
+    but not recognised"). The ``{table}_fwd`` companion IS that scan:
+    the same rows, bucketed on doc_id. Single-generation stores with a
+    forward companion score from it; everything else keeps the
+    w-bucketed main table (multi-generation stores recompute df through
+    a checkpoint that erases partitioning anyway)."""
+    if not multi_gen and spark.catalog.tableExists(table + "_fwd"):
+        return spark.table(table + "_fwd"), True
+    return _bm25_postings(spark, table, terms, multi_gen), False
 
 
 def bm25_store_search(
@@ -616,7 +650,7 @@ def bm25_store_search(
     )
     # df recompute (multi-gen only) runs BEFORE the allow filter: idf is
     # the index's corpus-level statistic, never the slice's.
-    post = _bm25_postings(spark, table, qterms, multi_gen)
+    post, copartitioned = _scoring_postings(spark, table, qterms, multi_gen)
     if allow is not None:
         post = post.join(
             F.broadcast(allow.selectExpr(f"{allow.columns[0]} AS doc_id")),
@@ -646,14 +680,17 @@ def bm25_store_search(
             F.expr("(_idf_x10k * _tfpart_x10k) div 10000").alias("_c"),
         )
     )
-    # The broadcast-join fan-out and its (query, doc) partial aggregate
-    # run inside the posting-scan stage, so their parallelism equals
-    # the store's bucket count; balance the (narrow, |postings|-sized)
-    # contrib frame when that cannot fill the cores. No-op on stores
-    # whose bucket count already does (the 100 TB case).
-    from albedo_spark.io import widen
+    # Co-partitioned scoring scan (r16): when the posting frame is the
+    # doc_id-bucketed forward companion, its partitioning clusters every
+    # (query_id, doc_id) group into one task — the aggregate runs
+    # complete, in-task, with ZERO exchange of the fan-out stream, and a
+    # balancing round-robin would DESTROY that property. Only the
+    # w-bucketed fallback keeps the r15 widen (its fan-out aggregate
+    # must shuffle regardless, so balancing the scan is free win there).
+    if not copartitioned:
+        from albedo_spark.io import widen
 
-    contrib = widen(contrib)
+        contrib = widen(contrib)
     scored = (
         contrib.join(F.broadcast(qterms), "w")
         .groupBy("query_id", "doc_id")
@@ -940,8 +977,12 @@ def bm25_store_prf_search(
         # Per-posting BM25 contribution, computed BEFORE the query-term
         # join (depends only on the posting row + frozen scalars) and
         # projected narrow — the bm25_store_search discipline (§2.3).
-        post = _bm25_postings(spark, table, terms, multi_gen)
-        return widen(
+        # Scoring reads the doc_id-bucketed forward companion when it
+        # exists (r16, _scoring_postings): the (query, doc) aggregate
+        # over the fan-out then needs NO exchange at any scale, and the
+        # balancing widen must not run (it would erase the clustering).
+        post, copart = _scoring_postings(spark, table, terms, multi_gen)
+        out = (
             post.crossJoin(F.broadcast(stats))
             .withColumn("_idf_x10k", idf_x10k)
             .withColumn("_tfpart_x10k", tfpart_x10k)
@@ -951,6 +992,7 @@ def bm25_store_prf_search(
                 F.expr("(_idf_x10k * _tfpart_x10k) div 10000").alias("_c"),
             )
         )
+        return out if copart else widen(out)
 
     # Pass 1, pre-rank: Σ over original terms per (query, doc). Consumed
     # by the feedback top-k below AND by the final score — checkpoint so
@@ -1053,6 +1095,11 @@ def bm25_store_prf_search(
     # never original terms (the anti-join above), so the two legs
     # partition the expanded-term set and a union + sum is the exact
     # weighted aggregate — the same BIGINTs, never recomputed.
+    # The union is repartitioned on query_id BEFORE the grouped sum:
+    # hash(query_id) satisfies both the (query_id, doc_id) aggregate AND
+    # the ranking window's partitioning, so ONE exchange of the |pairs|
+    # stream serves both where the default plan paid two (guide §2.4
+    # "two operations keyed the same way share one exchange").
     scored = (
         scored1.select(
             "query_id",
@@ -1060,6 +1107,7 @@ def bm25_store_prf_search(
             (F.lit(orig_weight) * F.col("_s1")).alias("_p"),
         )
         .unionByName(exp_scored.select("query_id", "doc_id", F.col("_s2").alias("_p")))
+        .repartition("query_id")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("_p").alias("prf_x10k"))
     )

@@ -1116,6 +1116,34 @@ def code_signals(col: Column) -> list[Column]:
     ]
 
 
+#: The router's frozen contract, defined ONCE: signal weights in
+#: ``code_signals`` order (symbol, kw, line, indent, ident) and the
+#: is_code routing threshold on the raw (un-capped) weighted sum.
+CODE_LIKENESS_WEIGHTS = (3, 4, 2, 1, 2)
+CODE_ROUTE_THRESHOLD = 1500
+
+
+def code_likeness_raw(
+    symbol_pm: Column,
+    kw_pm: Column,
+    line_pm: Column,
+    indent_pm: Column,
+    ident_pm: Column,
+) -> Column:
+    """The frozen weighted fold over ALREADY-COMPUTED signal columns —
+    the single definition of the router's weights, shared by
+    ``code_likeness_x10k`` (signals derived in place) and callers that
+    materialize the signals once and fold from the columns (q183's
+    single-evaluation shape). Returns the RAW sum (un-capped), so the
+    threshold comparison and the ×10⁴ cap both derive from it."""
+    w = CODE_LIKENESS_WEIGHTS
+    return (
+        F.lit(w[0]) * symbol_pm + F.lit(w[1]) * kw_pm
+        + F.lit(w[2]) * line_pm + F.lit(w[3]) * indent_pm
+        + F.lit(w[4]) * ident_pm
+    )
+
+
 def code_likeness_x10k(col: Column) -> Column:
     """Code-likeness score ×10⁴, the frozen weighted fold of
     ``code_signals`` (weights are contract, like quality_score's):
@@ -1126,11 +1154,7 @@ def code_likeness_x10k(col: Column) -> Column:
     natural language); real code lands in the thousands via symbols,
     terminator lines and identifiers even when no keyword matches.
     Integer throughout — both engines fold the identical permilles."""
-    s = code_signals(col)
-    raw = (
-        F.lit(3) * s[0] + F.lit(4) * s[1] + F.lit(2) * s[2]
-        + s[3] + F.lit(2) * s[4]
-    )
+    raw = code_likeness_raw(*code_signals(col))
     return F.least(F.lit(10000).cast("long"), raw.cast("long"))
 
 

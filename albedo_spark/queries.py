@@ -10990,7 +10990,11 @@ def q183_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negative operands at these magnitudes) and Java-regex ∩ RE2.
     Plan: ONE map-only projection over the corpus — no shuffle, no
     UDF, no join; at 100 TB this is a scan-speed router."""
-    from albedo_spark.operators.textstats import code_signals
+    from albedo_spark.operators.textstats import (
+        CODE_ROUTE_THRESHOLD,
+        code_likeness_raw,
+        code_signals,
+    )
 
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t = F.expr(_CODE_MIX_SQL)
@@ -11005,13 +11009,12 @@ def q183_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derives the same five) paid every regex/filter chain twice per
     # row — measured 2x on the full column set. CollapseProject keeps
     # the two Projects separate (multi-referenced non-cheap exprs), and
-    # the fold below is code_likeness_x10k's own frozen weighted sum,
-    # so the integers are identical.
+    # the fold is code_likeness_raw — the ONE definition of the frozen
+    # weights/threshold, shared with code_likeness_x10k.
     feat = src.select("doc_id", *code_signals(F.col("t")))
-    raw = (
-        F.lit(3) * F.col("symbol_pm") + F.lit(4) * F.col("kw_pm")
-        + F.lit(2) * F.col("line_pm") + F.col("indent_pm")
-        + F.lit(2) * F.col("ident_pm")
+    raw = code_likeness_raw(
+        F.col("symbol_pm"), F.col("kw_pm"), F.col("line_pm"),
+        F.col("indent_pm"), F.col("ident_pm"),
     )
     return feat.select(
         "doc_id",
@@ -11023,7 +11026,7 @@ def q183_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(10000).cast("long"), raw.cast("long")).alias(
             "code_x10k"
         ),
-        (raw >= 1500).alias("is_code"),
+        (raw >= CODE_ROUTE_THRESHOLD).alias("is_code"),
     )
 
 
