@@ -124,10 +124,13 @@ def pagerank(
             .cast("long")
             .alias("_reset"),
         )
-    # LAZY: every round of the one stacked plan reads nodes_r from the
-    # same checkpoint blocks either way; eager only added a separate
-    # driver job before the rounds job.
-    nodes_r = nodes_r.localCheckpoint(eager=False)
+    # PERSIST, not checkpoint (r16): nodes_r derives from deg's
+    # groupBy(src), so it arrives hash-partitioned on node — exactly
+    # what the per-round rank rejoin needs — and a checkpoint ERASED
+    # that partitioning, re-shuffling the node frame once per round
+    # (the HITS nodes-frame lesson, guide §2.4). Persist keeps the
+    # partitioning visible to the planner; released in finally.
+    nodes_r = nodes_r.persist()
     ranks = nodes_r.select("node", F.lit(unit).cast("long").alias("rank"))
     contrib_expr = F.expr(f"(rank * {damping_x100}) div (outdeg * 100)")
     try:
@@ -164,10 +167,11 @@ def pagerank(
     finally:
         # the final round's ranks frame is EAGERLY checkpointed (which
         # materializes every lazy inner round beneath it), so by the
-        # time we get here nothing pending still reads ed — releasing it
-        # unconditionally (a failed round must not strand the cache, the
-        # dedup.py:516 discipline)
+        # time we get here nothing pending still reads ed or nodes_r —
+        # releasing both unconditionally (a failed round must not strand
+        # the caches, the dedup.py:516 discipline)
         ed.unpersist()
+        nodes_r.unpersist()
     return ranks
 
 
@@ -206,7 +210,15 @@ def label_propagation(
     partial-aggregated shuffle (map-side combine), and AQE's skew join
     handles celebrity nodes on the join side.
     """
-    ed = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
+    # Pre-partitioned on the vote join's key (r16, the HITS/k-core
+    # co-partition discipline): an unpartitioned persist made every
+    # round re-shuffle the full edge frame; partitioned, each round
+    # shuffles only the (node, label) frame.
+    ed = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .repartition("_s")
+        .persist()
+    )
     labels = (
         ed.select(F.col("_s").alias("node"))
         .distinct()

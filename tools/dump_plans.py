@@ -45,15 +45,18 @@ def main() -> None:
     outdir, suffix, names = args[0], args[1], args[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from pyspark.sql import DataFrame
-
     from albedo_spark.queries import QUERIES
     from albedo_spark.session import get_spark
 
     if no_checkpoints:
         # Identity-patch checkpointing so checkpoint-terminated operators
         # dump their full stacked plan instead of `Scan ExistingRDD`.
-        DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+        # Spark 4 dispatches to the CONCRETE classic DataFrame, which
+        # overrides the pyspark.sql.DataFrame base — patch the class the
+        # instances actually resolve against.
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        _CDF.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
 
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
