@@ -858,7 +858,7 @@ def main(argv: list[str] | None = None) -> dict:
         cents = seed_centroids(vectors, args.semdedup)
         for _ in range(2):
             cents = update_centroids(
-                vectors, assign_clusters(vectors, cents), cents
+                vectors, assign_clusters(vectors, cents, carry_q=True), cents
             )
         assign = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
         side = _with_norm(emb, "embedding", "_n").join(assign, "vec_id")

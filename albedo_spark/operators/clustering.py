@@ -91,13 +91,23 @@ def seed_centroids(vectors: DataFrame, k: int, stride: int = 29) -> DataFrame:
     )
 
 
-def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_clusters(
+    vectors: DataFrame, centroids: DataFrame, carry_q: bool = False
+) -> DataFrame:
     """Nearest centroid per vector under squared L2 (BIGINT-exact):
     broadcast the k-row centroid frame, fold ``Σ(q_d − c_d)²`` JVM-side
     (``zip_with`` over two plain column arrays — no computed-array HOF
     capture), pick ``min(struct(dist, cluster_id))`` so ties break to
     the smallest cluster id. One wide pass, no shuffle on the vectors
     beyond the final per-vector min (map-side combinable).
+
+    ``carry_q=True`` additionally carries the vector itself through the
+    per-vector argmin (``first(q)`` — q is functionally dependent on
+    vec_id, so the value is deterministic): the assignment frame then
+    already holds everything a centroid update or residual encode
+    needs, and the ``assignment ⋈ vectors`` re-join (one full vector
+    shuffle per consumer) disappears (r16, guide §2.4 — the argmin's
+    one exchange does double duty). Same assignment, same integers.
 
     Ragged-vector guard (ADVICE r10 #2): ``zip_with`` silently truncates
     to the SHORTER array, so a ragged vector (63-dim plant in a 64-dim
@@ -120,16 +130,21 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
+    cols = ["vec_id", "cluster_id"] + (["q"] if carry_q else [])
     cand = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cluster_id", dist.alias("dist")
+        *cols[:2], *(["q"] if carry_q else []), dist.alias("dist")
     )
+    aggs = [F.min(F.struct("dist", "cluster_id")).alias("m")]
+    if carry_q:
+        aggs.append(F.first("q").alias("q"))
     best = (
         cand.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
+        .agg(*aggs)
         .select(
             "vec_id",
             F.col("m.cluster_id").alias("cluster_id"),
             F.col("m.dist").alias("dist"),
+            *(["q"] if carry_q else []),
         )
     )
     return best
@@ -143,8 +158,17 @@ def update_centroids(
     toward zero in BOTH engines — exact), rebuild arrays with an
     ``array_sort`` on (dim, mean) structs. A cluster that lost every
     member KEEPS its previous centroid (left-join + coalesce) — the
-    deterministic empty-cluster contract."""
-    members = assignment.select("vec_id", "cluster_id").join(vectors, "vec_id")
+    deterministic empty-cluster contract.
+
+    An assignment built with ``assign_clusters(carry_q=True)`` already
+    carries the vector — the re-join (a full vector shuffle per round)
+    is skipped in that case (r16); same members, same means."""
+    if "q" in assignment.columns:
+        members = assignment.select("vec_id", "cluster_id", "q")
+    else:
+        members = assignment.select("vec_id", "cluster_id").join(
+            vectors, "vec_id"
+        )
     means = (
         members.select("cluster_id", F.posexplode("q").alias("d", "val"))
         .groupBy("cluster_id", "d")
@@ -177,7 +201,7 @@ def kmeans_cluster_stats(
     vectors = integerize_embeddings(emb, scale=scale)
     cents = seed_centroids(vectors, k, stride=stride)
     for _ in range(rounds):
-        assignment = assign_clusters(vectors, cents)
+        assignment = assign_clusters(vectors, cents, carry_q=True)
         cents = update_centroids(vectors, assignment, cents)
     final = assign_clusters(vectors, cents)
     stats = final.groupBy("cluster_id").agg(

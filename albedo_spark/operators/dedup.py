@@ -1095,7 +1095,7 @@ def semantic_dedup(
     )
     cents = seed_centroids(vectors, k, stride=stride)
     for _ in range(rounds):
-        assignment = assign_clusters(vectors, cents)
+        assignment = assign_clusters(vectors, cents, carry_q=True)
         cents = update_centroids(vectors, assignment, cents)
     # Consumed twice (the scoring side AND the final attribution join);
     # without a boundary the whole unrolled k-means chain executes per

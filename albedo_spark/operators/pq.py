@@ -191,20 +191,37 @@ def _train_subspace_codebooks(
     # later round — without truncation the plan re-executes the ENTIRE
     # upstream (for residual training: the whole coarse k-means) once per
     # re-reference, which is quadratic in rounds and was measured as a
-    # stall at kc=16/ncodes=64. localCheckpoint caps both.
-    sub = _subvectors(vectors, m, subdim).localCheckpoint(eager=False)
-    out: list[tuple[int, int, list[int]]] = []
-    for s in range(m):
-        vs = sub.where(F.col("s") == s).select("vec_id", F.col("sub").alias("q"))
+    # stall at kc=16/ncodes=64. localCheckpoint caps both. EAGER here:
+    # the subspace fits below run from a thread pool, and one shared
+    # materialization beats m threads racing the first lazy fill.
+    sub = _subvectors(vectors, m, subdim).localCheckpoint()
+
+    def _train_one(s: int) -> list[tuple[int, int, list[int]]]:
+        vs = sub.where(F.col("s") == s).select(
+            "vec_id", F.col("sub").alias("q")
+        )
         cents = seed_centroids(vs, ncodes, stride=stride)
         for _ in range(rounds):
-            assignment = assign_clusters(vs, cents)
+            assignment = assign_clusters(vs, cents, carry_q=True)
             cents = update_centroids(vs, assignment, cents).localCheckpoint(
                 eager=False
             )
-        for r in sorted(cents.collect(), key=lambda r: r.cluster_id):
-            out.append((s, int(r.cluster_id), [int(x) for x in r.c]))
-    return out
+        return [
+            (s, int(r.cluster_id), [int(x) for x in r.c])
+            for r in sorted(cents.collect(), key=lambda r: r.cluster_id)
+        ]
+
+    # The m subspace fits are INDEPENDENT job chains over the shared
+    # materialized frame — submit them from a small thread pool so one
+    # fit's straggler tail back-fills with the next fit's jobs (guide
+    # §2.6, the r15 ranker-fit pattern). pool.map preserves subspace
+    # order, so the returned codebook list is byte-identical to the
+    # sequential loop's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, m)) as pool:
+        results = list(pool.map(_train_one, range(m)))
+    return [t for r in results for t in r]
 
 
 def train_codebooks(
@@ -241,7 +258,7 @@ def _coarse_quantizer(vectors: DataFrame, kc: int, rounds: int, stride: int):
 
     cents = seed_centroids(vectors, kc, stride=stride)
     for _ in range(rounds):
-        assignment = assign_clusters(vectors, cents)
+        assignment = assign_clusters(vectors, cents, carry_q=True)
         cents = update_centroids(vectors, assignment, cents).localCheckpoint(
             eager=False
         )
@@ -276,10 +293,12 @@ def train_residual_codebooks(
     cents = _coarse_quantizer(vectors, kc, coarse_rounds, stride).localCheckpoint(
         eager=False
     )
-    assign = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
+    # carry_q: the assignment row already holds the vector, so the
+    # residual projection needs only the broadcast centroid join — the
+    # assignment ⋈ vectors re-shuffle is gone (r16, guide §2.4).
+    assign = assign_clusters(vectors, cents, carry_q=True)
     resid = (
-        vectors.join(assign, "vec_id")
-        .join(F.broadcast(cents), "cluster_id")
+        assign.join(F.broadcast(cents), "cluster_id")
         .select(
             "vec_id",
             F.zip_with("q", "c", lambda a, b: a - b).alias("q"),
@@ -305,10 +324,11 @@ def encode_residual_codes(
     ``cents`` and ``cb`` are broadcast model state; one vector pass."""
     from albedo_spark.operators.clustering import assign_clusters
 
-    assign = assign_clusters(vectors, cents).select("vec_id", "cluster_id")
+    # carry_q folds the assignment ⋈ vectors re-join into the argmin's
+    # own exchange (r16): the encode pass touches the corpus once.
+    assign = assign_clusters(vectors, cents, carry_q=True)
     resid = (
-        vectors.join(assign, "vec_id")
-        .join(F.broadcast(cents), "cluster_id")
+        assign.join(F.broadcast(cents), "cluster_id")
         .select(
             "vec_id",
             "cluster_id",
@@ -350,6 +370,7 @@ def ivf_pq_topk(
     subdim: int = 16,
     scale: int = 1000,
     stride: int = 29,
+    _vectors: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the full billion-scale ANN recipe (Jégou et al. 2011 §V;
     the FAISS IVFPQ layout) — a k-means coarse quantizer partitions the
@@ -377,8 +398,15 @@ def ivf_pq_topk(
     spark = emb.sparkSession
     cb = spark.createDataFrame(codebooks, "s int, code int, c array<long>")
 
-    vectors = integerize_embeddings(emb, scale=scale).localCheckpoint(
-        eager=False
+    # ``_vectors``: a caller-shared integerized+checkpointed frame —
+    # ivf_pq_rerank_topk passes its own so the corpus integerize pass
+    # runs once for shortlist AND rerank instead of once each (r16).
+    vectors = (
+        _vectors
+        if _vectors is not None
+        else integerize_embeddings(emb, scale=scale).localCheckpoint(
+            eager=False
+        )
     )
     cents = _coarse_quantizer(vectors, kc, rounds, stride)
     cents = cents.localCheckpoint(eager=False)  # consumers: assign, resid, probe
@@ -416,11 +444,15 @@ def ivf_pq_rerank_topk(
     while the full-vector reads stay bounded by the shortlist, not the
     corpus. All integer end to end, so the composite is as hash-exact
     as q151 (q154). Returns ``(query_id, neighbor_id, dist, rank)``."""
+    # ONE integerized corpus frame shared by the IVF-PQ shortlist and
+    # both rerank sides — the rerank used to integerize the corpus a
+    # second time (r16, guide §1.2: don't recompute what you have).
+    v = integerize_embeddings(emb, scale=scale).localCheckpoint(eager=False)
     short = ivf_pq_topk(
         emb, query_pred, k=shortlist, kc=kc, nprobe=nprobe, rounds=rounds,
         codebooks=codebooks, m=m, subdim=subdim, scale=scale, stride=stride,
+        _vectors=v,
     ).select("query_id", "neighbor_id")
-    v = integerize_embeddings(emb, scale=scale).localCheckpoint(eager=False)
     dist = F.aggregate(
         F.zip_with("qq", "nq", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
