@@ -1213,9 +1213,67 @@ _ORPHAN_WATERMARK_MS = int(_time.time() * 1000) - 3_600_000
 _MEMO_SERVED: dict[str, str] = {}
 
 
+def _adopt_published(
+    spark: SparkSession,
+    table: str,
+    companions: tuple[str, ...],
+    bucket_specs: dict,
+) -> bool:
+    """Re-register a PUBLISHED store from a previous (dead) process's
+    warehouse directories instead of rebuilding it (VERDICT r15 #3 —
+    "persist the resolution"). With the local in-memory catalog, a
+    store another process built and published survives on disk but is
+    invisible to a fresh catalog, so every new process paid the FULL
+    build again (measured 8–80 s per store per process, the dominant
+    variance in bench warm-up and correctness-sweep wall time).
+
+    Adoption is metadata-only and conservative: every member directory
+    (main + companions) must exist WITH its ``_SUCCESS`` marker — the
+    publish protocol renames companions first and main last, so a
+    complete main dir implies a complete store; the identity hash in
+    the table name already pins the content to the exact source bytes
+    + recipe. Each member is registered with ``CREATE TABLE … USING
+    parquet [CLUSTERED BY …] LOCATION``, re-attaching the SAME bucket
+    spec the builder wrote (callers pass it; bucket metadata is
+    load-bearing — the zero-Exchange probe plans depend on it)."""
+    jvm = spark.sparkContext._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    locs: dict[str, str] = {}
+    for suf in ("",) + companions:
+        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{(table + suf).lower()}")
+        fs = p.getFileSystem(hconf)
+        ok = fs.exists(p) and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        )
+        if not ok:
+            return False
+        locs[suf] = fs.makeQualified(p).toString()
+    for suf in ("",) + companions:
+        name = table + suf
+        if spark.catalog.tableExists(name):
+            continue
+        schema = spark.read.parquet(locs[suf]).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        sql = f"CREATE TABLE `{name}` ({ddl}) USING parquet"
+        spec = bucket_specs.get(suf)
+        if spec is not None:
+            col, n = spec
+            sql += (
+                f" CLUSTERED BY (`{col}`) SORTED BY (`{col}`)"
+                f" INTO {n} BUCKETS"
+            )
+        sql += f" LOCATION '{locs[suf]}'"
+        spark.sql(sql)
+    return True
+
+
 def _memo_store(
     spark: SparkSession, sf_dir: str, src: str, tag: str, build,
     companions: tuple[str, ...] = (),
+    adopt_buckets: dict | None = None,
 ) -> str:
     """Reuse-if-unchanged memoizer for the persisted-store queries
     (q90/q92/q93): the store identity — source file (size, mtime) plus a
@@ -1262,6 +1320,16 @@ def _memo_store(
     if not spark.catalog.tableExists(table):
         from albedo_spark.io import drop_orphan_table_location
 
+        # Published-by-a-previous-process fast path (VERDICT r15 #3):
+        # when the caller declares the store's bucket layout, a complete
+        # published directory set is ADOPTED via metadata-only CREATE
+        # TABLE … LOCATION instead of rebuilt — same bytes, same bucket
+        # spec, zero jobs.
+        if adopt_buckets is not None and _adopt_published(
+            spark, table, companions, adopt_buckets
+        ):
+            _MEMO_SERVED[table] = table
+            return table
         for t in spark.catalog.listTables():
             if t.name.startswith(f"{tag}_") and t.name != table:
                 spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
@@ -8467,7 +8535,9 @@ def _q153_pq_store(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
         )
 
     return _memo_store(
-        spark, sf_dir, "embeddings", tag, _build, companions=("_cents", "_cb")
+        spark, sf_dir, "embeddings", tag, _build,
+        companions=("_cents", "_cb"),
+        adopt_buckets={"": ("cluster_id", 8), "_cents": None, "_cb": None},
     )
 
 
@@ -9017,7 +9087,9 @@ def q158_pq_store_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     table = _memo_store(
-        spark, sf_dir, "embeddings", tag, _build, companions=("_cents", "_cb")
+        spark, sf_dir, "embeddings", tag, _build,
+        companions=("_cents", "_cb"),
+        adopt_buckets={"": ("cluster_id", 8), "_cents": None, "_cb": None},
     )
     queries = emb.where("vec_id % 10 = 0").select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -9177,6 +9249,7 @@ def _q160_bm25_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     return _memo_store(
         spark, sf_dir, "documents", lex_tag, _build_lex,
         companions=("_stats", "_fwd"),
+        adopt_buckets={"": ("w", 16), "_stats": None, "_fwd": ("doc_id", 16)},
     )
 
 
@@ -9811,7 +9884,8 @@ def q169_bm25_multigen_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_bm25_postings(docs.where("doc_id % 10 IN (6,7,8,9)"), t)
 
     table = _memo_store(
-        spark, sf_dir, "documents", tag, _build, companions=("_stats",)
+        spark, sf_dir, "documents", tag, _build, companions=("_stats",),
+        adopt_buckets={"": ("w", 16), "_stats": None},
     )
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, text string")
     return bm25_store_search(qdf, table, top_k=5)
@@ -11955,6 +12029,7 @@ def q194_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _memo_store(
         spark, sf_dir, "documents", tag,
         lambda t: build_url_store(pages, t, num_buckets=16),
+        adopt_buckets={"": ("canonical_url", 16)},
     )
     return crawl_frontier(pages, table)
 
@@ -12095,6 +12170,7 @@ def q195_frontier_politeness_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _memo_store(
         spark, sf_dir, "documents", tag,
         lambda t: build_url_store(pages, t, num_buckets=16),
+        adopt_buckets={"": ("canonical_url", 16)},
     )
     return crawl_frontier(pages, table, per_host_cap=1)
 

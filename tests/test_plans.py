@@ -66,16 +66,27 @@ def test_whole_stage_codegen_coverage(spark):
 
 
 def test_no_python_udfs_in_catalog(spark):
-    # every catalog query must stay JVM-side (BatchEvalPython = row-Python)
-    for name in QUERIES:
-        plan = _plan(spark, name)
-        assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDF"
-        assert "CartesianProduct" not in plan or name in {
-            "q23_cosine_knn",  # broadcast NL join over tiny query side is OK
-            # MLlib recommendForUserSubset blockifies factors and crosses the
-            # blocks by design (bounded #blocks, not #rows) — its scale path
-            "q35_als_recommend",
-        }, f"{name} has a cartesian product"
+    # every catalog query must stay JVM-side (BatchEvalPython = row-Python).
+    # Iterative operators EXECUTE their checkpoint rounds while the frame
+    # is built; 2 shuffle partitions halve that execution cost for the
+    # 195-query sweep without changing any asserted plan property
+    # (operator choice and Python-eval nodes do not depend on the
+    # partition count) — this was the suite's single slowest test.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        for name in QUERIES:
+            plan = _plan(spark, name)
+            assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDF"
+            assert "CartesianProduct" not in plan or name in {
+                "q23_cosine_knn",  # broadcast NL join over tiny query side is OK
+                # MLlib recommendForUserSubset blockifies factors and crosses
+                # the blocks by design (bounded #blocks, not #rows) — its
+                # scale path
+                "q35_als_recommend",
+            }, f"{name} has a cartesian product"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_q46_expand_single_agg(spark):
