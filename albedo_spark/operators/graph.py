@@ -101,13 +101,22 @@ def pagerank(
     plan construction + checkpoint actions.
     """
     # deg is consumed TWICE (the ed join below and the node/reset
-    # frame): without a boundary the edge-union + groupBy subtree
-    # executes once per consumer (broadcast/checkpoint builds never
-    # share work). Lazy — the first round's materialization runs it.
-    deg = edges.groupBy(src).agg(F.count("*").alias("outdeg")).localCheckpoint(
-        eager=False
-    )
-    ed = edges.join(deg, src).persist()
+    # frame): PERSIST, not checkpoint — the cache blocks fill once and
+    # serve both consumers, and unlike a checkpoint (whose Scan
+    # ExistingRDD reports UNKNOWN partitioning and stats) the persisted
+    # frame keeps its groupBy(src) hashpartitioning visible to the
+    # planner, which is what lets the ed build join and the node frame
+    # skip their exchanges. Released in finally with ed/nodes_r.
+    deg = edges.groupBy(src).agg(F.count("*").alias("outdeg")).persist()
+    # shuffle_hash, NOT the planner's default (r16): with deg persisted
+    # its stats are exact while the rank side of the per-round join is a
+    # stats-less checkpoint scan, so the planner "helpfully" broadcast
+    # the EDGE side (66 MB at sf0.1 — re-collected to the driver once
+    # per round, ~0.9 s each; at production width the same choice is an
+    # 8 GB broadcast-cap error). The hint pins the hash join to build on
+    # the per-node side, which co-partitions with ed's hash(src) layout
+    # — zero exchange on the edge stream, at any scale.
+    ed = edges.join(deg.hint("shuffle_hash"), src).persist()
     nodes = deg.select(F.col(src).alias("node"))
     reset_unit = (unit * (100 - damping_x100)) // 100
     if seeds is None:
@@ -147,14 +156,26 @@ def pagerank(
         # checkpoints lazily so a large ``iterations`` cannot grow the
         # plan unboundedly; the FINAL round is eager so everything has
         # materialized before ed is released below.
+        # Both per-round joins carry a shuffle_hash hint on the per-node
+        # side (r16): without it the planner's only sized side is the
+        # persisted edge frame, which it BROADCASTS — re-collecting the
+        # whole edge relation to the driver every round (measured ~0.9 s
+        # × rounds at sf0.1, and a broadcast-cap hazard at scale). The
+        # hinted build side is the |V|-row frame, already hash-partitioned
+        # on the join key from the previous round's aggregate, so the
+        # join is exchange-free on the edge stream and the only per-round
+        # exchange left is the contribution sum's.
         for it in range(iterations):
             contrib = (
-                ed.join(ranks.withColumnRenamed("node", src), src)
+                ed.join(
+                    ranks.withColumnRenamed("node", src).hint("shuffle_hash"),
+                    src,
+                )
                 .select(F.col(dst).alias("node"), contrib_expr.alias("_c"))
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_s"))
             )
-            ranks = nodes_r.join(contrib, "node", "left").select(
+            ranks = nodes_r.join(contrib.hint("shuffle_hash"), "node", "left").select(
                 "node",
                 (F.col("_reset") + F.coalesce(F.col("_s"), F.lit(0))).alias(
                     "rank"
@@ -172,6 +193,7 @@ def pagerank(
         # the caches, the dedup.py:516 discipline)
         ed.unpersist()
         nodes_r.unpersist()
+        deg.unpersist()
     return ranks
 
 
@@ -235,9 +257,17 @@ def label_propagation(
         # persisted edge frame. Every 8th round still checkpoints
         # lazily (plan-growth guard); the final round is eager so ed
         # has no pending reader when it is released below.
+        # shuffle_hash on the label side (r16): the pre-partitioned
+        # persisted edge frame is the only side with stats, so the
+        # planner broadcast it per round (driver re-collect locally,
+        # broadcast-cap error at scale); hinted, the |V|-row label frame
+        # builds and the edge stream never moves.
         for it in range(rounds):
             votes = (
-                ed.join(labels.withColumnRenamed("node", "_s"), "_s")
+                ed.join(
+                    labels.withColumnRenamed("node", "_s").hint("shuffle_hash"),
+                    "_s",
+                )
                 .groupBy(F.col("_d").alias("node"), "label")
                 .agg(F.count("*").alias("_cnt"))
             )
@@ -505,7 +535,12 @@ def hits(
         guarded = guarded.localCheckpoint(eager=False)
         m = guarded.agg(F.max("_s").alias("_m"))
         return (
-            nodes.join(guarded, "node", "left")
+            # shuffle_hash (r16): the checkpointed half-step frame is
+            # stat-less, so the planner broadcast it (a |V|-row driver
+            # collect per half-step locally; a broadcast-cap error at
+            # scale). Hinted, it shuffles hash(node) — co-partitioned
+            # with the persisted nodes frame.
+            nodes.join(guarded.hint("shuffle_hash"), "node", "left")
             .crossJoin(F.broadcast(m))
             .select(
                 "node",
@@ -521,16 +556,27 @@ def hits(
         # Half-steps checkpoint lazily, the LAST one eagerly — the
         # pagerank discipline (one job for all 2·K half-steps, lineage
         # still truncated, ed safely releasable below).
+        # Half-step joins hint shuffle_hash on the score side (r16): the
+        # persisted edge copies are the only side the planner can size,
+        # so it BROADCAST them — re-collecting the full edge relation to
+        # the driver once per half-step (~0.3 s × 2·K at sf0.1, a
+        # broadcast-cap error at production width). Hinted, the build
+        # side is the |V|-row score frame, co-partitioned with the
+        # pre-partitioned edge copy — no edge movement at all.
         for it in range(iterations):
             araw = (
-                ed_src.join(hub.withColumnRenamed("node", src), src)
+                ed_src.join(
+                    hub.withColumnRenamed("node", src).hint("shuffle_hash"), src
+                )
                 .select(F.col(dst).alias("node"), F.col("score").alias("_c"))
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_s"))
             )
             auth = _rescale(araw).localCheckpoint(eager=False)
             hraw = (
-                ed_dst.join(auth.withColumnRenamed("node", dst), dst)
+                ed_dst.join(
+                    auth.withColumnRenamed("node", dst).hint("shuffle_hash"), dst
+                )
                 .select(F.col(src).alias("node"), F.col("score").alias("_c"))
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_s"))
@@ -540,9 +586,13 @@ def hits(
         ed_src.unpersist()
         ed_dst.unpersist()
     return nodes.join(
-        auth.select("node", F.col("score").alias("auth")), "node", "left"
+        auth.select("node", F.col("score").alias("auth")).hint("shuffle_hash"),
+        "node",
+        "left",
     ).join(
-        hub.select("node", F.col("score").alias("hub")), "node", "left"
+        hub.select("node", F.col("score").alias("hub")).hint("shuffle_hash"),
+        "node",
+        "left",
     ).select(
         "node",
         F.coalesce("auth", F.lit(0)).alias("auth"),
