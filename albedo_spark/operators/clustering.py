@@ -198,11 +198,21 @@ def kmeans_cluster_stats(
     Σ min-dist — the convergence scalar a pipeline monitors; min_vec_id
     is a cheap membership witness so the oracle hash moves if ANY vector
     switches clusters, not only when counts change."""
-    vectors = integerize_embeddings(emb, scale=scale)
+    # Lazy checkpoints (r16): the vectors frame is re-scanned once per
+    # round, and each round's centroid frame is referenced TWICE by the
+    # next (the assignment's broadcast build and the update's left
+    # join), so un-truncated lineage replays round t-1 twice inside
+    # round t — a 2^rounds corpus-pass blowup. The per-round boundary
+    # makes it one pass per round (the _coarse_quantizer discipline).
+    vectors = integerize_embeddings(emb, scale=scale).localCheckpoint(
+        eager=False
+    )
     cents = seed_centroids(vectors, k, stride=stride)
     for _ in range(rounds):
         assignment = assign_clusters(vectors, cents, carry_q=True)
-        cents = update_centroids(vectors, assignment, cents)
+        cents = update_centroids(vectors, assignment, cents).localCheckpoint(
+            eager=False
+        )
     final = assign_clusters(vectors, cents)
     stats = final.groupBy("cluster_id").agg(
         F.count("*").alias("n"),
