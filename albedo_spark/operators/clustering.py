@@ -102,52 +102,72 @@ def assign_clusters(
     beyond the final per-vector min (map-side combinable).
 
     ``carry_q=True`` additionally carries the vector itself through the
-    per-vector argmin (``first(q)`` — q is functionally dependent on
-    vec_id, so the value is deterministic): the assignment frame then
-    already holds everything a centroid update or residual encode
-    needs, and the ``assignment ⋈ vectors`` re-join (one full vector
-    shuffle per consumer) disappears (r16, guide §2.4 — the argmin's
-    one exchange does double duty). Same assignment, same integers.
+    per-vector argmin: the assignment frame then already holds
+    everything a centroid update or residual encode needs, and the
+    ``assignment ⋈ vectors`` re-join (one full vector shuffle per
+    consumer) disappears (r16, guide §2.4). Same assignment, same
+    integers.
+
+    MAP-ONLY argmin (r16, guide §2.4 "remove shuffles outright"): the k
+    centroids are folded into ONE broadcast row (``collect_list`` of
+    (cluster_id, c) structs) and the per-vector argmin is
+    ``array_min(transform(...))`` over that array — a pure projection,
+    so the assignment pass has NO exchange and NO aggregate at all (the
+    old groupBy argmin shuffled every vector per round and planned a
+    SortAggregate, because min(struct)+first(array) buffers are not
+    hash-aggregable). ``array_min`` over (dist, cluster_id) structs is
+    the same total order as ``min(struct(dist, cluster_id))`` and is
+    order-independent even under ties, so the collect_list's
+    nondeterministic array order cannot change the result.
 
     Ragged-vector guard (ADVICE r10 #2): ``zip_with`` silently truncates
     to the SHORTER array, so a ragged vector (63-dim plant in a 64-dim
     corpus) used to produce a plausible-but-wrong distance; now it
     raises at execution time via a lazy ``raise_error`` branch."""
-    dist = F.when(
-        F.size("q") != F.size("c"),
-        F.raise_error(
-            F.concat(
-                F.lit("assign_clusters: ragged vector dim "),
-                F.size("q").cast("string"),
-                F.lit(" != centroid dim "),
-                F.size("c").cast("string"),
+
+    def _dist(cc):
+        return F.when(
+            F.size("q") != F.size(cc["c"]),
+            F.raise_error(
+                F.concat(
+                    F.lit("assign_clusters: ragged vector dim "),
+                    F.size("q").cast("string"),
+                    F.lit(" != centroid dim "),
+                    F.size(cc["c"]).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(
+            F.aggregate(
+                F.zip_with("q", cc["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
             )
-        ).cast("long"),
-    ).otherwise(
-        F.aggregate(
-            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        )
+
+    packed = centroids.agg(
+        F.collect_list(F.struct("cluster_id", "c")).alias("_cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda cc: F.struct(
+                _dist(cc).alias("dist"), cc["cluster_id"].alias("cluster_id")
+            ),
         )
     )
-    cols = ["vec_id", "cluster_id"] + (["q"] if carry_q else [])
-    cand = vectors.crossJoin(F.broadcast(centroids)).select(
-        *cols[:2], *(["q"] if carry_q else []), dist.alias("dist")
-    )
-    aggs = [F.min(F.struct("dist", "cluster_id")).alias("m")]
-    if carry_q:
-        aggs.append(F.first("q").alias("q"))
-    best = (
-        cand.groupBy("vec_id")
-        .agg(*aggs)
+    # Two-step select: ``best`` is consumed twice (cluster_id, dist) —
+    # behind the alias the argmin runs once per row (CollapseProject
+    # keeps a non-cheap expression referenced twice un-inlined).
+    return (
+        vectors.crossJoin(F.broadcast(packed))
+        .select("vec_id", *(["q"] if carry_q else []), best.alias("_m"))
         .select(
             "vec_id",
-            F.col("m.cluster_id").alias("cluster_id"),
-            F.col("m.dist").alias("dist"),
+            F.col("_m.cluster_id").alias("cluster_id"),
+            F.col("_m.dist").alias("dist"),
             *(["q"] if carry_q else []),
         )
     )
-    return best
 
 
 def update_centroids(
