@@ -127,6 +127,38 @@ def pq_encode(dists: DataFrame) -> DataFrame:
     )
 
 
+def _packed_codebooks(cb: DataFrame) -> DataFrame:
+    """``(s, _codes array<struct<code,c>>)`` — one row per subspace with
+    every centroid folded into an array, the broadcast shape of the
+    in-row encoders below (r16): joining THIS on ``s`` is a 1:1 match
+    (no ×ncodes fan-out), and the per-subspace argmin runs in-row via
+    ``array_min`` — no exchange, no aggregate, at any corpus scale."""
+    return cb.groupBy("s").agg(
+        F.collect_list(F.struct("code", "c")).alias("_codes")
+    )
+
+
+def _inrow_code(sub_col: str):
+    """``array_min(transform(_codes, ...))`` argmin over a packed
+    codebook row — identical total order to ``min(struct(dist, code))``
+    (order-independent under ties, so collect_list's array order cannot
+    change the result); the same integer squared-L2 fold."""
+
+    def _dist(cc):
+        return F.aggregate(
+            F.zip_with(sub_col, cc["c"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array_min(
+        F.transform(
+            F.col("_codes"),
+            lambda cc: F.struct(_dist(cc).alias("dist"), cc["code"].alias("code")),
+        )
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_pred,
@@ -143,15 +175,44 @@ def pq_adc_topk(
     (adist asc, neighbor_id asc)."""
     if codebooks is None:
         codebooks = formula_codebooks(m=m, subdim=subdim)
-    dists = pq_all_dists(emb, codebooks, m=m, subdim=subdim, scale=scale)
-    # Two consumers (encoder + query table) of one |V|·m·ncodes frame:
-    # lazy localCheckpoint so the broadcast-join scan isn't recomputed
-    # (leak-free, unlike persist — the bench-cache lesson).
-    dists = dists.localCheckpoint(eager=False)
-    codes = pq_encode(dists)
-    qt = dists.where(query_pred(F.col("vec_id"))).select(
-        F.col("vec_id").alias("query_id"), "s", "code",
-        F.col("dist").alias("tdist"),
+    spark = emb.sparkSession
+    cb = spark.createDataFrame(codebooks, "s int, code int, c array<long>")
+    vectors = integerize_embeddings(emb, scale=scale)
+    # Two consumers (encoder + query table) of the subvector frame: lazy
+    # localCheckpoint so the slice pass runs once (leak-free, unlike
+    # persist — the bench-cache lesson).
+    sub = _subvectors(vectors, m, subdim).localCheckpoint(eager=False)
+    # In-row encoder (r16): the old path fanned the WHOLE corpus out to
+    # |V|·m·ncodes distance rows and shuffled them through a groupBy
+    # argmin; the packed-codebook join is 1:1 and the argmin runs in-row
+    # — no fan-out, no exchange. Only the |Q| query rows still build the
+    # full per-code distance table (that table IS the ADC output),
+    # re-derived by EXPLODING the same packed broadcast so the whole
+    # plan builds exactly one broadcast relation.
+    packed = F.broadcast(_packed_codebooks(cb))
+    codes = (
+        sub.join(packed, "s")
+        .select("vec_id", "s", _inrow_code("sub").alias("_m"))
+        .select("vec_id", "s", F.col("_m.code").alias("code"))
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", F.col("_cc.c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qt = (
+        sub.where(query_pred(F.col("vec_id")))
+        .join(packed, "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "sub",
+            F.explode("_codes").alias("_cc"),
+        )
+        .select(
+            "query_id", "s", F.col("_cc.code").alias("code"),
+            dist.alias("tdist"),
+        )
     )
     scored = (
         codes.join(F.broadcast(qt), ["s", "code"])
@@ -343,18 +404,14 @@ def encode_residual_codes(
             F.array(*[F.slice(_rq, s * subdim + 1, subdim) for s in range(m)])
         ).alias("s", "sub"),
     )
-    dist = F.aggregate(
-        F.zip_with("sub", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    rdists = rsub.join(F.broadcast(cb), "s").select(
-        "vec_id", "cluster_id", "s", "code", dist.alias("dist")
-    )
+    # In-row argmin over the packed codebook (r16): the old path fanned
+    # every vector out to m·ncodes distance rows and shuffled them back
+    # through a groupBy argmin; this is a 1:1 broadcast join + pure
+    # projection — the encode pass has no exchange at any corpus scale.
     return (
-        rdists.groupBy("vec_id", "cluster_id", "s")
-        .agg(F.min(F.struct("dist", "code")).alias("mm"))
-        .select("vec_id", "cluster_id", "s", F.col("mm.code").alias("code"))
+        rsub.join(F.broadcast(_packed_codebooks(cb)), "s")
+        .select("vec_id", "cluster_id", "s", _inrow_code("sub").alias("_m"))
+        .select("vec_id", "cluster_id", "s", F.col("_m.code").alias("code"))
     )
 
 
@@ -520,12 +577,20 @@ def probe_query_table(
         ).alias("s", "sub"),
     )
     dist = F.aggregate(
-        F.zip_with("sub", "c", lambda a, b: (a - b) * (a - b)),
+        F.zip_with("sub", F.col("_cc.c"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return qrsub.join(F.broadcast(cb), "s").select(
-        "query_id", "cell", "s", "code", dist.alias("tdist")
+    # Same packed-codebook broadcast shape as the encoder (r16): the one
+    # broadcast relation serves encode AND probe (exchange reuse), and
+    # the per-code fan-out explodes it on the |Q|·nprobe·m rows only.
+    return (
+        qrsub.join(F.broadcast(_packed_codebooks(cb)), "s")
+        .select("query_id", "cell", "s", "sub", F.explode("_codes").alias("_cc"))
+        .select(
+            "query_id", "cell", "s", F.col("_cc.code").alias("code"),
+            dist.alias("tdist"),
+        )
     )
 
 
