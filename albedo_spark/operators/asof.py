@@ -51,23 +51,33 @@ def as_of_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
-    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
-        "_ts", F.col(left_ts)
+    # Single select per side, not a withColumn per carried column (r16):
+    # each withColumn forces a full analyzer pass; with wide value_cols
+    # that is O(cols) sequential passes of pure driver time.
+    left_types = dict(left.dtypes)
+    right_types = dict(right.dtypes)
+    l_tagged = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ts"),
+        *[
+            F.lit(None).cast(right_types[v]).alias(f"asof_{v}")
+            for v in value_cols
+        ],
+        F.lit(None).cast(right_types[right_ts]).alias("asof_ts"),
     )
-    r_tagged = (
-        right.select(
-            F.col(key),
-            F.col(right_ts).alias("_ts"),
-            *[F.col(c).alias(f"asof_{c}") for c in value_cols],
-        )
-        .withColumn("_side", F.lit(0))
-        .withColumn("asof_ts", F.col("_ts"))
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("asof_ts"),
+        *[
+            F.lit(None).cast(left_types[c]).alias(c)
+            for c in left.columns
+            if c != key
+        ],
     )
-    for c in left.columns:
-        if c not in (key,):
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    for c in [f"asof_{v}" for v in value_cols] + ["asof_ts"]:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(r_tagged.dtypes)[c]))
 
     combined = l_tagged.select(r_tagged.columns).unionByName(r_tagged)
     # right rows sort before left rows at equal ts → inclusive semantics in

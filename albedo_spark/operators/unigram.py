@@ -192,14 +192,21 @@ def _with_dp_cols(
     Each v_j is its own projection column (referenced up to max_len
     times downstream), so the optimizer does not inline-duplicate the
     subtree."""
-    out = grid.withColumn("v_0", F.lit(0).cast("long"))
+    # select("*", alias), NOT withColumn (r16): withColumn resolves the
+    # frame's schema to check for column replacement, forcing a FULL
+    # analyzer pass over the growing plan on every call — word_cap
+    # sequential passes over an ever-wider projection, measured as ~4 s
+    # of pure driver time per build at word_cap=12. select with a new
+    # alias defers analysis to the single pass at the first action.
+    out = grid.select("*", F.lit(0).cast("long").alias("v_0"))
     for j in range(1, word_cap + 1):
         cands = [
             F.col(f"v_{i}") + F.col(f"c_{i}_{j}") * _PACK + 1
             for i in range(max(0, j - max_len), j)
         ]
-        out = out.withColumn(
-            f"v_{j}", cands[0] if len(cands) == 1 else F.least(*cands)
+        out = out.select(
+            "*",
+            (cands[0] if len(cands) == 1 else F.least(*cands)).alias(f"v_{j}"),
         )
     return out
 
@@ -325,7 +332,13 @@ def _viterbi_backtrack(
     dp = _with_dp_cols(grid, max_len, word_cap)
     # per-position predecessor: smallest start i whose edge explains
     # v_j exactly (least() skips the non-matching NULL candidates)
-    for j in range(1, word_cap + 1):
+    # select("*", alias), NOT withColumn (r16, the _with_dp_cols note):
+    # withColumn forces a full analyzer pass per call — ~3·word_cap
+    # sequential passes here, measured as seconds of pure driver time
+    # per build. The _b_j predecessors are mutually independent, so one
+    # select adds them all; the walk steps chain selects (each defers
+    # analysis to the single pass at the first action).
+    def _b(j: int):
         cands = [
             F.when(
                 F.col(f"v_{i}") + F.col(f"c_{i}_{j}") * _PACK + 1
@@ -334,26 +347,30 @@ def _viterbi_backtrack(
             )
             for i in range(max(0, j - max_len), j)
         ]
-        dp = dp.withColumn(
-            f"_b_{j}", cands[0] if len(cands) == 1 else F.least(*cands)
+        return (cands[0] if len(cands) == 1 else F.least(*cands)).alias(
+            f"_b_{j}"
         )
+
+    dp = dp.select("*", *[_b(j) for j in range(1, word_cap + 1)])
     preds = F.array(*[F.col(f"_b_{j}") for j in range(1, word_cap + 1)])
     # walk back from the word's end: position word-length, then each
     # step's predecessor; piece = word[i:pos) via substring (the walk
     # on an unreachable-end word emits all-NULL pieces and is dropped
     # by the _vf filter after the barrier)
-    dp = dp.withColumn("_p_0", F.length("word"))
+    dp = dp.select("*", F.length("word").alias("_p_0"))
     for s in range(word_cap):
         p = F.col(f"_p_{s}")
-        dp = dp.withColumn(
-            f"_i_{s}", F.when(p > 0, F.element_at(preds, p))
+        dp = dp.select(
+            "*", F.when(p > 0, F.element_at(preds, p)).alias(f"_i_{s}")
         )
         i = F.col(f"_i_{s}")
-        dp = dp.withColumn(
-            f"_pc_{s}",
-            F.when(p > 0, F.substring(F.col("word"), i + 1, p - i)),
+        dp = dp.select(
+            "*",
+            F.when(p > 0, F.substring(F.col("word"), i + 1, p - i)).alias(
+                f"_pc_{s}"
+            ),
+            F.coalesce(i, F.lit(0)).alias(f"_p_{s + 1}"),
         )
-        dp = dp.withColumn(f"_p_{s + 1}", F.coalesce(i, F.lit(0)))
     # Optimizer barrier (see viterbi_word_stats): keeps predicate
     # pushdown from inlining the recursive column tree into one
     # exponential filter expression. Narrow projection first — only the

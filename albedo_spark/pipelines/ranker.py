@@ -233,15 +233,25 @@ def cast_booleans(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     Sanitizing the values is the Spark-first fix; the sentinel matches the
     clean-UDF convention.
     """
-    for c in cols or BOOLEAN_COLS:
-        if c in df.columns:
-            df = df.withColumn(c, F.col(c).cast("double"))
-    for c in CATEGORICAL_COLS + ["repo_language"]:
-        if c in df.columns:
-            df = df.withColumn(
-                c, F.coalesce(F.nullif(F.col(c), F.lit("")), F.lit("__empty"))
+    # ONE select, not a withColumn per column (r16): each withColumn
+    # forces a full analyzer pass over the (wide, multi-join) frame —
+    # ~10 sequential passes of pure driver time. Same replacement
+    # semantics, single analysis at the first action.
+    bools = {c for c in (cols or BOOLEAN_COLS) if c in df.columns}
+    cats = {
+        c for c in CATEGORICAL_COLS + ["repo_language"] if c in df.columns
+    } - bools
+    out = []
+    for c in df.columns:
+        if c in bools:
+            out.append(F.col(c).cast("double").alias(c))
+        elif c in cats:
+            out.append(
+                F.coalesce(F.nullif(F.col(c), F.lit("")), F.lit("__empty")).alias(c)
             )
-    return df
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
 
 
 def weight_sql(today: dt.date | None = None) -> str:
