@@ -40,9 +40,14 @@ def cooccurrence_topk(
     (``floor(c·10⁴ + 0.5)``) for engine-portable hashing; ties rank by
     item id ascending.
     """
-    pairs_base = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    # Lazy checkpoint (r16): pairs_base feeds FOUR consumers (both sides
+    # of the self-join and both popularity joins) — without the barrier
+    # the scan + distinct subtree is planned and executed four times.
+    pairs_base = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_basket is not None:
         big = (
             pairs_base.groupBy("_b")
@@ -51,7 +56,9 @@ def cooccurrence_topk(
             .select("_b")
         )
         # anti-join, not isin: the cap list is data-sized
-        pairs_base = pairs_base.join(big, "_b", "left_anti")
+        pairs_base = pairs_base.join(big, "_b", "left_anti").localCheckpoint(
+            eager=False
+        )
     pop = pairs_base.groupBy("_i").agg(F.count("*").alias("_n"))
     a, b = pairs_base.alias("a"), pairs_base.alias("b")
     both = (
