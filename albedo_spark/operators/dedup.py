@@ -489,14 +489,24 @@ def prefix_filter_jaccard_pairs(
         .localCheckpoint(eager=False)
     )
     pref = arrs.select(
-        F.col(id_col), F.explode(F.slice(F.col("shset"), F.lit(1), F.col("p"))).alias("sh")
+        F.col(id_col),
+        F.col("s"),
+        F.explode(F.slice(F.col("shset"), F.lit(1), F.col("p"))).alias("sh"),
     )
+    # Length filter (r16, PPJoin's second filter — exactness-preserving):
+    # J ≥ n/d forces d·min(|A|,|B|) ≥ n·max(|A|,|B|) (the intersection is
+    # at most the smaller set and at least τ times the larger), so
+    # size-incompatible pairs drop INSIDE the candidate join, before the
+    # distinct and the array-intersect verify ever see them. The verify
+    # stays exact — this only removes pairs it would reject anyway.
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.s") * threshold_den >= F.col("b.s") * threshold_num)
+            & (F.col("b.s") * threshold_den >= F.col("a.s") * threshold_num),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")

@@ -794,6 +794,33 @@ def test_prefix_filter_threshold_boundary_is_integer_exact(spark):
     assert got == {(1, 2): (7 * 10000) // 11}
 
 
+def test_prefix_filter_length_boundary_pair_survives(spark):
+    """The r16 length filter (d·min(|A|,|B|) ≥ n·max(|A|,|B|)) must keep a
+    qualifying pair whose sizes sit EXACTLY at the boundary: A ⊂ B with
+    |A| = 7, |B| = 10 gives J = 7/10 = τ and size ratio 7/10 = τ — both
+    comparators are >=, so the pair survives; an off-by-one (strict >)
+    would drop it."""
+    from albedo_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7"),
+        (2, "w1 w2 w3 w4 w5 w6 w7 x1 x2 x3"),
+        # size-incompatible near-miss: shares every prefix shingle with 2
+        # but |C|=3 vs |B|=10 cannot reach J >= 0.7 (filter drops it, and
+        # the brute answer agrees)
+        (3, "w1 w2 w3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_x10k
+        for r in prefix_filter_jaccard_pairs(
+            df, shingle_n=1, threshold_num=7, threshold_den=10
+        ).collect()
+    }
+    assert got == _brute_pairs(rows, 7, 10, n=1)
+    assert (1, 2) in got and got[(1, 2)] == 7000
+
+
 def test_containment_pairs_detects_doc_in_doc(spark):
     """The case Jaccard misses: a short snippet inside a long article has
     tiny Jaccard but containment 1.0 — the snippet is flagged as the
