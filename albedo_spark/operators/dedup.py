@@ -271,8 +271,17 @@ def ngram_jaccard_pairs(
     words = df.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
     )
-    tok = widen(words).select(
-        F.col(id_col), F.explode(shingles_from_words(F.col("_w"), n)).alias("sh")
+    # Lazy checkpoint (r16, the q96 fix): tok feeds THREE consumers (both
+    # self-join sides + the sizes aggregate; four with the stop-shingle
+    # guard) — without the barrier the scan + normalize + explode subtree
+    # is planned and executed once per consumer.
+    tok = (
+        widen(words)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_words(F.col("_w"), n)).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     if max_df is not None:
         stop = (
@@ -283,7 +292,7 @@ def ngram_jaccard_pairs(
         )
         # anti-join, not isin: the stop-shingle list is data-sized, never
         # a driver-side collect
-        tok = tok.join(stop, "sh", "left_anti")
+        tok = tok.join(stop, "sh", "left_anti").localCheckpoint(eager=False)
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = tok.alias("a").join(
         tok.alias("b"),
@@ -348,8 +357,15 @@ def containment_pairs(
     words = df.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
     )
-    tok = widen(words).select(
-        F.col(id_col), F.explode(shingles_from_words(F.col("_w"), n)).alias("sh")
+    # Lazy checkpoint (r16, the q96 fix): tok feeds three to four
+    # consumers — one scan + explode instead of one per consumer.
+    tok = (
+        widen(words)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_words(F.col("_w"), n)).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     if max_df is not None:
         stop = (
@@ -358,7 +374,7 @@ def containment_pairs(
             .where(F.col("_df") > max_df)
             .select("sh")
         )
-        tok = tok.join(stop, "sh", "left_anti")
+        tok = tok.join(stop, "sh", "left_anti").localCheckpoint(eager=False)
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = tok.alias("a").join(
         tok.alias("b"),
