@@ -275,7 +275,13 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     higher thresholds trade recall exactly like any banded LSH
     (documented). Everything after the pandas hash stage is JVM integer
     expressions."""
-    h = hashes.select("media_id", "bands")
+    # Lazy checkpoint (r16): h feeds FOUR consumers (both banded-join
+    # sides + both verify array joins) — without the boundary the
+    # upstream pandas hash stage (MapInPandas over the media bytes, the
+    # expensive part) executes once PER consumer: the q147 plan carried
+    # 4 MapInPandas nodes and 8 parquet scans. One materialized hash
+    # pass instead (guide §4: never duplicate the Python boundary).
+    h = hashes.select("media_id", "bands").localCheckpoint(eager=False)
     bands = h.select(
         "media_id", F.posexplode("bands").alias("band_idx", "band")
     )
